@@ -1,0 +1,70 @@
+"""Hourly mart: spatial mean over the grid + unit conversion (A1, C1–C3).
+
+Reference semantics (``dask_jobs/aggregate_hourly.py:48-93``): per
+``(region, ts)`` take the *unweighted*, *null-skipping* arithmetic mean
+of every variable over all (latitude, longitude) cells, then convert
+units, then sort by ts. The mean is deliberately NOT cos-latitude
+weighted — parity first (SURVEY.md §7.4).
+
+Scale notes:
+* ``groupBy(region, ts).avg`` is a hash aggregate with map-side partial
+  aggregation — the shuffle carries one partial row per (region, ts)
+  per input partition, never raw grid cells.
+* Input files are hive-partitioned by region/year/month, so a run for
+  one (region, month) prunes to exactly one partition directory.
+* ``avg`` ignores NULLs (sea-mask cells), matching xarray
+  ``skipna=True``; an all-NULL (region, ts, var) group yields NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.convert import convert_units
+from ..schemas import RAW_VARIABLES
+
+
+def normalize_time_axis(df: DataFrame) -> DataFrame:
+    """Rename the time axis to ``ts`` (C7, ``aggregate_hourly.py:81-86``).
+
+    ``valid_time`` wins over ``time``; error if neither exists — same
+    contract as the reference.
+    """
+    if "ts" in df.columns:
+        return df
+    for cand in ("valid_time", "time"):
+        if cand in df.columns:
+            return df.withColumnRenamed(cand, "ts")
+    raise ValueError("no time axis found: expected one of ts/valid_time/time")
+
+
+def spatial_mean_hourly(grid: DataFrame, variables: list[str] | None = None) -> DataFrame:
+    """Collapse a long-form grid to the hourly mart.
+
+    ``grid``: one row per (region, ts, latitude, longitude) with one
+    column per variable (see ``schemas.RAW_GRID_SCHEMA``).
+
+    Variable selection is presence-gated like the reference's
+    ``vars_present`` probe (S7, ``aggregate_hourly.py:63-67``): only the
+    intersection of requested and existing columns is aggregated; an
+    empty intersection is an error.
+    """
+    grid = normalize_time_axis(grid)
+    wanted = variables if variables is not None else RAW_VARIABLES
+    present = [v for v in wanted if v in grid.columns]
+    if not present:
+        raise ValueError(f"none of the requested variables {wanted} present in input")
+
+    hourly = grid.groupBy("region", "ts").agg(
+        *[F.avg(v).cast("float").alias(v) for v in present]
+    )
+    # Conversion AFTER the mean — reference order (aggregate_hourly.py:71→91).
+    hourly = convert_units(hourly)
+    for c in ("t2m", "d2m", "tp", "wind_speed_10m"):
+        if c in hourly.columns:
+            hourly = hourly.withColumn(c, F.col(c).cast("float"))
+    # Reference sorts each month file by ts (O1, aggregate_hourly.py:89).
+    # Global orderBy would force a range shuffle; within-partition sort
+    # preserves the per-file contract without one.
+    return hourly.sortWithinPartitions("region", "ts")
