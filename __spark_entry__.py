@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship query on sf0.001 (smoke check).
+`queries()` — one callable per implemented operator (SURVEY.md §2 +
+the LLM-pipeline surface); each takes (spark, sf_dir) → DataFrame.
+`oracle_sql()` — DuckDB-runnable ANSI SQL twin per query.
+
+Float determinism contract (shared by every query/oracle pair):
+* all arithmetic in float64;
+* order-dependent aggregates (sum/avg of doubles) cast to float32
+  ONCE at the end on BOTH sides — partial-sum reordering between
+  engines lives in the last ulp of the double and disappears below
+  float32 resolution;
+* per-row arithmetic (no aggregation) stays double: identical IEEE
+  ops on identical inputs are bit-identical across engines;
+* ranking on floats happens AFTER the rounding/cast, with a unique
+  id tie-break, so top-N sets are engine-deterministic.
 """
 
 from __future__ import annotations
@@ -12,27 +22,810 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from big_data_in_agriculture_spark.operators import daily as daily_ops
+from big_data_in_agriculture_spark.operators import hourly as hourly_ops
+from big_data_in_agriculture_spark.operators import llm, relational, serve, similarity
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _date_as_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast DateType output columns to midnight timestamps.
+
+    Spark DateType → pandas `datetime.date` objects while DuckDB DATE →
+    pandas Timestamps; value-hash compares then disagree on identical
+    days. Emitting timestamps on BOTH sides (oracles use
+    CAST(... AS TIMESTAMP)) makes the rendered values engine-identical.
+    """
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC so to_date/date_trunc on TimestampType match DuckDB's
+    # naive-timestamp calendar math regardless of the host session TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects. Read nanos as long, then integer-divide to
+        # micros (`div`, not `/` — these epochs exceed 2^53 so double
+        # math would round) — exactly DuckDB's truncation on read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# ERA5-pipeline semantics exercised on the driver's `events` table.
+# The reference's climate pipeline (grid → hourly mart → daily mart →
+# serving) maps onto events as: region := event_type, ts := ts,
+# measures := deterministic functions of `value`.
+# ---------------------------------------------------------------------------
+
+def _pseudo_grid(spark: SparkSession, sf_dir: str, hourly_ts: bool = True) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ts = F.date_trunc("hour", F.col("ts")) if hourly_ts else F.col("ts")
+    return ev.select(
+        F.col("event_type").alias("region"),
+        ts.alias("ts"),
+        (F.col("value") + F.lit(273.15)).alias("t2m"),
+        (F.col("value") / F.lit(1000.0)).alias("tp"),
+        (F.col("value") / F.lit(10.0)).alias("u10"),
+        (F.col("value") / F.lit(7.0)).alias("v10"),
+    )
+
+
+def q_era5_hourly_spatial_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 + C1 + C2 + C3 + C7: unweighted mean per (region, hour), then
+    # unit conversion AFTER the mean, float32 storage cast at the end.
+    # The time axis arrives as `valid_time` to exercise the C7 rename.
+    grid = _pseudo_grid(spark, sf_dir, hourly_ts=True).withColumnRenamed(
+        "ts", "valid_time"
+    )
+    return hourly_ops.spatial_mean_hourly(
+        grid, variables=["t2m", "tp", "u10", "v10"], cast="float"
+    )
+
+
+_ERA5_HOURLY_SQL = """
+SELECT event_type AS region,
+       date_trunc('hour', ts) AS ts,
+       CAST(avg(value + 273.15) - 273.15 AS FLOAT) AS t2m,
+       CAST(avg(value / 1000.0) * 1000.0 AS FLOAT) AS tp,
+       CAST(avg(value / 10.0) AS FLOAT) AS u10,
+       CAST(avg(value / 7.0) AS FLOAT) AS v10,
+       CAST(sqrt(avg(value / 10.0) * avg(value / 10.0)
+               + avg(value / 7.0) * avg(value / 7.0)) AS FLOAT) AS wind_speed_10m
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_era5_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 + C6 + C9: per-column agg specs, {col}_{fn} naming, presence-gated.
+    hourly = _pseudo_grid(spark, sf_dir, hourly_ts=False).select(
+        "region", "ts", "t2m", "tp"
+    )
+    out = daily_ops.daily_rollup(
+        hourly,
+        agg_specs={"t2m": ["mean", "min", "max"], "tp": ["sum"], "swvl1": ["mean"]},
+        cast="float",
+    )
+    return _date_as_ts(out, "day")
+
+
+_ERA5_DAILY_SQL = """
+SELECT event_type AS region,
+       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       CAST(avg(value + 273.15) AS FLOAT) AS t2m_mean,
+       CAST(min(value + 273.15) AS FLOAT) AS t2m_min,
+       CAST(max(value + 273.15) AS FLOAT) AS t2m_max,
+       CAST(sum(value / 1000.0) AS FLOAT) AS tp_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_era5_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's full mart chain: grid → hourly (double) → daily (float32).
+    grid = _pseudo_grid(spark, sf_dir, hourly_ts=True).select("region", "ts", "t2m", "tp")
+    hourly = hourly_ops.spatial_mean_hourly(grid, variables=["t2m", "tp"], cast=None)
+    out = daily_ops.daily_rollup(
+        hourly, agg_specs={"t2m": ["mean", "min", "max"], "tp": ["sum"]}, cast="float"
+    )
+    return _date_as_ts(out, "day")
+
+
+_ERA5_CHAIN_SQL = """
+WITH hourly AS (
+    SELECT event_type AS region,
+           date_trunc('hour', ts) AS ts,
+           avg(value + 273.15) - 273.15 AS t2m,
+           avg(value / 1000.0) * 1000.0 AS tp
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT region,
+       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       CAST(avg(t2m) AS FLOAT) AS t2m_mean,
+       CAST(min(t2m) AS FLOAT) AS t2m_min,
+       CAST(max(t2m) AS FLOAT) AS t2m_max,
+       CAST(sum(tp) AS FLOAT) AS tp_sum
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
+def q_era5_serve_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F2 + F3 + O2: membership + closed date range, pushed to the scan.
+    day_grain = q_era5_chain(spark, sf_dir)
+    return serve.filter_daily(day_grain, ["click", "view"], "2024-01-05", "2024-01-10")
+
+
+_ERA5_FILTER_SQL = f"""
+WITH daily AS ({_ERA5_CHAIN_SQL.replace("hourly", "hourly_cte")})
+SELECT * FROM daily
+WHERE region IN ('click', 'view')
+  AND day BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
+"""
+
+
+def q_era5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4: wide series, static schema via explicit pivot values.
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    piv = serve.pivot_metric(
+        ev, "value", time_col="day", series_col="event_type", series_values=EVENT_TYPES
+    )
+    piv = piv.select("day", *[F.col(t).cast("float").alias(t) for t in EVENT_TYPES])
+    return _date_as_ts(piv, "day")
+
+
+_ERA5_PIVOT_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       CAST(avg(CASE WHEN event_type = 'click' THEN value END) AS FLOAT) AS click,
+       CAST(avg(CASE WHEN event_type = 'error' THEN value END) AS FLOAT) AS error,
+       CAST(avg(CASE WHEN event_type = 'purchase' THEN value END) AS FLOAT) AS purchase,
+       CAST(avg(CASE WHEN event_type = 'signup' THEN value END) AS FLOAT) AS signup,
+       CAST(avg(CASE WHEN event_type = 'view' THEN value END) AS FLOAT) AS view
+FROM events
+GROUP BY 1
+"""
+
+
+def q_era5_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5: single-row KPI strip.
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return _date_as_ts(
+        serve.kpis(ev, series_col="event_type", time_col="day"), "min_day", "max_day"
+    )
+
+
+_ERA5_KPIS_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT event_type) AS n_event_type,
+       CAST(min(CAST(ts AS DATE)) AS TIMESTAMP) AS min_day,
+       CAST(max(CAST(ts AS DATE)) AS TIMESTAMP) AS max_day
+FROM events
+"""
+
+
+def q_era5_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6: per-key count/min/max sanity rollup.
+    return serve.verification_rollup(_t(spark, sf_dir, "events"), key_col="event_type")
+
+
+_ERA5_VERIF_SQL = """
+SELECT event_type, count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_era5_distinct_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4: SELECT DISTINCT key ORDER BY key.
+    return serve.distinct_keys(_t(spark, sf_dir, "events"), "event_type")
+
+
+_ERA5_DISTINCT_SQL = "SELECT DISTINCT event_type FROM events ORDER BY 1"
+
+
+def q_era5_convert_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C1–C3 row-level: pure per-row float64 IEEE arithmetic, no agg —
+    # bit-identical across engines, so no casts needed.
+    from big_data_in_agriculture_spark.functions.convert import convert_units
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") + F.lit(273.15)).alias("t2m"),
+        (F.col("value") + F.lit(280.0)).alias("d2m"),
+        (F.col("value") / F.lit(1000.0)).alias("tp"),
+        (F.col("value") / F.lit(10.0)).alias("u10"),
+        (F.col("value") / F.lit(7.0)).alias("v10"),
+    )
+    return convert_units(ev)
+
+
+_ERA5_CONVERT_SQL = """
+SELECT event_id,
+       (value + 273.15) - 273.15 AS t2m,
+       (value + 280.0) - 273.15 AS d2m,
+       (value / 1000.0) * 1000.0 AS tp,
+       value / 10.0 AS u10,
+       value / 7.0 AS v10,
+       sqrt((value / 10.0) * (value / 10.0) + (value / 7.0) * (value / 7.0)) AS wind_speed_10m
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (joins / windows / set ops / grouping sets)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS FLOAT) AS sum_qty,
+       CAST(sum(l_extendedprice) AS FLOAT) AS sum_base_price,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS sum_disc_price,
+       CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS FLOAT) AS sum_charge,
+       CAST(avg(l_quantity) AS FLOAT) AS avg_qty,
+       CAST(avg(l_extendedprice) AS FLOAT) AS avg_price,
+       CAST(avg(l_discount) AS FLOAT) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.regional_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.priority_order_counts(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_with_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_customer_detail(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+_BROADCAST_SQL = """
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.running_order_total(_t(spark, sf_dir, "orders"))
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(o_totalprice) OVER w AS FLOAT) AS running_total,
+       CAST(row_number() OVER w2 AS INTEGER) AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders_per_customer(_t(spark, sf_dir, "orders"))
+
+
+_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn <= 2
+"""
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_value_lag(_t(spark, sf_dir, "orders"))
+
+
+_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice - lag(o_totalprice) OVER w AS FLOAT) AS delta_prev,
+       CAST(lag(o_totalprice) OVER w AS FLOAT) AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+_SESSION_SQL = """
+WITH flags AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+    FROM flags
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return relational.set_intersect(a, b)
+
+
+_INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return relational.set_except(a, b)
+
+
+_EXCEPT_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey FROM orders
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.acctbal_rollup(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(sum(c_acctbal) AS FLOAT) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+def q_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_n_orders(_t(spark, sf_dir, "orders"))
+
+
+_TOP10_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline surface: dedup / text analysis / similarity search
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_GROUPS_SQL = """
+SELECT sha256(text) AS text_sha,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.dedup_exact(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_DEDUP_DOCS_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.text_stats(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       ((CAST(length(text) AS DOUBLE)
+         - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+        / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
+FROM documents
+"""
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.corpus_profile(_t(spark, sf_dir, "documents"), by="lang")
+
+
+_CORPUS_PROFILE_SQL = """
+WITH stats AS (
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           ((CAST(length(text) AS DOUBLE)
+             - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(avg(n_chars) AS FLOAT) AS avg_chars,
+       CAST(avg(quality) AS FLOAT) AS avg_quality
+FROM stats GROUP BY lang ORDER BY lang
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, k=3)
+
+
+_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+shingled AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+    FROM toks
+),
+exploded AS (
+    SELECT doc_id, len(sh) AS set_size, unnest(sh) AS shingle FROM shingled
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS n_common,
+       CAST(count(*) AS DOUBLE)
+           / CAST(a.set_size + b.set_size - count(*) AS DOUBLE) AS jaccard
+FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+HAVING CAST(count(*) AS DOUBLE)
+           / CAST(a.set_size + b.set_size - count(*) AS DOUBLE) >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    """Generate the DuckDB twin of llm.simhash: token hash = first 8
+    hex chars of sha256 parsed digit-by-digit; per-bit ±1 sums; bit =
+    sign. Pure integer arithmetic → engine-exact."""
+    digit_poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(sh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+    SELECT doc_id, sha256(tok) AS sh FROM tok
+),
+hv AS (
+    SELECT doc_id, CAST({digit_poly} AS BIGINT) AS h FROM hashed
+),
+bits AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hv GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_bruteforce(emb, queries, k=3)
+
+
+_KNN_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                 6) AS cosine_sim
+    FROM q, c
+    WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.norm_stats_by_label(_t(spark, sf_dir, "embeddings"))
+
+
+_NORMS_SQL = """
+WITH n AS (
+    SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
+    FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vectors,
+       CAST(avg(l2) AS FLOAT) AS avg_norm,
+       CAST(min(l2) AS FLOAT) AS min_norm,
+       CAST(max(l2) AS FLOAT) AS max_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Opaque-binary plumbing: text → bytes → (size, content hash). The
+    # same shape a 100 TB image/audio column uses (binary + typed
+    # metadata); decode itself lives in operators/multimodal.py stubs.
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
+# Rows-only entries (no SQL-expressible oracle): approximate/LSH ops.
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_perm=64, bands=16
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_lsh(emb, queries, dim=64, k=3, num_tables=4, num_bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 pricing summary on sf0.001."""
+    return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "era5_hourly_spatial_mean": q_era5_hourly_spatial_mean,
+        "era5_daily_rollup": q_era5_daily_rollup,
+        "era5_chain": q_era5_chain,
+        "era5_serve_filter_daily": q_era5_serve_filter_daily,
+        "era5_pivot": q_era5_pivot,
+        "era5_kpis": q_era5_kpis,
+        "era5_verification": q_era5_verification,
+        "era5_distinct_regions": q_era5_distinct_regions,
+        "era5_convert_units": q_era5_convert_units,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "join_broadcast": q_join_broadcast,
+        "window_running_total": q_window_running_total,
+        "window_topn": q_window_topn,
+        "window_lag": q_window_lag,
+        "sessionize": q_sessionize,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "rollup_acctbal": q_rollup,
+        "top10_orders": q_top10_orders,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_stats": q_text_stats,
+        "corpus_profile": q_corpus_profile,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_norms": q_embedding_norms,
+        "multimodal_meta": q_multimodal_meta,
+        "minhash_neardup": q_minhash_neardup,
+        "knn_lsh": q_knn_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "era5_hourly_spatial_mean": _ERA5_HOURLY_SQL,
+        "era5_daily_rollup": _ERA5_DAILY_SQL,
+        "era5_chain": _ERA5_CHAIN_SQL,
+        "era5_serve_filter_daily": _ERA5_FILTER_SQL,
+        "era5_pivot": _ERA5_PIVOT_SQL,
+        "era5_kpis": _ERA5_KPIS_SQL,
+        "era5_verification": _ERA5_VERIF_SQL,
+        "era5_distinct_regions": _ERA5_DISTINCT_SQL,
+        "era5_convert_units": _ERA5_CONVERT_SQL,
+        "tpch_q1": _Q1_SQL,
+        "tpch_q3": _Q3_SQL,
+        "tpch_q4": _Q4_SQL,
+        "tpch_q5": _Q5_SQL,
+        "join_semi": _SEMI_SQL,
+        "join_anti": _ANTI_SQL,
+        "join_broadcast": _BROADCAST_SQL,
+        "window_running_total": _RUNNING_SQL,
+        "window_topn": _TOPN_SQL,
+        "window_lag": _LAG_SQL,
+        "sessionize": _SESSION_SQL,
+        "set_intersect": _INTERSECT_SQL,
+        "set_except": _EXCEPT_SQL,
+        "rollup_acctbal": _ROLLUP_SQL,
+        "top10_orders": _TOP10_SQL,
+        "dedup_exact_groups": _DEDUP_GROUPS_SQL,
+        "dedup_exact_docs": _DEDUP_DOCS_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "corpus_profile": _CORPUS_PROFILE_SQL,
+        "jaccard_pairs": _JACCARD_SQL,
+        "simhash": _simhash_oracle(),
+        "knn_bruteforce": _KNN_SQL,
+        "embedding_norms": _NORMS_SQL,
+        "multimodal_meta": _MULTIMODAL_SQL,
+        # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
+        # driver records rows-only checks; exact twins (jaccard_pairs,
+        # knn_bruteforce) are oracle-checked above.
+    }

@@ -35,8 +35,9 @@ def convert_units(df: DataFrame) -> DataFrame:
     if "tp" in cols:
         df = df.withColumn("tp", F.col("tp") * F.lit(1000.0))
     if "u10" in cols and "v10" in cols:
-        # sqrt(u² + v²) — spelled out (not Math.hypot) so the result is
-        # bit-identical to the reference's numpy formula and to SQL oracles.
+        # sqrt(u² + v²) — spelled out (not Math.hypot) so the result
+        # matches the reference's numpy formula within float32 rounding
+        # and SQL oracles bit-for-bit when computed in float64.
         df = df.withColumn(
             "wind_speed_10m",
             F.sqrt(F.col("u10") * F.col("u10") + F.col("v10") * F.col("v10")),

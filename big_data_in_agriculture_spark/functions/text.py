@@ -1,0 +1,121 @@
+"""Text-analysis Column expressions for the documents pipeline.
+
+Everything here is a pure ``pyspark.sql.functions`` composition —
+JVM-side, whole-stage-codegen'd, no Python in the hot path. These are
+the building blocks an LLM training-data pipeline runs over billions
+of documents: token counts, quality ratios, language heuristics,
+fingerprints.
+
+Determinism contract: every expression has an exact ANSI-SQL twin
+(used by the DuckDB oracles in __spark_entry__.py) — literal-space
+splits, explicit punctuation classes, sha256 fingerprints — so results
+hash-match bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Explicit punctuation class — shared verbatim with SQL oracles.
+PUNCT_CLASS = r"[.,!?;:]"
+
+#: Tiny per-language marker-word lists for the n-gram/stopword language
+#: heuristic. Public common-word lists; intentionally minimal — the
+#: heuristic is a scoring scaffold, not a production langid model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (single-space split — matches the SQL twin)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def n_tokens(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def n_distinct_tokens(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def n_chars(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c).cast("long")
+
+
+def punct_count(text: Column | str) -> Column:
+    """Count of punctuation chars = len − len(strip-punct)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast("long")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Cheap quality heuristic: mean token length × distinct-token ratio.
+
+    Degenerate docs (one repeated token, or wall-of-characters) score
+    low; normal prose scores near word-length. Pure float64 arithmetic
+    so the SQL twin is bit-identical.
+    """
+    nt = n_tokens(text).cast("double")
+    mean_tok_len = (n_chars(text).cast("double") - (nt - 1)) / nt
+    distinct_ratio = n_distinct_tokens(text).cast("double") / nt
+    return mean_tok_len * distinct_ratio
+
+
+def lang_score(text: Column | str, lang: str) -> Column:
+    """Marker-word hit count for one language (langid building block)."""
+    toks = tokens(text)
+    markers = LANG_MARKERS[lang]
+    return F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(markers))
+    ).cast("long")
+
+
+def lang_guess(text: Column | str) -> Column:
+    """argmax over LANG_MARKERS scores; 'und' when all scores are 0.
+
+    A real deployment swaps this for a fastText/CLD3 Pandas-UDF island;
+    the n-gram scaffold keeps the hot path JVM-side.
+    """
+    scores = [(lang, lang_score(text, lang)) for lang in LANG_MARKERS]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in scores:  # first max wins, in insertion order
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized-content fingerprint: sha256 of lower(collapsed-ws).
+
+    The content-defined identity used for exact dedup across formatting
+    variants. sha256 hex is engine-portable (DuckDB `sha256()` emits
+    the same lowercase hex).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.sha2(F.regexp_replace(F.lower(c), r"\s+", " "), 256)
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string> (MinHash/Jaccard input).
+
+    Built with transform over a sequence — JVM-side, no UDF. Documents
+    shorter than k tokens yield their whole token string as the single
+    shingle, so every doc has ≥1 shingle.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )

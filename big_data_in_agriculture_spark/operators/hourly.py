@@ -39,7 +39,11 @@ def normalize_time_axis(df: DataFrame) -> DataFrame:
     raise ValueError("no time axis found: expected one of ts/valid_time/time")
 
 
-def spatial_mean_hourly(grid: DataFrame, variables: list[str] | None = None) -> DataFrame:
+def spatial_mean_hourly(
+    grid: DataFrame,
+    variables: list[str] | None = None,
+    cast: str | None = "float",
+) -> DataFrame:
     """Collapse a long-form grid to the hourly mart.
 
     ``grid``: one row per (region, ts, latitude, longitude) with one
@@ -49,6 +53,11 @@ def spatial_mean_hourly(grid: DataFrame, variables: list[str] | None = None) -> 
     ``vars_present`` probe (S7, ``aggregate_hourly.py:63-67``): only the
     intersection of requested and existing columns is aggregated; an
     empty intersection is an error.
+
+    All arithmetic (mean + unit conversion) runs in float64; ``cast``
+    applies ONCE to the final measure columns, matching the reference
+    mart's float32 storage without intermediate precision loss. Pass
+    ``cast=None`` for oracle-checked paths that compare doubles.
     """
     grid = normalize_time_axis(grid)
     wanted = variables if variables is not None else RAW_VARIABLES
@@ -57,14 +66,16 @@ def spatial_mean_hourly(grid: DataFrame, variables: list[str] | None = None) -> 
         raise ValueError(f"none of the requested variables {wanted} present in input")
 
     hourly = grid.groupBy("region", "ts").agg(
-        *[F.avg(v).cast("float").alias(v) for v in present]
+        *[F.avg(v).alias(v) for v in present]
     )
     # Conversion AFTER the mean — reference order (aggregate_hourly.py:71→91).
     hourly = convert_units(hourly)
-    for c in ("t2m", "d2m", "tp", "wind_speed_10m"):
-        if c in hourly.columns:
-            hourly = hourly.withColumn(c, F.col(c).cast("float"))
+    if cast:
+        for c in hourly.columns:
+            if c not in ("region", "ts"):
+                hourly = hourly.withColumn(c, F.col(c).cast(cast))
     # Reference sorts each month file by ts (O1, aggregate_hourly.py:89).
     # Global orderBy would force a range shuffle; within-partition sort
-    # preserves the per-file contract without one.
+    # preserves the per-file contract without one (the partitioned mart
+    # writer in sources/marts.py owns the final per-file ordering).
     return hourly.sortWithinPartitions("region", "ts")

@@ -1,0 +1,320 @@
+"""LLM training-data pipeline operators: dedup + text analysis.
+
+Operators a 100 TB document-corpus pipeline needs, each designed around
+ONE scaling rule: never materialize all-pairs. Candidate generation is
+always an equi-join on a derived key (content hash, shingle, MinHash
+band bucket), so Spark plans a shuffled/broadcast hash join — quadratic
+blowup is confined to within-bucket pairs, which the band/shingle math
+keeps tiny.
+
+Scale notes per operator are inline. All text math is JVM-side Column
+expressions (functions/text.py); nothing here uses a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical content by sha256; keep lowest id as canonical.
+
+    One hash-aggregate shuffle keyed on the 64-hex digest — uniform key
+    distribution by construction, no skew even on 100 TB of boilerplate
+    (the digest of identical boilerplate is one hot key; AQE skew-split
+    handles it, and the payload per row is just the id).
+    """
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("text_sha"), F.col(id_col))
+        .groupBy("text_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return the surviving rows (lowest id per identical text).
+
+    Hash-join the keep-set back instead of ``dropDuplicates`` so the
+    survivor choice is deterministic (min id), not partition-order
+    dependent — `dropDuplicates` keeps an arbitrary row.
+    """
+    keep = exact_dup_groups(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold — EXACT, no LSH.
+
+    Inverted-index formulation: explode distinct k-shingles, self-join
+    on the shingle (equi-join, never crossJoin), count shared shingles
+    per pair, compute J = |∩| / (|A|+|B|−|∩|). Any pair with J > 0
+    shares ≥1 shingle, so the equi-join loses nothing: this is exact.
+
+    Scale: the join key is the shingle string; frequency of a shingle
+    bounds its bucket's pair count. For web-scale corpora you first
+    drop shingles with document-frequency above a cap (a stop-shingle
+    filter) — the pairs they would contribute are far below threshold
+    anyway. MinHash-LSH (below) replaces this when even the inverted
+    index is too big.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        TX.word_shingles(F.col(text_col), k).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+    exploded = shingled.select(
+        "id", "set_size", F.explode("shingles").alias("shingle")
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "n_common", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (approximate, banded)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """num_perm-wide MinHash signature per doc as array<long>.
+
+    "Permutations" are xxhash64 with distinct integer salts — the
+    standard trick (one strong hash + salts ≈ independent permutations).
+    array_min over a transform keeps the whole signature computation
+    inside one projection: no explode, no shuffle, one pass.
+    """
+    def _perm(i: int):
+        # closure factory, NOT a default-arg lambda: a 2-param lambda
+        # would make pyspark pass the array index as the 2nd argument.
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    shingles = TX.word_shingles(F.col(text_col), k)
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, _perm(i))) for i in range(num_perm)]
+    )
+    return docs.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join within band buckets.
+
+    Each band's r-row slice hashes to a bucket key; docs sharing ANY
+    band bucket become a candidate pair. Collision probability for true
+    Jaccard s is 1−(1−s^r)^b — with b=16, r=4 the S-curve knees near
+    s≈0.5. The join key is (band_idx, bucket_hash): uniform, skew-free.
+    """
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[i * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates → exact Jaccard verification → pairs ≥ threshold.
+
+    The full near-dup pipeline: signatures (one pass), banded join
+    (candidates only), then a verification join that recomputes true
+    shingle Jaccard ONLY for candidates. At 100 TB the verification
+    input is the candidate list (tiny), not the corpus.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        TX.word_shingles(F.col(text_col), k).alias("shingles"),
+    )
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Frequency-weighted 32-bit SimHash per document.
+
+    Token hash = first 8 hex chars of sha256 (portable: the SQL oracle
+    reproduces it digit-by-digit). Per bit: sum ±1 over all tokens;
+    fingerprint bit = 1 iff the sum > 0. Everything is one projection
+    over an exploded token list + one hash-agg back to doc grain — two
+    narrow stages, integer math only, engine-exact.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.tokens(F.col(text_col))).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 8), 16, 10).cast("long")
+    )
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return bit_sums.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_dup_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidates = identical simhash (Hamming distance 0).
+
+    The scale path for hamming-distance ≤ d uses the standard block
+    trick: split the fingerprint into d+1 blocks, equi-join on each
+    block (any pair within distance d matches exactly on ≥1 block).
+    Distance-0 is the degenerate single-block case shown here.
+    """
+    sh = simhash(docs, text_col, id_col)
+    a = sh.select(F.col(id_col).alias("id_a"), "simhash")
+    b = sh.select(F.col(id_col).alias("id_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over the documents table
+# ---------------------------------------------------------------------------
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens, quality."""
+    return docs.select(
+        "doc_id",
+        TX.n_chars(text_col).alias("n_chars_calc"),
+        TX.n_tokens(text_col).alias("n_tokens"),
+        TX.n_distinct_tokens(text_col).alias("n_distinct_tokens"),
+        TX.punct_count(text_col).alias("n_punct"),
+        TX.quality_score(text_col).alias("quality"),
+    )
+
+
+def corpus_profile(docs: DataFrame, by: str = "lang") -> DataFrame:
+    """Per-group corpus profile: doc count, token mass, avg quality."""
+    stats = docs.select(
+        F.col(by),
+        TX.n_tokens("text").alias("n_tokens"),
+        TX.n_chars("text").alias("n_chars"),
+        TX.quality_score("text").alias("quality"),
+    )
+    return (
+        stats.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.avg("n_chars").cast("float").alias("avg_chars"),
+            F.avg("quality").cast("float").alias("avg_quality"),
+        )
+        .orderBy(by)
+    )
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint + heuristic language guess per doc."""
+    return docs.select(
+        "doc_id",
+        TX.fingerprint(text_col).alias("fingerprint"),
+        TX.lang_guess(text_col).alias("lang_guess"),
+    )

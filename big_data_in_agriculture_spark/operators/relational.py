@@ -1,0 +1,335 @@
+"""General relational surface: joins, windows, set ops, grouping sets.
+
+The reference engine's relational capability is exercised by the
+driver's TPC-H-ish star schema (SURVEY.md §2.6/§2.7, TESTDATA.md).
+Every function here is a pure DataFrame composition so Catalyst keeps
+predicate pushdown, column pruning, join reordering and AQE re-planning.
+
+Scale posture (100 TB fact tables, small dims):
+* dimension joins (`region`, `nation`, `supplier`, `part`, `customer`
+  at low SF) are explicitly ``broadcast()``-hinted — no shuffle of the
+  fact side, the dim ships to every executor once;
+* fact-fact joins (orders ⋈ lineitem) are sort-merge on the join key;
+  AQE's skew-join splitting (enabled in session.py) handles hot keys;
+* aggregations are hash aggregates with map-side partial aggregation —
+  the shuffle carries one partial row per group per input partition;
+* window functions shuffle once on the partition key, then sort within
+  partitions; running totals never materialize the whole partition in
+  memory (Spark's WindowExec streams frames for UNBOUNDED PRECEDING).
+
+Float determinism contract (for oracle hash-checks): all arithmetic in
+float64, and every order-dependent aggregate (sum/avg of doubles) is
+cast to float32 ONCE at the end — last-ulp partial-sum reordering
+between engines disappears below float32 resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _f(col) -> F.Column:
+    """Final float32 cast for order-dependent double aggregates."""
+    return col.cast("float")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation pipelines (TPC-H flavored)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: big scan → filter → 6-way agg by 2 low-card keys.
+
+    Single shuffle; partial aggregation makes the shuffle payload tiny
+    (≤ 6 groups × partitions). The `l_shipdate <= cutoff` predicate and
+    the 7-column projection both push into the parquet scan.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(ship_cutoff)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _f(F.sum("l_quantity")).alias("sum_qty"),
+            _f(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _f(F.sum(disc_price)).alias("sum_disc_price"),
+            _f(F.sum(charge)).alias("sum_charge"),
+            _f(F.avg("l_quantity")).alias("avg_qty"),
+            _f(F.avg("l_extendedprice")).alias("avg_price"),
+            _f(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    top_n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered 3-way join → agg → top-N.
+
+    `customer` (filtered to one segment) broadcasts; orders ⋈ lineitem
+    is the one real shuffle. Revenue is cast to float32 BEFORE the
+    top-N sort so tie-breaking on (revenue, o_orderkey) is engine-
+    deterministic.
+    """
+    cut = F.to_timestamp(F.lit(cutoff))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(
+            orders.filter(F.col("o_orderdate") < cut),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_f(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(top_n)
+    )
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: star join through two broadcast dims → agg.
+
+    region→nation→customer chain collapses to broadcast hash joins
+    (region: 5 rows, nation: 25 — broadcastable at any SF); the only
+    shuffles are orders ⋈ lineitem and the final group-by on n_name.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(_f(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.col("n_name"))
+    )
+
+
+def priority_order_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style left-semi join → count by priority.
+
+    The semi join keeps only the orders-side columns and short-circuits
+    per key — far cheaper than join+distinct at scale.
+    """
+    committed = lineitem.select("l_orderkey")
+    return (
+        orders.join(committed, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join strategies (explicit surface for the harness)
+# ---------------------------------------------------------------------------
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join: customers having ≥1 order (EXISTS)."""
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti join: customers with no order (NOT EXISTS)."""
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def order_customer_detail(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Broadcast inner join: enrich a fact with a dim, no fact shuffle."""
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+def running_order_total(orders: DataFrame) -> DataFrame:
+    """Per-customer running sum of order value, time-ordered.
+
+    One shuffle on o_custkey, one within-partition sort. The ORDER BY
+    includes o_orderkey as a unique tie-break so the prefix-sum
+    accumulation order (and hence the float64 result) is deterministic
+    across engines.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        _f(F.sum("o_totalprice").over(w)).alias("running_total"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, n: int = 2) -> DataFrame:
+    """row_number() top-N per group, unique tie-break on o_orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def order_value_lag(orders: DataFrame) -> DataFrame:
+    """lag/lead + delta: per-customer order-to-order price change."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _f(F.col("o_totalprice") - prev).alias("delta_prev"),
+        prev.cast("float").alias("prev_price"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization via lag + conditional cumsum.
+
+    The classic batch formulation of session windows: a new session
+    starts when the gap to the previous event exceeds the threshold;
+    session ids are the running count of session starts. Two window
+    passes over the SAME (user, ts) partitioning/order — Spark reuses
+    one shuffle+sort for both. The streaming twin uses
+    ``session_window`` (streaming/events.py).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # exact microsecond gap (unix_micros), not truncated seconds — keeps
+    # borderline gaps engine-deterministic vs SQL oracles (epoch_us).
+    micros = F.unix_micros(F.col(ts_col))
+    gap = micros - F.lag(micros).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        events.withColumn("is_new_session", new_session)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations & grouping sets
+# ---------------------------------------------------------------------------
+
+def set_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """INTERSECT (distinct) — hash-based, one shuffle per side."""
+    return a.intersect(b)
+
+
+def set_except(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT (distinct)."""
+    return a.exceptAll(b).distinct()
+
+
+def set_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UNION (distinct) — unionByName so column order never bites."""
+    return a.unionByName(b).distinct()
+
+
+def acctbal_rollup(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """GROUP BY ROLLUP(region, nation): per-nation, per-region, grand total.
+
+    Spark expands the rollup to grouping sets inside ONE aggregate —
+    no re-scan per level. NULL group keys mark the subtotal rows, same
+    convention as ANSI ROLLUP so a SQL oracle matches directly.
+    """
+    enriched = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        enriched.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _f(F.sum("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+def top_n_orders(orders: DataFrame, n: int = 10) -> DataFrame:
+    """Global top-N (O5): TakeOrderedAndProject, not a full sort.
+
+    Spark plans orderBy+limit as a per-partition top-N + single-reduce
+    merge — no range shuffle of the full table. Unique tie-break on
+    o_orderkey keeps the result set deterministic.
+    """
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(n)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -50,8 +50,8 @@ def filter_hourly(
 ) -> DataFrame:
     """Hourly variant: the end day is expanded to its last microsecond
     (``dashboards/app.py:165-166`` uses ``datetime.max.time()``)."""
-    start_dt = f"{start_day} 00:00:00"
-    end_dt = f"{end_day} 23:59:59.999999"
+    start_dt = F.to_timestamp(F.lit(f"{start_day} 00:00:00"))
+    end_dt = F.to_timestamp(F.lit(f"{end_day} 23:59:59.999999"))
     return (
         df.filter(F.col(region_col).isin(regions))
         .filter(F.col(ts_col).between(start_dt, end_dt))
@@ -73,8 +73,14 @@ def pivot_metric(
     skips Spark's extra distinct-values job — at 100 TB that first pass
     is a full extra scan, so callers should always pass it when known.
     """
+    if metric not in df.columns:
+        raise ValueError(f"metric column {metric!r} not in input columns {df.columns}")
     grouped = df.groupBy(time_col)
-    piv = grouped.pivot(series_col, series_values) if series_values else grouped.pivot(series_col)
+    piv = (
+        grouped.pivot(series_col, series_values)
+        if series_values is not None
+        else grouped.pivot(series_col)
+    )
     return piv.agg(F.avg(metric)).orderBy(time_col)
 
 

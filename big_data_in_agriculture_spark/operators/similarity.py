@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract (top-k cosine neighbors per query vector):
+
+* ``knn_bruteforce`` — exact. The query set broadcasts; each executor
+  scans its slice of the corpus once and emits per-partition top-k via
+  window row_number. Correct baseline at any corpus size IF the query
+  set is small (it ships to every task).
+* ``knn_lsh`` — approximate, random-hyperplane LSH. Corpus and queries
+  hash to sign-pattern buckets; candidates = equi-join on (table,
+  bucket); exact cosine re-rank on candidates only. This is the 100 TB
+  path: no broadcast of anything large, no all-pairs, bucket fan-out
+  controlled by ``num_tables``×``num_bits``.
+
+All vector math is JVM-side higher-order functions (zip_with /
+aggregate / transform) over array columns — no UDF, no collect. Floats
+are widened to float64 before any arithmetic so results match SQL
+oracles bit-for-bit (modulo a final ROUND, since fold order across
+engines can differ in the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_l2_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm (float64) of an array<float> column."""
+    return df.withColumn("l2_norm", _norm(_dvec(F.col(vec_col))))
+
+
+def cosine(a, b) -> F.Column:
+    """Cosine similarity of two array columns, computed in float64."""
+    da, db = _dvec(a), _dvec(b)
+    return _dot(da, db) / (_norm(da) * _norm(db))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (must be small); the corpus is scanned
+    once. Self-matches (same id) are excluded. Similarity is rounded
+    BEFORE ranking and tie-broken by neighbor id, so the returned set
+    is deterministic across engines and partitionings.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplane(seed: int, table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (no RNG state, no numpy
+    on executors): component j = a zig-zag hash of (seed, table, bit, j)
+    mapped to [−1, 1]. Quality is adequate for sign-LSH; determinism is
+    the point (same plan every run, resumable, oracle-friendly)."""
+    out = []
+    for j in range(dim):
+        h = (seed * 1_000_003 + table * 10_007 + bit * 101 + j) * 2654435761 % (2**32)
+        out.append((h / 2**31) - 1.0)
+    return out
+
+
+def lsh_bucket(
+    vec_col,
+    dim: int,
+    num_bits: int = 8,
+    table: int = 0,
+    seed: int = 42,
+) -> F.Column:
+    """Sign-pattern bucket id (0..2^num_bits−1) for one LSH table.
+
+    Each bit = sign of ⟨v, r_i⟩ for a fixed pseudo-random hyperplane
+    r_i. Pure Column arithmetic — the hyperplanes are literal arrays
+    baked into the plan (num_bits × dim literals; fine for dim ≤ few
+    thousand)."""
+    v = _dvec(vec_col)
+    bucket = F.lit(0).cast("long")
+    for b in range(num_bits):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(seed, table, b, dim)])
+        bit = F.when(_dot(v, plane) >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    num_tables: int = 4,
+    num_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH bucketing + exact re-rank.
+
+    Both sides compute (table, bucket) keys; candidates come from an
+    equi-join on them (a shuffled hash join — NO broadcast needed, so
+    the query set may itself be huge); exact cosine runs only on
+    candidates; duplicates across tables collapse with a groupBy max.
+    Recall rises with num_tables; bucket size falls with num_bits.
+    """
+    def buckets(df: DataFrame, side: str) -> DataFrame:
+        tagged = df.select(
+            F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"{side}_vec")
+        )
+        return tagged.select(
+            f"{side}_id",
+            f"{side}_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(F.col(f"{side}_vec"), dim, num_bits, t).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(f"{side}_id", f"{side}_vec", "tb.tbl", "tb.bucket")
+
+    qb = buckets(queries, "query")
+    cb = buckets(corpus, "neighbor")
+    cand = (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def norm_stats_by_label(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding diagnostics: count, mean/min/max L2 norm."""
+    with_norm = embeddings.select(
+        F.col(label_col), _norm(_dvec(F.col(vec_col))).alias("l2")
+    )
+    return (
+        with_norm.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg("l2").cast("float").alias("avg_norm"),
+            # float32 casts absorb last-ulp fold-order differences vs
+            # SQL oracles computing the same norm with SIMD sums.
+            F.min("l2").cast("float").alias("min_norm"),
+            F.max("l2").cast("float").alias("max_norm"),
+        )
+        .orderBy(label_col)
+    )

@@ -85,11 +85,16 @@ def enabled_regions(regions: dict[str, dict]) -> dict[str, dict]:
 
     Reference semantics: ``dask_jobs/aggregate_hourly.py:143``,
     ``flows/download_era5_land.py:138-145`` (unknown names warn upstream).
+    A region with no ``area`` key at all is malformed config and raises,
+    matching the reference's KeyError rather than silently dropping it.
     """
+    for name, cfg in regions.items():
+        if "area" not in cfg:
+            raise KeyError(f"region {name!r} has no 'area' bbox in config")
     return {
         name: cfg
         for name, cfg in regions.items()
-        if list(cfg.get("area", DISABLED_REGION_BBOX)) != DISABLED_REGION_BBOX
+        if list(cfg["area"]) != DISABLED_REGION_BBOX
     }
 
 

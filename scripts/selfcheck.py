@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same sf tables, then compares row count, sorted
+column names, and an order-insensitive value hash (rows rendered to
+canonical strings, sorted, sha256'd) — the same shape of check the
+driver records in CORRECTNESS_r{N}.json.
+
+Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        parts = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                parts.append("NULL")
+            elif isinstance(v, float):
+                parts.append(repr(v))
+            elif hasattr(v, "tolist"):  # numpy scalar/array
+                parts.append(repr(v.tolist()))
+            else:
+                parts.append(repr(v))
+        rows.append("|".join(parts))
+    rows.sort()
+    digest = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return len(rows), cols, digest
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from big_data_in_agriculture_spark.session import get_spark
+
+    spark = get_spark("selfcheck", shuffle_partitions=8)
+    con = duckdb.connect()
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(sdf)} rows  ({el:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: oracle raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        # normalize dtypes the way arrow round-trips do: float32 stays
+        # float32; compare canonical string renderings
+        sn, scols, shash = canon(sdf)
+        on, ocols, ohash = canon(odf)
+        if scols != ocols:
+            print(f"FAIL  {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+        elif sn != on:
+            print(f"FAIL  {name}: rows spark={sn} oracle={on}")
+            n_fail += 1
+        elif shash != ohash:
+            print(f"FAIL  {name}: hash mismatch ({sn} rows)")
+            merged = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).reset_index(drop=True)
+            omerged = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
+            diff = (merged != omerged) & ~(merged.isna() & omerged.isna())
+            bad = diff.any(axis=1)
+            print(merged[bad].head(3))
+            print(omerged[bad].head(3))
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {sn} rows  ({el:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
