@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy maps.
+
+    A small local parquet file arrives as ONE partition, serializing the
+    shingle/hash expressions on one core. At real scale the scan already
+    has thousands of splits and this is a no-op (we only repartition when
+    the input has fewer partitions than the cluster has slots, so a
+    100 TB corpus never pays an extra shuffle here).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -68,6 +83,7 @@ def jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold — EXACT, no LSH.
 
@@ -83,22 +99,56 @@ def jaccard_pairs(
     anyway. MinHash-LSH (below) replaces this when even the inverted
     index is too big.
     """
-    shingled = docs.select(
+    shingled = _fan_out(docs).select(
         F.col(id_col).alias("id"),
         TX.word_shingles(F.col(text_col), k).alias("shingles"),
     ).withColumn("set_size", F.size("shingles"))
+    # Shingles travel as 64-bit hashes: the shuffle carries 8 bytes/key
+    # instead of ~3 words of text. Cross-shingle xxhash64 collisions
+    # (~n²/2⁶⁵) are negligible against any corpus size worth running.
     exploded = shingled.select(
-        "id", "set_size", F.explode("shingles").alias("shingle")
+        "id", "set_size", F.explode("shingles").alias("sh_str")
+    ).select("id", "set_size", F.xxhash64("sh_str").alias("shingle"))
+    # One shuffle total: group the inverted index by shingle and expand
+    # in-bucket pairs with array combinators — a self-JOIN here would
+    # recompute the explode for each side (no exchange reuse) and, at
+    # scale, shuffle the index twice. Bucket width is bounded by shingle
+    # document-frequency, so the expansion is quadratic only within a
+    # bucket (df_cap caps it explicitly; pairs dropped by the cap share
+    # a near-universal shingle and sit far below any useful threshold).
+    buckets = exploded.groupBy("shingle").agg(
+        F.collect_list(F.struct("id", "set_size")).alias("ds")
     )
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
-    )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    if df_cap is not None:
+        buckets = buckets.filter(F.size("ds") <= df_cap)
+    n = F.size("ds")
+    pair_arrays = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, n),  # elements strictly after i (1-based)
+                lambda y: F.when(
+                    x["id"] < y["id"],
+                    F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["set_size"].alias("size_a"),
+                        y["set_size"].alias("size_b"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        y["id"].alias("id_a"),
+                        x["id"].alias("id_b"),
+                        y["set_size"].alias("size_a"),
+                        x["set_size"].alias("size_b"),
+                    )
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b", "p.size_a", "p.size_b")
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
@@ -115,6 +165,27 @@ def jaccard_pairs(
 # MinHash + LSH near-dup (approximate, banded)
 # ---------------------------------------------------------------------------
 
+#: Mersenne prime 2^61 − 1: the classic universal-hash modulus. With
+#: 32-bit base hashes and 31-bit coefficients, a*h+b < 2^63 — no
+#: overflow even under ANSI arithmetic.
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i via a splitmix-style mix.
+
+    a is forced odd and both are bounded to 31 bits so the affine form
+    a*h32 + b stays inside signed-64 range.
+    """
+    x = (i + 1) * 0x9E3779B97F4A7C15 & (1 << 64) - 1
+    x ^= x >> 30
+    x = x * 0xBF58476D1CE4E5B9 & (1 << 64) - 1
+    x ^= x >> 27
+    a = (x & 0x7FFFFFFF) | 1
+    b = (x >> 33) & 0x7FFFFFFF
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_perm: int = 64,
@@ -124,21 +195,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """num_perm-wide MinHash signature per doc as array<long>.
 
-    "Permutations" are xxhash64 with distinct integer salts — the
-    standard trick (one strong hash + salts ≈ independent permutations).
-    array_min over a transform keeps the whole signature computation
-    inside one projection: no explode, no shuffle, one pass.
+    One pass: explode distinct shingles, hash each ONCE (xxhash64
+    masked to 32 bits), then num_perm universal-hash permutations are
+    cheap affine transforms ``(a_i*h + b_i) mod 2^61−1`` aggregated
+    with ``min`` in a single hash aggregate. That is one multiply-add
+    per permutation per shingle — not num_perm string hashes — and the
+    shuffle carries one num_perm-wide row per doc.
     """
-    def _perm(i: int):
-        # closure factory, NOT a default-arg lambda: a 2-param lambda
-        # would make pyspark pass the array index as the 2nd argument.
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    shingles = TX.word_shingles(F.col(text_col), k)
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, _perm(i))) for i in range(num_perm)]
+    exploded = (
+        _fan_out(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(TX.word_shingles(F.col(text_col), k)).alias("sh_str"),
+        )
+        .select(
+            "id",
+            F.xxhash64("sh_str").bitwiseAND(F.lit((1 << 32) - 1)).alias("h"),
+        )
     )
-    return docs.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    mins = []
+    for i in range(num_perm):
+        a, b = _affine_params(i)
+        mins.append(
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61)).alias(
+                f"m{i}"
+            )
+        )
+    agged = exploded.groupBy("id").agg(*mins)
+    return agged.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(
@@ -196,7 +282,7 @@ def minhash_neardup_pairs(
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    shingled = docs.select(
+    shingled = _fan_out(docs).select(
         F.col(id_col).alias("id"),
         TX.word_shingles(F.col(text_col), k).alias("shingles"),
     )
@@ -234,7 +320,7 @@ def simhash(
     over an exploded token list + one hash-agg back to doc grain — two
     narrow stages, integer math only, engine-exact.
     """
-    tok = docs.select(
+    tok = _fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(TX.tokens(F.col(text_col))).alias("tok"),
     ).withColumn(
