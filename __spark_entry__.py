@@ -477,17 +477,21 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BUILDING customers minus those with any URGENT order — non-empty
+    # at every sf, so the EXCEPT semantics actually get hash-checked.
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = orders.select(F.col("o_custkey").alias("c_custkey"))
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
     return relational.set_except(a, b)
 
 
 _EXCEPT_SQL = """
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 EXCEPT
-SELECT o_custkey FROM orders
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 

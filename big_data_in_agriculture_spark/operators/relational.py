@@ -290,8 +290,13 @@ def set_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def set_except(a: DataFrame, b: DataFrame) -> DataFrame:
-    """EXCEPT (distinct)."""
-    return a.exceptAll(b).distinct()
+    """EXCEPT (distinct): rows of a with ANY match in b removed entirely.
+
+    ``subtract`` is Spark's ANSI EXCEPT DISTINCT. (``exceptAll().distinct()``
+    is NOT equivalent — it keeps a row whose multiplicity in a exceeds
+    its multiplicity in b.)
+    """
+    return a.subtract(b)
 
 
 def set_union(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -1,0 +1,111 @@
+"""LLM-pipeline operators: dedup, near-dup, text stats, fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_in_agriculture_spark.operators import llm
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+    (4, "completely different text about spark engines here"),
+    (5, "completely different text about spark engines here"),  # dup of 4
+    (6, "one two"),  # shorter than shingle width
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in llm.dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 6]
+
+
+def test_exact_dup_groups_counts(docs):
+    groups = {r["keep_id"]: r["n_copies"] for r in llm.exact_dup_groups(docs).collect()}
+    assert groups[1] == 2 and groups[4] == 2 and groups[3] == 1
+
+
+def test_jaccard_identical_docs_score_one(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in llm.jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(4, 5)] == 1.0
+    # near-dup 1↔3 shares most shingles but not all
+    assert 0.1 < pairs[(1, 3)] < 1.0
+    # unrelated docs never pair (no shared shingle → no candidate)
+    assert (1, 4) not in pairs
+
+
+def test_jaccard_threshold_filters(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in llm.jaccard_pairs(docs, threshold=0.99).collect()}
+    assert pairs == {(1, 2), (4, 5)}
+
+
+def test_minhash_agrees_with_exact_on_clear_cases(docs):
+    # LSH with these band settings must catch identical docs and must
+    # never emit a pair whose verified true Jaccard is below threshold
+    # (the exact verification step guarantees the latter by design).
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           llm.minhash_neardup_pairs(docs, threshold=0.9, num_perm=64, bands=32).collect()}
+    assert out[(1, 2)] == 1.0 and out[(4, 5)] == 1.0
+    assert all(j >= 0.9 for j in out.values())
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    sigs = llm.minhash_signatures(docs, num_perm=16).collect()
+    assert all(len(r["signature"]) == 16 for r in sigs)
+    by_id = {r["id"]: r["signature"] for r in sigs}
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+    again = {r["id"]: r["signature"] for r in llm.minhash_signatures(docs, num_perm=16).collect()}
+    assert by_id == again  # fully deterministic, no RNG state
+
+
+def test_simhash_identical_and_distinct(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in llm.simhash(docs).collect()}
+    assert fp[1] == fp[2] and fp[4] == fp[5]
+    assert fp[1] != fp[4]
+    cands = {(r["id_a"], r["id_b"]) for r in llm.simhash_dup_candidates(docs).collect()}
+    assert (1, 2) in cands and (4, 5) in cands
+
+
+def test_text_stats_manual_check(spark):
+    df = spark.createDataFrame([(1, "ab cd ab, x!")], ["doc_id", "text"])
+    r = llm.text_stats(df).collect()[0]
+    assert r["n_chars_calc"] == 12
+    assert r["n_tokens"] == 4
+    assert r["n_distinct_tokens"] == 4  # "ab" vs "ab," differ as raw tokens
+    assert r["n_punct"] == 2
+
+
+def test_corpus_profile_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "c d", "en"), (3, "e f", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["lang"]: r for r in llm.corpus_profile(df, by="lang").collect()}
+    assert out["en"]["n_docs"] == 2 and out["de"]["n_docs"] == 1
+    assert out["en"]["total_tokens"] == 4
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in llm.doc_fingerprints(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"), (2, "el gato y la casa de que"),
+         (3, "zzz qqq www")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in llm.doc_fingerprints(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
