@@ -20,9 +20,12 @@ Layout:
     functions/    pure Column-expression helpers (unit conversions, text)
     operators/    hourly/daily marts, serving queries, relational surface,
                   dedup, similarity search, multimodal
-    sources/      partitioned parquet marts, NetCDF ingest, JDBC upsert
+    sources/      partitioned parquet marts, NetCDF ingest, keyed upsert
+                  sink (parquet-backed MERGE; becomes MERGE INTO on
+                  Delta/Iceberg, foreachPartition ON CONFLICT on JDBC)
     streaming/    Structured Streaming variants of the mart pipeline
     plans/        plan-inspection helpers (pushdown/broadcast assertions)
+    cli.py        aggregate-hourly / aggregate-daily / load / query
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,115 @@
+"""CLI driver (reference C11/C12/D4): aggregate / load / query subcommands.
+
+Mirrors the reference entry points (``dask_jobs/aggregate_hourly.py:
+128-168``, ``aggregate_daily.py``, the loader flows) as one argparse
+program over the Spark engine. CSV list args (``--regions a,b``,
+``--months 1,2``) follow the reference's parsing convention (C12).
+
+Usage examples::
+
+    python -m big_data_in_agriculture_spark.cli aggregate-hourly \
+        --raw-root data/raw --out data/marts/hourly --regions r1,r2
+    python -m big_data_in_agriculture_spark.cli aggregate-daily \
+        --hourly data/marts/hourly --out data/marts/daily
+    python -m big_data_in_agriculture_spark.cli load \
+        --source data/marts/daily --target warehouse/daily --key region,day
+    python -m big_data_in_agriculture_spark.cli query \
+        --mart warehouse/daily --regions r1 --start 2022-01-01 --end 2022-01-31
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _csv(s: str) -> list[str]:
+    """C12: ``"a,b,c"`` → ``["a","b","c"]`` (empty string → empty list)."""
+    return [p.strip() for p in s.split(",") if p.strip()]
+
+
+def _csv_int(s: str) -> list[int]:
+    return [int(p) for p in _csv(s)]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="big-data-in-agriculture-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    h = sub.add_parser("aggregate-hourly", help="raw grid → hourly mart (A1/C1-C3/K1)")
+    h.add_argument("--raw-root", required=True)
+    h.add_argument("--out", required=True)
+    h.add_argument("--regions", type=_csv, default=None)
+    h.add_argument("--variables", type=_csv, default=None)
+
+    d = sub.add_parser("aggregate-daily", help="hourly mart → daily mart (A3/K2)")
+    d.add_argument("--hourly", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--regions", type=_csv, default=None)
+    d.add_argument("--months", type=_csv_int, default=None)
+
+    ld = sub.add_parser("load", help="keyed upsert into a warehouse table (K4)")
+    ld.add_argument("--source", required=True)
+    ld.add_argument("--target", required=True)
+    ld.add_argument("--key", type=_csv, required=True)
+
+    q = sub.add_parser("query", help="serving filter query over a mart (F2/F3/O2)")
+    q.add_argument("--mart", required=True)
+    q.add_argument("--regions", type=_csv, required=True)
+    q.add_argument("--start", required=True)
+    q.add_argument("--end", required=True)
+    q.add_argument("--limit", type=int, default=20)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from .session import get_spark
+
+    spark = spark or get_spark("cli")
+
+    if args.cmd == "aggregate-hourly":
+        from .operators.hourly import spatial_mean_hourly
+        from .sources.marts import write_hourly_mart
+        from .sources.netcdf import read_raw_grid
+
+        grid = read_raw_grid(spark, args.raw_root, variables=args.variables)
+        if args.regions:
+            from pyspark.sql import functions as F
+
+            grid = grid.filter(F.col("region").isin(args.regions))
+        hourly = spatial_mean_hourly(grid, variables=args.variables)
+        write_hourly_mart(hourly, args.out)
+        print(f"wrote hourly mart to {args.out}")
+    elif args.cmd == "aggregate-daily":
+        from .operators.daily import daily_rollup
+        from .sources.marts import read_mart, write_daily_mart
+
+        hourly = read_mart(spark, args.hourly, regions=args.regions)
+        daily = daily_rollup(hourly)
+        if args.months:
+            from pyspark.sql import functions as F
+
+            daily = daily.filter(F.month("day").isin(args.months))
+        write_daily_mart(daily, args.out)
+        print(f"wrote daily mart to {args.out}")
+    elif args.cmd == "load":
+        from .sources.upsert import upsert_parquet
+
+        incoming = spark.read.parquet(args.source)
+        n = upsert_parquet(spark, incoming, args.target, args.key)
+        print(f"upserted into {args.target}: {n} rows total")
+    elif args.cmd == "query":
+        from .operators.serve import filter_daily
+
+        mart = spark.read.parquet(args.mart)
+        out = filter_daily(mart, args.regions, args.start, args.end)
+        for row in out.limit(args.limit).collect():
+            print(row.asDict())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

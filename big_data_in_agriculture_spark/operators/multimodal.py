@@ -1,0 +1,147 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+A 100 TB training-data lake carries image/audio/video as ``binary``
+columns beside typed metadata, processed by Arrow-batched Python
+islands (``mapInPandas``) — the decode libraries do the per-item work;
+Spark does partitioning, batching, and shuffle-free column plumbing.
+
+This container ships no image/audio codecs, so the decode kernels are
+STUBS: the Spark-side plumbing (schemas, batch shapes, partition
+behavior, UDF signatures) is real and tested with deterministic fake
+kernels; ``default_image_decode`` raises a clearly-marked
+NotImplementedError exactly like ``sources.netcdf.default_decoder``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: An asset row: opaque payload + the metadata a lake keeps queryable.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),   # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+#: Feature rows produced by decode/extract kernels.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_sha", T.StringType()),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def asset_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata: byte length + content hash.
+
+    No Python island needed — these run in whole-stage codegen, so a
+    metadata-only pass over 100 TB of binaries never starts a Python
+    worker.
+    """
+    return df.withColumn("n_bytes", F.length(payload_col).cast("long")).withColumn(
+        "payload_sha", F.sha2(payload_col, 256)
+    )
+
+
+def default_image_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode an image payload → (width, height, feature vector).
+
+    Requires an image codec (Pillow/OpenCV), absent from this
+    container — STUB per the build contract; inject a kernel instead.
+    """
+    raise NotImplementedError(
+        "image decode requires an image codec (e.g. Pillow), which is not "
+        "installed in this environment. Pass decode_fn=... to "
+        "extract_features; the Spark plumbing around the kernel is real."
+    )
+
+
+def extract_features(
+    assets: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, list[float]]] | None = None,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    One Arrow batch in, one out; the payload column is dropped on
+    output so the (huge) binaries never re-shuffle after this stage —
+    downstream similarity search joins on ``asset_id``.
+    """
+    kernel = decode_fn or default_image_decode
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                w, h, feat = kernel(raw)
+                out.append(
+                    {
+                        "asset_id": int(aid),
+                        "n_bytes": len(raw),
+                        "payload_sha": hashlib.sha256(raw).hexdigest(),
+                        "width": w,
+                        "height": h,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return assets.select(id_col, payload_col).mapInPandas(_run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_n: int = 10,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    frame_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Video → sampled frame payloads (1 row per kept frame).
+
+    ``frame_fn(payload, every_n)`` returns the kept frames; the default
+    deterministic stub slices the payload into ``every_n`` chunks so the
+    fan-out shape (one input row → many output rows, bounded memory per
+    batch) is exercised without a video codec.
+    """
+    def _default(payload: bytes, n: int) -> list[bytes]:
+        if not payload:
+            return []
+        step = max(1, len(payload) // n)
+        return [payload[i : i + step] for i in range(0, len(payload), step)][:n]
+
+    kernel = frame_fn or _default
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i, frame in enumerate(kernel(bytes(payload), every_n)):
+                    rows.append({"asset_id": int(aid), "frame_idx": i, "frame": frame})
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame"])
+
+    return assets.select(id_col, payload_col).mapInPandas(_run, schema=schema)

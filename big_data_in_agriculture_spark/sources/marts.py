@@ -1,0 +1,102 @@
+"""Partitioned parquet marts (reference K1/K2/S9).
+
+Reference layout (``dask_jobs/aggregate_hourly.py:120-123``,
+``aggregate_daily.py:78-82``):
+
+* hourly — ``<root>/region=<r>/year=<y>/month=<mm>/…`` (one file per
+  region-month in the reference; here one *directory* per partition —
+  row-level parity, not byte-level, per SURVEY.md §7.4)
+* daily  — ``<root>/year=<y>/month=<mm>/…`` (all regions in one file)
+
+Spark's native hive-partition discovery replaces the reference's manual
+``glob("region=*/year=Y/month=MM.parquet")``: reading the root yields
+the partition columns back, and partition predicates prune directories
+before any file I/O (S9 → free partition pruning, SURVEY.md §4.1).
+
+Scale notes:
+* ``partitionBy`` writes one directory per partition value; the derived
+  year/month columns are low-cardinality so the partition count stays
+  sane at 100 TB (regions × months, not timestamps).
+* Writers repartition by the partition columns first so each task
+  writes one partition directory (avoids the many-small-files problem
+  of every task holding a sliver of every partition).
+* ``sortWithinPartitions("ts")`` reproduces the reference's per-file
+  time order (O1) inside each written file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HOURLY_PARTITIONS = ["region", "year", "month"]
+DAILY_PARTITIONS = ["year", "month"]
+
+
+def _with_year_month(df: DataFrame, time_col: str) -> DataFrame:
+    """Derive zero-pad-free partition columns from the time axis (C11).
+
+    Spark renders partition values as ``month=1`` (int), not ``month=01``
+    — the discovery read returns them as ints either way, so the
+    zero-padding of the reference's file names is irrelevant to
+    semantics.
+    """
+    return df.withColumn("year", F.year(time_col)).withColumn(
+        "month", F.month(time_col)
+    )
+
+
+def write_hourly_mart(df: DataFrame, root: str, mode: str = "overwrite") -> None:
+    """K1: hourly mart partitioned by (region, year, month).
+
+    ``partitionOverwriteMode=dynamic`` makes a re-run of one month
+    replace ONLY the partitions it produced — the reference's
+    one-file-per-month overwrite semantics (idempotent re-runs) without
+    clobbering sibling months.
+    """
+    out = _with_year_month(df, "ts")
+    (
+        out.repartition(*[F.col(c) for c in HOURLY_PARTITIONS])
+        .sortWithinPartitions("ts")
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*HOURLY_PARTITIONS)
+        .parquet(root)
+    )
+
+
+def write_daily_mart(df: DataFrame, root: str, mode: str = "overwrite") -> None:
+    """K2: daily mart partitioned by (year, month) — all regions together."""
+    out = _with_year_month(df, "day")
+    (
+        out.repartition(*[F.col(c) for c in DAILY_PARTITIONS])
+        .sortWithinPartitions("region", "day")
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*DAILY_PARTITIONS)
+        .parquet(root)
+    )
+
+
+def read_mart(
+    spark: SparkSession,
+    root: str,
+    regions: list[str] | None = None,
+    year: int | None = None,
+    month: int | None = None,
+) -> DataFrame:
+    """S9: partition-discovery read with pruning predicates.
+
+    The filters target partition columns, so Catalyst prunes whole
+    directories at planning time — a single-region read of a 100 TB
+    mart touches only that region's files (verify with
+    ``plans.explain.partition_filters``).
+    """
+    df = spark.read.parquet(root)
+    if regions is not None:
+        df = df.filter(F.col("region").isin(regions))
+    if year is not None:
+        df = df.filter(F.col("year") == year)
+    if month is not None:
+        df = df.filter(F.col("month") == month)
+    return df

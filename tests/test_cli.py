@@ -1,0 +1,45 @@
+"""End-to-end CLI: aggregate-daily → load → query over a real mart."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from big_data_in_agriculture_spark import cli
+from big_data_in_agriculture_spark.sources import marts
+
+
+def test_csv_parsing():
+    assert cli._csv("a, b,c") == ["a", "b", "c"]
+    assert cli._csv("") == []
+    assert cli._csv_int("1,2,12") == [1, 2, 12]
+
+
+def test_cli_daily_load_query_chain(spark, tmp_path, capsys):
+    # stage an hourly mart
+    rows = [
+        ("a", dt.datetime(2022, 1, 1, h), 273.15 + h, 0.001 * h) for h in range(4)
+    ] + [("b", dt.datetime(2022, 1, 1, 0), 280.0, 0.0)]
+    hourly = spark.createDataFrame(rows, ["region", "ts", "t2m", "tp"])
+    hourly_root = str(tmp_path / "hourly")
+    marts.write_hourly_mart(hourly, hourly_root)
+
+    daily_root = str(tmp_path / "daily")
+    assert cli.main(
+        ["aggregate-daily", "--hourly", hourly_root, "--out", daily_root],
+        spark=spark,
+    ) == 0
+
+    wh = str(tmp_path / "warehouse")
+    assert cli.main(
+        ["load", "--source", daily_root, "--target", wh, "--key", "region,day"],
+        spark=spark,
+    ) == 0
+
+    assert cli.main(
+        ["query", "--mart", wh, "--regions", "a", "--start", "2022-01-01",
+         "--end", "2022-01-31"],
+        spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "'region': 'a'" in out and "t2m_mean" in out
+    assert "'region': 'b'" not in out

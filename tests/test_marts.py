@@ -1,0 +1,73 @@
+"""Partitioned mart I/O: round-trip, dynamic overwrite, pruning (K1/K2/S9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from big_data_in_agriculture_spark.plans import explain
+from big_data_in_agriculture_spark.sources import marts
+
+
+@pytest.fixture()
+def hourly(spark):
+    rows = [
+        ("a", dt.datetime(2022, 1, 1, h), 1.0 * h) for h in range(3)
+    ] + [
+        ("a", dt.datetime(2022, 2, 1, h), 2.0 * h) for h in range(3)
+    ] + [
+        ("b", dt.datetime(2022, 1, 1, h), 3.0 * h) for h in range(3)
+    ]
+    return spark.createDataFrame(rows, ["region", "ts", "t2m"])
+
+
+def test_hourly_roundtrip_and_partition_columns(spark, hourly, tmp_path):
+    root = str(tmp_path / "hourly")
+    marts.write_hourly_mart(hourly, root)
+    back = marts.read_mart(spark, root)
+    assert back.count() == 9
+    # discovery returns the partition columns
+    assert {"region", "year", "month"} <= set(back.columns)
+    assert {r["month"] for r in back.select("month").distinct().collect()} == {1, 2}
+
+
+def test_read_mart_prunes_partitions(spark, hourly, tmp_path):
+    root = str(tmp_path / "hourly")
+    marts.write_hourly_mart(hourly, root)
+    one = marts.read_mart(spark, root, regions=["a"], month=1)
+    assert one.count() == 3
+    # the region/month predicates must be directory-pruning partition
+    # filters, not post-scan row filters
+    explain.assert_partition_pruned(one, "region")
+    explain.assert_partition_pruned(one, "month")
+
+
+def test_dynamic_overwrite_keeps_sibling_partitions(spark, hourly, tmp_path):
+    root = str(tmp_path / "hourly")
+    marts.write_hourly_mart(hourly, root)
+    # re-run ONLY region a / month 1 with changed values
+    redo = spark.createDataFrame(
+        [("a", dt.datetime(2022, 1, 1, 0), 99.0)], ["region", "ts", "t2m"]
+    )
+    marts.write_hourly_mart(redo, root, mode="overwrite")
+    back = marts.read_mart(spark, root)
+    # siblings (a/Feb, b/Jan) survive; a/Jan is replaced by the re-run
+    assert back.filter("region='b'").count() == 3
+    assert back.filter("region='a' and month=2").count() == 3
+    a_jan = back.filter("region='a' and month=1").collect()
+    assert len(a_jan) == 1 and a_jan[0]["t2m"] == 99.0
+
+
+def test_daily_mart_layout(spark, tmp_path):
+    rows = [
+        ("a", dt.date(2022, 1, 1), 1.0),
+        ("b", dt.date(2022, 1, 1), 2.0),
+        ("a", dt.date(2022, 2, 1), 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["region", "day", "t2m_mean"])
+    root = str(tmp_path / "daily")
+    marts.write_daily_mart(df, root)
+    back = marts.read_mart(spark, root, month=1)
+    got = {(r["region"], r["t2m_mean"]) for r in back.collect()}
+    assert got == {("a", 1.0), ("b", 2.0)}  # regions together, month pruned

@@ -1,0 +1,73 @@
+"""Structured Streaming daily rollup: micro-batch over the events table."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from big_data_in_agriculture_spark.streaming import events as sev
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    # stage the driver's events file into a landing dir (file-stream source)
+    land = tmp_path / "landing"
+    land.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", land / "batch-000.parquet")
+    return land
+
+
+def test_stream_rollup_matches_batch(spark, landing, tmp_path):
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    q = sev.start_daily_rollup_to_parquet(
+        spark, str(landing), sink, chk, available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+
+    # batch twin over the same file (nanos handled by the entry reader)
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    ev = em._t(spark, SF_DIR, "events")
+    expected = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+    g = {(r["event_type"], r["day"]): (r["n_events"], round(r["value_sum"], 4))
+         for r in got.collect()}
+    e = {(r["event_type"], r["day"]): (r["n_events"], round(r["value_sum"], 4))
+         for r in expected.collect()}
+    # NB: the stream reads the same nanos file via its declared schema —
+    # Spark's file stream cannot read TIMESTAMP(NANOS) either, so the
+    # fixture relies on the legacy conf set by em._t above (session-wide).
+    assert g == e
+
+
+def test_incremental_second_batch_upserts(spark, landing, tmp_path):
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    sev.start_daily_rollup_to_parquet(
+        spark, str(landing), sink, chk, available_now=True
+    ).awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+
+    # land a second copy (same content, new file name) → same keys
+    # upserted with doubled counts, not duplicated rows
+    shutil.copy(f"{SF_DIR}/events.parquet", landing / "batch-001.parquet")
+    sev.start_daily_rollup_to_parquet(
+        spark, str(landing), sink, chk, available_now=True
+    ).awaitTermination(120)
+    after = spark.read.parquet(sink)
+    assert after.count() == n1  # key set unchanged
+    assert after.agg({"n_events": "max"}).collect()[0][0] >= 2
