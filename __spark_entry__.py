@@ -746,6 +746,286 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 widening: hourly serving filter, water balance, rolling window,
+# TPC-H Q6, cube, union-all, fingerprints/langid, streaming, multimodal.
+# ---------------------------------------------------------------------------
+
+def q_era5_filter_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F3 hourly variant: end day expands to 23:59:59.999999
+    # (dashboards/app.py:165-166).
+    hourly = q_era5_hourly_spatial_mean(spark, sf_dir)
+    return serve.filter_hourly(hourly, ["click", "error"], "2024-01-03", "2024-01-04")
+
+
+_ERA5_FILTER_HOURLY_SQL = f"""
+WITH hourly AS ({_ERA5_HOURLY_SQL})
+SELECT * FROM hourly
+WHERE region IN ('click', 'error')
+  AND ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+             AND TIMESTAMP '2024-01-04 23:59:59.999999'
+"""
+
+
+def q_era5_water_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4: water_balance fires because BOTH tp_sum and pev_mm_sum exist.
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.select(
+        F.col("event_type").alias("region"),
+        F.col("ts"),
+        (F.col("value") / F.lit(1000.0)).alias("tp"),
+        (F.col("value") / F.lit(2000.0)).alias("pev_mm"),
+    )
+    out = daily_ops.daily_rollup(
+        hourly, agg_specs={"tp": ["sum"], "pev_mm": ["sum"]}, cast=None
+    )
+    out = out.select(
+        "region", "day",
+        F.col("tp_sum").cast("float").alias("tp_sum"),
+        F.col("pev_mm_sum").cast("float").alias("pev_mm_sum"),
+        F.col("water_balance").cast("float").alias("water_balance"),
+    )
+    return _date_as_ts(out, "day")
+
+
+_ERA5_WATER_SQL = """
+WITH d AS (
+    SELECT event_type AS region,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           sum(value / 1000.0) AS tp_sum,
+           sum(value / 2000.0) AS pev_mm_sum
+    FROM events GROUP BY 1, 2
+)
+SELECT region, day,
+       CAST(tp_sum AS FLOAT) AS tp_sum,
+       CAST(pev_mm_sum AS FLOAT) AS pev_mm_sum,
+       CAST(tp_sum - pev_mm_sum AS FLOAT) AS water_balance
+FROM d
+"""
+
+
+def q_window_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE-frame trailing window over days (gaps shrink the window).
+    daily = q_era5_chain(spark, sf_dir).select("region", "day", "tp_sum")
+    out = relational.rolling_day_sum(
+        daily.withColumn("day", F.to_date("day")),
+        "region", "day", "tp_sum", days=7, out_col="tp_7d",
+    )
+    out = out.withColumn("tp_7d", F.col("tp_7d").cast("float"))
+    return _date_as_ts(out, "day")
+
+
+_ROLLING_SQL = f"""
+WITH daily AS ({_ERA5_CHAIN_SQL.replace("hourly", "hourly_cte")})
+SELECT region, day, tp_sum,
+       CAST(sum(tp_sum) OVER (
+           PARTITION BY region ORDER BY CAST(day AS DATE)
+           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS FLOAT) AS tp_7d
+FROM daily
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6 shape: pure scan-filter-agg; every predicate pushes to parquet.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+            .cast("float")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(l_extendedprice * l_discount) AS FLOAT) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE over two dims: all four grouping sets in one aggregate.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("float").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_totalprice) AS FLOAT) AS total_price
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def q_union_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1: stack two per-segment frames (concat), then one agg over both.
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY")
+    return (
+        a.unionByName(b)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").cast("float").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_UNION_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(c_acctbal) AS FLOAT) AS total_acctbal
+FROM (
+    SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sha256 of lower/collapsed-whitespace content + marker-word langid.
+    return llm.doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    from big_data_in_agriculture_spark.functions.text import LANG_MARKERS
+
+    score = {
+        lang: (
+            "len(list_filter(string_split(text, ' '), "
+            f"t -> lower(t) IN ({', '.join(repr(m) for m in words)})))"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join(f's_{lang}' for lang in langs)})"
+    case = "CASE "
+    for lang in langs:  # first max wins, insertion order
+        case += f"WHEN s_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+WITH scored AS (
+    SELECT doc_id, text, {scores_sql} FROM documents
+),
+with_best AS (
+    SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id,
+       sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       {case} AS lang_guess
+FROM with_best
+"""
+
+
+def q_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9: real Structured Streaming micro-batch (file source →
+    # watermark → 1-day window → foreachBatch keyed upsert), run with an
+    # availableNow trigger and the sink read back as the result. The
+    # first batch's watermark is epoch, so no row is late-dropped and
+    # the end state equals the batch aggregate — SQL-oracle-checkable.
+    import shutil
+    import tempfile
+
+    from big_data_in_agriculture_spark.streaming.events import (
+        start_daily_rollup_to_parquet,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="streamq-")
+    landing = f"{tmp}/landing"
+    import os
+
+    os.makedirs(landing)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/batch-000.parquet")
+    q = start_daily_rollup_to_parquet(
+        spark, landing, f"{tmp}/sink", f"{tmp}/chk", available_now=True
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{tmp}/sink").select(
+        "event_type",
+        F.col("day"),
+        "n_events",
+        F.col("value_mean").cast("float").alias("value_mean"),
+        "value_min",
+        "value_max",
+        F.col("value_sum").cast("float").alias("value_sum"),
+    )
+    return _date_as_ts(out, "day")
+
+
+_STREAM_SQL = """
+SELECT event_type,
+       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       count(*) AS n_events,
+       CAST(avg(value) AS FLOAT) AS value_mean,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       CAST(sum(value) AS FLOAT) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary-column plumbing end-to-end: text → payload bytes → Arrow-
+    # batched mapInPandas kernel → typed features. The kernel is the
+    # deterministic stand-in for an image decoder (none installed); its
+    # outputs are pure functions of the bytes, so SQL can twin them.
+    from big_data_in_agriculture_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.lit("text/plain").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+    def kernel(raw: bytes):
+        return (len(raw), 1, [float(len(raw))])
+
+    return extract_features(assets, kernel).select(
+        "asset_id", "n_bytes", "payload_sha", "width", "height"
+    )
+
+
+_MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha,
+       CAST(octet_length(encode(text)) AS INTEGER) AS width,
+       1 AS height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -791,6 +1071,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "minhash_neardup": q_minhash_neardup,
         "knn_lsh": q_knn_lsh,
+        "era5_filter_hourly": q_era5_filter_hourly,
+        "era5_water_balance": q_era5_water_balance,
+        "window_rolling_7d": q_window_rolling_7d,
+        "tpch_q6": q_tpch_q6,
+        "cube_orders": q_cube_orders,
+        "union_all_segments": q_union_all_segments,
+        "doc_fingerprints": q_doc_fingerprints,
+        "stream_daily_rollup": q_stream_daily_rollup,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -829,6 +1118,15 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": _KNN_SQL,
         "embedding_norms": _NORMS_SQL,
         "multimodal_meta": _MULTIMODAL_SQL,
+        "era5_filter_hourly": _ERA5_FILTER_HOURLY_SQL,
+        "era5_water_balance": _ERA5_WATER_SQL,
+        "window_rolling_7d": _ROLLING_SQL,
+        "tpch_q6": _Q6_SQL,
+        "cube_orders": _CUBE_SQL,
+        "union_all_segments": _UNION_SQL,
+        "doc_fingerprints": _lang_sql(),
+        "stream_daily_rollup": _STREAM_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
         # driver records rows-only checks; exact twins (jaccard_pairs,
         # knn_bruteforce) are oracle-checked above.

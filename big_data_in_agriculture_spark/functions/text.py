@@ -87,7 +87,10 @@ def lang_guess(text: Column | str) -> Column:
     scores = [(lang, lang_score(text, lang)) for lang in LANG_MARKERS]
     best = F.greatest(*[s for _, s in scores])
     expr = F.lit("und")
-    for lang, s in scores:  # first max wins, in insertion order
+    # Build the when-chain REVERSED: the outermost (first-evaluated)
+    # branch must be the first language, so ties break in insertion
+    # order (en before es before fr before de).
+    for lang, s in reversed(scores):
         expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
 

@@ -239,6 +239,29 @@ def order_value_lag(orders: DataFrame) -> DataFrame:
     )
 
 
+def rolling_day_sum(
+    df: DataFrame,
+    part_col: str,
+    day_col: str,
+    value_col: str,
+    days: int = 7,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing N-day rolling sum per key (SURVEY §2.7's analytic extension).
+
+    A RANGE frame over days-since-epoch (``unix_date``), not a ROWS
+    frame — gaps in the calendar shrink the window correctly instead of
+    silently reaching further back. One shuffle on the key, one sort.
+    """
+    out = out_col or f"{value_col}_rolling{days}d"
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.unix_date(F.col(day_col)))
+        .rangeBetween(-(days - 1), 0)
+    )
+    return df.withColumn(out, F.sum(value_col).over(w))
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
