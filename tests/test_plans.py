@@ -1,0 +1,91 @@
+"""Physical-plan audits: the plan shape, not just the answer, is the spec.
+
+Each assertion encodes a property that would matter at 100 TB:
+filters reaching the parquet scan, column pruning, dims broadcast,
+candidate generation via equi-joins (never cartesian).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from big_data_in_agriculture_spark.plans import explain
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def em():
+    import __spark_entry__ as entrymod
+
+    return entrymod
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, em):
+    df = em.q_tpch_q1(spark, SF)
+    plan = explain.formatted_plan(df)
+    # predicate reaches the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan reads only the 7 used
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in readschema and "l_partkey" not in readschema
+    assert "l_quantity" in readschema
+
+
+def test_q6_pushes_every_predicate(spark, em):
+    df = em.q_tpch_q6(spark, SF)
+    got = explain.pushed_filters(df)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in got, f"{frag} not pushed: {got}"
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark, em):
+    df = em.q_tpch_q5(spark, SF)
+    explain.assert_broadcast_join(df)
+    explain.assert_no_cartesian(df)
+
+
+def test_q3_broadcasts_filtered_customer(spark, em):
+    df = em.q_tpch_q3(spark, SF)
+    explain.assert_broadcast_join(df)
+    explain.assert_no_cartesian(df)
+
+
+def test_jaccard_no_cartesian(spark, em):
+    df = em.q_jaccard_pairs(spark, SF)
+    explain.assert_no_cartesian(df)
+
+
+def test_minhash_no_cartesian(spark, em):
+    df = em.q_minhash_neardup(spark, SF)
+    explain.assert_no_cartesian(df)
+
+
+def test_knn_lsh_no_cartesian(spark, em):
+    # the LSH path must be an equi-join on (table, bucket) — the whole
+    # point is avoiding the brute-force product at scale
+    df = em.q_knn_lsh(spark, SF)
+    explain.assert_no_cartesian(df)
+
+
+def test_knn_bruteforce_is_intentional_broadcast_product(spark, em):
+    # the exact baseline IS a broadcast nested-loop (tiny query set ×
+    # corpus) — document the shape so a regression to a shuffled
+    # cartesian (no broadcast) gets caught
+    plan = explain.formatted_plan(em.q_knn_bruteforce(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_window_single_shuffle_reuse(spark, em):
+    # running_total + row_number share one (partition, order) spec —
+    # the plan must contain exactly one Window shuffle for orders
+    plan = explain.formatted_plan(em.q_window_running_total(spark, SF))
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().endswith("Exchange")
+    )
+    n_windows = sum(1 for ln in plan.splitlines() if ln.strip().endswith("Window"))
+    assert n_exchanges == 1 and n_windows == 1, plan
