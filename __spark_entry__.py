@@ -1025,6 +1025,118 @@ FROM documents
 """
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join: each click attributed to the user's most recent
+    # purchase at-or-before it. DuckDB twins it with a native ASOF JOIN.
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = relational.asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="purchase_ts",
+        right_cols=["purchase_ts", "purchase_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")
+
+
+_ASOF_SQL = """
+SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-safe salted join — result identical to the plain equi-join
+    # (the oracle IS the plain join), shuffle spread over 8 sub-keys.
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return relational.salted_join(orders, cust, "c_custkey", salts=8)
+
+
+_SALTED_SQL = """
+SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish pre-tokenization + stopword ratio over documents.
+    from big_data_in_agriculture_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.n_bpe_tokens("text").alias("n_bpe_tokens"),
+        TX.stopword_count("text").alias("n_stopwords"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+def _bpe_sql() -> str:
+    from big_data_in_agriculture_spark.functions.text import LANG_MARKERS
+
+    words = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    in_list = ", ".join(repr(w) for w in words)
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> lower(t) IN ({in_list}))) AS BIGINT) AS n_stopwords,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> lower(t) IN ({in_list}))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+FROM documents
+"""
+
+
+_EMB_NEARDUP_SQL = """
+WITH u AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 5
+),
+p AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS cosine_sim
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.9
+"""
+
+
+# Rows-only: approximate ANN variants (IVF probe + LSH near-dup).
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_ivf(emb, queries, k=3, n_centroids=16, n_probe=4)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic embeddings have no natural near-dups (max pairwise
+    # cosine ≈ 0.51), so plant exact copies of vecs 0–4 under shifted
+    # ids: the operator must recover exactly those 5 pairs at cos 1.0.
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    return similarity.embedding_neardup_pairs(
+        emb.unionByName(planted), threshold=0.9, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1080,6 +1192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "stream_daily_rollup": q_stream_daily_rollup,
         "multimodal_features": q_multimodal_features,
+        "asof_attribution": q_asof_attribution,
+        "salted_join": q_salted_join,
+        "bpe_token_stats": q_bpe_token_stats,
+        "knn_ivf": q_knn_ivf,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -1127,6 +1244,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _lang_sql(),
         "stream_daily_rollup": _STREAM_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        "asof_attribution": _ASOF_SQL,
+        "salted_join": _SALTED_SQL,
+        "bpe_token_stats": _bpe_sql(),
+        # embedding_neardup IS oracle-checkable despite LSH: identical
+        # vectors agree on every hyperplane sign, so recall on the
+        # planted exact duplicates is 1.0 by construction, and nothing
+        # else reaches the 0.9 threshold (max natural cosine ≈ 0.51).
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        # knn_ivf: approximate probing — rows-only like knn_lsh; the
+        # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
         # driver records rows-only checks; exact twins (jaccard_pairs,
         # knn_bruteforce) are oracle-checked above.

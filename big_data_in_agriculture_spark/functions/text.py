@@ -95,6 +95,39 @@ def lang_guess(text: Column | str) -> Column:
     return expr
 
 
+#: BPE-ish pre-tokenization: word runs OR single non-word-non-space
+#: chars — the split GPT-style BPE applies before merges. Shared
+#: verbatim with SQL oracles (Java and RE2 agree on \w and \s here).
+BPE_SPLIT_PATTERN = r"\w+|[^\w\s]"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Pre-tokenizer split: array of word runs + punctuation singletons."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def n_bpe_tokens(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")
+
+
+def stopword_count(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Tokens that are (lowercased) members of a stopword list."""
+    words = stopwords if stopwords is not None else sorted(
+        {w for ws in LANG_MARKERS.values() for w in ws}
+    )
+    return F.size(
+        F.filter(tokens(text), lambda t: F.lower(t).isin(words))
+    ).cast("long")
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Stopword share of whitespace tokens — a quality-score input."""
+    return stopword_count(text, stopwords).cast("double") / n_tokens(text).cast(
+        "double"
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalized-content fingerprint: sha256 of lower(collapsed-ws).
 

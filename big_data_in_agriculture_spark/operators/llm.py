@@ -17,21 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-
-
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across the cluster before CPU-heavy maps.
-
-    A small local parquet file arrives as ONE partition, serializing the
-    shingle/hash expressions on one core. At real scale the scan already
-    has thousands of splits and this is a no-op (we only repartition when
-    the input has fewer partitions than the cluster has slots, so a
-    100 TB corpus never pays an extra shuffle here).
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ._util import fan_out as _fan_out
 
 
 # ---------------------------------------------------------------------------

@@ -239,6 +239,96 @@ def order_value_lag(orders: DataFrame) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: attach the most recent right row (right_ts ≤ left_ts)
+    per key to every left row.
+
+    Spark has no ASOF JOIN operator; the naive formulation (inequality
+    join + groupBy max) explodes quadratically per key. This is the
+    scalable union-and-carry formulation:
+
+    1. tag and union both sides (one narrow map, no join node at all);
+    2. one window over (key) ordered by (ts, side) with
+       ``last(value, ignorenulls=True)`` carrying the latest right
+       value forward — right rows sort BEFORE left rows at equal ts,
+       so an exactly-simultaneous right row is visible (≤, not <);
+    3. keep the left rows.
+
+    Cost: ONE shuffle + sort of |left| + |right| — the same price as a
+    regular sort-merge join, with bounded memory (WindowExec streams
+    running frames).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l.schema["_l"].dataType
+        ).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "_side",
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join with key salting for skewed fact sides.
+
+    A single hot key (one customer with 10% of all orders) turns a
+    sort-merge join into one straggler task. Salting splits every key
+    into ``salts`` sub-keys: the big side gets a deterministic salt
+    from row content, the small side replicates each row across all
+    salts (explode). Result set is identical to the plain join; the
+    shuffle spreads the hot key over ``salts`` tasks.
+
+    AQE's skew-join splitting handles most cases automatically (it's on
+    in session.py); explicit salting remains for the pathological keys
+    AQE can't split (a single huge shuffle block within one key group).
+    """
+    big_cols = [c for c in big.columns]
+    salt_src = F.xxhash64(*[F.col(c) for c in big_cols])
+    b = big.withColumn("_salt", F.pmod(salt_src, F.lit(salts)).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return b.join(s, [key, "_salt"]).drop("_salt")
+
+
 def rolling_day_sum(
     df: DataFrame,
     part_col: str,

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import fan_out as _fan_out
+
 
 def _dvec(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -70,7 +72,7 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = _fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     sim = cosine(F.col("q_vec"), F.col("c_vec"))
@@ -144,7 +146,7 @@ def knn_lsh(
     Recall rises with num_tables; bucket size falls with num_bits.
     """
     def buckets(df: DataFrame, side: str) -> DataFrame:
-        tagged = df.select(
+        tagged = _fan_out(df).select(
             F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"{side}_vec")
         )
         return tagged.select(
@@ -187,6 +189,141 @@ def knn_lsh(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate kNN: coarse quantize, probe, re-rank.
+
+    The inverted-file pattern: (1) pick ``n_centroids`` coarse
+    centroids — here the lowest-id corpus vectors, a deterministic
+    stand-in for a k-means fit (the centroid TABLE is the trained
+    model; swapping in real k-means changes recall, not the plan);
+    (2) assign every corpus vector to its nearest centroid (argmin over
+    literal centroid arrays — pure projection, no shuffle); (3) assign
+    each query to its ``n_probe`` nearest centroids (explode);
+    (4) equi-join on the centroid id and re-rank exactly.
+
+    The centroid fetch is a driver-side collect of ``n_centroids`` rows
+    — a bounded model artifact (like broadcasting a k-means model),
+    never a data collect.
+    """
+    cent_rows = (
+        corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    cents = [
+        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(cent_rows)
+    ]
+
+    def dist2(vec, cent: list[float]) -> F.Column:
+        c = F.array(*[F.lit(x) for x in cent])
+        diff = F.zip_with(_dvec(vec), c, lambda a, b: a - b)
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    # argmin / top-probe via ONE array_sort over (d, cid) structs — a
+    # chained when(closer, …) fold would nest each step's full distance
+    # tree inside the next (exponential expression blowup → driver OOM).
+    def dist_pairs(vec) -> F.Column:
+        return F.array(
+            *[
+                F.struct(dist2(vec, cvec).alias("d"), F.lit(cid).alias("cid"))
+                for cid, cvec in cents
+            ]
+        )
+
+    assigned = _fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        F.array_sort(dist_pairs(F.col(vec_col)))[0]["cid"].alias("cluster"),
+    )
+
+    # queries probe their n_probe nearest clusters
+    def probe_expr(vec) -> F.Column:
+        return F.slice(F.array_sort(dist_pairs(vec)), 1, n_probe)
+
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(probe_expr(F.col(vec_col))).alias("p"),
+    ).select("query_id", "query_vec", F.col("p.cid").alias("cluster"))
+
+    cand = (
+        probed.join(assigned, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_tables: int = 8,
+    num_bits: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (approximate, LSH-bucketed).
+
+    The dedup flavor of similarity search: emit (id_a, id_b, cosine)
+    for pairs above a high threshold. Candidates come from sign-LSH
+    buckets (near-identical vectors agree on almost every hyperplane
+    sign, so recall at 0.95+ is high even with few tables); exact
+    cosine verifies. Never an all-pairs product.
+    """
+    tagged = _fan_out(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded = tagged.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col("v"), dim, num_bits, t).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "tb.tbl", "tb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
     )
 
 
