@@ -1,0 +1,101 @@
+"""JDBC scan + upsert sink (reference S11/K4, warehouse deployment path).
+
+The reference serves its dashboard from Postgres (``dashboards/app.py:
+27-61``) and loads marts with psycopg2 ``execute_values`` ON CONFLICT
+(``flows/load_hourly_parquet_to_postgres.py:20-41``). The harness has
+no database, so these are the deployment-path wrappers: thin, standard
+Spark JDBC for reads, and a ``foreachPartition`` upsert writer that
+reproduces K4's dynamic SET-list semantics. Nothing here is exercised
+by the test harness — the parquet-backed twin (``sources/upsert.py``)
+carries the tested MERGE semantics.
+
+Scale notes:
+* reads push ``predicates``/``partitionColumn`` down so a 1000-executor
+  scan issues bounded, disjoint range queries instead of one giant one;
+* the upsert batches ``execute_values``-style (page_size parity) and
+  commits per partition — same at-least-once + idempotent-on-key story
+  as the reference loader.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S11: parallel JDBC scan; filters/projections push into the DB."""
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table_or_query
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def upsert_statement(table: str, columns: list[str], key: list[str]) -> str:
+    """K4's dynamically-built ON CONFLICT statement (one row of %s)."""
+    non_key = [c for c in columns if c not in key]
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_key)
+    cols = ", ".join(columns)
+    ph = ", ".join(["%s"] * len(columns))
+    return (
+        f"INSERT INTO {table} ({cols}) VALUES ({ph}) "
+        f"ON CONFLICT ({', '.join(key)}) DO UPDATE SET {sets}"
+    )
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    table: str,
+    key: list[str],
+    connect,  # Callable[[], connection] — e.g. functools.partial(psycopg2.connect, dsn)
+    page_size: int = 5000,
+) -> None:
+    """K4: keyed upsert via foreachPartition, one transaction/partition.
+
+    ``connect`` is a zero-arg factory returning a DB-API connection —
+    created INSIDE each partition task (connections don't serialize).
+    Batches of ``page_size`` rows per statement mirror the reference's
+    ``execute_values(page_size=5000)``.
+    """
+    columns = df.columns
+    stmt = upsert_statement(table, columns, key)
+
+    def _write(rows: Iterator[Row]) -> None:
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in columns))
+                if len(batch) >= page_size:
+                    cur.executemany(stmt, batch)
+                    batch = []
+            if batch:
+                cur.executemany(stmt, batch)
+            conn.commit()  # D7: one commit per partition
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    df.foreachPartition(_write)
