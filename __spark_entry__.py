@@ -1116,6 +1116,38 @@ SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.9
 """
 
 
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native session_window — independently implements the session
+    # semantics the SQL oracle derives with lag + conditional cumsum;
+    # hash-equality of the two is a strong cross-check.
+    from big_data_in_agriculture_spark.streaming.events import session_rollup
+
+    return session_rollup(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+_SESSION_WINDOW_SQL = """
+WITH flags AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+    FROM flags
+)
+SELECT user_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sessions GROUP BY user_id, seq
+"""
+
+
 # Rows-only: approximate ANN variants (IVF probe + LSH near-dup).
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "session_window_rollup": q_session_window_rollup,
     }
 
 
@@ -1252,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         # planted exact duplicates is 1.0 by construction, and nothing
         # else reaches the 0.9 threshold (max natural cosine ≈ 0.51).
         "embedding_neardup": _EMB_NEARDUP_SQL,
+        "session_window_rollup": _SESSION_WINDOW_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

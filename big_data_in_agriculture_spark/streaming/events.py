@@ -111,6 +111,84 @@ def daily_event_rollup(
     )
 
 
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows via the native ``session_window`` operator.
+
+    The streaming-first twin of ``operators.relational.sessionize``
+    (lag + conditional cumsum): a session closes after ``gap`` of
+    silence. Works identically on batch DataFrames — the harness
+    hash-checks this native form against the window-function
+    formulation in SQL, two independent implementations of the same
+    semantics. In a stream, pass ``watermark`` so closed sessions
+    finalize and their state drops.
+    """
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(user_col, "n_events", "session_start", "session_end")
+    )
+
+
+#: Output schema of the stateful per-user counter below.
+_COUNTER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events_total", T.LongType()),
+        T.StructField("value_sum_total", T.DoubleType()),
+    ]
+)
+
+_COUNTER_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user lifetime totals across batches.
+
+    ``applyInPandasWithState`` is the escape hatch for stateful logic
+    the built-in windowed aggregates can't express (custom eviction,
+    model state, cross-window counters). State here is two numbers per
+    user — O(users) memory, updated per micro-batch, surviving restarts
+    through the checkpoint. Emits one updated row per user per batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events_total": [n], "value_sum_total": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_COUNTER_SCHEMA,
+        stateStructType=_COUNTER_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_daily_rollup_to_parquet(
     spark: SparkSession,
     source_path: str,

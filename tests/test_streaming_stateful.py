@@ -1,0 +1,70 @@
+"""Native session windows + applyInPandasWithState custom state."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_in_agriculture_spark.operators.relational import sessionize
+from big_data_in_agriculture_spark.streaming import events as sev
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    return em._t(spark, SF_DIR, "events")
+
+
+def test_session_window_matches_lag_cumsum_formulation(spark):
+    # two independent implementations of the same session semantics
+    ev = _events(spark)
+    native = sev.session_rollup(ev, gap="30 minutes")
+    manual = sessionize(ev, gap_minutes=30).drop("session_seq")
+    n = {tuple(r) for r in native.select("user_id", "n_events", "session_start", "session_end").collect()}
+    m = {tuple(r) for r in manual.select("user_id", "n_events", "session_start", "session_end").collect()}
+    assert n == m and len(n) > 100
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", landing / "b0.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", landing / "b1.parquet")
+
+    stream = sev.read_events_stream(
+        spark, str(landing), max_files_per_trigger=1
+    )
+    totals = sev.running_user_totals_stream(stream)
+    sink = str(tmp_path / "state_sink")
+
+    def _append(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .foreachBatch(_append)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emitted row per user = totals over BOTH copies of the file
+    got = (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(F.max("n_events_total").alias("n"))
+    )
+    expected = (
+        _events(spark).groupBy("user_id").agg((F.count(F.lit(1)) * 2).alias("n"))
+    )
+    g = {r["user_id"]: r["n"] for r in got.collect()}
+    e = {r["user_id"]: r["n"] for r in expected.collect()}
+    assert g == e
