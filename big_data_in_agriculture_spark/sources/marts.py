@@ -78,6 +78,32 @@ def write_daily_mart(df: DataFrame, root: str, mode: str = "overwrite") -> None:
     )
 
 
+def refresh_daily_mart(
+    spark: SparkSession,
+    hourly_root: str,
+    daily_root: str,
+    year: int,
+    month: int,
+    agg_specs: dict[str, list[str]] | None = None,
+) -> None:
+    """Hypertable-style continuous-aggregate refresh for one month.
+
+    The TimescaleDB/materialized-rollup pattern on plain Spark + parquet:
+    re-derive ONE (year, month) slice of the daily mart from the hourly
+    mart and swap exactly that partition in (dynamic partition
+    overwrite). Re-runs are idempotent; untouched months never rewrite;
+    the hourly read prunes to the refreshed month's directories, so the
+    refresh cost scales with the slice, not the mart.
+    """
+    from ..operators.daily import daily_rollup
+
+    hourly = read_mart(spark, hourly_root, year=year, month=month).drop(
+        "year", "month"
+    )
+    daily = daily_rollup(hourly, agg_specs=agg_specs)
+    write_daily_mart(daily, daily_root, mode="overwrite")
+
+
 def read_mart(
     spark: SparkSession,
     root: str,

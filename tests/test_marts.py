@@ -59,6 +59,34 @@ def test_dynamic_overwrite_keeps_sibling_partitions(spark, hourly, tmp_path):
     assert len(a_jan) == 1 and a_jan[0]["t2m"] == 99.0
 
 
+def test_refresh_daily_mart_incremental(spark, hourly, tmp_path):
+    # continuous-aggregate refresh: only the refreshed month's daily
+    # partition changes; siblings stay byte-identical
+    hroot, droot = str(tmp_path / "h"), str(tmp_path / "d")
+    marts.write_hourly_mart(hourly, hroot)
+    specs = {"t2m": ["mean"]}
+    marts.refresh_daily_mart(spark, hroot, droot, 2022, 1, agg_specs=specs)
+    marts.refresh_daily_mart(spark, hroot, droot, 2022, 2, agg_specs=specs)
+    before = {(r["region"], r["day"]): r["t2m_mean"]
+              for r in marts.read_mart(spark, droot).collect()}
+    assert len(before) == 3  # (a,Jan1) (b,Jan1) (a,Feb1)
+
+    # hourly re-run changes month 1 only → refresh month 1
+    redo = spark.createDataFrame(
+        [("a", dt.datetime(2022, 1, 1, 0), 42.0)], ["region", "ts", "t2m"]
+    )
+    marts.write_hourly_mart(redo, hroot)
+    marts.refresh_daily_mart(spark, hroot, droot, 2022, 1, agg_specs=specs)
+    after = {(r["region"], r["day"]): r["t2m_mean"]
+             for r in marts.read_mart(spark, droot).collect()}
+    assert after[("a", dt.date(2022, 1, 1))] == 42.0
+    # February slice untouched by the January refresh
+    assert after[("a", dt.date(2022, 2, 1))] == before[("a", dt.date(2022, 2, 1))]
+    # b's hourly partition was NOT overwritten (dynamic overwrite only
+    # touched region=a/month=1), so b's daily row re-derives unchanged
+    assert after[("b", dt.date(2022, 1, 1))] == before[("b", dt.date(2022, 1, 1))]
+
+
 def test_daily_mart_layout(spark, tmp_path):
     rows = [
         ("a", dt.date(2022, 1, 1), 1.0),
