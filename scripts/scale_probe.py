@@ -1,0 +1,160 @@
+"""Scale probes: run key operator shapes at 10-100x bench volume.
+
+Synthetic in-memory inputs (spark.range — no files, no testdata
+mutation) sized to stress the shapes that matter at cluster scale:
+shuffle payloads, window sorts, candidate-pair generation. Prints one
+timing line per probe; SCALE.md records the narrative.
+
+Usage: python scripts/scale_probe.py [probe ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def probe_q1_agg(spark, rows=60_000_000):
+    """TPC-H Q1 shape at 100x sf0.1: wide scan -> 2-key hash agg."""
+    df = spark.range(rows).select(
+        (F.col("id") % 3).alias("flag"),
+        (F.col("id") % 2).alias("status"),
+        (F.col("id") % 50 + 1).cast("double").alias("qty"),
+        ((F.col("id") % 10000) / 100.0).alias("price"),
+        ((F.col("id") % 11) / 100.0).alias("disc"),
+    )
+    return (
+        df.groupBy("flag", "status")
+        .agg(
+            F.sum("qty"), F.sum("price"),
+            F.sum(F.col("price") * (1 - F.col("disc"))),
+            F.avg("qty"), F.count(F.lit(1)),
+        )
+    )
+
+
+def probe_window(spark, rows=20_000_000, keys=200_000):
+    """Running-total window: shuffle + sort 20M rows over 200k keys."""
+    df = spark.range(rows).select(
+        (F.col("id") % keys).alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df.select("k", F.sum("v").over(w).alias("rt"))
+    # aggregate over the window output so column pruning can't skip it
+    return out.filter(F.col("rt") >= 0)
+
+
+def probe_sessionize(spark, rows=10_000_000, users=100_000):
+    """Gap sessionization at 10M events / 100k users."""
+    from big_data_in_agriculture_spark.operators.relational import sessionize
+
+    df = spark.range(rows).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % users).alias("user_id"),
+        F.timestamp_micros(
+            (F.col("id") * 7_919_000 % (86_400_000_000 * 30)).cast("long")
+        ).alias("ts"),
+    )
+    return sessionize(df, gap_minutes=30)
+
+
+def probe_jaccard(spark, docs=50_000):
+    """Near-dup pair generation at 10x the bench corpus (synthetic
+    40-token docs over a 5k-word vocabulary; every consecutive pair of
+    doc ids shares a 20-token prefix -> guaranteed near-dup mass)."""
+    from big_data_in_agriculture_spark.operators.llm import jaccard_pairs
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (
+                F.xxhash64(
+                    F.when(i < 20, F.floor(F.col("id") / 2)).otherwise(F.col("id")), i
+                )
+                % 5000
+            ).cast("string"),
+        ),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    return jaccard_pairs(df, threshold=0.2, k=3, df_cap=200)
+
+
+def probe_minhash(spark, docs=50_000):
+    from big_data_in_agriculture_spark.operators.llm import minhash_neardup_pairs
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (
+                F.xxhash64(
+                    F.when(i < 20, F.floor(F.col("id") / 2)).otherwise(F.col("id")), i
+                )
+                % 5000
+            ).cast("string"),
+        ),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    return minhash_neardup_pairs(df, threshold=0.2, num_perm=64, bands=16)
+
+
+def probe_asof(spark, left=10_000_000, right=1_000_000, keys=50_000):
+    from big_data_in_agriculture_spark.operators.relational import asof_join
+
+    l = spark.range(left).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % keys).alias("k"),
+        F.timestamp_micros((F.col("id") * 1_000_003).cast("long")).alias("ts"),
+    )
+    r = spark.range(right).select(
+        (F.col("id") % keys).alias("k"),
+        F.timestamp_micros((F.col("id") * 9_999_991).cast("long")).alias("rts"),
+        F.col("id").cast("double").alias("val"),
+    )
+    return asof_join(l, r, "k", "ts", "rts", ["rts", "val"]).filter(
+        F.col("val").isNotNull() | F.col("val").isNull()
+    )
+
+
+PROBES = {
+    "q1_agg_60m": probe_q1_agg,
+    "window_20m": probe_window,
+    "sessionize_10m": probe_sessionize,
+    "jaccard_50k": probe_jaccard,
+    "minhash_50k": probe_minhash,
+    "asof_10m": probe_asof,
+}
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    from big_data_in_agriculture_spark.session import get_spark
+
+    spark = get_spark("scale-probe", master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, fn in PROBES.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        n = fn(spark).count()
+        print(f"{name}: {time.perf_counter() - t0:.1f}s ({n} rows out)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
