@@ -1116,6 +1116,103 @@ SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.9
 """
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.returned_item_revenue(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "nation"),
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+_Q14_SQL = """
+SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+            / sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS promo_pct,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_supplier_by_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+_Q15_SQL = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS total_revenue
+    FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+    SELECT *, rank() OVER (ORDER BY total_revenue DESC, l_suppkey) AS rnk
+    FROM per_supp
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rnk = 1
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.large_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS FLOAT) AS total_qty
+FROM (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.disjunctive_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Native session_window — independently implements the session
     # semantics the SQL oracle derives with lag + conditional cumsum;
@@ -1230,6 +1327,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "session_window_rollup": q_session_window_rollup,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
     }
 
 
@@ -1286,6 +1388,11 @@ def oracle_sql() -> dict[str, str]:
         # else reaches the 0.9 threshold (max natural cosine ≈ 0.51).
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "session_window_rollup": _SESSION_WINDOW_SQL,
+        "tpch_q10": _Q10_SQL,
+        "tpch_q14": _Q14_SQL,
+        "tpch_q15": _Q15_SQL,
+        "tpch_q18": _Q18_SQL,
+        "tpch_q19": _Q19_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -149,6 +149,118 @@ def priority_order_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    top_n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue.
+
+    lineitem filters to returns BEFORE the joins (scan-pushed), the
+    nation dim broadcasts, customer rides the o_custkey shuffle.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_f(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(top_n)
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio after a dim join."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _f(F.lit(100.0) * F.sum(promo) / F.sum(revenue)).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def top_supplier_by_revenue(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue, keep the max via window.
+
+    rank-over-empty-partition computes the global max WITHOUT a second
+    scan or a self-join against an aggregated subquery.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        lineitem.groupBy("l_suppkey")
+        .agg(_f(F.sum(revenue)).alias("total_revenue"))
+    )
+    w = Window.orderBy(F.col("total_revenue").desc(), F.col("l_suppkey"))
+    best = per_supp.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    return (
+        best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 150.0,
+    top_n: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped fact, re-joined to headers.
+
+    The heavy groupBy runs on lineitem alone (narrow row: key + qty);
+    only the surviving keys join back — a semi-join-shaped plan that
+    never shuffles the wide join of everything.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > qty_threshold)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            _f(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(top_n)
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate.
+
+    Expressed as a plain filter AFTER an equi-join on partkey — Catalyst
+    keeps the equi-join hashable and applies the disjunction as a
+    post-join filter (the common-key conjunct is what matters at scale;
+    a naive OR-join would degenerate to a nested loop).
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            _f(F.sum(revenue)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join strategies (explicit surface for the harness)
 # ---------------------------------------------------------------------------
