@@ -52,6 +52,11 @@ def merge_frames(existing: DataFrame, incoming: DataFrame, key: list[str]) -> Da
     deterministic survivor first (max over a struct of the non-key
     columns) so the result is key-unique — same end state as the
     reference's sequential ON CONFLICT loop applying the last batch row.
+
+    Precondition: ``existing`` is key-unique (a PK'd table). Every
+    table this module writes satisfies it; a duplicate-keyed
+    ``existing`` passes through un-collapsed, exactly like a Postgres
+    table whose PK constraint was never enforced.
     """
     _validate_key(incoming, key)
     others = [c for c in incoming.columns if c not in key]
