@@ -139,6 +139,37 @@ def fingerprint(text: Column | str) -> Column:
     return F.sha2(F.regexp_replace(F.lower(c), r"\s+", " "), 256)
 
 
+def shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """Distinct 64-bit hashes of the k-word shingles, as array<long>.
+
+    Equivalent join keys to ``xxhash64(word_shingles(...))`` but built
+    without materializing shingle strings: hash each token ONCE, then
+    combine k consecutive token hashes with rotate-xor folds and one
+    final xxhash64 re-mix. Halves the hashing cost and — more
+    importantly for one-shot queries — keeps the expression tree small
+    (string-concat shingling dominates plan codegen time).
+
+    Only XOR/shift arithmetic (wrap-safe under ANSI mode; multiplies
+    would throw on overflow). Collision probability stays ~n²/2⁶⁴ —
+    irrelevant beside the shingle-set semantics both near-dup operators
+    already accept.
+    """
+    toks = tokens(text)
+    h = F.transform(toks, lambda x: F.xxhash64(x))
+    ln = F.greatest(F.size(h) - F.lit(k - 1), F.lit(1))
+    combined = F.slice(h, 1, ln)
+    for j in range(1, k):
+        nxt = F.slice(h, j + 1, ln)
+        combined = F.zip_with(
+            combined,
+            nxt,
+            lambda x, y: F.shiftleft(x, 13)
+            .bitwiseXOR(F.shiftrightunsigned(x, 51))
+            .bitwiseXOR(F.coalesce(y, F.lit(-7046029254386353131))),
+        )
+    return F.array_distinct(F.transform(combined, lambda x: F.xxhash64(x)))
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles as an array<string> (MinHash/Jaccard input).
 

@@ -85,16 +85,16 @@ def jaccard_pairs(
     anyway. MinHash-LSH (below) replaces this when even the inverted
     index is too big.
     """
+    # Shingles travel as 64-bit hashes from the start (one token hash +
+    # rotate-xor combine — see TX.shingle_hashes): the shuffle carries
+    # 8 bytes/key instead of ~3 words of text, and the plan stays small.
     shingled = _fan_out(docs).select(
         F.col(id_col).alias("id"),
-        TX.word_shingles(F.col(text_col), k).alias("shingles"),
+        TX.shingle_hashes(F.col(text_col), k).alias("shingles"),
     ).withColumn("set_size", F.size("shingles"))
-    # Shingles travel as 64-bit hashes: the shuffle carries 8 bytes/key
-    # instead of ~3 words of text. Cross-shingle xxhash64 collisions
-    # (~n²/2⁶⁵) are negligible against any corpus size worth running.
     exploded = shingled.select(
-        "id", "set_size", F.explode("shingles").alias("sh_str")
-    ).select("id", "set_size", F.xxhash64("sh_str").alias("shingle"))
+        "id", "set_size", F.explode("shingles").alias("shingle")
+    )
     # One shuffle total: group the inverted index by shingle and expand
     # in-bucket pairs with array combinators — a self-JOIN here would
     # recompute the explode for each side (no exchange reuse) and, at
@@ -192,11 +192,11 @@ def minhash_signatures(
         _fan_out(docs)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(TX.word_shingles(F.col(text_col), k)).alias("sh_str"),
+            F.explode(TX.shingle_hashes(F.col(text_col), k)).alias("sh"),
         )
         .select(
             "id",
-            F.xxhash64("sh_str").bitwiseAND(F.lit((1 << 32) - 1)).alias("h"),
+            F.col("sh").bitwiseAND(F.lit((1 << 32) - 1)).alias("h"),
         )
     )
     mins = []
@@ -270,7 +270,7 @@ def minhash_neardup_pairs(
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     shingled = _fan_out(docs).select(
         F.col(id_col).alias("id"),
-        TX.word_shingles(F.col(text_col), k).alias("shingles"),
+        TX.shingle_hashes(F.col(text_col), k).alias("shingles"),
     )
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
