@@ -1,16 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, same contract (top-k cosine neighbors per query vector):
+Four operators, one contract (cosine, deterministic tie-breaks):
 
-* ``knn_bruteforce`` — exact. The query set broadcasts; each executor
-  scans its slice of the corpus once and emits per-partition top-k via
-  window row_number. Correct baseline at any corpus size IF the query
-  set is small (it ships to every task).
-* ``knn_lsh`` — approximate, random-hyperplane LSH. Corpus and queries
-  hash to sign-pattern buckets; candidates = equi-join on (table,
-  bucket); exact cosine re-rank on candidates only. This is the 100 TB
-  path: no broadcast of anything large, no all-pairs, bucket fan-out
-  controlled by ``num_tables``×``num_bits``.
+* ``knn_bruteforce`` — exact top-k. The query set broadcasts; each
+  executor scans its slice of the corpus once. Correct baseline at any
+  corpus size IF the query set is small (it ships to every task).
+* ``knn_lsh`` — approximate top-k, random-hyperplane LSH. Candidates =
+  equi-join on (table, bucket); exact cosine re-rank on candidates
+  only. A 100 TB path: no broadcast of anything large, no all-pairs;
+  fan-out controlled by ``num_tables``×``num_bits``.
+* ``knn_ivf`` — approximate top-k, inverted-file probing. Corpus
+  assigned to coarse centroids; queries probe their n_probe nearest
+  cells; equi-join on the cell id. The other 100 TB path — better than
+  LSH when the corpus clusters.
+* ``embedding_neardup_pairs`` — the dedup flavor: all pairs above a
+  high cosine threshold, LSH-bucketed candidates + exact verify.
 
 All vector math is JVM-side higher-order functions (zip_with /
 aggregate / transform) over array columns — no UDF, no collect. Floats

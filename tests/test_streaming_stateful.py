@@ -32,6 +32,68 @@ def test_session_window_matches_lag_cumsum_formulation(spark):
     assert n == m and len(n) > 100
 
 
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    # batch 0 advances the watermark far into the future; batch 1's
+    # older-than-watermark rows must be dropped, not reopen closed days
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(name, event_id, ts, value):
+        # flat single FILE (df.write.parquet makes a directory, which
+        # the file-stream source does not recurse into by default)
+        pdf = pd.DataFrame(
+            {"event_id": [event_id], "ts": [pd.Timestamp(ts)], "user_id": [10],
+             "event_type": ["click"], "value": [value], "props": ["{}"]}
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf).cast(
+                pa.schema(
+                    [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                     ("user_id", pa.int64()), ("event_type", pa.string()),
+                     ("value", pa.float64()), ("props", pa.string())]
+                )
+            ),
+            landing / name,
+        )
+
+    land("b0.parquet", 1, dt.datetime(2024, 3, 1, 12), 1.0)
+    sink, chk = str(tmp_path / "sink"), str(tmp_path / "chk")
+
+    def run():
+        rollup = sev.daily_event_rollup(
+            sev.read_events_stream(spark, str(landing), nanos_ts=False),
+            watermark="1 day",
+        )
+
+        def _sink(bdf, bid):
+            from big_data_in_agriculture_spark.sources.upsert import upsert_parquet
+
+            upsert_parquet(spark, bdf, sink, ["event_type", "day"])
+
+        q = (
+            rollup.writeStream.outputMode("update")
+            .option("checkpointLocation", chk)
+            .foreachBatch(_sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # a row 30 days older than the watermark (2024-03-01 - 1 day)
+    land("b1.parquet", 2, dt.datetime(2024, 2, 1, 12), 99.0)
+    run()
+    days = {r["day"] for r in spark.read.parquet(sink).collect()}
+    # the late February day never materializes
+    assert days == {dt.date(2024, 3, 1)}
+
+
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
