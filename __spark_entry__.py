@@ -958,6 +958,9 @@ def q_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_daily_rollup_to_parquet,
     )
 
+    # This query never goes through _t(), so pin UTC itself — the 1-day
+    # window boundaries and to_date are session-TZ-dependent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tmp = tempfile.mkdtemp(prefix="streamq-")
     landing = f"{tmp}/landing"
     import os
