@@ -1248,6 +1248,58 @@ FROM sessions GROUP BY user_id, seq
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative distributed connected components over the exact
+    # near-dup pair graph; DuckDB twins it with a recursive CTE.
+    pairs = llm.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, k=3)
+    return llm.neardup_components(pairs)
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE edges AS (
+    SELECT id_a AS src, id_b AS dst FROM ({_JACCARD_SQL}) jp
+    UNION
+    SELECT id_b, id_a FROM ({_JACCARD_SQL}) jp2
+),
+reach(id, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(lab) AS component_id FROM reach GROUP BY id
+"""
+
+
+def q_mart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # K1 + S9 + A3 inside the gate: write a hive-partitioned hourly
+    # mart, read it back with partition pruning, roll up one region.
+    import tempfile
+
+    from big_data_in_agriculture_spark.sources.marts import (
+        read_mart,
+        write_hourly_mart,
+    )
+
+    hourly = hourly_ops.spatial_mean_hourly(
+        _pseudo_grid(spark, sf_dir, hourly_ts=True).select("region", "ts", "t2m", "tp"),
+        variables=["t2m", "tp"],
+        cast=None,
+    )
+    root = tempfile.mkdtemp(prefix="martq-") + "/hourly"
+    write_hourly_mart(hourly, root)
+    back = read_mart(spark, root, regions=["click"]).drop("year", "month")
+    out = daily_ops.daily_rollup(
+        back, agg_specs={"t2m": ["mean", "min", "max"], "tp": ["sum"]}, cast="float"
+    )
+    return _date_as_ts(out, "day")
+
+
+_MART_ROUNDTRIP_SQL = f"""
+WITH daily AS ({_ERA5_CHAIN_SQL.replace("hourly", "hourly_cte")})
+SELECT * FROM daily WHERE region = 'click'
+"""
+
+
 # Rows-only: approximate ANN variants (IVF probe + LSH near-dup).
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "neardup_clusters": q_neardup_clusters,
+        "mart_roundtrip": q_mart_roundtrip,
     }
 
 
@@ -1396,6 +1450,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": _Q15_SQL,
         "tpch_q18": _Q18_SQL,
         "tpch_q19": _Q19_SQL,
+        "neardup_clusters": _COMPONENTS_SQL,
+        "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -288,6 +288,85 @@ def minhash_neardup_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def neardup_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, component_id).
+
+    The clustering step of a dedup pipeline — pair lists from
+    jaccard/minhash/simhash become groups, one survivor kept per group.
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until fixpoint (or
+    ``max_iter``). Near-dup graphs are unions of near-cliques from the
+    verification step, so the diameter — and the iteration count — is
+    tiny; each iteration is one equi-join + one hash aggregate, fully
+    distributed (the driver only checks the convergence counter).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        # localCheckpoint would truncate lineage on long chains; dedup
+        # graphs converge in a handful of rounds so the plan stays small
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component_id"))
+
+
+def dedup_near(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup dedup: pairs → components → keep min-id per group.
+
+    Documents in no near-dup pair survive untouched (left-anti against
+    the clustered set is implicit: they never get a component row).
+    """
+    comps = neardup_components(
+        jaccard_pairs(docs, threshold=threshold, k=k, text_col=text_col, id_col=id_col)
+    )
+    drop = comps.filter(F.col("id") != F.col("component_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

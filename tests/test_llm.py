@@ -73,6 +73,22 @@ def test_simhash_identical_and_distinct(docs):
     assert (1, 2) in cands and (4, 5) in cands
 
 
+def test_neardup_components_chain_converges(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: min-label propagation
+    # must walk the whole chain (diameter 3), not just one hop
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = {r["id"]: r["component_id"] for r in llm.neardup_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_near_keeps_one_per_cluster(docs):
+    kept = sorted(r["doc_id"] for r in llm.dedup_near(docs, threshold=0.5).collect())
+    # docs 1,2,3 cluster (1 kept); 4,5 cluster (4 kept); 6 untouched
+    assert kept == [1, 4, 6]
+
+
 def test_text_stats_manual_check(spark):
     df = spark.createDataFrame([(1, "ab cd ab, x!")], ["doc_id", "text"])
     r = llm.text_stats(df).collect()[0]
