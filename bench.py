@@ -19,18 +19,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: Settled representative set (keep stable across rounds so BENCH_r{N}
+#: files compare): relational (Q1 scan-agg, Q3/Q10 joins, Q18 having),
+#: ERA5 pipeline (spatial mean, full chain), event analytics
+#: (sessionize, top-N window, as-of), LLM ops (exact dedup, text stats,
+#: exact near-dup, MinHash-LSH, ANN brute + LSH).
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
     "era5_hourly_spatial_mean",
     "era5_chain",
     "sessionize",
     "window_topn",
+    "asof_attribution",
     "dedup_exact_docs",
     "text_stats",
     "jaccard_pairs",
+    "minhash_neardup",
     "knn_bruteforce",
+    "knn_lsh",
 ]
 
 

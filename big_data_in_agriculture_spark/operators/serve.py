@@ -14,6 +14,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class QueryCache:
+    """Serving-layer TTL result cache (reference D5, ``st.cache_data``).
+
+    The dashboard pattern: memoize small *materialized* query results
+    (region lists, filtered frames) driver-side for ``ttl`` seconds so
+    widget interactions don't re-run Spark jobs. This caches RESULTS
+    (rows), not DataFrames — for plan-level reuse inside the engine use
+    ``df.cache()``/``persist``, which is a different tool.
+    """
+
+    def __init__(self, ttl_seconds: float = 60.0, clock=None):
+        import time
+
+        self.ttl = ttl_seconds
+        self._clock = clock or time.monotonic
+        self._store: dict = {}
+
+    def get(self, key, compute):
+        """Return the cached value for ``key`` or compute-and-store it."""
+        now = self._clock()
+        hit = self._store.get(key)
+        if hit is not None and now - hit[0] < self.ttl:
+            return hit[1]
+        value = compute()
+        self._store[key] = (now, value)
+        return value
+
+    def invalidate(self, key=None):
+        if key is None:
+            self._store.clear()
+        else:
+            self._store.pop(key, None)
+
+
 def distinct_keys(df: DataFrame, col: str = "region") -> DataFrame:
     """``SELECT DISTINCT col ORDER BY col`` (F4, ``dashboards/app.py:27``)."""
     return df.select(col).distinct().orderBy(col)

@@ -131,6 +131,60 @@ def lsh_bucket(
     return bucket
 
 
+def _plane_table(
+    spark, dim: int, num_tables: int, num_bits: int, seed: int = 42
+):
+    """The LSH hyperplanes as a tiny broadcastable DataFrame.
+
+    Baking num_tables×num_bits×dim literals into the plan (the
+    expression-tree formulation) makes plan compilation dominate on
+    one-shot queries; as a 32-row broadcast table the plan stays small
+    and the same dots run as data-side arithmetic.
+    """
+    rows = [
+        (t, b, _hyperplane(seed, t, b, dim))
+        for t in range(num_tables)
+        for b in range(num_bits)
+    ]
+    return spark.createDataFrame(rows, ["tbl", "bit", "plane"])
+
+
+def _bucketize(
+    df: DataFrame,
+    side: str,
+    dim: int,
+    num_tables: int,
+    num_bits: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, vec, tbl, bucket) rows via a broadcast join with the planes.
+
+    One row per (vector, table, bit) before the partial-aggregated
+    groupBy packs sign bits into bucket ids — standard LSH fan-out,
+    shuffle payload one row per (vector, table).
+    """
+    planes = _plane_table(df.sparkSession, dim, num_tables, num_bits)
+    tagged = _fan_out(df).select(
+        F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"{side}_vec")
+    )
+    return (
+        tagged.join(F.broadcast(planes))
+        .withColumn(
+            "bitval",
+            F.when(
+                _dot(_dvec(F.col(f"{side}_vec")), F.col("plane")) >= 0,
+                F.pow(F.lit(2.0), F.col("bit")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy(f"{side}_id", "tbl")
+        # carry the vector through the aggregate (it's functionally
+        # determined by the id) instead of joining it back — saves a
+        # shuffle+join per side
+        .agg(F.sum("bitval").alias("bucket"), F.first(f"{side}_vec").alias(f"{side}_vec"))
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -144,35 +198,13 @@ def knn_lsh(
     """Approximate top-k: multi-table sign-LSH bucketing + exact re-rank.
 
     Both sides compute (table, bucket) keys; candidates come from an
-    equi-join on them (a shuffled hash join — NO broadcast needed, so
-    the query set may itself be huge); exact cosine runs only on
-    candidates; duplicates across tables collapse with a groupBy max.
+    equi-join on them (a shuffled hash join — NO broadcast of the data
+    sides, so the query set may itself be huge); exact cosine runs only
+    on candidates; duplicates across tables collapse with a groupBy max.
     Recall rises with num_tables; bucket size falls with num_bits.
     """
-    def buckets(df: DataFrame, side: str) -> DataFrame:
-        tagged = _fan_out(df).select(
-            F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"{side}_vec")
-        )
-        return tagged.select(
-            f"{side}_id",
-            f"{side}_vec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_bucket(F.col(f"{side}_vec"), dim, num_bits, t).alias(
-                                "bucket"
-                            ),
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(f"{side}_id", f"{side}_vec", "tb.tbl", "tb.bucket")
-
-    qb = buckets(queries, "query")
-    cb = buckets(corpus, "neighbor")
+    qb = _bucketize(queries, "query", dim, num_tables, num_bits, vec_col, id_col)
+    cb = _bucketize(corpus, "neighbor", dim, num_tables, num_bits, vec_col, id_col)
     cand = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -299,24 +331,9 @@ def embedding_neardup_pairs(
     sign, so recall at 0.95+ is high even with few tables); exact
     cosine verifies. Never an all-pairs product.
     """
-    tagged = _fan_out(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    banded = tagged.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("v"), dim, num_bits, t).alias("bucket"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "v", "tb.tbl", "tb.bucket")
-    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
+    banded = _bucketize(corpus, "x", dim, num_tables, num_bits, vec_col, id_col)
+    a = banded.select(F.col("x_id").alias("id_a"), F.col("x_vec").alias("va"), "tbl", "bucket")
+    b = banded.select(F.col("x_id").alias("id_b"), F.col("x_vec").alias("vb"), "tbl", "bucket")
     return (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

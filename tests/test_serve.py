@@ -21,6 +21,24 @@ def daily(spark):
     return spark.createDataFrame(rows, ["region", "day", "t2m_mean"])
 
 
+def test_query_cache_ttl_and_invalidate():
+    clock = {"t": 0.0}
+    calls = []
+    cache = serve.QueryCache(ttl_seconds=60, clock=lambda: clock["t"])
+
+    def compute():
+        calls.append(1)
+        return len(calls)
+
+    assert cache.get("k", compute) == 1
+    assert cache.get("k", compute) == 1  # hit, no recompute
+    clock["t"] = 61.0
+    assert cache.get("k", compute) == 2  # expired
+    cache.invalidate("k")
+    assert cache.get("k", compute) == 3
+    assert len(calls) == 3
+
+
 def test_distinct_keys_sorted(daily):
     assert [r["region"] for r in serve.distinct_keys(daily).collect()] == ["a", "b", "c"]
 
