@@ -1300,6 +1300,38 @@ SELECT * FROM daily WHERE region = 'click'
 """
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact one-pass table profile (null rates, cardinalities, ranges).
+    from big_data_in_agriculture_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+
+
+def _profile_sql() -> str:
+    rows = []
+    for c, numeric in [("l_orderkey", True), ("l_quantity", True), ("l_returnflag", False)]:
+        mn = f"CAST(min({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"SELECT '{c}' AS column, count(*) AS n_rows, count({c}) AS n_non_null, "
+            f"count(*) - count({c}) AS n_null, count(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_val, {mx} AS max_val FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+def q_approx_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++ distinct + percentile sketches — approximate by design, so
+    # rows-only (the exact twins are profile_lineitem / era5 KPI aggs).
+    from big_data_in_agriculture_spark.operators.profile import approx_profile
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    return approx_profile(ev, "event_type", "value", "user_id")
+
+
 # Rows-only: approximate ANN variants (IVF probe + LSH near-dup).
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
+        "profile_lineitem": q_profile_lineitem,
+        "approx_profile_events": q_approx_profile_events,
     }
 
 
@@ -1452,6 +1486,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": _Q19_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
+        "profile_lineitem": _profile_sql(),
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -1,0 +1,88 @@
+"""Table profiling + approximate aggregates (engine extensions).
+
+A 100 TB lake needs cheap answers to "what's in this table" before
+anyone runs real queries: per-column null rates, cardinalities, ranges
+— and approximate forms of the expensive ones (distinct counts,
+percentiles) whose exact versions would shuffle the world.
+
+``profile_table`` is exact and runs as ONE aggregate pass (no shuffle
+beyond the single global agg). The approximate forms use Spark's HLL++
+(`approx_count_distinct`) and t-digest-style (`percentile_approx`)
+built-ins — sketch state merges associatively, so the shuffle carries
+sketches, not values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.ShortType)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: count/nulls/distinct (+min/max for numerics).
+
+    Exact, one aggregate pass over the table: every column's stats are
+    computed in the same job (no per-column rescans — at 100 TB, N
+    separate profile queries would be N full scans).
+    """
+    cols = columns or df.columns
+    by_type = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if isinstance(by_type.get(c), _NUMERIC):
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into one row per column — tiny data,
+    # stack() is a projection, no extra pass over the table
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, n_non_null, n_distinct, min_val, max_val)"
+        ),
+    ).select(
+        "column",
+        "n_rows",
+        "n_non_null",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )
+
+
+def approx_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    distinct_col: str,
+    rsd: float = 0.05,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group approximate distinct count + percentile sketch.
+
+    HLL++ (`rsd` relative error) and `percentile_approx` (1/accuracy
+    rank error) — both mergeable sketches, so partial aggregation works
+    and the shuffle payload per group is the sketch, not the rows. The
+    exact twins of these at 100 TB are a full-shuffle distinct and a
+    global sort; the sketches are the only sane default.
+    """
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("approx_distinct"),
+        F.percentile_approx(
+            value_col, list(percentiles), accuracy
+        ).alias("value_percentiles"),
+    )

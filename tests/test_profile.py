@@ -1,0 +1,46 @@
+"""Table profiling: exact stats + sketch accuracy bounds."""
+
+from __future__ import annotations
+
+from big_data_in_agriculture_spark.operators import profile
+
+
+def test_profile_table_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "b", 30.0), (4, None, 40.0)],
+        ["id", "cat", "v"],
+    )
+    out = {r["column"]: r for r in profile.profile_table(df).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 4
+    assert out["id"]["min_val"] == 1.0 and out["id"]["max_val"] == 4.0
+    assert out["cat"]["n_null"] == 1 and out["cat"]["n_distinct"] == 2
+    assert out["cat"]["min_val"] is None  # non-numeric: no range
+    assert out["v"]["n_non_null"] == 3 and out["v"]["max_val"] == 40.0
+
+
+def test_approx_profile_within_bounds(spark):
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    # _t handles the TIMESTAMP(NANOS) ts column
+    ev = em._t(spark, "/root/testdata/sf0.01", "events").select(
+        "event_type", "user_id", "value"
+    )
+    out = {r["event_type"]: r for r in profile.approx_profile(
+        ev, "event_type", "value", "user_id"
+    ).collect()}
+    exact = {r["event_type"]: (r["nd"], r["p50"]) for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+    ).collect()}
+    for et, row in out.items():
+        nd_exact, p50_exact = exact[et]
+        # HLL++ at rsd=0.05: allow 3 sigma
+        assert abs(row["approx_distinct"] - nd_exact) <= max(3, 0.15 * nd_exact)
+        # percentile_approx at accuracy 10k on ~12k rows ≈ exact
+        assert abs(row["value_percentiles"][0] - p50_exact) <= 2.0
