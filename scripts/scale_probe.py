@@ -156,5 +156,38 @@ def main() -> int:
     return 0
 
 
+
+
+def probe_skew_join(spark, rows=20_000_000, keys=100_000):
+    """Hot-key join: 30% of the fact rows hit ONE key, broadcast
+    disabled so the join is a real shuffle (a broadcastable small side
+    is skew-immune already — AQE would just broadcast it). Compares the
+    explicit salted join against plain sort-merge + AQE skew-split."""
+    from big_data_in_agriculture_spark.operators.relational import salted_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    big = spark.range(rows).select(
+        F.when(F.col("id") % 10 < 3, F.lit(7)).otherwise(F.col("id") % keys).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(keys).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("w"))
+    return salted_join(big, small, "k", salts=32)
+
+
+def probe_skew_join_plain(spark, rows=20_000_000, keys=100_000):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    big = spark.range(rows).select(
+        F.when(F.col("id") % 10 < 3, F.lit(7)).otherwise(F.col("id") % keys).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(keys).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("w"))
+    return big.join(small, "k")
+
+
+PROBES["skew_salted_20m"] = probe_skew_join
+PROBES["skew_plain_20m"] = probe_skew_join_plain
+
+
 if __name__ == "__main__":
     sys.exit(main())
