@@ -1332,6 +1332,56 @@ def q_approx_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_profile(ev, "event_type", "value", "user_id")
 
 
+def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HTML strip + PII masking + repetition score. The corpus is clean
+    # synthetic prose, so markup/emails/digits are injected around it —
+    # both engines transform the same constructed input.
+    from big_data_in_agriculture_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<div class='x'>intro</div> "),
+            F.col("text"),
+            F.lit(" contact: agent.7@example.com id 1234567 end"),
+        ).alias("raw"),
+    )
+    return docs.select(
+        "doc_id",
+        TX.strip_html(F.col("raw")).alias("stripped"),
+        TX.mask_pii(F.col("raw")).alias("masked"),
+        TX.repetition_ratio(F.col("raw"), 3).alias("repetition"),
+    )
+
+
+_TEXT_CLEANING_SQL = r"""
+WITH raw AS (
+    SELECT doc_id,
+           concat('<div class=''x''>intro</div> ', text,
+                  ' contact: agent.7@example.com id 1234567 end') AS raw
+    FROM documents
+),
+shingled AS (
+    SELECT doc_id, raw,
+           string_split(raw, ' ') AS t
+    FROM raw
+),
+sh AS (
+    SELECT doc_id, raw,
+           greatest(len(t) - 2, 1) AS total,
+           len(list_distinct([array_to_string(t[i:i+2], ' ')
+                              FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])) AS nd
+    FROM shingled
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(raw, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS stripped,
+       regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '[0-9]{5,}', '<NUM>', 'g') AS masked,
+       1.0 - CAST(nd AS DOUBLE) / CAST(total AS DOUBLE) AS repetition
+FROM sh
+"""
+
+
 # Rows-only: approximate ANN variants (IVF probe + LSH near-dup).
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
         "approx_profile_events": q_approx_profile_events,
+        "text_cleaning": q_text_cleaning,
     }
 
 
@@ -1487,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),
+        "text_cleaning": _TEXT_CLEANING_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -117,6 +117,31 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     assert fps[1] == fps[2] != fps[3]
 
 
+def test_text_cleaning_functions(spark):
+    from big_data_in_agriculture_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "<b>hi</b>  there mail bob.x@test.org num 123456 ok 1234")],
+        ["doc_id", "text"],
+    )
+    r = df.select(
+        TX.strip_html("text").alias("s"),
+        TX.mask_pii("text").alias("m"),
+    ).collect()[0]
+    assert r["s"] == "hi there mail bob.x@test.org num 123456 ok 1234"
+    # email masked; 6-digit run masked; 4-digit run kept (threshold 5)
+    assert r["m"] == "<b>hi</b>  there mail <EMAIL> num <NUM> ok 1234"
+
+    rep = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "one two three four five six")],
+        ["doc_id", "text"],
+    ).select("doc_id", TX.repetition_ratio("text", 3).alias("r")).collect()
+    by_id = {x["doc_id"]: x["r"] for x in rep}
+    assert by_id[1] > 0.5      # looped trigram
+    assert by_id[2] == 0.0     # all shingles unique
+
+
 def test_lang_guess_markers(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of a house"), (2, "el gato y la casa de que"),
