@@ -1382,6 +1382,30 @@ FROM sh
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The stream-stream interval join's batch form (same code path —
+    # click_purchase_join_stream works on static frames; the streaming
+    # run with watermark state is tested in tests/test_streaming_*).
+    from big_data_in_agriculture_spark.streaming.events import (
+        click_purchase_join_stream,
+    )
+
+    return click_purchase_join_stream(
+        _t(spark, sf_dir, "events"), attribution_window="1 day", watermark="2 days"
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts <= c.ts
+ AND p.ts >= c.ts - INTERVAL 1 DAY
+"""
+
+
 # Rows-only: approximate ANN variants (IVF probe + LSH near-dup).
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "approx_profile_events": q_approx_profile_events,
         "text_cleaning": q_text_cleaning,
+        "interval_join": q_interval_join,
     }
 
 
@@ -1539,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),
         "text_cleaning": _TEXT_CLEANING_SQL,
+        "interval_join": _INTERVAL_JOIN_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

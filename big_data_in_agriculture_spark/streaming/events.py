@@ -189,6 +189,51 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join_stream(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: clicks ⋈ purchases per user.
+
+    Each click pairs with every purchase of the same user in the
+    preceding ``attribution_window``. Both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark can expire
+    buffered state: a purchase older than watermark+window can never
+    match a future click and is dropped. Unbounded stream, bounded
+    state — THE property that separates a streaming join from a batch
+    join wearing a trench coat. Works identically on batch frames
+    (the harness oracle-checks that form).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
 def start_daily_rollup_to_parquet(
     spark: SparkSession,
     source_path: str,

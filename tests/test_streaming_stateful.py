@@ -94,6 +94,32 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert days == {dt.date(2024, 3, 1)}
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", landing / "b0.parquet")
+    stream = sev.read_events_stream(spark, str(landing))
+    joined = sev.click_purchase_join_stream(stream, attribution_window="1 day")
+    sink = str(tmp_path / "sink")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    batch = {
+        tuple(r)
+        for r in sev.click_purchase_join_stream(
+            _events(spark), attribution_window="1 day"
+        ).collect()
+    }
+    assert got == batch and len(got) > 50  # 84 pairs at sf0.001/1-day
+
+
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
