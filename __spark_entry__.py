@@ -1216,6 +1216,53 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.nation_volume(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        nation_a="NATION_1", nation_b="NATION_2",
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every synthetic customer has SOME order, so the anti-join runs
+    # against urgent orders only — non-vacuous at every sf
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return relational.untapped_customers(_t(spark, sf_dir, "customer"), orders)
+
+
+_Q22_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(c_acctbal) AS FLOAT) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Native session_window — independently implements the session
     # semantics the SQL oracle derives with lag + conditional cumsum;
@@ -1493,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q22": q_tpch_q22,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
@@ -1560,6 +1609,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": _Q15_SQL,
         "tpch_q18": _Q18_SQL,
         "tpch_q19": _Q19_SQL,
+        "tpch_q7": _Q7_SQL,
+        "tpch_q22": _Q22_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),

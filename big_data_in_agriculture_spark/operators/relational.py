@@ -261,6 +261,71 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "FRANCE",
+    nation_b: str = "GERMANY",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, by year.
+
+    Two broadcast copies of the nation dim (supplier side, customer
+    side); the symmetric nation-pair predicate lands post-join as a
+    plain filter. Fact shuffles: lineitem⋈orders only.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_f(F.sum(revenue)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def untapped_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery + anti join.
+
+    Customers whose balance beats the positive-balance average AND who
+    never ordered. The scalar average broadcasts as a 1-row cross join
+    (what Catalyst itself plans for an uncorrelated scalar subquery);
+    the NOT EXISTS is a left-anti join.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _f(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join strategies (explicit surface for the harness)
 # ---------------------------------------------------------------------------
