@@ -1453,6 +1453,33 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+_NATION_RANK_SQL = """
+WITH rev AS (
+    SELECT n_name,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT n_name, revenue,
+       CAST(rank() OVER (ORDER BY revenue DESC, n_name) AS INTEGER) AS rev_rank
+FROM rev
+ORDER BY rev_rank, n_name
+"""
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The engine's raw-SQL surface: the same ANSI text the DuckDB
+    # oracle runs goes through spark.sql() over registered views —
+    # parser/analyzer/optimizer parity on CTEs, joins, window rank.
+    from big_data_in_agriculture_spark.schemas import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(_NATION_RANK_SQL)
+
+
 # Rows-only: approximate ANN variants (IVF probe + LSH near-dup).
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_profile_events": q_approx_profile_events,
         "text_cleaning": q_text_cleaning,
         "interval_join": q_interval_join,
+        "sql_interface": q_sql_interface,
     }
 
 
@@ -1616,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": _profile_sql(),
         "text_cleaning": _TEXT_CLEANING_SQL,
         "interval_join": _INTERVAL_JOIN_SQL,
+        "sql_interface": _NATION_RANK_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
