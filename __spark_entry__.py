@@ -970,7 +970,9 @@ def q_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_daily_rollup_to_parquet(
         spark, landing, f"{tmp}/sink", f"{tmp}/chk", available_now=True
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming rollup did not finish within 300s")
     out = spark.read.parquet(f"{tmp}/sink").select(
         "event_type",
         F.col("day"),
@@ -1274,7 +1276,7 @@ def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_WINDOW_SQL = """
 WITH flags AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
@@ -1283,7 +1285,7 @@ WITH flags AS (
 ),
 sessions AS (
     SELECT user_id, ts,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
     FROM flags
 )

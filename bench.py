@@ -68,9 +68,11 @@ def main() -> int:
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        # count() forces full execution of every operator in the plan
-        # (aggregates, joins, windows) without driver-side row transfer.
-        df.count()
+        # noop sink: consumes EVERY output column, so nothing prunes.
+        # (count() would let Catalyst drop unreferenced projections and
+        # even whole window operators — several queries would measure a
+        # bare parquet scan.)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -338,9 +338,11 @@ def neardup_components(
             .filter(F.col("u.label") != F.col("l.label"))
             .count()
         )
-        labels = updated
-        # localCheckpoint would truncate lineage on long chains; dedup
-        # graphs converge in a handful of rounds so the plan stays small
+        # localCheckpoint truncates the lineage: labels feeds TWO joins
+        # per round, so without it the plan (and recompute work) doubles
+        # every iteration — the label table is tiny (one row per node),
+        # the upstream pair computation is not.
+        labels = updated.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component_id"))

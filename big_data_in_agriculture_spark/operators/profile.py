@@ -24,9 +24,12 @@ _NUMERIC = (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.ShortType)
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """One row per column: count/nulls/distinct (+min/max for numerics).
 
-    Exact, one aggregate pass over the table: every column's stats are
-    computed in the same job (no per-column rescans — at 100 TB, N
-    separate profile queries would be N full scans).
+    Exact, one SCAN of the table: every column's stats live in the
+    same aggregate (N separate profile queries would be N full scans).
+    Multiple COUNT(DISTINCT) compile to an Expand that replicates rows
+    ~(k+1)x between scan and shuffle — exactness has that price; when
+    cardinalities may be approximate, ``approx_profile``'s HLL sketches
+    drop the Expand entirely.
     """
     cols = columns or df.columns
     by_type = {f.name: f.dataType for f in df.schema.fields}

@@ -32,10 +32,17 @@ class QueryCache:
         self._store: dict = {}
 
     def get(self, key, compute):
-        """Return the cached value for ``key`` or compute-and-store it."""
+        """Return the cached value for ``key`` or compute-and-store it.
+
+        Expired entries (any key) are dropped on the way through, so a
+        long-lived process doesn't accumulate dead results.
+        """
         now = self._clock()
+        expired = [k for k, (t, _) in self._store.items() if now - t >= self.ttl]
+        for k in expired:
+            del self._store[k]
         hit = self._store.get(key)
-        if hit is not None and now - hit[0] < self.ttl:
+        if hit is not None:
             return hit[1]
         value = compute()
         self._store[key] = (now, value)

@@ -109,7 +109,9 @@ class CdsDownloader:
         # S2: idempotent skip.
         if os.path.exists(target) and not force:
             return DownloadResult(target, "skipped")
-        os.makedirs(os.path.dirname(target), exist_ok=True)
+        parent = os.path.dirname(target)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         # K3: lineage sidecar next to the data file.
         if write_sidecar:
             with open(f"{target}.request.json", "w") as f:
@@ -127,6 +129,10 @@ class CdsDownloader:
                     os.remove(part)
                 if attempt <= self.retries:
                     self.sleep(self.retry_delay_s)
+        # terminal failure: drop the sidecar (written optimistically,
+        # reference order) so no lineage record points at missing data
+        if write_sidecar and os.path.exists(f"{target}.request.json"):
+            os.remove(f"{target}.request.json")
         return DownloadResult(target, "failed", attempts=self.retries + 1, error=str(last_err))
 
 

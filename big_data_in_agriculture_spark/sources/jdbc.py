@@ -39,6 +39,11 @@ def read_jdbc(
         "dbtable", table_or_query
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires explicit lower_bound and "
+                "upper_bound (Spark cannot infer JDBC split ranges)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -18,9 +18,10 @@ the function signature is the stable contract.
 Scale notes:
 * the anti-join is a shuffled hash join on the PK — no collect, no
   driver-side diff;
-* the write is atomic via a staging directory + rename, so a failed
-  job never leaves a half-merged mart (the reference got this from
-  per-file ``os.replace`` S3; here the unit is the whole snapshot);
+* writes stage to a scratch directory, so a failed job never corrupts
+  the live mart (the reference got this from per-file ``os.replace``
+  S3); the final swap is two renames — see ``upsert_parquet`` for the
+  exact crash-window contract;
 * at 100 TB you partition the mart (marts.py) and MERGE per partition
   (the loader passes only the affected partitions), not whole-table.
 """
@@ -45,6 +46,16 @@ def _validate_key(df: DataFrame, key: list[str]) -> None:
         raise ValueError(f"upsert input missing key columns {missing}; has {df.columns}")
 
 
+def _dedup_incoming(incoming: DataFrame, key: list[str]) -> DataFrame:
+    """Collapse incoming duplicates to one deterministic survivor."""
+    others = [c for c in incoming.columns if c not in key]
+    return (
+        incoming.groupBy(*key)
+        .agg(F.max(F.struct(*others)).alias("_s"))
+        .select(*key, *[F.col(f"_s.{c}").alias(c) for c in others])
+    )
+
+
 def merge_frames(existing: DataFrame, incoming: DataFrame, key: list[str]) -> DataFrame:
     """Pure MERGE: incoming rows win on key collision; others survive.
 
@@ -59,12 +70,7 @@ def merge_frames(existing: DataFrame, incoming: DataFrame, key: list[str]) -> Da
     table whose PK constraint was never enforced.
     """
     _validate_key(incoming, key)
-    others = [c for c in incoming.columns if c not in key]
-    deduped = (
-        incoming.groupBy(*key)
-        .agg(F.max(F.struct(*others)).alias("_s"))
-        .select(*key, *[F.col(f"_s.{c}").alias(c) for c in others])
-    )
+    deduped = _dedup_incoming(incoming, key)
     keep = existing.join(deduped.select(*key), key, "left_anti")
     return keep.unionByName(deduped, allowMissingColumns=True)
 
@@ -74,24 +80,28 @@ def upsert_parquet(
 ) -> int:
     """Idempotent keyed load into a parquet table at ``path``.
 
-    Returns the row count of the merged table. Write is
-    stage-then-rename atomic; re-running the same load is a no-op
-    by value (idempotence test in tests/test_upsert.py).
+    Returns the row count of the merged table. Publication is
+    stage-then-swap: a failed STAGE write leaves the live table
+    untouched (the stage dir is cleaned up). The swap itself is two
+    directory renames — there is a microseconds-wide crash window
+    between them where ``path`` is absent with the previous snapshot
+    intact at ``<path>.old-*`` (plain filesystems have no atomic
+    directory exchange; a table format with a transaction log — Delta,
+    Iceberg — closes this gap and is the drop-in upgrade).
     """
     _validate_key(incoming, key)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         merged = merge_frames(existing, incoming, key)
     else:
-        others = [c for c in incoming.columns if c not in key]
-        merged = (
-            incoming.groupBy(*key)
-            .agg(F.max(F.struct(*others)).alias("_s"))
-            .select(*key, *[F.col(f"_s.{c}").alias(c) for c in others])
-        )
+        merged = _dedup_incoming(incoming, key)
     stage = f"{path}.stage-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(stage)
-    n = spark.read.parquet(stage).count()
+    try:
+        merged.write.mode("overwrite").parquet(stage)
+        n = spark.read.parquet(stage).count()
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)

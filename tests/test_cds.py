@@ -70,8 +70,9 @@ def test_download_fails_after_budget(tmp_path):
     dl = cds.CdsDownloader(fetch=broken, retries=2, retry_delay_s=0)
     r = dl.download_month({}, str(tmp_path / "t.nc"))
     assert r.status == "failed" and r.attempts == 3 and "down" in r.error
-    # no torn files left behind
+    # no torn files left behind, and no orphaned lineage sidecar
     assert not (tmp_path / "t.nc").exists() and not (tmp_path / "t.nc.part").exists()
+    assert not (tmp_path / "t.nc.request.json").exists()
 
 
 def test_no_fetch_configured_raises(tmp_path):
