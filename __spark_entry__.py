@@ -1503,6 +1503,168 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.market_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "part"),
+        part_type="PROMO", region_name="ASIA", supp_nation="NATION_2",
+    )
+
+
+_Q8_SQL = """
+WITH cust_r AS (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+)
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN n_name = 'NATION_2'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+            / sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN cust_r ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.nation_profit(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), name_token="red",
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(l_extendedprice * (1 - l_discount)
+                - 0.1 * p_retailprice * l_quantity) AS FLOAT) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.important_nations(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), fraction=0.045,
+    )
+
+
+_Q11_SQL = """
+SELECT n_name,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+HAVING sum(l_extendedprice * (1 - l_discount)) >
+       (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.045 FROM lineitem)
+ORDER BY value DESC, n_name
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.shipping_delay_priority(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '1-FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '2-MEDIUM'
+            ELSE '3-SLOW' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_count_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        brand="Brand#3", fraction=0.2,
+    )
+
+
+_Q17_SQL = """
+SELECT CAST(sum(l_extendedprice) / 7.0 AS FLOAT) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.waiting_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"), late_days=60,
+    )
+
+
+# Independent formulation: the oracle keeps Q21's EXISTS / NOT EXISTS
+# pair (numwait counts distinct orders, matching the engine's
+# one-aggregate-per-order plan).
+_Q21_SQL = """
+SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1571,6 +1733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q7": q_tpch_q7,
         "tpch_q22": q_tpch_q22,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
@@ -1641,6 +1810,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": _Q19_SQL,
         "tpch_q7": _Q7_SQL,
         "tpch_q22": _Q22_SQL,
+        "tpch_q8": _Q8_SQL,
+        "tpch_q9": _Q9_SQL,
+        "tpch_q11": _Q11_SQL,
+        "tpch_q12": _Q12_SQL,
+        "tpch_q13": _Q13_SQL,
+        "tpch_q17": _Q17_SQL,
+        "tpch_q21": _Q21_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),

@@ -326,6 +326,283 @@ def untapped_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    part_type: str = "PROMO",
+    region_name: str = "ASIA",
+    supp_nation: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q8 shape: national market share by year.
+
+    Of revenue from parts of one type sold to customers in one region,
+    what fraction came from suppliers of one nation, per order year.
+    Every dim (part-filtered, supplier, both nation copies, region)
+    broadcasts; the customer→nation→region chain reduces customer to a
+    (c_custkey) keep-list before it touches the facts. The only fact
+    shuffle is lineitem ⋈ orders. The share is a conditional-aggregate
+    ratio inside ONE aggregate — no self-join on year.
+    """
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cust_in_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    share_vol = F.when(F.col("supp_nation") == supp_nation, volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(_f(F.sum(share_vol) / F.sum(volume)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def nation_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "red",
+    cost_rate: float = 0.1,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year.
+
+    The driver's schema has no partsupp table, so ps_supplycost is
+    substituted by ``cost_rate * p_retailprice`` — the join topology
+    (name-pattern part filter, supplier→nation, orders for the year)
+    and the amount expression's shape are Q9's. Dims broadcast; the
+    fact shuffle is lineitem ⋈ orders; group-by is tiny (nation×year).
+    """
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        cost_rate
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains(name_token))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(_f(F.sum(amount)).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+def important_nations(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    fraction: float = 0.045,
+) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value beats a global-share threshold.
+
+    Q11's signature is HAVING sum(value) > (scalar subquery over the
+    same fact). No partsupp exists, so "value" is lineitem revenue
+    attributed to the supplier's nation. The per-nation aggregate and
+    the global aggregate are two passes over the SAME pre-aggregated
+    per-nation frame (cached implicitly by reuse) — the global scalar
+    broadcasts as a 1-row cross join, never a shuffle.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_nation = (
+        lineitem.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("value_d"))
+    )
+    threshold = per_nation.agg(
+        (F.sum("value_d") * F.lit(fraction)).alias("threshold")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value_d") > F.col("threshold"))
+        .select("n_name", _f(F.col("value_d")).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("n_name"))
+    )
+
+
+def shipping_delay_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: priority counts by shipping bucket.
+
+    The driver's lineitem has no l_shipmode/l_commitdate, so Q12's
+    mode buckets become ship-delay buckets (days between order and
+    ship date) — the shape is identical: fact-fact join, a CASE
+    bucketing expression as the group key, and two conditional counts.
+    One shuffle (the join); the group-by is 3 rows.
+    """
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, F.lit("1-FAST"))
+        .when(delay <= 90, F.lit("2-MEDIUM"))
+        .otherwise(F.lit("3-SLOW"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def order_count_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "4-NOT SPECIFIED"
+) -> DataFrame:
+    """TPC-H Q13 shape: customer distribution by order count.
+
+    LEFT OUTER join so zero-order customers land in the c_count=0
+    bucket (the filter must live in the join's ON clause, not WHERE —
+    a WHERE would silently turn the join inner). Two cascaded tiny
+    aggregates; the only real shuffle is the outer join on custkey.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != exclude_priority)
+            .select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#3",
+    fraction: float = 0.2,
+) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (avg qty per part).
+
+    ``l_quantity < fraction * avg(l_quantity per part)`` is computed
+    with a window average over the SAME brand-filtered join — one
+    shuffle on l_partkey replaces Q17's correlated re-scan. (All
+    lineitem rows of the surviving parts are present post-join, so the
+    window avg equals the correlated subquery's avg.)
+    """
+    joined = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.lit(fraction) * F.col("avg_qty"))
+        .agg(
+            _f(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: sole-late supplier on multi-supplier orders.
+
+    The driver's lineitem has no commit/receipt dates, so "late" means
+    shipped > ``late_days`` after the order date. Q21's EXISTS /
+    NOT-EXISTS pair collapses into ONE aggregate per order: count of
+    distinct suppliers, count of distinct LATE suppliers, and (via
+    max-when) the late supplier's key when it is unique — no
+    correlated re-scans of lineitem, no join-back. Orders restrict to
+    status 'F' as in Q21.
+    """
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    per_order = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late_supp"),
+            F.max("late_supp").alias("sole_late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.groupBy("sole_late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier),
+              F.col("sole_late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(top_n)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join strategies (explicit surface for the harness)
 # ---------------------------------------------------------------------------

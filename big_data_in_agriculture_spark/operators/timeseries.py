@@ -1,0 +1,90 @@
+"""Time-series regularization: calendar gap-fill + last-observation-carried-forward.
+
+The reference serves regular daily series per region (its daily mart is
+a dense region × day grid only because the upstream download is dense —
+`dashboards/app.py` line-plots assume no holes). A general engine needs
+the densification to be an operator: given sparse per-key daily
+observations, produce one row per (key, calendar day) between that
+key's first and last observation, carrying the last value forward over
+the holes (LOCF — the standard fill for state-like metrics).
+
+Spark-first formulation, no joins:
+
+1. per-key bounds: one aggregate → (key, min_day, max_day);
+2. calendar spine: ``sequence(min_day, max_day, interval 1 day)`` +
+   ``explode`` — generated JVM-side, rows never leave the executor that
+   owns the key;
+3. union spine (null measure) with the observations and collapse per
+   (key, day) with ``max`` — an observed value beats the spine null;
+4. LOCF: ``last(value, ignorenulls=True)`` over (key) ordered by day.
+
+Cost at scale: one groupBy for bounds (tiny output), one groupBy on
+(key, day), one window shuffle on key. The spine explode multiplies
+rows only where holes exist — dense input passes through ~unchanged.
+A naive per-key driver loop or a crossJoin against a global calendar
+(every key × every day, then filter) would be the anti-patterns; the
+spine here is generated per key, already bounded to the key's own span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_series(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Collapse an event stream to one row per (key, day): sum of value.
+
+    The usual first step before densification; kept separate so callers
+    can plug any per-day aggregate.
+    """
+    return (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.sum(value_col).alias("value"))
+    )
+
+
+def gapfill_locf(daily: DataFrame) -> DataFrame:
+    """Densify a (key, day, value) frame and forward-fill the holes.
+
+    Returns (key, day, value_filled, was_filled): one row per calendar
+    day in each key's [min_day, max_day] span. ``value_filled`` is the
+    last observed value at or before that day (never null — day one is
+    always observed, being the key's min). ``was_filled`` marks spine
+    rows that had no observation.
+    """
+    bounds = daily.groupBy("key").agg(
+        F.min("day").alias("_mn"), F.max("day").alias("_mx")
+    )
+    spine = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    dense = (
+        daily.select("key", "day", "value")
+        .unionByName(spine)
+        .groupBy("key", "day")
+        .agg(F.max("value").alias("value"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "key",
+        "day",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("value").isNull().alias("was_filled"),
+    )

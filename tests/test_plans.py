@@ -95,3 +95,38 @@ def test_window_single_shuffle_reuse(spark, em):
     )
     n_windows = sum(1 for ln in plan.splitlines() if ln.strip().endswith("Window"))
     assert n_exchanges == 1 and n_windows == 1, plan
+
+
+def test_q8_broadcasts_dims_no_cartesian(spark, em):
+    df = em.q_tpch_q8(spark, SF)
+    explain.assert_broadcast_join(df)
+    explain.assert_no_cartesian(df)
+
+
+def test_q9_pushes_name_filter(spark, em):
+    # the part name-pattern filter must reach the part scan
+    plan = explain.formatted_plan(em.q_tpch_q9(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "StringContains(p_name,red)" in plan, plan
+
+
+def test_q11_single_scalar_broadcast_product(spark, em):
+    # the HAVING threshold is a 1-row broadcast nested loop — exactly
+    # one, and never a shuffled cartesian
+    import re
+
+    plan = explain.formatted_plan(em.q_tpch_q11(spark, SF))
+    assert "CartesianProduct" not in plan
+    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert n_bnlj == 1, plan
+
+
+def test_q17_single_window_shuffle(spark, em):
+    # the correlated-avg rewrite costs one window shuffle, not a
+    # re-scan self-join of lineitem
+    import re
+
+    plan = explain.formatted_plan(em.q_tpch_q17(spark, SF))
+    n_windows = sum(1 for ln in plan.splitlines() if ln.strip().endswith("Window"))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_windows == 1 and n_scans == 2, plan  # lineitem + part, once each

@@ -56,3 +56,78 @@ def test_set_ops(spark):
     assert {r["k"] for r in relational.set_intersect(a, b).collect()} == {2}
     assert {r["k"] for r in relational.set_except(a, b).collect()} == {1, 3}
     assert {r["k"] for r in relational.set_union(a, b).collect()} == {1, 2, 3, 4}
+
+
+def test_shipping_delay_priority_bucket_boundaries(spark):
+    # delay 30 → FAST (inclusive), 31/90 → MEDIUM, 91 → SLOW
+    base = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, base, "1-URGENT"), (2, base, "5-LOW"),
+         (3, base, "2-HIGH"), (4, base, "3-MEDIUM")],
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=30)),
+         (2, base + dt.timedelta(days=31)),
+         (3, base + dt.timedelta(days=90)),
+         (4, base + dt.timedelta(days=91))],
+        ["l_orderkey", "l_shipdate"],
+    )
+    out = {r["ship_bucket"]: (r["high_line_count"], r["low_line_count"])
+           for r in relational.shipping_delay_priority(lineitem, orders).collect()}
+    assert out == {"1-FAST": (1, 0), "2-MEDIUM": (1, 1), "3-SLOW": (0, 1)}
+
+
+def test_order_count_distribution_keeps_zero_order_customers(spark):
+    customer = spark.createDataFrame([(1,), (2,), (3,)], ["c_custkey"])
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 1, "4-NOT SPECIFIED"), (12, 2, "5-LOW")],
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    out = {r["c_count"]: r["custdist"] for r in
+           relational.order_count_distribution(customer, orders).collect()}
+    # cust 1: one counted order (the excluded priority lives in the ON
+    # clause, so cust 1 still appears); cust 2: one; cust 3: zero.
+    assert out == {1: 2, 0: 1}
+
+
+def test_waiting_suppliers_sole_late_only(spark):
+    base = dt.datetime(2024, 1, 1)
+    late = base + dt.timedelta(days=90)
+    ok = base + dt.timedelta(days=10)
+    orders = spark.createDataFrame(
+        [(1, base, "F"), (2, base, "F"), (3, base, "F"), (4, base, "O")],
+        ["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100, late), (1, 200, ok),    # multi-supp, sole late → counts
+            (2, 100, late), (2, 200, late),  # two late supps → excluded
+            (3, 100, late),                  # single-supplier order → excluded
+            (4, 100, late), (4, 200, ok),    # status 'O' → excluded
+        ],
+        ["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    supplier = spark.createDataFrame(
+        [(100, "SUPP_100"), (200, "SUPP_200")], ["s_suppkey", "s_name"]
+    )
+    out = relational.waiting_suppliers(lineitem, orders, supplier,
+                                       late_days=60).collect()
+    assert [(r["s_name"], r["numwait"]) for r in out] == [("SUPP_100", 1)]
+
+
+def test_small_quantity_revenue_window_equals_correlated_avg(spark):
+    # part 1: quantities 10,10,10,1 → avg 7.75, threshold 1.55 → only
+    # qty-1 row survives. part 2 (other brand) never enters.
+    lineitem = spark.createDataFrame(
+        [(1, 10.0, 100.0), (1, 10.0, 100.0), (1, 10.0, 100.0),
+         (1, 1.0, 70.0), (2, 1.0, 999.0)],
+        ["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#3"), (2, "Brand#1")], ["p_partkey", "p_brand"]
+    )
+    row = relational.small_quantity_revenue(lineitem, part, brand="Brand#3",
+                                            fraction=0.2).collect()[0]
+    assert row["n_lines"] == 1
+    assert abs(row["avg_yearly"] - 10.0) < 1e-6
