@@ -1665,6 +1665,103 @@ LIMIT 20
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.priority_status_grouping_sets(_t(spark, sf_dir, "orders"))
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(o_totalprice) AS FLOAT) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def q_unpivot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.melted_flag_summary(_t(spark, sf_dir, "lineitem"))
+
+
+_UNPIVOT_SQL = """
+WITH agg AS (
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS FLOAT) AS sum_qty,
+           CAST(sum(l_extendedprice) AS FLOAT) AS sum_price,
+           CAST(sum(l_discount) AS FLOAT) AS sum_disc
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS amount FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+ORDER BY l_returnflag, metric
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.acctbal_percentiles(_t(spark, sf_dir, "customer"))
+
+
+_PERCENTILES_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(quantile_cont(c_acctbal, 0.25) AS FLOAT) AS p25,
+       CAST(quantile_cont(c_acctbal, 0.50) AS FLOAT) AS p50,
+       CAST(quantile_cont(c_acctbal, 0.75) AS FLOAT) AS p75
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & (F.col("event_type") == "purchase")
+    )
+    daily = timeseries.daily_series(ev, "user_id", "ts", "value")
+    out = timeseries.gapfill_locf(daily)
+    return (
+        out.select(
+            F.col("key").alias("user_id"),
+            "day",
+            F.col("value_filled").cast("float").alias("value_filled"),
+            F.col("was_filled").cast("int").alias("was_filled"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_GAPFILL_SQL = """
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+    FROM events
+    WHERE user_id < 20 AND event_type = 'purchase'
+    GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1
+),
+spine AS (
+    SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+    FROM bounds
+),
+dense AS (
+    SELECT s.user_id, s.day, d.v
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, day,
+       CAST(last_value(v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS FLOAT)
+           AS value_filled,
+       CAST(v IS NULL AS INTEGER) AS was_filled
+FROM dense
+ORDER BY user_id, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1740,6 +1837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
+        "grouping_sets": q_grouping_sets,
+        "unpivot_summary": q_unpivot_summary,
+        "percentiles": q_percentiles,
+        "gapfill_locf": q_gapfill_locf,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
@@ -1817,6 +1918,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13": _Q13_SQL,
         "tpch_q17": _Q17_SQL,
         "tpch_q21": _Q21_SQL,
+        "grouping_sets": _GROUPING_SETS_SQL,
+        "unpivot_summary": _UNPIVOT_SQL,
+        "percentiles": _PERCENTILES_SQL,
+        "gapfill_locf": _GAPFILL_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),

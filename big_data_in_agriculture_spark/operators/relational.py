@@ -893,6 +893,80 @@ def acctbal_rollup(
     )
 
 
+def priority_status_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS: per-priority, per-status, grand total.
+
+    Unlike rollup/cube this picks exactly the requested level
+    combinations — three aggregate levels computed in ONE pass (Spark
+    expands the sets inside a single Expand + HashAggregate, not one
+    scan per level). NULL group keys mark each level, ANSI-style, so a
+    SQL oracle matches directly.
+    """
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _f(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+def melted_flag_summary(lineitem: DataFrame) -> DataFrame:
+    """UNPIVOT (wide → long): per-returnflag measure matrix to rows.
+
+    The inverse of pivot — aggregate first (3 sums per flag), then
+    unpivot the tiny result. Melting is a narrow projection (Expand),
+    so doing it AFTER the aggregate keeps the exploded row count at
+    |groups| × |measures|, never |fact| × |measures|.
+    """
+    agg = lineitem.groupBy("l_returnflag").agg(
+        _f(F.sum("l_quantity")).alias("sum_qty"),
+        _f(F.sum("l_extendedprice")).alias("sum_price"),
+        _f(F.sum("l_discount")).alias("sum_disc"),
+    )
+    return (
+        agg.unpivot(
+            "l_returnflag",
+            ["sum_qty", "sum_price", "sum_disc"],
+            "metric",
+            "amount",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+def acctbal_percentiles(customer: DataFrame) -> DataFrame:
+    """Exact linear-interpolated percentiles per segment.
+
+    ``F.percentile`` (exact, JVM-side) — not approx_percentile — so a
+    quantile_cont oracle matches bit-for-bit at float32. Exact
+    percentiles sort within each group; at 100 TB prefer
+    ``approx_profile`` (operators/profile.py) unless exactness is a
+    requirement.
+    """
+    pct = F.percentile(
+        F.col("c_acctbal"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _f(pct[0]).alias("p25"),
+            _f(pct[1]).alias("p50"),
+            _f(pct[2]).alias("p75"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def top_n_orders(orders: DataFrame, n: int = 10) -> DataFrame:
     """Global top-N (O5): TakeOrderedAndProject, not a full sort.
 

@@ -189,6 +189,23 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state.
+
+    At-least-once sources (file landing zones, replayed Kafka offsets)
+    deliver duplicates; ``dropDuplicatesWithinWatermark`` keeps one row
+    per event_id while holding state ONLY for ids whose event time is
+    within the watermark — a duplicate arriving within the allowed
+    lateness is dropped even across micro-batches, and expired ids are
+    forgotten. A plain ``dropDuplicates`` on a stream would accumulate
+    every id ever seen — unbounded state, the streaming anti-pattern
+    this operator exists to avoid. Batch twin: ``llm.dedup_exact``.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def click_purchase_join_stream(
     events: DataFrame,
     attribution_window: str = "1 hour",

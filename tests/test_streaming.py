@@ -71,3 +71,38 @@ def test_incremental_second_batch_upserts(spark, landing, tmp_path):
     after = spark.read.parquet(sink)
     assert after.count() == n1  # key set unchanged
     assert after.agg({"n_events": "max"}).collect()[0][0] >= 2
+
+
+def test_dedup_stream_drops_duplicates_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    land = tmp_path / "dedup-landing"
+    land.mkdir()
+    sink = str(tmp_path / "dedup-sink")
+    chk = str(tmp_path / "dedup-chk")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def batch(path, ids):
+        rows = [(i, t0 + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+                for i in ids]
+        spark.createDataFrame(rows, sev.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(path)
+
+    batch(str(land / "b0"), [1, 2, 3])
+    batch(str(land / "b1"), [2, 3, 4])  # 2,3 are replayed duplicates
+
+    stream = sev.read_events_stream(
+        spark, str(land) + "/*", nanos_ts=False, max_files_per_trigger=1
+    )
+    q = (
+        sev.dedup_events_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3, 4]

@@ -1,0 +1,46 @@
+"""Gap-fill + LOCF semantics on hand-built sparse series."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from big_data_in_agriculture_spark.operators import timeseries
+
+
+def _daily(spark, rows):
+    return spark.createDataFrame(rows, ["key", "day", "value"])
+
+
+def test_gapfill_fills_holes_and_carries_forward(spark):
+    d = lambda n: dt.datetime(2024, 1, n)
+    daily = _daily(spark, [(7, d(1), 10.0), (7, d(4), 40.0), (9, d(2), 5.0)])
+    out = {(r["key"], r["day"].day): (r["value_filled"], r["was_filled"])
+           for r in timeseries.gapfill_locf(daily).collect()}
+    assert out == {
+        (7, 1): (10.0, False),
+        (7, 2): (10.0, True),   # hole → carried forward
+        (7, 3): (10.0, True),
+        (7, 4): (40.0, False),  # new observation replaces carry
+        (9, 2): (5.0, False),   # single-day key: no spine growth
+    }
+
+
+def test_gapfill_dense_input_passthrough(spark):
+    d = lambda n: dt.datetime(2024, 2, n)
+    daily = _daily(spark, [(1, d(1), 1.0), (1, d(2), 2.0)])
+    rows = timeseries.gapfill_locf(daily).collect()
+    assert len(rows) == 2 and all(not r["was_filled"] for r in rows)
+
+
+def test_daily_series_sums_per_day(spark):
+    t = dt.datetime(2024, 3, 1, 10, 0)
+    ev = spark.createDataFrame(
+        [(1, t, 2.0), (1, t + dt.timedelta(hours=3), 3.0),
+         (1, t + dt.timedelta(days=1), 7.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = {r["day"].day: r["value"] for r in
+           timeseries.daily_series(ev, "user_id", "ts", "value").collect()}
+    assert out == {1: 5.0, 2: 7.0}
