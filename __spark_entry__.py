@@ -1762,6 +1762,78 @@ ORDER BY user_id, day
 """
 
 
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clicks landing within 1 day after an error by the same user —
+    # interval containment via bin-bucketed equi-join, never a BNLJ
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400 * 1_000_000
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + F.lit(day_us)).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("p"),
+    )
+    pairs = relational.binned_range_join(
+        clicks, errors, ["user_id"], "p", "lo", "hi", bin_width=day_us
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.countDistinct("error_id").alias("n_errors"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH e AS (
+    SELECT user_id, event_id AS error_id, epoch_us(ts) AS lo,
+           epoch_us(ts) + CAST(86400 AS BIGINT) * 1000000 AS hi
+    FROM events WHERE event_type = 'error'
+),
+c AS (
+    SELECT user_id, event_id AS click_id, epoch_us(ts) AS p
+    FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, count(*) AS n_pairs,
+       count(DISTINCT click_id) AS n_clicks,
+       count(DISTINCT error_id) AS n_errors
+FROM c JOIN e ON c.user_id = e.user_id AND c.p >= e.lo AND c.p <= e.hi
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_FILTER_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dr
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(dr AS FLOAT) AS distinct_ratio,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN n_tokens > 90 THEN 'too_long'
+            WHEN dr < 0.40 THEN 'low_distinct'
+            ELSE 'ok' END AS reason,
+       CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 90 AND dr >= 0.40
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1841,6 +1913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_summary": q_unpivot_summary,
         "percentiles": q_percentiles,
         "gapfill_locf": q_gapfill_locf,
+        "range_join_binned": q_range_join_binned,
+        "quality_filter": q_quality_filter,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
@@ -1922,6 +1996,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_summary": _UNPIVOT_SQL,
         "percentiles": _PERCENTILES_SQL,
         "gapfill_locf": _GAPFILL_SQL,
+        "range_join_binned": _RANGE_JOIN_SQL,
+        "quality_filter": _QUALITY_FILTER_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),

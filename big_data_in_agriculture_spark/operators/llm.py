@@ -464,6 +464,41 @@ def corpus_profile(docs: DataFrame, by: str = "lang") -> DataFrame:
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_distinct_ratio: float = 0.40,
+) -> DataFrame:
+    """Composed pre-training quality gate (Gopher-style rule stack).
+
+    Each rule is a pure Column expression over the token stats; the
+    verdict is the FIRST failing rule in a fixed priority order
+    (too_short → too_long → low_distinct → ok), so downstream
+    drop-reason dashboards are deterministic. Everything stays in
+    whole-stage codegen — one scan, no UDFs, no shuffle (the filter
+    itself is embarrassingly parallel; only a consumer's aggregate
+    would shuffle). distinct_ratio is an exact integer ratio, so the
+    threshold comparison is engine-deterministic.
+    """
+    nt = TX.n_tokens(text_col)
+    dr = TX.n_distinct_tokens(text_col).cast("double") / nt.cast("double")
+    reason = (
+        F.when(nt < min_tokens, F.lit("too_short"))
+        .when(nt > max_tokens, F.lit("too_long"))
+        .when(dr < min_distinct_ratio, F.lit("low_distinct"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        dr.cast("float").alias("distinct_ratio"),
+        reason.alias("reason"),
+        (reason == "ok").cast("int").alias("keep"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint + heuristic language guess per doc."""
     return docs.select(

@@ -783,6 +783,56 @@ def salted_join(
     return b.join(s, [key, "_salt"]).drop("_salt")
 
 
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Range (interval-containment) join via bin bucketing.
+
+    Spark plans ``p.join(i, (p.x >= i.lo) & (p.x <= i.hi))`` as a
+    broadcast-nested-loop (or cartesian) — quadratic, dead at scale.
+    The standard fix (what Databricks' range-join hint does under the
+    hood) is binning:
+
+    1. each interval explodes to the bins it covers
+       (``sequence(lo div W, hi div W)``);
+    2. each point maps to its single bin (``x div W``);
+    3. equi-join on (keys…, bin) — a plain shuffled hash/sort-merge
+       join — then re-check exact containment.
+
+    Each (point, interval) match appears exactly once (the point lives
+    in one bin; an interval lists each bin once), so no dedup pass.
+    Choose ``bin_width`` ≈ typical interval length: replication factor
+    is ~(len/W + 1) per interval, candidate fan-in per bin stays small.
+    All numeric (caller converts timestamps via ``unix_micros`` first).
+    """
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, [*on, "_bin"])
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bin")
+    )
+
+
 def rolling_day_sum(
     df: DataFrame,
     part_col: str,

@@ -150,3 +150,21 @@ def test_lang_guess_markers(spark):
     )
     out = {r["doc_id"]: r["lang_guess"] for r in llm.doc_fingerprints(df).collect()}
     assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_quality_filter_rule_priority(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                              # too_short (3 toks)
+            (2, " ".join(["w"] * 100)),                # too_long wins over low_distinct
+            (3, " ".join(["x"] * 50)),                 # low_distinct (dr=0.02)
+            (4, " ".join(f"t{i}" for i in range(50))), # ok
+        ],
+        ["doc_id", "text"],
+    )
+    from big_data_in_agriculture_spark.operators.llm import quality_filter
+
+    out = {r["doc_id"]: (r["reason"], r["keep"]) for r in
+           quality_filter(docs).collect()}
+    assert out == {1: ("too_short", 0), 2: ("too_long", 0),
+                   3: ("low_distinct", 0), 4: ("ok", 1)}

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from big_data_in_agriculture_spark.operators import relational
 
 
@@ -131,3 +133,41 @@ def test_small_quantity_revenue_window_equals_correlated_avg(spark):
                                             fraction=0.2).collect()[0]
     assert row["n_lines"] == 1
     assert abs(row["avg_yearly"] - 10.0) < 1e-6
+
+
+def test_binned_range_join_boundaries_and_exactness(spark):
+    # interval [100, 200], width 60 → bins 1..3. Points at lo, hi,
+    # inside, just-outside both sides; key mismatch excluded.
+    intervals = spark.createDataFrame(
+        [(1, 10, 100, 200)], ["k", "iid", "lo", "hi"]
+    )
+    points = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 200), (1, 3, 150), (1, 4, 99), (1, 5, 201),
+         (2, 6, 150)],
+        ["k", "pid", "p"],
+    )
+    out = relational.binned_range_join(
+        points, intervals, ["k"], "p", "lo", "hi", bin_width=60
+    )
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2, 3]
+    # each match appears exactly once (no dedup pass needed)
+    assert out.count() == out.distinct().count() == 3
+
+
+def test_binned_range_join_is_equi_join(spark):
+    from big_data_in_agriculture_spark.plans import explain
+
+    intervals = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("iid"),
+        (F.col("id") * 50).alias("lo"), (F.col("id") * 50 + 120).alias("hi"),
+    )
+    points = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("pid"),
+        (F.col("id") * 7).alias("p"),
+    )
+    df = relational.binned_range_join(
+        points, intervals, ["k"], "p", "lo", "hi", bin_width=100
+    )
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
