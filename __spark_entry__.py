@@ -1834,6 +1834,93 @@ FROM m
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"), size=15, region_name="EUROPE",
+    )
+
+
+# Independent formulation: correlated min subquery (the engine uses a
+# window over the region-filtered bridge).
+_Q2_SQL = """
+WITH b AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+    FROM lineitem GROUP BY 1, 2
+),
+sr AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT CAST(s_acctbal AS FLOAT) AS s_acctbal, s_name, n_name,
+       ps_partkey AS p_partkey, p_brand
+FROM b
+JOIN part ON ps_partkey = p_partkey
+JOIN sr ON ps_suppkey = s_suppkey
+WHERE p_size = 15
+  AND s_acctbal = (SELECT min(sr2.s_acctbal)
+                   FROM b b2 JOIN sr sr2 ON b2.ps_suppkey = sr2.s_suppkey
+                   WHERE b2.ps_partkey = b.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.parts_supplier_counts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+_Q16_SQL = """
+WITH b AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM b JOIN part ON ps_partkey = p_partkey
+WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_name LIKE '%0')
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.excess_stock_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        name_token="red", nation_name="NATION_3",
+    )
+
+
+# Independent formulation: IN-chain with a correlated scalar subquery
+# re-scanning lineitem (the engine computes the part total with a
+# window over the bridge instead).
+_Q20_SQL = """
+SELECT s_suppkey, s_name, CAST(s_acctbal AS FLOAT) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+      SELECT ps_suppkey FROM (
+          SELECT l_suppkey AS ps_suppkey, l_partkey AS pk,
+                 sum(l_quantity) AS q
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%red%')
+          GROUP BY 1, 2) b
+      WHERE q > 0.12 * (SELECT sum(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = b.pk))
+ORDER BY s_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1909,6 +1996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         "grouping_sets": q_grouping_sets,
         "unpivot_summary": q_unpivot_summary,
         "percentiles": q_percentiles,
@@ -1992,6 +2082,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13": _Q13_SQL,
         "tpch_q17": _Q17_SQL,
         "tpch_q21": _Q21_SQL,
+        "tpch_q2": _Q2_SQL,
+        "tpch_q16": _Q16_SQL,
+        "tpch_q20": _Q20_SQL,
         "grouping_sets": _GROUPING_SETS_SQL,
         "unpivot_summary": _UNPIVOT_SQL,
         "percentiles": _PERCENTILES_SQL,

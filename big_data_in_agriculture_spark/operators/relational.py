@@ -603,6 +603,147 @@ def waiting_suppliers(
     )
 
 
+def supplies_relation(lineitem: DataFrame) -> DataFrame:
+    """Derived partsupp stand-in: distinct (part, supplier) pairs that
+    actually traded, with shipped-quantity mass per pair.
+
+    The driver's schema has no partsupp table; Q2/Q16/Q20 shapes run
+    against this derivation instead. One shuffle (the groupBy); at
+    scale this is a classic pre-aggregated bridge table worth
+    materializing (bucketed on ps_partkey — sources/bucketed.py).
+    """
+    return (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("ps_shipped_qty"))
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    size: int = 15,
+    region_name: str = "EUROPE",
+    top_n: int = 20,
+) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery over the bridge table.
+
+    For each part (of one size, suppliable from one region), keep the
+    supplier(s) with the minimum cost. ps_supplycost is proxied by
+    s_acctbal (the only per-supplier numeric available) — the SHAPE is
+    Q2's: per-part min via a window over the region-filtered bridge,
+    not a re-scan correlated subquery; dims broadcast.
+    """
+    supp_in_region = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == region_name)),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey", "n_name")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    bridge = (
+        supplies_relation(lineitem)
+        .join(F.broadcast(part.filter(F.col("p_size") == size)
+                          .select("p_partkey", "p_brand")),
+              F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_in_region),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        bridge.withColumn("min_cost", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_cost"))
+        .select(
+            _f(F.col("s_acctbal")).alias("s_acctbal"),
+            "s_name", "n_name",
+            F.col("ps_partkey").alias("p_partkey"), "p_brand",
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"),
+                 F.col("p_partkey"))
+        .limit(top_n)
+    )
+
+
+def parts_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excluded_name_suffix: str = "0",
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    with a NOT-IN supplier exclusion (left-anti on the bridge).
+
+    The exclusion runs on the bridge BEFORE the count-distinct, as a
+    broadcast anti join; the heavy count(distinct) groups by the part
+    attributes. Q16's comment-pattern exclusion becomes a name-suffix
+    match (the only supplier text available).
+    """
+    excluded = supplier.filter(
+        F.col("s_name").endswith(excluded_name_suffix)
+    ).select("s_suppkey")
+    bridge = (
+        supplies_relation(lineitem)
+        .join(F.broadcast(excluded),
+              F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("ps_partkey") == F.col("p_partkey"))
+    )
+    return (
+        bridge.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def excess_stock_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "red",
+    nation_name: str = "NATION_3",
+    qty_factor: float = 0.12,
+) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins with a correlated-agg threshold.
+
+    Suppliers (of one nation) who supply a name-matched part in excess
+    quantity: the bridge's per-pair shipped mass must beat
+    ``qty_factor ×`` that part's TOTAL shipped mass — availqty doesn't
+    exist, so the correlated availqty>½·shipped test becomes a
+    pair-share-of-part test computed with a window over the bridge
+    (no lineitem re-scan). The surviving pair set reduces to suppliers
+    via left-semi, exactly Q20's IN-chain.
+    """
+    w = Window.partitionBy("ps_partkey")
+    qualifying_pairs = (
+        supplies_relation(lineitem)
+        .join(
+            F.broadcast(part.filter(F.col("p_name").contains(name_token))
+                        .select("p_partkey")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("part_total", F.sum("ps_shipped_qty").over(w))
+        .filter(F.col("ps_shipped_qty") > F.lit(qty_factor) * F.col("part_total"))
+        .select("ps_suppkey")
+    )
+    nat = nation.filter(F.col("n_name") == nation_name)
+    return (
+        supplier.join(F.broadcast(nat),
+                      F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(qualifying_pairs, F.col("s_suppkey") == F.col("ps_suppkey"),
+              "left_semi")
+        .select("s_suppkey", "s_name", _f(F.col("s_acctbal")).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join strategies (explicit surface for the harness)
 # ---------------------------------------------------------------------------
