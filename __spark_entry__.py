@@ -1921,6 +1921,87 @@ ORDER BY s_suppkey
 """
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.profile import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = robust_outliers(ev, "event_type", "value", z_thresh=3.5)
+    return out.select(
+        "event_id", "event_type",
+        F.col("value").cast("float").alias("value"),
+        F.col("robust_z").cast("float").alias("robust_z"),
+    ).orderBy("event_type", "event_id")
+
+
+_OUTLIERS_SQL = """
+WITH med AS (
+    SELECT event_type, median(value) AS m FROM events GROUP BY 1
+),
+stats AS (
+    SELECT e.event_type, any_value(m) AS m,
+           median(abs(value - m)) AS mad
+    FROM events e JOIN med USING (event_type) GROUP BY 1
+)
+SELECT event_id, e.event_type,
+       CAST(value AS FLOAT) AS value,
+       CAST(0.6745 * (value - m) / mad AS FLOAT) AS robust_z
+FROM events e JOIN stats USING (event_type)
+WHERE abs(0.6745 * (value - m) / mad) > 3.5
+ORDER BY event_type, event_id
+"""
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.top_tokens(_t(spark, sf_dir, "documents"), k=20)
+
+
+_TOP_TOKENS_SQL = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant formatting-variant duplicates: an uppercased copy of every
+    # doc shares the normalized fingerprint; quality ties, so the
+    # doc_id tie-break must keep the original
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    out = llm.dedup_keep_best(docs.unionByName(variants))
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_KEEP_BEST_SQL = """
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, upper(text) FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+           ((CAST(length(text) AS DOUBLE)
+             - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS q
+    FROM all_docs
+),
+ranked AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+    FROM scored
+)
+SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2005,6 +2086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "range_join_binned": q_range_join_binned,
         "quality_filter": q_quality_filter,
+        "robust_outliers": q_robust_outliers,
+        "top_tokens": q_top_tokens,
+        "dedup_keep_best": q_dedup_keep_best,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
@@ -2091,6 +2175,9 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_locf": _GAPFILL_SQL,
         "range_join_binned": _RANGE_JOIN_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
+        "robust_outliers": _OUTLIERS_SQL,
+        "top_tokens": _TOP_TOKENS_SQL,
+        "dedup_keep_best": _KEEP_BEST_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),

@@ -13,7 +13,7 @@ expressions (functions/text.py); nothing here uses a Python UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -505,4 +505,42 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         TX.fingerprint(text_col).alias("fingerprint"),
         TX.lang_guess(text_col).alias("lang_guess"),
+    )
+
+
+def top_tokens(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-wide top-k token frequencies.
+
+    Explode is narrow (one token column rides the wire) and the count
+    shuffles partial per-partition sums only; the final top-k is a
+    TakeOrderedAndProject, never a full sort of the vocabulary. The
+    (count desc, token asc) total order makes the k-cutoff engine-
+    deterministic under ties.
+    """
+    return (
+        docs.select(F.explode(TX.tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def dedup_keep_best(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Survivor-policy dedup: per fingerprint group keep the best doc.
+
+    ``dedup_exact`` keeps the minimum doc_id; real pre-training dedup
+    keeps the HIGHEST-QUALITY copy (formatting variants of one page
+    differ in boilerplate). Group identity is the normalized-content
+    fingerprint; survivor is row_number()=1 under
+    (quality desc, doc_id) — the doc_id tie-break keeps byte-identical
+    copies deterministic. One shuffle on the fingerprint.
+    """
+    w = Window.partitionBy("_fp").orderBy(F.col("_q").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("_fp", TX.fingerprint(text_col))
+        .withColumn("_q", TX.quality_score(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_q", "_rn")
     )

@@ -168,3 +168,28 @@ def test_quality_filter_rule_priority(spark):
            quality_filter(docs).collect()}
     assert out == {1: ("too_short", 0), 2: ("too_long", 0),
                    3: ("low_distinct", 0), 4: ("ok", 1)}
+
+
+def test_dedup_keep_best_prefers_quality_then_id(spark):
+    from big_data_in_agriculture_spark.operators.llm import dedup_keep_best
+
+    # same normalized fingerprint (\s+ collapses to one space), but the
+    # tab variant is a single space-token → higher mean-token-length →
+    # higher quality score: it must survive over the lower id
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha\tbeta\tgamma"),
+         (3, "delta epsilon"), (4, "delta epsilon")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_best(docs).collect())
+    assert kept == [2, 3]  # quality wins for group 1; id tie-break for group 2
+
+
+def test_top_tokens_orders_count_then_token(spark):
+    from big_data_in_agriculture_spark.operators.llm import top_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    rows = [(r["token"], r["n"]) for r in top_tokens(docs, k=2).collect()]
+    assert rows == [("a", 2), ("b", 2)]  # tie broken alphabetically

@@ -44,3 +44,13 @@ def test_approx_profile_within_bounds(spark):
         assert abs(row["approx_distinct"] - nd_exact) <= max(3, 0.15 * nd_exact)
         # percentile_approx at accuracy 10k on ~12k rows ≈ exact
         assert abs(row["value_percentiles"][0] - p50_exact) <= 2.0
+
+
+def test_robust_outliers_flags_extremes_only(spark):
+    from big_data_in_agriculture_spark.operators.profile import robust_outliers
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+    df = spark.createDataFrame(rows, ["event_id", "key", "value"])
+    out = robust_outliers(df, "key", "value", z_thresh=3.5).collect()
+    assert [r["event_id"] for r in out] == [5]
+    assert out[0]["robust_z"] > 3.5
