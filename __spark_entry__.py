@@ -2002,6 +2002,116 @@ SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.functions.json_props import with_parsed_props
+
+    ev = with_parsed_props(_t(spark, sf_dir, "events"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long")
+            .alias("n_unparsed"),
+            F.sum("k").alias("sum_k"),
+            F.avg("k").cast("float").alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_PROPS_SQL = """
+WITH p AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(avg(k) AS FLOAT) AS avg_k,
+       max(k) AS max_k
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end corpus pipeline: clean → quality gate → survivor-policy
+    # dedup → per-lang stats. Each stage is an independently oracle-
+    # checked operator; this query checks their COMPOSITION (stage
+    # coupling bugs — schema drift, filter ordering — don't hide).
+    from big_data_in_agriculture_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", "lang", TX.mask_pii(TX.strip_html("text")).alias("text")
+    )
+    gated = (
+        llm.quality_filter(cleaned)
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "n_tokens")
+        .join(cleaned, "doc_id")
+    )
+    surviving = llm.dedup_keep_best(gated)
+    return (
+        surviving.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.avg("n_tokens").cast("float").alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LLM_PIPELINE_SQL = """
+WITH cleaned AS (
+    SELECT doc_id, lang,
+           regexp_replace(
+               regexp_replace(
+                   trim(regexp_replace(
+                       regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                       '\\s+', ' ', 'g')),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '[0-9]{5,}', '<NUM>', 'g') AS text
+    FROM documents
+),
+gated AS (
+    SELECT doc_id, lang, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dr
+    FROM cleaned
+),
+kept AS (
+    SELECT * FROM gated
+    WHERE n_tokens >= 20 AND n_tokens <= 90 AND dr >= 0.40
+),
+scored AS (
+    SELECT doc_id, lang, n_tokens,
+           sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+           ((CAST(length(text) AS DOUBLE)
+             - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS q
+    FROM kept
+),
+ranked AS (
+    SELECT doc_id, lang, n_tokens,
+           row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+    FROM scored
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(avg(n_tokens) AS FLOAT) AS avg_tokens
+FROM ranked WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2089,6 +2199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "top_tokens": q_top_tokens,
         "dedup_keep_best": q_dedup_keep_best,
+        "json_props": q_json_props,
+        "llm_pipeline": q_llm_pipeline,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
@@ -2178,6 +2290,8 @@ def oracle_sql() -> dict[str, str]:
         "robust_outliers": _OUTLIERS_SQL,
         "top_tokens": _TOP_TOKENS_SQL,
         "dedup_keep_best": _KEEP_BEST_SQL,
+        "json_props": _JSON_PROPS_SQL,
+        "llm_pipeline": _LLM_PIPELINE_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),
