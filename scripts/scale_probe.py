@@ -189,5 +189,48 @@ PROBES["skew_salted_20m"] = probe_skew_join
 PROBES["skew_plain_20m"] = probe_skew_join_plain
 
 
+def _range_join_inputs(spark, points, intervals, keys):
+    p = spark.range(points).select(
+        (F.col("id") % keys).alias("k"),
+        F.col("id").alias("pid"),
+        (F.col("id") * 37 % 10_000_000).alias("p"),
+    )
+    i = spark.range(intervals).select(
+        (F.col("id") % keys).alias("k"),
+        F.col("id").alias("iid"),
+        (F.col("id") * 97 % 10_000_000).alias("lo"),
+        (F.col("id") * 97 % 10_000_000 + 5_000).alias("hi"),
+    )
+    return p, i
+
+
+def probe_range_join_binned(spark, points=2_000_000, intervals=200_000, keys=10):
+    """Interval containment via bin bucketing: stays an equi-join on
+    (k, bin), cost linear in rows + matches regardless of per-key
+    density (the regime that kills the naive plan — few hot keys)."""
+    from big_data_in_agriculture_spark.operators.relational import binned_range_join
+
+    p, i = _range_join_inputs(spark, points, intervals, keys)
+    return binned_range_join(p, i, ["k"], "p", "lo", "hi", bin_width=5_000)
+
+
+def probe_range_join_naive(spark, points=2_000_000, intervals=200_000, keys=10):
+    """Same join as a raw inequality predicate: the equi part is only
+    the key, so each same-key group nested-loops over the range
+    condition — points/key × intervals/key comparisons. At 10 hot keys
+    that is 200k × 20k × 10 = 4e11 candidate pairs; the binned probe
+    touches ~matches only. Dense keys are exactly where real interval data lands
+    (one busy user/sensor/day)."""
+    p, i = _range_join_inputs(spark, points, intervals, keys)
+    return p.join(
+        i,
+        (p["k"] == i["k"]) & (p["p"] >= i["lo"]) & (p["p"] <= i["hi"]),
+    ).drop(i["k"])
+
+
+PROBES["range_binned_2m"] = probe_range_join_binned
+PROBES["range_naive_2m"] = probe_range_join_naive
+
+
 if __name__ == "__main__":
     sys.exit(main())
