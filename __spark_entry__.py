@@ -2112,6 +2112,55 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.profile import value_histogram
+
+    return value_histogram(
+        _t(spark, sf_dir, "events").select("value"), "value", bins=20
+    )
+
+
+_HISTOGRAM_SQL = """
+WITH stats AS (
+    SELECT CAST(min(value) AS DOUBLE) AS mn,
+           CAST(max(value) AS DOUBLE) AS mx
+    FROM events
+),
+binned AS (
+    SELECT least(CAST(floor((value - mn) / ((mx - mn) / 20.0)) AS BIGINT),
+                 19) AS bin_id,
+           mn, mx
+    FROM events CROSS JOIN stats
+)
+SELECT bin_id,
+       CAST(any_value(mn) + bin_id * (any_value(mx) - any_value(mn)) / 20.0
+            AS FLOAT) AS bin_lo,
+       count(*) AS n
+FROM binned GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = llm.hash_split(_t(spark, sf_dir, "documents"))
+    return (
+        out.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_HASH_SPLIT_SQL = """
+SELECT CASE WHEN doc_id % 10 < 1 THEN 'test' ELSE 'train' END AS split,
+       lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2201,6 +2250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "json_props": q_json_props,
         "llm_pipeline": q_llm_pipeline,
+        "value_histogram": q_value_histogram,
+        "hash_split": q_hash_split,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
@@ -2292,6 +2343,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _KEEP_BEST_SQL,
         "json_props": _JSON_PROPS_SQL,
         "llm_pipeline": _LLM_PIPELINE_SQL,
+        "value_histogram": _HISTOGRAM_SQL,
+        "hash_split": _HASH_SPLIT_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),

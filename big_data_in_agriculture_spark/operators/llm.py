@@ -544,3 +544,26 @@ def dedup_keep_best(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_q", "_rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    test_buckets: int = 1,
+) -> DataFrame:
+    """Deterministic train/test assignment by id modulo.
+
+    Reproducible splits must not depend on engine RNG, row order, or
+    partitioning — `sample()` gives none of those guarantees across
+    engines/runs. An id-modulo bucket is stable under re-partitioning,
+    incremental appends (a doc keeps its split forever), and is
+    portable to any engine for audit. For ids with structure (e.g.
+    sequential with block uploads), hash the id first with a portable
+    hash; the driver's synthetic ids are uniform already.
+    """
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets))
+    return df.withColumn(
+        "split",
+        F.when(bucket < test_buckets, F.lit("test")).otherwise(F.lit("train")),
+    )

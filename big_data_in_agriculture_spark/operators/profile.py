@@ -130,3 +130,39 @@ def robust_outliers(
         .filter(F.abs(F.col("robust_z")) > z_thresh)
         .drop("_med", "_mad")
     )
+
+
+def value_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
+    """Fixed-width histogram over a numeric column.
+
+    Two passes: a scalar min/max aggregate (broadcast back as a 1-row
+    cross join — Catalyst's own plan for an uncorrelated scalar
+    subquery), then one hash aggregate on the bin id. The top value
+    folds into the last bin (least(floor(...), bins-1)) so max lands
+    in-range. Bin math is plain double IEEE ops — engine-deterministic
+    given identical min/max, which the exact scalar agg guarantees.
+    """
+    stats = df.agg(
+        F.min(col).cast("double").alias("_mn"),
+        F.max(col).cast("double").alias("_mx"),
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    bin_id = F.least(
+        F.floor((F.col(col) - F.col("_mn")) / width), F.lit(bins - 1)
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.col("_mn")).alias("_mn"),
+            F.first(F.col("_mx")).alias("_mx"),
+        )
+        .select(
+            "bin_id",
+            ((F.col("_mn") + F.col("bin_id") * (F.col("_mx") - F.col("_mn"))
+              / F.lit(float(bins)))).cast("float").alias("bin_lo"),
+            "n",
+        )
+        .orderBy("bin_id")
+    )
