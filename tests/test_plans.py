@@ -130,3 +130,20 @@ def test_q17_single_window_shuffle(spark, em):
     n_windows = sum(1 for ln in plan.splitlines() if ln.strip().endswith("Window"))
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_windows == 1 and n_scans == 2, plan  # lineitem + part, once each
+
+
+def test_q2_q20_window_not_rescan(spark, em):
+    # correlated subqueries run as ONE window over the bridge — lineitem
+    # is scanned exactly once in each plan
+    for q in (em.q_tpch_q2, em.q_tpch_q20):
+        plan = explain.formatted_plan(q(spark, SF))
+        lineitem_scans = [ln for ln in plan.splitlines()
+                          if "Location" in ln and "lineitem.parquet" in ln]
+        assert len(lineitem_scans) == 1, plan
+        assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_before_distinct(spark, em):
+    plan = explain.formatted_plan(em.q_tpch_q16(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
