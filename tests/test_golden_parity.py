@@ -82,3 +82,41 @@ def test_hourly_mart_shape_matches_reference(spark, golden_files):
     # the mart schema carries the full measure set incl. derived wind
     for col in ["ts", "t2m", "d2m", "tp", "u10", "v10", "swvl1", "swvl2", "wind_speed_10m"]:
         assert col in hourly.columns
+
+
+def test_serve_layer_parity_on_reference_daily_mart(spark):
+    """The serving ops reproduce pandas ground truth on the committed
+    daily mart — the same frame the reference's dashboard serves
+    (dashboards/app.py:35-61: membership filter, pivot, KPI scalars).
+    """
+    import pandas as pd
+
+    from big_data_in_agriculture_spark.operators import serve
+
+    try:
+        golden = pd.read_parquet(DAILY_GOLDEN)
+    except Exception:
+        pytest.skip("reference marts not present")
+
+    sdf = spark.createDataFrame(golden)
+    regions = ["bashkortostan", "krasnodar"]
+
+    start, end = "2022-01-01", "2022-01-07"
+    filtered = serve.filter_daily(sdf, regions, start, end).toPandas()
+    exp = golden[golden["region"].isin(regions)]
+    assert len(filtered) == len(exp) == 14
+
+    piv = serve.pivot_metric(
+        serve.filter_daily(sdf, regions, start, end),
+        metric="t2m_mean", series_values=regions,
+    ).toPandas().set_index("day").sort_index()
+    exp_piv = exp.pivot_table(index="day", columns="region",
+                              values="t2m_mean").sort_index()
+    for r in regions:
+        assert (abs(piv[r].astype(float).to_numpy()
+                    - exp_piv[r].astype(float).to_numpy()) < 1e-5).all()
+
+    k = serve.kpis(sdf).collect()[0]
+    assert k["n_rows"] == 28 and k["n_region"] == 4
+    assert str(k["min_day"])[:10] == "2022-01-01"
+    assert str(k["max_day"])[:10] == "2022-01-07"
