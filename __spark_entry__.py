@@ -2161,6 +2161,52 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & (F.col("event_type") == "purchase")
+    )
+    daily = timeseries.daily_series(ev, "user_id", "ts", "value")
+    out = timeseries.ema(daily, alpha=0.3)
+    return out.select(
+        F.col("key").alias("user_id"),
+        "day",
+        F.col("value").cast("float").alias("value"),
+        F.col("ema").cast("float").alias("ema"),
+    ).orderBy("user_id", "day")
+
+
+# Closed form of the adjust=False recurrence:
+#   y_t = (1-a)^t * (a * SUM_{i=1..t} x_i (1-a)^{-i} + x_0)
+# — an independent derivation, so the Python-island recurrence is
+# cross-checked by pure SQL window math.
+_EMA_SQL = """
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+    FROM events
+    WHERE user_id < 20 AND event_type = 'purchase'
+    GROUP BY 1, 2
+),
+o AS (
+    SELECT user_id, day, v,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS t
+    FROM daily
+)
+SELECT user_id, day,
+       CAST(v AS FLOAT) AS value,
+       CAST(power(0.7, t) * (
+            0.3 * coalesce(sum(CASE WHEN t > 0 THEN v * power(0.7, -t) END)
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+            + first_value(v) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            AS FLOAT) AS ema
+FROM o
+ORDER BY user_id, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2252,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pipeline": q_llm_pipeline,
         "value_histogram": q_value_histogram,
         "hash_split": q_hash_split,
+        "ema": q_ema,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
@@ -2345,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_pipeline": _LLM_PIPELINE_SQL,
         "value_histogram": _HISTOGRAM_SQL,
         "hash_split": _HASH_SPLIT_SQL,
+        "ema": _EMA_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),

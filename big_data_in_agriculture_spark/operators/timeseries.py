@@ -52,6 +52,45 @@ def daily_series(
     )
 
 
+def ema(
+    daily: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key exponential moving average (adjust=False recurrence).
+
+    EMA is a linear recurrence (y_t = α·x_t + (1−α)·y_{t−1}) — the one
+    shape window frames genuinely cannot express, so this is the
+    documented Pandas-UDF island: ``applyInPandas`` groups by key,
+    Arrow ships each group once, and the recurrence runs vectorized in
+    pandas (``ewm``). Cost: one shuffle on the key — identical to a
+    window — plus the Python/Arrow hop; state per task is one group.
+
+    Verified against the closed form
+    ``y_t = (1−α)^t · (α·Σ_{i=1..t} x_i(1−α)^{−i} + x_0)``
+    (the SQL-oracle twin), numerically safe for daily series lengths.
+    """
+    import pandas as pd  # noqa: F401  (executor-side import)
+
+    out_schema = ", ".join(
+        [
+            f"{key_col} {daily.schema[key_col].dataType.simpleString()}",
+            f"{day_col} {daily.schema[day_col].dataType.simpleString()}",
+            f"{value_col} double",
+            "ema double",
+        ]
+    )
+
+    def _ema(pdf):
+        pdf = pdf.sort_values(day_col)
+        pdf["ema"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[[key_col, day_col, value_col, "ema"]]
+
+    return daily.groupBy(key_col).applyInPandas(_ema, out_schema)
+
+
 def gapfill_locf(daily: DataFrame) -> DataFrame:
     """Densify a (key, day, value) frame and forward-fill the holes.
 

@@ -44,3 +44,20 @@ def test_daily_series_sums_per_day(spark):
     out = {r["day"].day: r["value"] for r in
            timeseries.daily_series(ev, "user_id", "ts", "value").collect()}
     assert out == {1: 5.0, 2: 7.0}
+
+
+def test_ema_matches_pandas_ewm(spark):
+    import numpy as np
+    import pandas as pd
+
+    d = lambda n: dt.datetime(2024, 1, n)
+    rows = [(1, d(i + 1), float(v)) for i, v in enumerate([10, 20, 5, 40, 15])]
+    rows += [(2, d(i + 1), float(v)) for i, v in enumerate([3, 3, 3])]
+    daily = _daily(spark, rows)
+    got = (timeseries.ema(daily, alpha=0.3)
+           .toPandas().sort_values(["key", "day"]).reset_index(drop=True))
+    for k, grp in got.groupby("key"):
+        expected = grp["value"].ewm(alpha=0.3, adjust=False).mean()
+        assert np.allclose(grp["ema"].to_numpy(), expected.to_numpy())
+    # constant series: EMA is the constant
+    assert (got[got["key"] == 2]["ema"] == 3.0).all()
