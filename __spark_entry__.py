@@ -2207,6 +2207,67 @@ ORDER BY user_id, day
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.analytics import retention_cohorts
+
+    out = retention_cohorts(_t(spark, sf_dir, "events"), max_weeks=8)
+    return _date_as_ts(out, "cohort_week")
+
+
+_RETENTION_SQL = """
+WITH first AS (
+    SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+    FROM events GROUP BY 1
+),
+cells AS (
+    SELECT cohort_week,
+           CAST(floor(date_diff('day', cohort_week,
+                                date_trunc('week', ts)) / 7) AS BIGINT)
+               AS week_n,
+           e.user_id
+    FROM events e JOIN first USING (user_id)
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_n,
+       count(DISTINCT user_id) AS n_users
+FROM cells
+WHERE week_n < 8
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.analytics import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
+    )
+
+
+_FUNNEL_SQL = """
+WITH relevant AS (
+    SELECT user_id, event_type, ts FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+    FROM relevant GROUP BY 1
+),
+s2 AS (
+    SELECT r.user_id, any_value(t1) AS t1,
+           min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END) AS t2
+    FROM relevant r JOIN s1 USING (user_id) GROUP BY 1
+),
+s3 AS (
+    SELECT r.user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+           min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END) AS t3
+    FROM relevant r JOIN s2 USING (user_id) GROUP BY 1
+)
+SELECT count(t1) AS n_step1, count(t2) AS n_step2, count(t3) AS n_step3
+FROM s3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2299,6 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "hash_split": q_hash_split,
         "ema": q_ema,
+        "retention_cohorts": q_retention_cohorts,
+        "funnel": q_funnel,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
@@ -2393,6 +2456,8 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _HISTOGRAM_SQL,
         "hash_split": _HASH_SPLIT_SQL,
         "ema": _EMA_SQL,
+        "retention_cohorts": _RETENTION_SQL,
+        "funnel": _FUNNEL_SQL,
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),

@@ -1,0 +1,96 @@
+"""Event analytics: retention cohorts, funnel conversion.
+
+The standard product-analytics workloads over an event stream — heavy
+count-distinct shuffles at scale, so the shapes matter:
+
+* retention: ONE aggregate for per-user cohort assignment (tiny
+  output: one row per user), re-joined to the fact, then one
+  count-distinct aggregate per (cohort, period) cell;
+* funnel: staged conditional minimums — each stage is a groupBy over
+  the fact with the previous stage's timestamp joined in, so an
+  N-step funnel costs N scans of the (pruned) fact and N user-keyed
+  shuffles, never a per-user UDF or a collected event list.
+
+At 100 TB the user-keyed aggregates dominate; both operators keep the
+shuffled payload to (user, timestamp) pairs — events project down to
+the 3 used columns at the scan (column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Cohort retention matrix: users active N weeks after first seen.
+
+    cohort_week = the ISO week of the user's first event; week_n = full
+    weeks between that and each event's week. Cells are distinct-user
+    counts — the shuffle carries (cohort, week_n, user) once per
+    distinct triple thanks to partial aggregation.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(week).alias("cohort_week"))
+    return (
+        events.join(first, user_col)
+        .withColumn(
+            "week_n",
+            F.floor(
+                F.datediff(week, F.col("cohort_week")) / F.lit(7)
+            ).cast("long"),
+        )
+        .filter(F.col("week_n") < max_weeks)
+        .groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel counts: users reaching step k AFTER step k−1.
+
+    Stage k's timestamp is the user's earliest step-k event at or
+    after their stage-(k−1) timestamp — the strict sequencing that
+    separates a funnel from k independent filters. One row out:
+    n_step_1..n (monotone non-increasing).
+    """
+    relevant = events.filter(F.col(type_col).isin(steps)).select(
+        user_col, type_col, ts_col
+    )
+    stage = relevant.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t1")
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        prev = f"t{k - 1}"
+        stage = (
+            relevant.join(stage, user_col)
+            .groupBy(user_col)
+            .agg(
+                *[F.first(f"t{i}").alias(f"t{i}") for i in range(1, k)],
+                F.min(
+                    F.when(
+                        (F.col(type_col) == step)
+                        & (F.col(ts_col) >= F.col(prev)),
+                        F.col(ts_col),
+                    )
+                ).alias(f"t{k}"),
+            )
+        )
+    return stage.agg(
+        *[
+            F.count(f"t{k}").alias(f"n_step{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )

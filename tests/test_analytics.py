@@ -1,0 +1,47 @@
+"""Funnel ordering and cohort-week semantics on hand-built events."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from big_data_in_agriculture_spark.operators.analytics import (
+    funnel_conversion,
+    retention_cohorts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+
+def test_funnel_requires_order(spark):
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    ev = _ev(spark, [
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),  # full
+        (2, "view", t(1)), (2, "purchase", t(2)),                      # skips click
+        (3, "purchase", t(1)), (3, "view", t(2)), (3, "click", t(3)),  # purchase too early
+        (4, "click", t(1)),                                            # never viewed
+    ])
+    row = funnel_conversion(ev, ["view", "click", "purchase"]).collect()[0]
+    assert (row["n_step1"], row["n_step2"], row["n_step3"]) == (3, 2, 1)
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # ts >= prev: simultaneous step events advance the funnel
+    t0 = dt.datetime(2024, 1, 1)
+    ev = _ev(spark, [(1, "view", t0), (1, "click", t0)])
+    row = funnel_conversion(ev, ["view", "click"]).collect()[0]
+    assert (row["n_step1"], row["n_step2"]) == (1, 1)
+
+
+def test_retention_week_boundaries(spark):
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    ev = _ev(spark, [
+        (1, "view", mon),
+        (1, "view", mon + dt.timedelta(days=6)),   # same ISO week → week 0
+        (1, "view", mon + dt.timedelta(days=7)),   # next week → week 1
+        (2, "view", mon + dt.timedelta(days=9)),   # own cohort, week 0
+    ])
+    cells = {(r["cohort_week"].day, r["week_n"]): r["n_users"]
+             for r in retention_cohorts(ev).collect()}
+    assert cells == {(1, 0): 1, (1, 1): 1, (8, 0): 1}
