@@ -79,3 +79,43 @@ def spatial_mean_hourly(
     # preserves the per-file contract without one (the partitioned mart
     # writer in sources/marts.py owns the final per-file ordering).
     return hourly.sortWithinPartitions("region", "ts")
+
+
+def spatial_mean_weighted(
+    grid: DataFrame,
+    variables: list[str] | None = None,
+    lat_col: str = "latitude",
+    cast: str | None = "float",
+) -> DataFrame:
+    """Area-weighted spatial mean: cos(latitude) cell weights.
+
+    The reference averages grid cells unweighted (its regions are small
+    enough that the ~2% cos-lat spread inside a bbox is below its
+    float32 noise floor) — but on continental bboxes a regular lat/lon
+    grid over-weights high latitudes, where cells are physically
+    smaller. The standard fix weights each cell by cos(lat). Same
+    single-shuffle aggregate: sum(w·x)/sum(w per non-null x) per
+    variable, conversions after the mean, identical null semantics
+    (a variable's NULL cells drop from BOTH numerator and denominator).
+    """
+    from ..functions.convert import convert_units as _convert
+
+    grid = normalize_time_axis(grid)
+    wanted = variables if variables is not None else RAW_VARIABLES
+    present = [v for v in wanted if v in grid.columns]
+    if not present:
+        raise ValueError(f"none of the requested variables {wanted} present in input")
+
+    w = F.cos(F.radians(F.col(lat_col)))
+    aggs = []
+    for v in present:
+        num = F.sum(F.when(F.col(v).isNotNull(), w * F.col(v)))
+        den = F.sum(F.when(F.col(v).isNotNull(), w))
+        aggs.append((num / den).alias(v))
+    hourly = grid.groupBy("region", "ts").agg(*aggs)
+    hourly = _convert(hourly)
+    if cast:
+        for c in hourly.columns:
+            if c not in ("region", "ts"):
+                hourly = hourly.withColumn(c, F.col(c).cast(cast))
+    return hourly.sortWithinPartitions("region", "ts")

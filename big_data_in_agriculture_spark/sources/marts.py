@@ -126,3 +126,44 @@ def read_mart(
     if month is not None:
         df = df.filter(F.col("month") == month)
     return df
+
+
+def compact_mart(
+    spark: SparkSession,
+    root: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Rewrite a mart's partitions into few large files (small-files fix).
+
+    Streaming appends and per-batch upserts accumulate many small
+    files; at scale each costs a task + a namenode op + a parquet
+    footer read, and row-group statistics lose selectivity. Compaction
+    re-reads the mart, repartitions on the partition columns so each
+    output directory is written by ``files_per_partition`` tasks, and
+    overwrites atomically via Spark's dynamic partition overwrite (only
+    directories present in the frame are replaced — same idempotence
+    story as the mart writers). ``sort_cols`` restores the in-file
+    order contract (O1) and tightens min/max stats for data skipping.
+    """
+    df = spark.read.parquet(root)
+    parts = [F.col(c) for c in partition_cols]
+    if files_per_partition <= 1:
+        # all rows of a partition value hash to one task → one file/dir
+        compacted = df.repartition(*parts)
+        drop_salt = None
+    else:
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+        compacted = df.withColumn("_salt", salt).repartition(*parts, F.col("_salt"))
+        drop_salt = "_salt"
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions(*partition_cols, *sort_cols)
+    if drop_salt:
+        compacted = compacted.drop(drop_salt)
+    (
+        compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(root)
+    )

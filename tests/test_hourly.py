@@ -117,3 +117,42 @@ def test_float_cast_applied_once_at_end(spark):
     types = dict(out.dtypes)
     assert types["t2m"] == "float" and types["wind_speed_10m"] == "float"
     assert types["region"] == "string"
+
+
+def test_weighted_mean_weights_by_cos_lat(spark):
+    import math
+
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.operators.hourly import spatial_mean_weighted
+
+    t0 = dt.datetime(2022, 1, 1)
+    # two cells at different latitudes, same ts: weighted mean must
+    # lean toward the equatorward (heavier) cell
+    rows = [
+        ("r", t0, 0.0, 10.0, 300.0),   # lat 0 → weight 1.0
+        ("r", t0, 60.0, 10.0, 200.0),  # lat 60 → weight 0.5
+    ]
+    grid = spark.createDataFrame(
+        rows, ["region", "ts", "latitude", "longitude", "t2m"]
+    )
+    out = spatial_mean_weighted(grid, ["t2m"], cast=None).collect()[0]
+    expected_k = (1.0 * 300.0 + 0.5 * 200.0) / 1.5
+    assert abs((out["t2m"] + 273.15) - expected_k) < 1e-9  # K→°C applied after
+
+
+def test_weighted_mean_null_cells_drop_from_weights(spark):
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.operators.hourly import spatial_mean_weighted
+
+    t0 = dt.datetime(2022, 1, 1)
+    rows = [
+        ("r", t0, 0.0, 10.0, 300.0),
+        ("r", t0, 60.0, 10.0, None),  # NULL cell: its weight must vanish
+    ]
+    grid = spark.createDataFrame(
+        rows, ["region", "ts", "latitude", "longitude", "t2m"]
+    )
+    out = spatial_mean_weighted(grid, ["t2m"], cast=None).collect()[0]
+    assert abs((out["t2m"] + 273.15) - 300.0) < 1e-9

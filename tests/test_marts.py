@@ -99,3 +99,46 @@ def test_daily_mart_layout(spark, tmp_path):
     back = marts.read_mart(spark, root, month=1)
     got = {(r["region"], r["t2m_mean"]) for r in back.collect()}
     assert got == {("a", 1.0), ("b", 2.0)}  # regions together, month pruned
+
+
+def test_compact_mart_collapses_small_files(spark, tmp_path):
+    import glob
+
+    from big_data_in_agriculture_spark.sources.marts import compact_mart
+
+    root = str(tmp_path / "frag")
+    # simulate streaming appends: 8 tiny files per partition directory
+    for i in range(8):
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id", "CAST(id % 2 AS INT) AS region", "id * 1.0 AS v")
+            .repartition(1)
+            .write.mode("append").partitionBy("region").parquet(root)
+        )
+    before = glob.glob(f"{root}/region=*/*.parquet")
+    assert len(before) >= 16
+    total_before = spark.read.parquet(root).count()
+
+    compact_mart(spark, root, ["region"], sort_cols=["id"])
+    after = glob.glob(f"{root}/region=*/*.parquet")
+    assert len(after) == 2  # one file per directory
+    df = spark.read.parquet(root)
+    assert df.count() == total_before == 80
+    # data intact, not just counts
+    assert df.agg({"id": "sum"}).collect()[0][0] == sum(range(80))
+
+
+def test_mart_read_merges_evolved_schema(spark, tmp_path):
+    root = str(tmp_path / "evolve")
+    spark.range(5).selectExpr("id", "CAST(1 AS INT) AS region", "id * 1.0 AS t2m") \
+        .write.mode("append").partitionBy("region").parquet(root)
+    # later writer adds a column (schema evolution, K-side)
+    spark.range(5).selectExpr(
+        "id + 10 AS id", "CAST(2 AS INT) AS region", "id * 1.0 AS t2m",
+        "id * 2.0 AS wind_speed_10m",
+    ).write.mode("append").partitionBy("region").parquet(root)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert "wind_speed_10m" in merged.columns
+    old = merged.filter("region = 1")
+    assert old.filter(old.wind_speed_10m.isNull()).count() == 5
