@@ -145,3 +145,49 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame"])
 
     return assets.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+def resize_images(
+    assets: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image → fixed-size image payload (the pre-training resize pass).
+
+    ``resize_fn(payload, w, h)`` returns the re-encoded image; with no
+    codec installed the default deterministic stub truncates/pads the
+    payload to ``w*h`` bytes — the plumbing under test is the real
+    part: binary-in/binary-out mapInPandas, declared output schema with
+    the target dims attached as typed metadata columns, one Arrow batch
+    per chunk so a 100 TB image column streams through bounded memory.
+    """
+    def _default(payload: bytes, w: int, h: int) -> bytes:
+        target = w * h
+        return payload[:target].ljust(target, b"\0")
+
+    kernel = resize_fn or _default
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf[id_col].astype("int64"),
+                "width": width,
+                "height": height,
+                "payload": [
+                    kernel(bytes(p), width, height) for p in pdf[payload_col]
+                ],
+            }
+            yield pd.DataFrame(out, columns=["asset_id", "width", "height", "payload"])
+
+    return assets.select(id_col, payload_col).mapInPandas(_run, schema=schema)

@@ -50,3 +50,26 @@ def test_sample_frames_fanout(assets):
     # frames are deterministic slices of the payload
     joined = b"".join(bytes(r["frame"]) for r in sorted(per_asset[1], key=lambda r: r["frame_idx"]))
     assert b"\x89PNG-fake" in joined
+
+
+def test_resize_images_plumbing(spark):
+    from big_data_in_agriculture_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 10)), (2, bytearray(b"y" * 50))],
+        "asset_id LONG, payload BINARY",
+    )
+    out = {r["asset_id"]: r for r in
+           resize_images(df, width=4, height=5).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r["width"], r["height"]) == (4, 5)
+        assert len(r["payload"]) == 20  # truncated/padded to w*h
+    assert bytes(out[1]["payload"]).startswith(b"xxxxxxxxxx\0")  # padded
+
+    # injectable kernel replaces the stub (the real-codec path)
+    tagged = resize_images(
+        df, width=2, height=2,
+        resize_fn=lambda p, w, h: b"RSZ" + bytes([w, h]),
+    ).collect()
+    assert all(bytes(r["payload"]) == b"RSZ\x02\x02" for r in tagged)
