@@ -107,3 +107,69 @@ def test_merge_frames_invariants(spark, existing, incoming):
                 r["v"] == v or (math.isnan(r["v"]) and math.isnan(v))
                 for v in inc_vals[r["k"]]
             )
+
+
+@SLOW
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),
+        min_size=1, max_size=30, unique=True,
+    ),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 120)),
+        min_size=1, max_size=15, unique=True,
+    ),
+    bin_width=st.sampled_from([7, 50, 1000]),
+)
+def test_binned_range_join_equals_naive(spark, points, intervals, bin_width):
+    from big_data_in_agriculture_spark.operators.relational import binned_range_join
+
+    p = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(points)], ["k", "pid", "p"]
+    )
+    iv = spark.createDataFrame(
+        [(k, j, lo, lo + ln) for j, (k, lo, ln) in enumerate(intervals)],
+        ["k", "iid", "lo", "hi"],
+    )
+    got = {(r["pid"], r["iid"]) for r in
+           binned_range_join(p, iv, ["k"], "p", "lo", "hi", bin_width).collect()}
+    expected = {
+        (i, j)
+        for i, (pk, v) in enumerate(points)
+        for j, (ik, lo, ln) in enumerate(intervals)
+        if pk == ik and lo <= v <= lo + ln
+    }
+    assert got == expected
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["view", "click", "purchase"]),
+                  st.integers(0, 10_000)),
+        min_size=1, max_size=40,
+    )
+)
+def test_funnel_monotone_and_matches_bruteforce(spark, events):
+    from big_data_in_agriculture_spark.operators.analytics import funnel_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, ty, t0 + dt.timedelta(seconds=s)) for u, ty, s in events]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = funnel_conversion(df, ["view", "click", "purchase"]).collect()[0]
+    assert got["n_step1"] >= got["n_step2"] >= got["n_step3"]
+
+    # brute-force reference on the driver
+    by_user: dict[int, list[tuple[str, dt.datetime]]] = {}
+    for u, ty, ts in rows:
+        by_user.setdefault(u, []).append((ty, ts))
+    n = [0, 0, 0]
+    for evs in by_user.values():
+        t = None
+        for step_i, step in enumerate(["view", "click", "purchase"]):
+            cand = [ts for ty, ts in evs if ty == step and (t is None or ts >= t)]
+            if not cand:
+                break
+            t = min(cand)
+            n[step_i] += 1
+    assert (got["n_step1"], got["n_step2"], got["n_step3"]) == tuple(n)
