@@ -2268,6 +2268,149 @@ FROM s3
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok WHERE token <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf,
+           tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf_d
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, token, tf, tfidf_d,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf_d DESC, token) AS rank
+    FROM scored
+)
+SELECT doc_id, token, tf, CAST(tfidf_d AS FLOAT) AS tfidf, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # downsample the dominant language, keep the rest whole — the
+    # corpus-rebalancing move; md5-threshold draw is engine-portable
+    out = llm.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _stratified_sql() -> str:
+    from big_data_in_agriculture_spark.operators.llm import _rate_threshold
+
+    t_en = _rate_threshold(0.25)
+    t_all = _rate_threshold(1.0)
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'"
+        for s, t in [
+            ("de", t_all), ("en", t_en), ("es", t_all),
+            ("fr", t_all), ("zh", t_all),
+        ]
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CASE {cases} ELSE FALSE END
+ORDER BY doc_id
+"""
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = llm.group_sample(
+        _t(spark, sf_dir, "documents"), group_col="lang", k=10
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+_GROUP_SAMPLE_SQL = """
+WITH ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= 10
+ORDER BY lang, doc_id
+"""
+
+
+def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.profile import check_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        {
+            "discount_le_5pct": F.col("l_discount") <= 0.05,
+            "quantity_le_45": F.col("l_quantity") <= 45,
+            "quantity_positive": F.col("l_quantity") >= 1,
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        },
+    )
+
+
+_CHECK_CONSTRAINTS_SQL = """
+WITH agg AS (
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS c_disc,
+           CAST(sum(CASE WHEN l_quantity <= 45 THEN 0 ELSE 1 END) AS BIGINT) AS c_q45,
+           CAST(sum(CASE WHEN l_quantity >= 1 THEN 0 ELSE 1 END) AS BIGINT) AS c_qpos,
+           CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS c_ship
+    FROM lineitem
+)
+SELECT check_name, n_violations, n_rows,
+       CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+FROM (
+    SELECT 'discount_le_5pct' AS check_name, c_disc AS n_violations, n_rows FROM agg
+    UNION ALL SELECT 'quantity_le_45', c_q45, n_rows FROM agg
+    UNION ALL SELECT 'quantity_positive', c_qpos, n_rows FROM agg
+    UNION ALL SELECT 'shipdate_not_null', c_ship, n_rows FROM agg
+)
+ORDER BY check_name
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.analytics import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS from_type
+    FROM events
+),
+pairs AS (
+    SELECT from_type, event_type AS to_type, count(*) AS n
+    FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+           AS p_transition
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2369,6 +2512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cleaning": q_text_cleaning,
         "interval_join": q_interval_join,
         "sql_interface": q_sql_interface,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "group_sample": q_group_sample,
+        "check_constraints": q_check_constraints,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -2464,6 +2612,11 @@ def oracle_sql() -> dict[str, str]:
         "text_cleaning": _TEXT_CLEANING_SQL,
         "interval_join": _INTERVAL_JOIN_SQL,
         "sql_interface": _NATION_RANK_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
+        "stratified_sample": _stratified_sql(),
+        "group_sample": _GROUP_SAMPLE_SQL,
+        "check_constraints": _CHECK_CONSTRAINTS_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

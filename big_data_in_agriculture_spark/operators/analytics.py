@@ -18,7 +18,7 @@ the 3 used columns at the scan (column pruning).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,6 +49,42 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_n")
         .agg(F.countDistinct(user_col).alias("n_users"))
         .orderBy("cohort_week", "week_n")
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix between consecutive events.
+
+    For each user's time-ordered stream, count (previous event type →
+    this event type) bigrams and the within-source probability. One
+    window shuffle keyed on user (uniform — no hot key) carrying only
+    the 4 used columns, then a hash aggregate on the (from, to) pair,
+    whose distinct-value space is |types|² regardless of data size.
+    Ties on ts are broken by the unique event id so the sequence — and
+    therefore the counts — is engine-deterministic.
+
+    p_transition is n / row-count-per-from_type: an exact integer
+    ratio in double, deterministic across engines.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pw = Window.partitionBy("from_type")
+    return (
+        events.select(user_col, type_col, ts_col, id_col)
+        .withColumn("from_type", F.lag(type_col).over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p_transition",
+            F.col("n").cast("double") / F.sum("n").over(pw),
+        )
+        .orderBy("from_type", "to_type")
     )
 
 

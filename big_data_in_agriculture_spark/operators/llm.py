@@ -13,7 +13,7 @@ expressions (functions/text.py); nothing here uses a Python UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -543,6 +543,121 @@ def dedup_keep_best(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_q", "_rn")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    The classic keyword-extraction / feature-weighting primitive for a
+    training corpus: tf from one (doc, token) hash aggregate over the
+    exploded tokens, document frequency from a second aggregate over
+    that (already-tiny) tf table, idf = ln(N/df) joined back by token.
+    The fact is scanned once; both shuffles carry counts, never text.
+    The per-doc top-k is a row_number window partitioned by doc — at
+    100 TB the (doc, token) table is ~tokens-per-doc × docs rows, and
+    the window shuffle is keyed by doc id (uniform), so no hot key.
+
+    Determinism across engines: tf/df/N are exact integers, tfidf is
+    one double multiply of identical inputs (bit-identical IEEE), ties
+    broken by token; the score is cast to float32 only on output.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_tfidf").desc(), F.col("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_tfidf",
+            F.col("tf") * F.log(F.col("_n_docs").cast("double") / F.col("df")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "token",
+            "tf",
+            F.col("_tfidf").cast("float").alias("tfidf"),
+            "rank",
+        )
+        .orderBy(id_col, "rank")
+    )
+
+
+def _hash_u32_hex(col: Column) -> Column:
+    """First 8 hex chars of md5(id) — a portable uniform draw.
+
+    Comparing this fixed-width lowercase-hex string against a literal
+    threshold (rate ≪ 2³², rendered as 8 hex chars) is numerically
+    identical to comparing the underlying 32-bit integer, and every
+    engine renders md5 the same way — no hex→int conversion needed,
+    no engine RNG involved.
+    """
+    return F.substring(F.md5(col.cast("string")), 1, 8)
+
+
+def _rate_threshold(rate: float) -> str:
+    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli sample with a per-stratum rate.
+
+    Corpus rebalancing (e.g. downsample English, keep all low-resource
+    languages) must be reproducible run-to-run and append-stable:
+    ``df.sampleBy`` depends on seed+partitioning, so the draw here is
+    md5(id) compared to a per-stratum threshold — a pure per-row
+    filter, no shuffle, fully pushdown-friendly, and any engine can
+    audit membership. Strata absent from `rates` are dropped.
+    """
+    h = _hash_u32_hex(F.col(id_col))
+    keep = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        keep = F.when(
+            F.col(strata_col) == stratum,
+            h < F.lit(_rate_threshold(rate)),
+        ).otherwise(keep)
+    return df.filter(keep)
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size sample of k rows per group.
+
+    The eval-set / human-review primitive: rank rows within each group
+    by md5(id) (a stable pseudo-random order any engine reproduces)
+    and keep the first k. One window shuffle keyed on the group; at
+    100 TB pre-filter with `stratified_sample` at a few× the target
+    rate first so the window input is small, then take exact k here.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_u32_hex(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

@@ -14,7 +14,7 @@ sketches, not values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -129,6 +129,43 @@ def robust_outliers(
         .withColumn("robust_z", z)
         .filter(F.abs(F.col("robust_z")) > z_thresh)
         .drop("_med", "_mad")
+    )
+
+
+def check_constraints(
+    df: DataFrame, constraints: dict[str, Column]
+) -> DataFrame:
+    """Data-quality expectations: one-pass violation report.
+
+    The Deequ-style contract check a pipeline runs before publishing a
+    table: each constraint is a boolean Column; a row violates it when
+    the predicate is not TRUE (so NULL counts as a violation — an
+    unverifiable row fails the check). ALL constraints are counted in
+    ONE scan / one scalar aggregate — at 100 TB this is the difference
+    between N passes and one — then the single stats row is unpivoted
+    driver-side into (check_name, n_violations, violation_rate).
+
+    The rate is an exact integer ratio in double; deterministic.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for name, pred in constraints.items():
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).alias(name)
+        )
+    row = df.agg(*aggs)
+    pairs = ", ".join(f"'{n}', `{n}`" for n in constraints)
+    return (
+        row.select(
+            F.expr(
+                f"stack({len(constraints)}, {pairs}) AS (check_name, n_violations)"
+            ),
+            F.col("_n_rows").alias("n_rows"),
+        )
+        .withColumn(
+            "violation_rate",
+            F.col("n_violations").cast("double") / F.col("n_rows"),
+        )
+        .orderBy("check_name")
     )
 
 

@@ -1,0 +1,116 @@
+"""Deterministic sampling, tf-idf ranking, constraint checks, transitions."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from big_data_in_agriculture_spark.operators.analytics import event_transitions
+from big_data_in_agriculture_spark.operators.llm import (
+    group_sample,
+    stratified_sample,
+    tfidf_top_terms,
+)
+from big_data_in_agriculture_spark.operators.profile import check_constraints
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = _docs(spark, [
+        (1, "en", "the cat sat"),
+        (2, "en", "the dog ran"),
+        (3, "en", "the cat ran"),
+    ])
+    out = tfidf_top_terms(docs, k=1).collect()
+    # "the" appears in every doc → idf = ln(3/3) = 0, never top
+    top = {r["doc_id"]: r["token"] for r in out}
+    assert top[1] == "sat" and top[2] == "dog"
+    r1 = [r for r in out if r["doc_id"] == 1][0]
+    assert math.isclose(r1["tfidf"], 1 * math.log(3 / 1), rel_tol=1e-6)
+
+
+def test_tfidf_tie_breaks_by_token(spark):
+    docs = _docs(spark, [(1, "en", "b a"), (2, "en", "c d")])
+    out = tfidf_top_terms(docs, k=2).collect()
+    d1 = [r["token"] for r in sorted(out, key=lambda r: r["rank"])
+          if r["doc_id"] == 1]
+    assert d1 == ["a", "b"]  # equal scores → lexicographic
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    docs = _docs(spark, [(i, "en" if i % 2 else "de", f"t{i}")
+                         for i in range(1000)])
+    rates = {"en": 0.3, "de": 1.0}
+    a = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs.repartition(7), rates).collect()}
+    assert a == b  # partitioning-independent
+    n_de = sum(1 for i in a if i % 2 == 0)
+    n_en = len(a) - n_de
+    assert n_de == 500  # rate 1.0 keeps everything
+    assert 100 < n_en < 200  # ~150 expected, loose 3-sigma-ish band
+
+
+def test_stratified_sample_drops_unlisted_stratum(spark):
+    docs = _docs(spark, [(1, "en", "x"), (2, "fr", "y")])
+    kept = stratified_sample(docs, {"en": 1.0}).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_group_sample_exact_k_and_stable(spark):
+    docs = _docs(spark, [(i, "en" if i % 2 else "de", f"t{i}")
+                         for i in range(100)])
+    out = group_sample(docs, group_col="lang", k=5)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 5, "de": 5}
+    again = {r["doc_id"] for r in
+             group_sample(docs.repartition(9), "lang", 5).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+
+
+def test_check_constraints_null_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0)], ["id", "v"]
+    )
+    out = {r["check_name"]: r for r in check_constraints(
+        df, {"v_small": F.col("v") < 100, "id_pos": F.col("id") > 0}
+    ).collect()}
+    assert out["v_small"]["n_violations"] == 2  # NULL + 200
+    assert out["id_pos"]["n_violations"] == 0
+    assert out["v_small"]["n_rows"] == 3
+    assert math.isclose(out["v_small"]["violation_rate"], 2 / 3)
+
+
+def test_event_transitions_counts_and_probs(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 10, "view"), (2, t(1), 10, "click"),
+            (3, t(2), 10, "view"), (4, t(3), 10, "click"),
+            (5, t(0), 20, "view"), (6, t(1), 20, "purchase"),
+        ],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    out = {(r["from_type"], r["to_type"]): r for r in
+           event_transitions(ev).collect()}
+    assert out[("view", "click")]["n"] == 2
+    assert out[("view", "purchase")]["n"] == 1
+    assert out[("click", "view")]["n"] == 1
+    assert math.isclose(out[("view", "click")]["p_transition"], 2 / 3)
+
+
+def test_event_transitions_tie_broken_by_event_id(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(2, t0, 1, "b"), (1, t0, 1, "a")],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    out = event_transitions(ev).collect()
+    assert len(out) == 1
+    assert (out[0]["from_type"], out[0]["to_type"]) == ("a", "b")
