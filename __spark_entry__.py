@@ -2411,6 +2411,125 @@ ORDER BY from_type, to_type
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plant contamination deterministically: the eval set is a per-lang
+    # group_sample whose text is truncated to the first half of the
+    # tokens — every eval doc shares shingles with its (still-in-train)
+    # origin, so the report must recover exactly those origin docs.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    half = (
+        "array_join(slice(split(text, ' '), 1, "
+        "greatest(cast(size(split(text, ' ')) / 2 as int), 1)), ' ')"
+    )
+    eval_docs = llm.group_sample(docs, group_col="lang", k=4).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(half).alias("text"),
+    )
+    return llm.contamination(docs, eval_docs, k=3, min_common=3)
+
+
+_CONTAMINATION_SQL = """
+WITH ranked AS (
+    SELECT lang, doc_id, text,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ) AS rn
+    FROM documents
+),
+eval AS (
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS t
+          FROM ranked WHERE rn <= 4)
+),
+tr_sh AS (
+    SELECT doc_id AS train_id,
+           unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM eval))
+),
+ev_sh AS (
+    SELECT doc_id AS eval_id,
+           unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM eval)
+),
+pairs AS (
+    SELECT train_id, eval_id, count(*) AS n_common
+    FROM tr_sh JOIN ev_sh USING (shingle)
+    GROUP BY 1, 2
+)
+SELECT train_id, count(*) AS n_eval_docs, max(n_common) AS max_common
+FROM pairs WHERE n_common >= 3
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=500)
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH counts AS (
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> '' GROUP BY 1
+),
+vocab AS (SELECT token FROM counts ORDER BY n DESC, token LIMIT 500),
+total AS (
+    SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+           count(*) AS n_distinct_tokens
+    FROM counts
+),
+cov AS (
+    SELECT CAST(sum(n) AS BIGINT) AS covered_tokens
+    FROM counts WHERE token IN (SELECT token FROM vocab)
+)
+SELECT total_tokens, n_distinct_tokens, covered_tokens,
+       CAST(covered_tokens AS DOUBLE) / total_tokens AS coverage
+FROM total, cov
+"""
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    out = timeseries.rolling_zscore(
+        daily, days=7, min_points=3, z_thresh=2.0
+    )
+    return _date_as_ts(out, "day")
+
+
+_ROLLING_ZSCORE_SQL = """
+WITH daily AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+),
+scored AS (
+    SELECT key, day, value,
+           avg(value) OVER w AS m,
+           stddev_samp(value) OVER w AS sd,
+           count(value) OVER w AS n
+    FROM daily
+    WINDOW w AS (PARTITION BY key ORDER BY epoch(day)
+                 RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, CAST(day AS TIMESTAMP) AS day, value,
+       CAST((value - m) / sd AS FLOAT) AS zscore
+FROM scored
+WHERE n >= 3 AND sd > 0 AND abs((value - m) / sd) > 2.0
+ORDER BY key, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2517,6 +2636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": q_group_sample,
         "check_constraints": q_check_constraints,
         "event_transitions": q_event_transitions,
+        "contamination": q_contamination,
+        "vocab_coverage": q_vocab_coverage,
+        "rolling_zscore": q_rolling_zscore,
     }
 
 
@@ -2617,6 +2739,9 @@ def oracle_sql() -> dict[str, str]:
         "group_sample": _GROUP_SAMPLE_SQL,
         "check_constraints": _CHECK_CONSTRAINTS_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "contamination": _CONTAMINATION_SQL,
+        "vocab_coverage": _VOCAB_COVERAGE_SQL,
+        "rolling_zscore": _ROLLING_ZSCORE_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -546,6 +546,91 @@ def dedup_keep_best(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    min_common: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-set contamination report over a training corpus.
+
+    The LLM-pipeline gate nobody skips: flag training documents that
+    share ≥ `min_common` distinct k-word shingles with any held-out
+    eval document. The eval side is small by construction, so its
+    exploded shingle index BROADCASTS — the 100 TB train corpus is
+    scanned once, never shuffled; the only shuffle is the per-pair
+    count aggregate over matched rows (a tiny fraction of the corpus).
+
+    Returns one row per contaminated train doc: how many eval docs it
+    overlaps and the largest shared-shingle count.
+    """
+    ev_ids = eval_docs.select(F.col(id_col))
+    tr = train.join(F.broadcast(ev_ids), id_col, "left_anti")
+    tr_sh = tr.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(TX.shingle_hashes(F.col(text_col), k)).alias("shingle"),
+    )
+    ev_sh = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(TX.shingle_hashes(F.col(text_col), k)).alias("shingle"),
+    )
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_docs"),
+            F.max("n_common").alias("max_common"),
+        )
+        .orderBy("train_id")
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, vocab_size: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus coverage of a top-N frequency vocabulary (one row).
+
+    The tokenizer-design question — "what fraction of corpus tokens
+    does an N-entry vocab cover?" — answered without ever sorting the
+    corpus: token counts are one hash aggregate; the vocab is a global
+    top-N on that (already tiny) count table via TakeOrdered, which
+    then broadcasts back as a semi-join. Ties at the boundary break by
+    token text, so the vocab set is engine-deterministic.
+    """
+    tok_counts = (
+        docs.select(F.explode(TX.tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = tok_counts.orderBy(F.col("n").desc(), "token").limit(vocab_size)
+    total = tok_counts.agg(
+        F.sum("n").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+    )
+    covered = (
+        tok_counts.join(F.broadcast(vocab.select("token")), "token", "left_semi")
+        .agg(F.sum("n").alias("covered_tokens"))
+    )
+    return (
+        total.crossJoin(F.broadcast(covered))
+        .select(
+            "total_tokens",
+            "n_distinct_tokens",
+            "covered_tokens",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens")
+            ).alias("coverage"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

@@ -127,3 +127,56 @@ def gapfill_locf(daily: DataFrame) -> DataFrame:
         F.last("value", ignorenulls=True).over(w).alias("value_filled"),
         F.col("value").isNull().alias("was_filled"),
     )
+
+
+def rolling_zscore(
+    daily: DataFrame,
+    days: int = 7,
+    min_points: int = 3,
+    z_thresh: float = 2.5,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing-window anomaly flags on a per-key daily series.
+
+    A day is anomalous when its value sits more than `z_thresh` sample
+    standard deviations from the mean of the PRECEDING `days`-day
+    window (the current day is excluded — an outlier must not shrink
+    its own z-score). One window shuffle keyed on the series key; the
+    RANGE frame is over epoch seconds so calendar gaps shorten the
+    window rather than silently widening it, and windows with fewer
+    than `min_points` observations or zero variance never flag.
+
+    Feed it integer-valued dailies (e.g. event counts) when an exact
+    cross-engine oracle matters: the frame members are then exact and
+    mean/stddev drift lives in the last ulp, removed by the final
+    float32 cast on the score.
+    """
+    sec = F.col(day_col).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(sec)
+        .rangeBetween(-days * 86400, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = (F.col(value_col) - mean) / sd
+    return (
+        daily.withColumn("_n", n)
+        .withColumn("_sd", sd)
+        .withColumn("zscore", z)
+        .filter(
+            (F.col("_n") >= min_points)
+            & (F.col("_sd") > 0)
+            & (F.abs(F.col("zscore")) > z_thresh)
+        )
+        .select(
+            key_col,
+            day_col,
+            value_col,
+            F.col("zscore").cast("float").alias("zscore"),
+        )
+        .orderBy(key_col, day_col)
+    )
