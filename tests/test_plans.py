@@ -147,3 +147,48 @@ def test_q16_anti_join_before_distinct(spark, em):
     plan = explain.formatted_plan(em.q_tpch_q16(spark, SF))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_eval_no_cartesian(spark, em):
+    # The train corpus must never shuffle: the eval shingle index and
+    # the eval id anti-join side both broadcast.
+    df = em.q_contamination(spark, SF)
+    plan = explain.formatted_plan(df)
+    explain.assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: every join keys on a broadcast side
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_ndocs_scalar(spark, em):
+    # the N-docs scalar must arrive as a 1-row broadcast product
+    # (exactly one BNLJ — same intentional shape as Q11's scalar);
+    # the (doc, token) df join must stay a hash equi-join
+    import re
+
+    df = em.q_tfidf_top_terms(spark, SF)
+    plan = explain.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 1
+    assert "BroadcastHashJoin" in plan  # the df-by-token equi-join
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_scan_side_filter(spark, em):
+    # the whole operator must compile to a Filter over the scan —
+    # no exchange, no join, no aggregate before the output sort
+    df = em.q_stratified_sample(spark, SF)
+    plan = explain.formatted_plan(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate"):
+        assert node not in plan
+
+
+def test_check_constraints_single_scan(spark, em):
+    # N constraints, ONE pass: exactly one parquet scan node (the
+    # formatted plan names each node once in the tree and once in the
+    # detail section — count the numbered detail headers)
+    import re
+
+    df = em.q_check_constraints(spark, SF)
+    plan = explain.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Join" not in plan
