@@ -2530,6 +2530,97 @@ ORDER BY key, day
 """
 
 
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.profile import correlation_matrix
+
+    return correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+_CORRELATION_SQL = """
+WITH agg AS (
+    SELECT corr(l_quantity, l_extendedprice) AS c0,
+           corr(l_quantity, l_discount) AS c1,
+           corr(l_quantity, l_tax) AS c2,
+           corr(l_extendedprice, l_discount) AS c3,
+           corr(l_extendedprice, l_tax) AS c4,
+           corr(l_discount, l_tax) AS c5
+    FROM lineitem
+)
+SELECT col_a, col_b, CAST(c AS FLOAT) AS corr
+FROM (
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c0 AS c FROM agg
+    UNION ALL SELECT 'l_quantity', 'l_discount', c1 FROM agg
+    UNION ALL SELECT 'l_quantity', 'l_tax', c2 FROM agg
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', c3 FROM agg
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM agg
+    UNION ALL SELECT 'l_discount', 'l_tax', c5 FROM agg
+)
+ORDER BY col_a, col_b
+"""
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.profile import quantile_bins
+
+    return quantile_bins(_t(spark, sf_dir, "lineitem"), "l_extendedprice", bins=8)
+
+
+_QUANTILE_BINS_SQL = """
+WITH bounds AS (
+    SELECT [round(b, 4) FOR b IN quantile_cont(l_extendedprice,
+            [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])] AS q
+    FROM lineitem
+)
+SELECT len(list_filter(q, b -> l_extendedprice > b)) AS bin_id,
+       count(*) AS n,
+       CAST(min(l_extendedprice) AS FLOAT) AS bin_min
+FROM lineitem, bounds
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.lang_confusion(_t(spark, sf_dir, "documents"))
+
+
+def _lang_confusion_sql() -> str:
+    from big_data_in_agriculture_spark.functions.text import LANG_MARKERS
+
+    score = {
+        lang: (
+            "len(list_filter(string_split(text, ' '), "
+            f"t -> lower(t) IN ({', '.join(repr(m) for m in words)})))"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join(f's_{lang}' for lang in langs)})"
+    case = "CASE "
+    for lang in langs:  # first max wins, insertion order
+        case += f"WHEN s_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, text, {scores_sql} FROM documents
+),
+with_best AS (
+    SELECT *, {best} AS best FROM scored
+),
+cells AS (
+    SELECT lang AS lang_label, {case} AS lang_pred, count(*) AS n
+    FROM with_best GROUP BY 1, 2
+)
+SELECT lang_label, lang_pred, n,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang_label) AS rate
+FROM cells
+ORDER BY lang_label, lang_pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2639,6 +2730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "vocab_coverage": q_vocab_coverage,
         "rolling_zscore": q_rolling_zscore,
+        "correlation_matrix": q_correlation_matrix,
+        "quantile_bins": q_quantile_bins,
+        "lang_confusion": q_lang_confusion,
     }
 
 
@@ -2742,6 +2836,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "rolling_zscore": _ROLLING_ZSCORE_SQL,
+        "correlation_matrix": _CORRELATION_SQL,
+        "quantile_bins": _QUANTILE_BINS_SQL,
+        "lang_confusion": _lang_confusion_sql(),
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -636,6 +636,30 @@ def contamination(
     )
 
 
+def lang_confusion(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Label-vs-heuristic language confusion matrix.
+
+    The corpus-quality diagnostic: cross-tabulate the stored language
+    label against the n-gram/marker-word guess. One hash aggregate
+    whose output is |langs|² rows regardless of corpus size; the rate
+    is within-label (row-normalized), an exact integer ratio.
+    """
+    lw = Window.partitionBy("lang_label")
+    return (
+        docs.groupBy(
+            F.col(lang_col).alias("lang_label"),
+            TX.lang_guess(F.col(text_col)).alias("lang_pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rate", F.col("n").cast("double") / F.sum("n").over(lw)
+        )
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
 def vocab_coverage(
     docs: DataFrame, vocab_size: int = 1000, text_col: str = "text"
 ) -> DataFrame:

@@ -169,6 +169,74 @@ def check_constraints(
     )
 
 
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations, ONE scan, long-form output.
+
+    All C(n,2) corr states accumulate in a single scalar aggregate —
+    the scan cost is independent of the pair count. The wide stats row
+    unpivots to (col_a, col_b, corr); corr is a ratio of large sums,
+    so cross-engine partial-sum reordering is washed out by the final
+    float32 cast (the repo-wide aggregate-determinism contract).
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [
+        F.corr(a, b).alias(f"_c_{i}") for i, (a, b) in enumerate(pairs)
+    ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `_c_{i}`" for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        row.select(
+            F.expr(
+                f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr_d)"
+            )
+        )
+        .select(
+            "col_a", "col_b", F.col("corr_d").cast("float").alias("corr")
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+def quantile_bins(df: DataFrame, col: str, bins: int = 4) -> DataFrame:
+    """Equal-frequency binning: per-bin counts from quantile boundaries.
+
+    The feature-discretization primitive. Two passes: ONE exact
+    percentile aggregate produces the bins−1 boundaries (broadcast back
+    as a 1-row cross join), then one hash aggregate on the bin id.
+    Boundaries are rounded to 4 decimals before the comparison — the
+    two engines' interpolation formulas agree to the last ulp at best,
+    and a data point sitting exactly on an unrounded boundary would
+    otherwise flip buckets between engines.
+    """
+    probs = ", ".join(str(i / bins) for i in range(1, bins))
+    bounds = df.agg(
+        F.expr(
+            f"transform(percentile({col}, array({probs})), b -> round(b, 4))"
+        ).alias("_bounds")
+    )
+    bin_id = F.aggregate(
+        "_bounds",
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("_mn"),
+        )
+        .select(
+            "bin_id",
+            "n",
+            F.col("_mn").cast("float").alias("bin_min"),
+        )
+        .orderBy("bin_id")
+    )
+
+
 def value_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
     """Fixed-width histogram over a numeric column.
 

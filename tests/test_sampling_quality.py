@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_in_agriculture_spark.operators.analytics import event_transitions
@@ -114,3 +115,46 @@ def test_event_transitions_tie_broken_by_event_id(spark):
     out = event_transitions(ev).collect()
     assert len(out) == 1
     assert (out[0]["from_type"], out[0]["to_type"]) == ("a", "b")
+
+
+def test_correlation_matrix_perfect_and_inverse(spark):
+    from big_data_in_agriculture_spark.operators.profile import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i)) for i in range(20)],
+        ["a", "b", "c"],
+    )
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == pytest.approx(1.0)
+    assert out[("a", "c")] == pytest.approx(-1.0)
+    assert len(out) == 3
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from big_data_in_agriculture_spark.operators.profile import quantile_bins
+
+    df = spark.createDataFrame([(float(i),) for i in range(400)], ["v"])
+    out = quantile_bins(df, "v", bins=4).collect()
+    assert [r["bin_id"] for r in out] == [0, 1, 2, 3]
+    assert all(95 <= r["n"] <= 105 for r in out)  # ~100 each
+    assert out[0]["bin_min"] == 0.0
+
+
+def test_lang_confusion_diagonal_dominates(spark):
+    from big_data_in_agriculture_spark.operators.llm import lang_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat and the dog of it"),
+            (2, "en", "it is the best of all"),
+            (3, "de", "der hund und die katze das"),
+            (4, "fr", "le chat et la maison de"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {(r["lang_label"], r["lang_pred"]): r
+           for r in lang_confusion(docs).collect()}
+    assert out[("en", "en")]["n"] == 2
+    assert out[("en", "en")]["rate"] == pytest.approx(1.0)
+    assert ("de", "de") in out and ("fr", "fr") in out
