@@ -2621,6 +2621,45 @@ ORDER BY lang_label, lang_pred
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = llm.weighted_sample(docs, quality_score("text") / F.lit(10.0))
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       / 4294967296.0)
+      < greatest(0.0, least(1.0,
+          (((CAST(length(text) AS DOUBLE)
+             - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE))) / 10.0))
+ORDER BY doc_id
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+_EMBEDDING_DIM_STATS_SQL = """
+SELECT i AS dim,
+       CAST(avg(v) AS FLOAT) AS mean,
+       CAST(stddev_samp(v) AS FLOAT) AS std,
+       CAST(min(v) AS FLOAT) AS vmin,
+       CAST(max(v) AS FLOAT) AS vmax
+FROM (SELECT generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS v
+      FROM embeddings)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2733,6 +2772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_matrix": q_correlation_matrix,
         "quantile_bins": q_quantile_bins,
         "lang_confusion": q_lang_confusion,
+        "weighted_sample": q_weighted_sample,
+        "embedding_dim_stats": q_embedding_dim_stats,
     }
 
 
@@ -2839,6 +2880,8 @@ def oracle_sql() -> dict[str, str]:
         "correlation_matrix": _CORRELATION_SQL,
         "quantile_bins": _QUANTILE_BINS_SQL,
         "lang_confusion": _lang_confusion_sql(),
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "embedding_dim_stats": _EMBEDDING_DIM_STATS_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -792,6 +792,30 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def weighted_sample(
+    df: DataFrame, weight: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic importance sampling: keep-probability per ROW.
+
+    The corpus-curation move "keep high-quality docs with probability
+    proportional to their score": the md5(id) draw (exact integer /
+    2³², a dyadic double both engines represent identically) compares
+    against the row's clamped weight. Still a pure scan-side filter —
+    no shuffle, no RNG, append-stable — but the threshold now varies
+    per row, so the acceptance rate tracks the weight distribution.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight))
+    return df.filter(u < w)
+
+
 def group_sample(
     df: DataFrame,
     group_col: str = "lang",

@@ -367,3 +367,65 @@ def norm_stats_by_label(
         )
         .orderBy(label_col)
     )
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension mean/std/min/max over an embedding column.
+
+    The feature-prep profile a standardization step needs. posexplode
+    fans each vector into (dim, value) rows; the aggregate keys on dim
+    — a FIXED tiny key space, so map-side partial aggregation reduces
+    the shuffle to (#partitions × dim) rows no matter the corpus size
+    (the few hot keys are exactly what partial agg exists for).
+    Dims are 1-based to match SQL generate_subscripts.
+    """
+    ex = embeddings.select(F.posexplode(F.col(vec_col)).alias("dim0", "v"))
+    return (
+        ex.groupBy((F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.avg("v").cast("float").alias("mean"),
+            F.stddev_samp("v").cast("float").alias("std"),
+            F.min("v").cast("float").alias("vmin"),
+            F.max("v").cast("float").alias("vmax"),
+        )
+        .orderBy("dim")
+    )
+
+
+def standardize_embeddings(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Z-score each embedding dimension: (v − mean_d) / std_d.
+
+    The per-dimension stats collapse to ONE row of two aligned arrays
+    (means, stds) — broadcast back as a 1-row cross join, then two
+    zip_with passes over each vector. The corpus is scanned twice
+    (stats + transform) and never shuffled; the transform itself is
+    map-only. Zero-variance dimensions pass through unscaled (std→1).
+    """
+    ex = embeddings.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    per_dim = ex.groupBy("dim").agg(
+        F.avg("v").alias("m"),
+        F.coalesce(F.nullif(F.stddev_samp("v"), F.lit(0.0)), F.lit(1.0)).alias("s"),
+    )
+    stats = per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "m", "s"))
+        ).alias("_dms")
+    ).select(
+        F.transform("_dms", lambda x: x["m"]).alias("_means"),
+        F.transform("_dms", lambda x: x["s"]).alias("_stds"),
+    )
+    centered = F.zip_with(
+        F.col(vec_col), F.col("_means"), lambda v, m: v - m
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(stats))
+        .withColumn(
+            vec_col,
+            F.zip_with(centered, F.col("_stds"), lambda x, s: x / s),
+        )
+        .drop("_means", "_stds")
+    )

@@ -64,3 +64,58 @@ def test_norm_stats(spark):
     assert out["x"]["min_norm"] == pytest.approx(5.0)
     assert out["x"]["max_norm"] == pytest.approx(10.0)
     assert out["y"]["avg_norm"] == pytest.approx(1.0)
+
+
+def test_embedding_dim_stats_matches_numpy(spark):
+    import numpy as np
+
+    from big_data_in_agriculture_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    data = [([1.0, 10.0],), ([2.0, 20.0],), ([3.0, 30.0],)]
+    emb = spark.createDataFrame(data, ["embedding"])
+    out = {r["dim"]: r for r in embedding_dim_stats(emb).collect()}
+    arr = np.array([d[0] for d in data])
+    for d in (1, 2):
+        assert out[d]["mean"] == pytest.approx(arr[:, d - 1].mean())
+        assert out[d]["std"] == pytest.approx(arr[:, d - 1].std(ddof=1))
+        assert out[d]["vmin"] == arr[:, d - 1].min()
+        assert out[d]["vmax"] == arr[:, d - 1].max()
+
+
+def test_standardize_embeddings_zero_mean_unit_std(spark):
+    import numpy as np
+
+    from big_data_in_agriculture_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    rows = [(i, [float(i), 5.0, float(3 * i + 1)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = standardize_embeddings(emb).orderBy("vec_id").collect()
+    arr = np.array([r["embedding"] for r in out])
+    # standardized dims: mean 0, sample std 1
+    assert np.allclose(arr[:, 0].mean(), 0, atol=1e-9)
+    assert np.allclose(arr[:, 0].std(ddof=1), 1, atol=1e-9)
+    assert np.allclose(arr[:, 2].std(ddof=1), 1, atol=1e-9)
+    # zero-variance dim passes through centered, unscaled
+    assert np.allclose(arr[:, 1], 0)
+
+
+def test_weighted_sample_tracks_weight(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_in_agriculture_spark.operators.llm import weighted_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    # weight 1 keeps all, weight 0 keeps none, 0.5 keeps about half
+    assert weighted_sample(df, F.lit(1.0)).count() == 2000
+    assert weighted_sample(df, F.lit(0.0)).count() == 0
+    n_half = weighted_sample(df, F.lit(0.5)).count()
+    assert 850 < n_half < 1150
+    # deterministic under repartitioning
+    a = {r["doc_id"] for r in weighted_sample(df, F.lit(0.3)).collect()}
+    b = {r["doc_id"]
+         for r in weighted_sample(df.repartition(13), F.lit(0.3)).collect()}
+    assert a == b
