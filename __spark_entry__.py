@@ -2660,6 +2660,59 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events as a keyed changelog: per user, the last event wins;
+    # a final 'error' event deletes the key.
+    from big_data_in_agriculture_spark.operators.cdc import cdc_apply
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    out = cdc_apply(ev, "user_id", "ts", "event_id", "op")
+    return out.select("user_id", "ts", "value").orderBy("user_id")
+
+
+_CDC_APPLY_SQL = """
+WITH ranked AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, ts, value FROM ranked
+WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = scd2_history(ev, "user_id", "ts", "event_id")
+    return out.select(
+        "user_id", "event_id", "value", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+_SCD2_SQL = """
+SELECT user_id, event_id, value,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           AS is_current
+FROM events
+ORDER BY user_id, valid_from, event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2774,6 +2827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "weighted_sample": q_weighted_sample,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "cdc_apply": q_cdc_apply,
+        "scd2_history": q_scd2_history,
     }
 
 
@@ -2882,6 +2937,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _lang_confusion_sql(),
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "embedding_dim_stats": _EMBEDDING_DIM_STATS_SQL,
+        "cdc_apply": _CDC_APPLY_SQL,
+        "scd2_history": _SCD2_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
