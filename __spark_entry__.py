@@ -2713,6 +2713,34 @@ ORDER BY user_id, valid_from, event_id
 """
 
 
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.analytics import (
+        cumulative_unique_users,
+    )
+
+    out = cumulative_unique_users(_t(spark, sf_dir, "events"))
+    return _date_as_ts(out, "day")
+
+
+_CUMULATIVE_USERS_SQL = """
+WITH first_seen AS (
+    SELECT event_type AS segment, user_id,
+           date_trunc('day', min(ts)) AS day
+    FROM events GROUP BY 1, 2
+),
+per_day AS (
+    SELECT segment, day, count(*) AS new_users
+    FROM first_seen GROUP BY 1, 2
+)
+SELECT segment, CAST(day AS TIMESTAMP) AS day, new_users,
+       CAST(sum(new_users) OVER (PARTITION BY segment ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_users
+FROM per_day
+ORDER BY segment, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2829,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "cdc_apply": q_cdc_apply,
         "scd2_history": q_scd2_history,
+        "cumulative_users": q_cumulative_users,
     }
 
 
@@ -2939,6 +2968,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": _EMBEDDING_DIM_STATS_SQL,
         "cdc_apply": _CDC_APPLY_SQL,
         "scd2_history": _SCD2_SQL,
+        "cumulative_users": _CUMULATIVE_USERS_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -88,6 +88,43 @@ def event_transitions(
     )
 
 
+def cumulative_unique_users(
+    events: DataFrame,
+    segment_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Growth curve: distinct users ever seen, per (segment, day).
+
+    ``count(DISTINCT x) OVER (ORDER BY day)`` doesn't exist in Spark
+    (or scale anywhere — the state is the full user set); the
+    equivalent that does: each user contributes on exactly their
+    FIRST-seen day in the segment (one per-(segment,user) aggregate),
+    days collapse to new-user counts (tiny), and a running sum over
+    that per-day frame gives the cumulative curve. Shuffles: one
+    user-keyed agg on the fact + one day-keyed agg on the (already
+    small) output; the window runs over |segments|×|days| rows,
+    partitioned by segment.
+
+    Emits (segment, day, new_users, cum_users).
+    """
+    first_seen = events.groupBy(
+        F.col(segment_col).alias("segment"), F.col(user_col)
+    ).agg(F.date_trunc("day", F.min(ts_col)).alias("day"))
+    per_day = first_seen.groupBy("segment", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_day.withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("segment", "day")
+    )
+
+
 def funnel_conversion(
     events: DataFrame,
     steps: list[str],

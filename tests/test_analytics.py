@@ -45,3 +45,28 @@ def test_retention_week_boundaries(spark):
     cells = {(r["cohort_week"].day, r["week_n"]): r["n_users"]
              for r in retention_cohorts(ev).collect()}
     assert cells == {(1, 0): 1, (1, 1): 1, (8, 0): 1}
+
+
+def test_cumulative_unique_users_counts_first_seen_once(spark):
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.operators.analytics import (
+        cumulative_unique_users,
+    )
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    ev = spark.createDataFrame(
+        [
+            ("view", 1, d(1)), ("view", 1, d(2)),   # returning user: no new count
+            ("view", 2, d(2)), ("view", 3, d(2)),
+            ("click", 1, d(3)),                      # new to the click segment
+        ],
+        ["event_type", "user_id", "ts"],
+    )
+    out = {(r["segment"], r["day"].day): (r["new_users"], r["cum_users"])
+           for r in cumulative_unique_users(ev).collect()}
+    assert out == {
+        ("view", 1): (1, 1),
+        ("view", 2): (2, 3),
+        ("click", 3): (1, 1),
+    }
