@@ -145,7 +145,12 @@ def main() -> int:
     only = set(sys.argv[1:])
     from big_data_in_agriculture_spark.session import get_spark
 
-    spark = get_spark("scale-probe", master="local[32]", shuffle_partitions=64)
+    spark = get_spark(
+        "scale-probe", master="local[32]", shuffle_partitions=64,
+        # probe volumes (20-60M-row windows/sorts) need real heap;
+        # the bench/driver sessions keep their own defaults
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     for name, fn in PROBES.items():
         if only and name not in only:
@@ -230,6 +235,64 @@ def probe_range_join_naive(spark, points=2_000_000, intervals=200_000, keys=10):
 
 PROBES["range_binned_2m"] = probe_range_join_binned
 PROBES["range_naive_2m"] = probe_range_join_naive
+
+
+
+
+def probe_contamination(spark, train=1_000_000, evals=200):
+    """Contamination gate at 1M train docs x 200 eval docs: the train
+    side must broadcast-join the eval shingle index, never shuffle."""
+    from big_data_in_agriculture_spark.operators.llm import contamination
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"), (F.xxhash64(F.col("id"), i) % 50_000).cast("string")
+        ),
+    )
+    docs = spark.range(train).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    ev = docs.filter(F.col("doc_id") % (train // evals) == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return contamination(docs, ev, min_common=3)
+
+
+def probe_cdc(spark, rows=20_000_000, keys=1_000_000):
+    """CDC collapse at 20M changes / 1M keys: one window shuffle."""
+    from big_data_in_agriculture_spark.operators.cdc import cdc_apply
+
+    log = spark.range(rows).select(
+        (F.col("id") % keys).alias("k"),
+        F.timestamp_micros((F.col("id") * 1_000_003).cast("long")).alias("ts"),
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 17 == 0, "D").otherwise("U").alias("op"),
+        (F.col("id") % 1000).cast("double").alias("payload"),
+    )
+    return cdc_apply(log, "k", "ts", "seq", "op")
+
+
+def probe_cumulative_users(spark, rows=20_000_000, users=1_000_000):
+    """Growth curve at 20M events / 1M users: the count-distinct-free
+    formulation's cost is two aggregates, not a giant window state."""
+    from big_data_in_agriculture_spark.operators.analytics import (
+        cumulative_unique_users,
+    )
+
+    ev = spark.range(rows).select(
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        (F.col("id") % users).alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 4_000_000).cast("long")
+        ).alias("ts"),
+    )
+    return cumulative_unique_users(ev)
+
+
+PROBES["contamination_1m"] = probe_contamination
+PROBES["cdc_20m"] = probe_cdc
+PROBES["cumulative_users_20m"] = probe_cumulative_users
 
 
 if __name__ == "__main__":
