@@ -2741,6 +2741,29 @@ ORDER BY segment, day
 """
 
 
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.analytics import debounce_events
+
+    out = debounce_events(_t(spark, sf_dir, "events"), gap_seconds=172_800)
+    return out.select("event_id", "user_id", "event_type", "ts").orderBy(
+        "event_id"
+    )
+
+
+_DEBOUNCE_SQL = """
+WITH g AS (
+    SELECT event_id, user_id, event_type, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS gap
+    FROM events
+)
+SELECT event_id, user_id, event_type, ts FROM g
+WHERE gap IS NULL OR gap >= 172800000000::BIGINT
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2858,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "scd2_history": q_scd2_history,
         "cumulative_users": q_cumulative_users,
+        "debounce": q_debounce,
     }
 
 
@@ -2969,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply": _CDC_APPLY_SQL,
         "scd2_history": _SCD2_SQL,
         "cumulative_users": _CUMULATIVE_USERS_SQL,
+        "debounce": _DEBOUNCE_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -88,6 +88,41 @@ def event_transitions(
     )
 
 
+def debounce_events(
+    events: DataFrame,
+    gap_seconds: int = 60,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Drop rapid repeats: keep the FIRST event of each burst.
+
+    The batch twin of streaming `dropDuplicatesWithinWatermark`:
+    within a (user, type) stream, consecutive events closer than
+    `gap_seconds` collapse into one burst and only the burst opener
+    survives. Burst membership is the lag-gap trick (new burst when
+    the gap exceeds the threshold); CHAINED repeats collapse into one
+    burst even when the first→last span exceeds the gap — the
+    debounce semantic, distinct from a fixed-window dedup. One window
+    shuffle on (user, type); ties on ts break by the unique event id.
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(ts_col, id_col)
+    # exact integer microseconds (unix_micros / epoch_us) — a float
+    # epoch would make the threshold comparison engine-dependent for
+    # sub-second components
+    mic = F.unix_micros(F.col(ts_col))
+    gap = mic - F.lag(mic).over(w)
+    return (
+        events.withColumn("_gap", gap)
+        .filter(
+            F.col("_gap").isNull()
+            | (F.col("_gap") >= gap_seconds * 1_000_000)
+        )
+        .drop("_gap")
+    )
+
+
 def cumulative_unique_users(
     events: DataFrame,
     segment_col: str = "event_type",

@@ -70,3 +70,27 @@ def test_cumulative_unique_users_counts_first_seen_once(spark):
         ("view", 2): (2, 3),
         ("click", 3): (1, 1),
     }
+
+
+def test_debounce_chained_burst_keeps_only_opener(spark):
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.operators.analytics import debounce_events
+
+    s = lambda sec: dt.datetime(2024, 1, 1, 0, 0, sec)
+    ev = spark.createDataFrame(
+        [
+            # chained burst: 0s,30s,55s(+25),100s(+45) — every gap < 60
+            (1, s(0), 1, "click"), (2, s(30), 1, "click"),
+            (3, s(55), 1, "click"), (4, dt.datetime(2024, 1, 1, 0, 1, 40), 1, "click"),
+            # fresh burst 60s after the last event
+            (5, dt.datetime(2024, 1, 1, 0, 2, 40), 1, "click"),
+            # other type is independent
+            (6, s(10), 1, "view"),
+        ],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    kept = sorted(r["event_id"]
+                  for r in debounce_events(ev, gap_seconds=60).collect())
+    # burst 1-4 collapses to opener 1 even though 1->4 spans 100s > 60s
+    assert kept == [1, 5, 6]
