@@ -286,3 +286,61 @@ def start_daily_rollup_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_DEBOUNCE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_DEBOUNCE_STATE = T.StructType([T.StructField("last_us", T.LongType())])
+
+
+def debounce_stream(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
+    """Streaming debounce: emit only burst openers, state = one long.
+
+    The streaming twin of ``analytics.debounce_events``: per
+    (user, type), an event is emitted only when it arrives at least
+    ``gap_seconds`` after the PREVIOUS event of that key — and every
+    event (emitted or suppressed) extends the burst, so chained
+    repeats collapse across micro-batch boundaries exactly like the
+    batch operator collapses them within one frame. State per key is a
+    single microsecond timestamp — O(keys), not O(events); contrast
+    with dropDuplicatesWithinWatermark, which keys state by VALUE.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        (last,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples(index=False):
+                us = int(row.ts.value) // 1_000  # pandas ns → us
+                if last is None or us - last >= gap_us:
+                    out.append(row)
+                last = us
+        state.update((last,))
+        cols = ["event_id", "user_id", "event_type", "ts"]
+        if out:
+            yield pd.DataFrame(out)[cols]
+        else:
+            yield pd.DataFrame(columns=cols)
+
+    return events.select(
+        "event_id", "user_id", "event_type", "ts"
+    ).groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=_DEBOUNCE_SCHEMA,
+        stateStructType=_DEBOUNCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -156,3 +156,53 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     g = {r["user_id"]: r["n"] for r in got.collect()}
     e = {r["user_id"]: r["n"] for r in expected.collect()}
     assert g == e
+
+
+def test_debounce_stream_collapses_bursts_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+
+    def land(name, rows):
+        pdf = pd.DataFrame(
+            {"event_id": [r[0] for r in rows],
+             "ts": [pd.Timestamp(r[1]) for r in rows],
+             "user_id": [r[2] for r in rows],
+             "event_type": ["click"] * len(rows),
+             "value": [0.0] * len(rows), "props": ["{}"] * len(rows)}
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), landing / name)
+
+    s = lambda sec: dt.datetime(2024, 1, 1, 0, 0, sec)
+    # batch 0: opener + in-burst repeat; batch 1 CONTINUES the burst
+    # (30s after batch 0's last event) then opens a fresh burst
+    land("b0.parquet", [(1, s(0), 7), (2, s(30), 7)])
+    land("b1.parquet", [(3, s(55), 7), (4, dt.datetime(2024, 1, 1, 0, 2, 0), 7)])
+
+    stream = sev.read_events_stream(
+        spark, str(landing), nanos_ts=False, max_files_per_trigger=1
+    )
+    sink = str(tmp_path / "debounce_sink")
+    q = (
+        sev.debounce_stream(stream, gap_seconds=60)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    # burst 1-2-3 collapses to opener 1 even across the batch boundary
+    assert kept == [1, 4]
