@@ -2764,6 +2764,136 @@ ORDER BY event_id
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-2 composition: stratified downsample → quality gate →
+    # keep-best dedup → contamination drop (vs a planted eval set) →
+    # deterministic split → per-(lang, split) stats. Every stage is an
+    # independently oracle-checked operator; this checks the WHOLE
+    # curation plan as one declarative composition.
+    from big_data_in_agriculture_spark.operators.llm import (
+        contamination,
+        group_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sampled = llm.stratified_sample(
+        docs, rates={"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    )
+    gated = (
+        llm.quality_filter(sampled)
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "n_tokens")
+        .join(sampled, "doc_id")
+    )
+    survivors = llm.dedup_keep_best(gated)
+    half = (
+        "array_join(slice(split(text, ' '), 1, "
+        "greatest(cast(size(split(text, ' ')) / 2 as int), 1)), ' ')"
+    )
+    eval_docs = group_sample(docs, group_col="lang", k=4).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(half).alias("text"),
+    )
+    flagged = contamination(survivors, eval_docs, min_common=3).select(
+        F.col("train_id").alias("doc_id")
+    )
+    final = llm.hash_split(survivors.join(flagged, "doc_id", "left_anti"))
+    return (
+        final.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _curation_sql() -> str:
+    from big_data_in_agriculture_spark.operators.llm import _rate_threshold
+
+    t_en, t_all = _rate_threshold(0.5), _rate_threshold(1.0)
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'"
+        for s, t in [
+            ("de", t_all), ("en", t_en), ("es", t_all),
+            ("fr", t_all), ("zh", t_all),
+        ]
+    )
+    return f"""
+WITH sampled AS (
+    SELECT doc_id, lang, text FROM documents
+    WHERE CASE {cases} ELSE FALSE END
+),
+gated AS (
+    SELECT doc_id, lang, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dr
+    FROM sampled
+),
+kept AS (
+    SELECT * FROM gated
+    WHERE n_tokens >= 20 AND n_tokens <= 90 AND dr >= 0.40
+),
+scored AS (
+    SELECT doc_id, lang, text, n_tokens,
+           sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+           ((CAST(length(text) AS DOUBLE)
+             - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           * dr AS q
+    FROM kept
+),
+survivors AS (
+    SELECT doc_id, lang, text, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp
+                                     ORDER BY q DESC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+eval AS (
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 4
+),
+tr_sh AS (
+    SELECT doc_id AS train_id,
+           unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM survivors
+          WHERE doc_id NOT IN (SELECT doc_id FROM eval))
+),
+ev_sh AS (
+    SELECT doc_id AS eval_id,
+           unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM eval)
+),
+flagged AS (
+    SELECT DISTINCT train_id FROM (
+        SELECT train_id, eval_id, count(*) AS n_common
+        FROM tr_sh JOIN ev_sh USING (shingle)
+        GROUP BY 1, 2
+    ) WHERE n_common >= 3
+)
+SELECT lang,
+       CASE WHEN doc_id % 10 < 1 THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM survivors
+WHERE doc_id NOT IN (SELECT train_id FROM flagged)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2882,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "cumulative_users": q_cumulative_users,
         "debounce": q_debounce,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2994,6 +3125,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "cumulative_users": _CUMULATIVE_USERS_SQL,
         "debounce": _DEBOUNCE_SQL,
+        "curation_pipeline": _curation_sql(),
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
