@@ -2894,6 +2894,21 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: Lloyd's iterations are a driver-side loop over
+    # assign+partial-agg passes — not expressible as one SQL statement.
+    # Deterministic init (lowest-id vectors) makes the output stable;
+    # correctness is covered by planted-cluster recovery tests.
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, max_iter=5)
+    return (
+        similarity.kmeans_assign(emb, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3013,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": q_cumulative_users,
         "debounce": q_debounce,
         "curation_pipeline": q_curation_pipeline,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 

@@ -429,3 +429,113 @@ def standardize_embeddings(
         )
         .drop("_means", "_stds")
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """Lloyd's k-means on a distributed embedding column.
+
+    The iterative-algorithm pattern on Spark: the MODEL (k dim-wide
+    centroids) lives on the driver and is baked into each iteration's
+    plan as literals; the DATA only ever flows through one
+    assign-and-partial-aggregate pass per iteration — per-partition
+    partial sums mean the shuffle carries k rows per partition, never
+    vectors. Initialization is the k lowest-id vectors (deterministic,
+    resumable — same stand-in knn_ivf uses); convergence is max
+    centroid movement < tol.
+
+    Returns the centroid list (the model artifact — bounded, like any
+    broadcastable dimension table).
+    """
+    init = (
+        embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+
+    def dist_pairs(vec, cent_list) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            _dvec(vec),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: a - b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x * x,
+                    ).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(cent_list)
+            ]
+        )
+
+    dim = len(cents[0])
+    for _ in range(max_iter):
+        assigned = embeddings.select(
+            F.array_sort(dist_pairs(F.col(vec_col), cents))[0]["cid"].alias(
+                "cluster"
+            ),
+            _dvec(F.col(vec_col)).alias("v"),
+        )
+        # mean vector per cluster: one sum aggregate PER DIMENSION —
+        # partial aggregation makes the shuffle k rows × (dim+1) cols
+        # per partition (a collect_list fold would instead buffer every
+        # member vector in the agg state: O(cluster size) memory)
+        new_rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new_cents = list(cents)
+        moved = 0.0
+        for row in new_rows:
+            c = [row[f"s{i}"] / row["n"] for i in range(dim)]
+            moved = max(
+                moved,
+                max(abs(a - b) for a, b in zip(c, cents[row["cluster"]])),
+            )
+            new_cents[row["cluster"]] = c
+        cents = new_cents
+        if moved < tol:
+            break
+    return cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid — pure projection."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        _dvec(F.col(vec_col)),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: a - b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col), F.array_sort(pairs)[0]["cid"].alias("cluster")
+    )

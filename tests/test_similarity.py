@@ -119,3 +119,48 @@ def test_weighted_sample_tracks_weight(spark):
     b = {r["doc_id"]
          for r in weighted_sample(df.repartition(13), F.lit(0.3)).collect()}
     assert a == b
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from big_data_in_agriculture_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    rows = []
+    for i in range(150):
+        c = i % 3
+        v = centers[c] + 0.5 * rng.standard_normal(3)
+        rows.append((i, v.astype(float).tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = kmeans_fit(emb, k=3, max_iter=15)
+    fitted = np.array(cents)
+    # every planted center has a fitted centroid within 0.5
+    for c in centers:
+        assert min(np.linalg.norm(fitted - c, axis=1)) < 0.5
+
+    assigned = kmeans_assign(emb, cents).collect()
+    # all members of a planted blob land in the same fitted cluster
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from big_data_in_agriculture_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_fit(emb, k=4, max_iter=3)
+    b = kmeans_fit(emb.repartition(7), k=4, max_iter=3)
+    # deterministic init + exact integer counts; dim sums differ only in
+    # partial-order ulps, so centroids agree to float tolerance
+    import numpy as np
+
+    assert np.allclose(np.array(a), np.array(b), atol=1e-9)
