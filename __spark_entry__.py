@@ -2909,6 +2909,81 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.profile import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = winsorize(li, "l_extendedprice", 0.05, 0.95)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").cast("float").alias("clip_min"),
+        F.max("l_extendedprice").cast("float").alias("clip_max"),
+        F.avg("l_extendedprice").cast("float").alias("clipped_mean"),
+    )
+
+
+_WINSORIZE_SQL = """
+WITH b AS (
+    SELECT round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+    FROM lineitem
+),
+clipped AS (
+    SELECT least(greatest(l_extendedprice, b.lo), b.hi) AS v
+    FROM lineitem, b
+)
+SELECT count(*) AS n,
+       CAST(min(v) AS FLOAT) AS clip_min,
+       CAST(max(v) AS FLOAT) AS clip_max,
+       CAST(avg(v) AS FLOAT) AS clipped_mean
+FROM clipped
+"""
+
+
+def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant missingness: error events lose their value, then impute
+    # from the user's own mean over the remaining events
+    from big_data_in_agriculture_spark.operators.profile import impute_group_mean
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = impute_group_mean(ev, "user_id", "value")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("n_filled"),
+            F.avg("value").cast("float").alias("mean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_IMPUTE_SQL = """
+WITH holed AS (
+    SELECT user_id, event_type,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+    FROM events
+),
+means AS (
+    SELECT user_id, avg(value) AS gm FROM holed GROUP BY 1
+),
+filled AS (
+    SELECT h.event_type, coalesce(h.value, m.gm) AS value
+    FROM holed h LEFT JOIN means m USING (user_id)
+)
+SELECT event_type, count(*) AS n,
+       count(value) AS n_filled,
+       CAST(avg(value) AS FLOAT) AS mean_value
+FROM filled
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3029,6 +3104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce": q_debounce,
         "curation_pipeline": q_curation_pipeline,
         "kmeans_clusters": q_kmeans_clusters,
+        "winsorize": q_winsorize,
+        "impute_group_mean": q_impute_group_mean,
     }
 
 
@@ -3142,6 +3219,8 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_users": _CUMULATIVE_USERS_SQL,
         "debounce": _DEBOUNCE_SQL,
         "curation_pipeline": _curation_sql(),
+        "winsorize": _WINSORIZE_SQL,
+        "impute_group_mean": _IMPUTE_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

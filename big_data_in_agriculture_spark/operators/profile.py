@@ -237,6 +237,51 @@ def quantile_bins(df: DataFrame, col: str, bins: int = 4) -> DataFrame:
     )
 
 
+def winsorize(
+    df: DataFrame, col: str, lower: float = 0.01, upper: float = 0.99
+) -> DataFrame:
+    """Clip a numeric column at quantile bounds (outlier taming).
+
+    One exact percentile aggregate yields both bounds, broadcast back
+    as a 1-row cross join; the clip itself is least/greatest — a pure
+    projection. Bounds are rounded to 4 decimals (same cross-engine
+    interpolation argument as quantile_bins: a value exactly on an
+    unrounded boundary would clip on one engine and not the other).
+    """
+    bounds = df.agg(
+        F.expr(
+            f"transform(percentile({col}, array({lower}, {upper})),"
+            " b -> round(b, 4))"
+        ).alias("_wb")
+    )
+    clipped = F.least(
+        F.greatest(F.col(col), F.col("_wb")[0]), F.col("_wb")[1]
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(col, clipped)
+        .drop("_wb")
+    )
+
+
+def impute_group_mean(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Fill NULLs with the group's mean (feature-prep imputation).
+
+    The per-group means are a tiny aggregate broadcast back to the
+    fact — the fact itself is never shuffled. Groups that are entirely
+    NULL stay NULL (their mean is NULL); callers wanting a global
+    fallback chain a second coalesce with the overall mean.
+    """
+    means = df.groupBy(group_col).agg(F.avg(value_col).alias("_gm"))
+    return (
+        df.join(F.broadcast(means), group_col, "left")
+        .withColumn(value_col, F.coalesce(F.col(value_col), F.col("_gm")))
+        .drop("_gm")
+    )
+
+
 def value_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
     """Fixed-width histogram over a numeric column.
 

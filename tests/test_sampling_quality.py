@@ -158,3 +158,27 @@ def test_lang_confusion_diagonal_dominates(spark):
     assert out[("en", "en")]["n"] == 2
     assert out[("en", "en")]["rate"] == pytest.approx(1.0)
     assert ("de", "de") in out and ("fr", "fr") in out
+
+
+def test_winsorize_clips_both_tails(spark):
+    from big_data_in_agriculture_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], ["v"])
+    out = [r["v"] for r in winsorize(df, "v", 0.10, 0.90).collect()]
+    assert min(out) == 10.0 and max(out) == 90.0
+    assert len(out) == 101  # clipping, not filtering
+    assert sorted(out)[50] == 50.0  # interior untouched
+
+
+def test_impute_group_mean_fills_only_nulls(spark):
+    from big_data_in_agriculture_spark.operators.profile import impute_group_mean
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, None), (2, None), (2, None)],
+        ["g", "v"],
+    )
+    out = impute_group_mean(df, "g", "v").collect()
+    g1 = sorted(r["v"] for r in out if r["g"] == 1)
+    assert g1 == [10.0, 15.0, 20.0]  # null -> group mean
+    # all-null group stays null
+    assert all(r["v"] is None for r in out if r["g"] == 2)
