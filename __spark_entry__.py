@@ -2984,6 +2984,99 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant a controlled delta: drop ~1% of orders, reprice ~1%, add
+    # shifted-key copies; the diff must classify exactly those keys
+    from big_data_in_agriculture_spark.operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0,
+                F.col("o_totalprice") * 2.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    out = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return out.orderBy("o_orderkey")
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+),
+new AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice * 2.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM old WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+    FROM old WHERE o_orderkey % 89 = 0
+),
+j AS (
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           o.o_orderkey IS NOT NULL AS in_old,
+           n.o_orderkey IS NOT NULL AS in_new,
+           (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+               OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+               AS changed
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN changed THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM j
+WHERE CASE WHEN NOT in_old THEN 'added'
+           WHEN NOT in_new THEN 'removed'
+           WHEN changed THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+ORDER BY o_orderkey
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic variant assignment by user id parity — the same
+    # append-stable principle as hash_split
+    from big_data_in_agriculture_spark.operators.analytics import ab_test_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test_summary(ev, F.col("user_id") % 2 == 0, "value")
+
+
+_AB_TEST_SQL = """
+WITH s AS (
+    SELECT count(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+           count(CASE WHEN user_id % 2 <> 0 THEN value END) AS n_b,
+           avg(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+           avg(CASE WHEN user_id % 2 <> 0 THEN value END) AS mb,
+           var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS va,
+           var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS vb
+    FROM events
+)
+SELECT n_a, n_b,
+       CAST(ma AS FLOAT) AS mean_a,
+       CAST(mb AS FLOAT) AS mean_b,
+       CAST(ma - mb AS FLOAT) AS mean_diff,
+       CAST((ma - mb) / sqrt(va / n_a + vb / n_b) AS FLOAT) AS t_stat
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3106,6 +3199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "winsorize": q_winsorize,
         "impute_group_mean": q_impute_group_mean,
+        "snapshot_diff": q_snapshot_diff,
+        "ab_test": q_ab_test,
     }
 
 
@@ -3221,6 +3316,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_sql(),
         "winsorize": _WINSORIZE_SQL,
         "impute_group_mean": _IMPUTE_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "ab_test": _AB_TEST_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -18,7 +18,7 @@ the 3 used columns at the scan (column pruning).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,6 +85,41 @@ def event_transitions(
             F.col("n").cast("double") / F.sum("n").over(pw),
         )
         .orderBy("from_type", "to_type")
+    )
+
+
+def ab_test_summary(
+    df: DataFrame,
+    variant: Column,
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-variant experiment readout with a Welch t statistic.
+
+    ``variant`` is any boolean Column (True = treatment). Both arms'
+    count/mean/variance come from conditional aggregates in ONE scan —
+    no split-and-union, no second pass — and the t statistic
+    (mean difference over pooled standard error) is driver-free
+    arithmetic on the single stats row. The decision threshold belongs
+    to the caller; this emits the evidence.
+    """
+    a_val = F.when(variant, F.col(value_col))
+    b_val = F.when(~variant, F.col(value_col))
+    row = df.agg(
+        F.count(a_val).alias("n_a"),
+        F.count(b_val).alias("n_b"),
+        F.avg(a_val).alias("_ma"),
+        F.avg(b_val).alias("_mb"),
+        F.var_samp(a_val).alias("_va"),
+        F.var_samp(b_val).alias("_vb"),
+    )
+    se = F.sqrt(F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b"))
+    return row.select(
+        "n_a",
+        "n_b",
+        F.col("_ma").cast("float").alias("mean_a"),
+        F.col("_mb").cast("float").alias("mean_b"),
+        (F.col("_ma") - F.col("_mb")).cast("float").alias("mean_diff"),
+        ((F.col("_ma") - F.col("_mb")) / se).cast("float").alias("t_stat"),
     )
 
 

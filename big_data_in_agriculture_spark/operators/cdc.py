@@ -67,3 +67,46 @@ def scd2_history(
         .withColumn("is_current", valid_to.isNull())
         .drop(ts_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table.
+
+    The audit/reconciliation primitive: one full-outer join on the key
+    (both sides shuffle once on the same key — co-partitioned if the
+    snapshots are bucketed on it) classifying every key as added /
+    removed / changed; unchanged keys are dropped before the result
+    materializes. Value comparison is null-safe (a NULL→value change
+    is a change, not a join artifact).
+    """
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"_o_{c}") for c in compare_cols]
+    )
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"_n_{c}") for c in compare_cols]
+    )
+    # presence is judged on join-side membership (sentinel columns),
+    # not value nulls — a row whose compare columns are all NULL still
+    # exists on its side
+    o = o.withColumn("_in_old", F.lit(1))
+    n = n.withColumn("_in_new", F.lit(1))
+    joined = o.join(n, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type") != "unchanged")
+        .select(*key_cols, "change_type")
+    )

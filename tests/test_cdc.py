@@ -49,3 +49,39 @@ def test_scd2_intervals_abut_and_flag_current(spark):
             if r["valid_from"] <= T(6)
             and (r["valid_to"] is None or T(6) < r["valid_to"])]
     assert len(hits) == 1 and hits[0]["val"] == "v2"
+
+
+def test_snapshot_diff_classifies_each_change(spark):
+    from big_data_in_agriculture_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, "D")],
+        ["k", "price", "status"],
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),      # unchanged -> excluded
+         (2, 25.0, "B"),      # changed value
+         (3, 30.0, "C"),      # NULL -> value is a change
+         (5, 50.0, "E")],     # added; key 4 removed
+        ["k", "price", "status"],
+    )
+    out = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["k"], ["price", "status"]).collect()}
+    assert out == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_ab_test_summary_known_means(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_in_agriculture_spark.operators.analytics import ab_test_summary
+
+    rows = [(i, 10.0 + (i % 3)) if i % 2 == 0 else (i, 20.0 + (i % 5))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["user_id", "value"])
+    r = ab_test_summary(df, F.col("user_id") % 2 == 0, "value").collect()[0]
+    assert r["n_a"] == 100 and r["n_b"] == 100
+    assert math.isclose(r["mean_a"], 11.0, abs_tol=0.2)
+    assert math.isclose(r["mean_b"], 22.0, abs_tol=0.2)
+    assert r["t_stat"] < -10  # hugely separated arms
