@@ -61,6 +61,15 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--start", required=True)
     q.add_argument("--end", required=True)
     q.add_argument("--limit", type=int, default=20)
+
+    c = sub.add_parser(
+        "curate", help="corpus curation: sample → quality gate → dedup → split"
+    )
+    c.add_argument("--docs", required=True, help="documents parquet path")
+    c.add_argument("--out", required=True, help="curated output directory")
+    c.add_argument("--rates", type=_csv, default=None,
+                   help="per-lang sample rates, e.g. en=0.5,de=1.0")
+    c.add_argument("--test-buckets", type=int, default=1)
     return p
 
 
@@ -108,6 +117,30 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         out = filter_daily(mart, args.regions, args.start, args.end)
         for row in out.limit(args.limit).collect():
             print(row.asDict())
+    elif args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from .operators import llm
+
+        docs = spark.read.parquet(args.docs)
+        if args.rates:
+            rates = {
+                k: float(v)
+                for k, v in (pair.split("=", 1) for pair in args.rates)
+            }
+            docs = llm.stratified_sample(docs, rates)
+        gated = (
+            llm.quality_filter(docs)
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+            .join(docs, "doc_id")
+        )
+        curated = llm.hash_split(
+            llm.dedup_keep_best(gated), test_buckets=args.test_buckets
+        )
+        curated.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"wrote curated corpus to {args.out}: {n} docs")
     return 0
 
 

@@ -43,3 +43,24 @@ def test_cli_daily_load_query_chain(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "'region': 'a'" in out and "t2m_mean" in out
     assert "'region': 'b'" not in out
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    from big_data_in_agriculture_spark.cli import main
+
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "curate",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out,
+            "--rates", "en=0.5,de=1.0,es=1.0,fr=1.0,zh=1.0",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    curated = spark.read.parquet(out)
+    assert {"split"} <= set(curated.columns)
+    splits = {r["split"] for r in curated.select("split").distinct().collect()}
+    assert splits == {"train", "test"}
+    assert 0 < curated.count() < 500  # gated + sampled below the input size
