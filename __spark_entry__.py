@@ -3077,6 +3077,47 @@ FROM s
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+_TOKEN_ENTROPY_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+    SELECT doc_id, token, count(*) AS c
+    FROM tok WHERE token <> '' GROUP BY 1, 2
+),
+per_doc AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+    FROM counts GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       CAST(ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens AS FLOAT)
+           AS entropy
+FROM per_doc ORDER BY doc_id
+"""
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.bpe_merge_step(_t(spark, sf_dir, "documents"), k=10)
+
+
+_BPE_MERGE_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+pairs AS (
+    SELECT unnest([tk[i] || ' ' || tk[i+1]
+                   FOR i IN range(1, greatest(len(tk), 1))]) AS pair
+    FROM t
+)
+SELECT pair, count(*) AS n FROM pairs
+WHERE NOT starts_with(pair, ' ') AND NOT ends_with(pair, ' ')
+GROUP BY 1 ORDER BY n DESC, pair LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3201,6 +3242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_group_mean": q_impute_group_mean,
         "snapshot_diff": q_snapshot_diff,
         "ab_test": q_ab_test,
+        "token_entropy": q_token_entropy,
+        "bpe_merge_step": q_bpe_merge_step,
     }
 
 
@@ -3318,6 +3361,8 @@ def oracle_sql() -> dict[str, str]:
         "impute_group_mean": _IMPUTE_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "ab_test": _AB_TEST_SQL,
+        "token_entropy": _TOKEN_ENTROPY_SQL,
+        "bpe_merge_step": _BPE_MERGE_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

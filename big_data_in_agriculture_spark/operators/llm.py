@@ -636,6 +636,68 @@ def contamination(
     )
 
 
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Shannon entropy over the token distribution.
+
+    The information-density quality signal: low-entropy docs are
+    repetitive boilerplate, high-entropy docs near the uniform bound
+    ln(n_tokens). One explode + one (doc, token) count aggregate +
+    one per-doc fold — the shuffle carries counts keyed by doc id
+    (uniform). The −Σ p·ln p sum runs over a doc's distinct tokens
+    (bounded by doc length); cast to float32 on output to absorb
+    fold-order ulps.
+    """
+    tok = docs.select(
+        F.col("doc_id"), F.explode(TX.tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("_clogc"),
+    )
+    # -sum(c/n * ln(c/n)) == ln(n) - (sum c*ln c)/n  — one pass, no
+    # second join of n back onto the count rows
+    ent = F.log(F.col("n_tokens").cast("double")) - F.col("_clogc") / F.col(
+        "n_tokens"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        ent.cast("float").alias("entropy"),
+    ).orderBy("doc_id")
+
+
+def bpe_merge_step(
+    docs: DataFrame, k: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """One BPE training step: top-k most frequent adjacent token pairs.
+
+    Byte-pair-encoding training repeatedly merges the corpus's most
+    frequent adjacent symbol pair; this is the counting core of one
+    iteration, at word granularity. Adjacent pairs come from zipping
+    the token array with its own tail (pure array ops, no explode
+    until the pair is formed), then one hash aggregate + TakeOrdered.
+    Ties break lexicographically so the merge choice is deterministic.
+    """
+    toks = TX.tokens(text_col)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .filter(~F.col("pair").startswith(" ") & ~F.col("pair").endswith(" "))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(k)
+    )
+
+
 def lang_confusion(
     docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:

@@ -182,3 +182,30 @@ def test_impute_group_mean_fills_only_nulls(spark):
     assert g1 == [10.0, 15.0, 20.0]  # null -> group mean
     # all-null group stays null
     assert all(r["v"] is None for r in out if r["g"] == 2)
+
+
+def test_token_entropy_uniform_vs_repetitive(spark):
+    from big_data_in_agriculture_spark.operators.llm import token_entropy
+
+    docs = _docs(spark, [
+        (1, "en", "a b c d"),      # uniform: entropy = ln(4)
+        (2, "en", "a a a a"),      # degenerate: entropy = 0
+    ])
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert out[1]["entropy"] == pytest.approx(math.log(4), rel=1e-6)
+    assert out[2]["entropy"] == pytest.approx(0.0, abs=1e-7)
+    assert out[1]["n_tokens"] == 4
+
+
+def test_bpe_merge_step_finds_dominant_pair(spark):
+    from big_data_in_agriculture_spark.operators.llm import bpe_merge_step
+
+    docs = _docs(spark, [
+        (1, "en", "new york new york new york"),
+        (2, "en", "san francisco new york"),
+        (3, "en", "solo"),
+    ])
+    out = bpe_merge_step(docs, k=2).collect()
+    assert out[0]["pair"] == "new york" and out[0]["n"] == 4
+    # "york new" (2) beats the singles; ties would break lexically
+    assert out[1]["pair"] == "york new" and out[1]["n"] == 2
