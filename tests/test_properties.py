@@ -173,3 +173,88 @@ def test_funnel_monotone_and_matches_bruteforce(spark, events):
             t = min(cand)
             n[step_i] += 1
     assert (got["n_step1"], got["n_step2"], got["n_step3"]) == tuple(n)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["en", "de", "fr"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    rate=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+def test_stratified_sample_is_subset_and_idempotent(spark, rows, rate):
+    from big_data_in_agriculture_spark.operators.llm import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, lang, "t") for i, lang in rows], ["doc_id", "lang", "text"]
+    )
+    rates = {"en": rate, "de": 1.0, "fr": 0.5}
+    out = stratified_sample(docs, rates)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids <= {i for i, _ in rows}  # subset of input
+    # idempotent: sampling the sample with the same rates keeps it all
+    again = {r["doc_id"] for r in stratified_sample(out, rates).collect()}
+    assert again == ids
+    if rate == 1.0:
+        assert {i for i, l in rows if l == "en"} <= ids
+    if rate == 0.0:
+        assert not any(l == "en" for i, l in rows if i in ids)
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3600)),
+        min_size=1,
+        max_size=50,
+    ),
+    gap=st.sampled_from([1, 60, 600]),
+)
+def test_debounce_openers_are_gap_separated(spark, events, gap):
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.operators.analytics import debounce_events
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=s), u, "e")
+            for i, (u, s) in enumerate(events)
+        ],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    kept = debounce_events(df, gap_seconds=gap).collect()
+    by_user = {}
+    for r in kept:
+        by_user.setdefault(r["user_id"], []).append(r["ts"])
+    # consecutive surviving events of one key are >= gap apart (each
+    # opener is >= gap after the previous EVENT, which is no earlier
+    # than the previous opener)
+    for times in by_user.values():
+        times.sort()
+        for a, b in zip(times, times[1:]):
+            assert (b - a).total_seconds() >= gap
+    # every user with any event keeps at least their first one
+    assert set(by_user) == {u for u, _ in events}
+
+
+@SLOW
+@given(
+    vals=st.lists(finite, min_size=5, max_size=80),
+)
+def test_winsorize_bounds_and_interior(spark, vals):
+    from big_data_in_agriculture_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    out = [r["v"] for r in winsorize(df, "v", 0.10, 0.90).collect()]
+    assert len(out) == len(vals)
+    # clipped range is within the original range and ordered
+    assert min(out) >= min(vals) - 1e-4 and max(out) <= max(vals) + 1e-4
+    # median survives clipping at the 10/90 bounds
+    s_in, s_out = sorted(vals), sorted(out)
+    mid = len(vals) // 2
+    if len(vals) % 2 == 1:
+        assert math.isclose(s_out[mid], s_in[mid], rel_tol=1e-9, abs_tol=1e-4)
