@@ -3118,6 +3118,18 @@ GROUP BY 1 ORDER BY n DESC, pair LIMIT 10
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the merge loop is iterative (argmax → rewrite →
+    # recount) — not one SQL statement. Deterministic nonetheless:
+    # integer pair counts, lexicographic tie-break; the single-step
+    # counting core is oracle-checked as bpe_merge_step.
+    merges = llm.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        ["merge_rank", "left", "right"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3244,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "token_entropy": q_token_entropy,
         "bpe_merge_step": q_bpe_merge_step,
+        "bpe_train": q_bpe_train,
     }
 
 

@@ -698,6 +698,88 @@ def bpe_merge_step(
     )
 
 
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Train a BPE merge list: textbook algorithm, Spark-shaped.
+
+    The classic trick that makes BPE tractable at corpus scale: fold
+    the corpus to the DISTINCT-WORD frequency table first (one shuffle
+    — the table is vocabulary-sized, not corpus-sized), then run every
+    merge iteration against that tiny table: count frequency-weighted
+    adjacent symbol pairs (one small aggregate), pick the argmax
+    (ties: lexicographic), rewrite each word's symbol array with an
+    aggregate fold. The corpus itself is scanned exactly once, ever;
+    like `similarity.kmeans_fit`, iterations are driver round-trips
+    over a bounded model artifact, not data movement.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    words = (
+        docs.select(F.explode(TX.tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .drop("w")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        n = F.size("syms")
+        pairs = F.zip_with(
+            F.slice("syms", 1, F.greatest(n - 1, F.lit(0))),
+            F.slice("syms", 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("\x00"), b),
+        )
+        top = (
+            words.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "p")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["p"].split("\x00", 1)
+        merges.append((left, right))
+        sym = left + right
+        # rewrite: fold each word's symbols, merging (left, right)
+        # occurrences left-to-right (the standard greedy application)
+        merged = F.aggregate(
+            "syms",
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+            lambda acc, x: F.when(
+                acc["prev"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("prev")),
+            )
+            .when(
+                (acc["prev"] == left) & (x == right),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(sym))).alias("out"),
+                    F.lit(None).cast("string").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
+                    x.alias("prev"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["prev"].isNull(), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["prev"]))),
+        )
+        words = words.withColumn("syms", merged).localCheckpoint(eager=True)
+    return merges
+
+
 def lang_confusion(
     docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:

@@ -209,3 +209,28 @@ def test_bpe_merge_step_finds_dominant_pair(spark):
     assert out[0]["pair"] == "new york" and out[0]["n"] == 4
     # "york new" (2) beats the singles; ties would break lexically
     assert out[1]["pair"] == "york new" and out[1]["n"] == 2
+
+
+def test_bpe_train_textbook_sequence(spark):
+    from big_data_in_agriculture_spark.operators.llm import bpe_train
+
+    # Sennrich et al.'s canonical example: low x5, lower x2,
+    # newest x6, widest x3 — first merges must be (e,s) then (es,t)
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2
+                      + ["newest"] * 6 + ["widest"] * 3))],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(docs, n_merges=4)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert ("l", "o") in merges[2:] and ("lo", "w") in merges[2:]
+
+
+def test_bpe_train_deterministic_under_repartition(spark):
+    from big_data_in_agriculture_spark.operators.llm import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = bpe_train(docs, n_merges=3)
+    b = bpe_train(docs.repartition(7), n_merges=3)
+    assert a == b and len(a) == 3
