@@ -3130,6 +3130,43 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
+_LM_PERPLEXITY_SQL = """
+WITH t AS (
+    SELECT doc_id, ['<s>'] || string_split(text, ' ') AS tk FROM documents
+),
+big AS (
+    SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1]}
+                           FOR i IN range(1, greatest(len(tk), 1))]) AS p
+    FROM t
+),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM big),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS vsz FROM bc),
+doc_bg AS (
+    SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           sum(cnt * -ln((CAST(c12 AS DOUBLE) + 1.0)
+                         / (CAST(c1 AS DOUBLE) + 1.0 * vsz))) / sum(cnt)
+               AS avg_nll
+    FROM doc_bg
+    JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+    GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       CAST(avg_nll AS FLOAT) AS avg_nll,
+       CAST(exp(avg_nll) AS FLOAT) AS ppl
+FROM per_doc ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3257,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "bpe_merge_step": q_bpe_merge_step,
         "bpe_train": q_bpe_train,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -3376,6 +3414,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test": _AB_TEST_SQL,
         "token_entropy": _TOKEN_ENTROPY_SQL,
         "bpe_merge_step": _BPE_MERGE_SQL,
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

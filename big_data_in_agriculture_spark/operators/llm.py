@@ -1005,3 +1005,99 @@ def hash_split(
         "split",
         F.when(bucket < test_buckets, F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram table (w1, w2, c12, c1): a bigram LM in one scan.
+
+    Tokens are BOS-prefixed so a doc's first word is conditioned on
+    `<s>`. Adjacent pairs come from zipping the token array with its
+    own tail (pure array ops); ONE hash aggregate keyed on the bigram
+    collapses 100 TB of text into a vocabulary²-sparse count table
+    (Zipf keeps it small — c(w1,w2) > 0 only for observed pairs).
+    The context total c1 = Σ_w2 c(w1,w2) is re-aggregated from the
+    ALREADY-collapsed bigram table (vocab-sized input, not corpus-
+    sized) and joined back — so the corpus is scanned exactly once.
+    """
+    toks = F.concat(F.array(F.lit("<s>")), TX.tokens(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bc = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    cc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return bc.join(cc, "w1")
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Score every doc by bigram-LM perplexity under the corpus's own LM.
+
+    The CCNet/KenLM-style quality gate: train an n-gram LM, score each
+    document's mean negative log-likelihood; boilerplate and in-domain
+    text score low perplexity, junk scores high. Here the LM is the
+    corpus itself (self-perplexity — the standard outlier detector when
+    no external LM is available), with add-k smoothing:
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+
+    Scale shape: the corpus is scanned twice total — once to build the
+    vocab²-sparse count table (`bigram_counts`), once to emit per-doc
+    bigrams, which are pre-collapsed to (doc, bigram, cnt) BEFORE the
+    join so the probability join carries distinct bigrams per doc, not
+    every token. The join key (w1, w2) is Zipf-skewed ("of the" is
+    hot) — AQE skew-split handles it, and the count table is often
+    broadcastable outright. Nothing quadratic anywhere.
+
+    Float contract: per-row ln in float64; order-dependent doc sums
+    cast to float32 once at the end (absorbs partial-sum reordering).
+    """
+    lm = bigram_counts(docs, text_col)
+    vocab = lm.select("w2").distinct().count()  # scalar: vocab size V
+
+    toks = F.concat(F.array(F.lit("<s>")), TX.tokens(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bg = (
+        docs.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, "p.w1", "p.w2")
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nll = -F.log(
+        (F.col("c12").cast("double") + F.lit(float(add_k)))
+        / (F.col("c1").cast("double") + F.lit(float(add_k)) * F.lit(float(vocab)))
+    )
+    per_doc = (
+        doc_bg.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            (F.sum(F.col("cnt") * nll) / F.sum("cnt")).alias("_avg_nll"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.col("_avg_nll").cast("float").alias("avg_nll"),
+        F.exp("_avg_nll").cast("float").alias("ppl"),
+    ).orderBy(id_col)

@@ -193,3 +193,31 @@ def test_top_tokens_orders_count_then_token(spark):
     )
     rows = [(r["token"], r["n"]) for r in top_tokens(docs, k=2).collect()]
     assert rows == [("a", 2), ("b", 2)]  # tie broken alphabetically
+
+
+def test_lm_perplexity_addk_hand_computed(spark):
+    import math
+
+    # two identical docs "a b": bigrams (<s>,a) and (a,b), each with
+    # corpus count 2, context count 2, vocab V = |{a, b}| = 2.
+    # P = (2+1)/(2+2) = 3/4 for both -> avg_nll = ln(4/3), ppl = 4/3.
+    docs = spark.createDataFrame([(1, "a b"), (2, "a b")], ["doc_id", "text"])
+    rows = llm.lm_perplexity(docs).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["n_bigrams"] == 2
+        assert abs(r["avg_nll"] - math.log(4 / 3)) < 1e-6
+        assert abs(r["ppl"] - 4 / 3) < 1e-6
+
+
+def test_lm_perplexity_flags_outlier_doc(spark):
+    # the in-domain docs share all their bigrams; the junk doc's bigrams
+    # are singletons -> it must score the highest perplexity
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(1, 6)]
+        + [(9, "zz qq yy ww vv uu")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["ppl"] for r in llm.lm_perplexity(docs).collect()}
+    assert out[9] == max(out.values())
+    assert out[9] > 2 * out[1]
