@@ -49,13 +49,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # naive-timestamp calendar math regardless of the host session TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects. Read nanos as long, then integer-divide to
-        # micros (`div`, not `/` — these epochs exceed 2^53 so double
-        # math would round) — exactly DuckDB's truncation on read.
+        # events.parquet has stored ts as TIMESTAMP(NANOS) (which Spark's
+        # parquet reader rejects) in some driver generations and as plain
+        # TIMESTAMP(MICROS) in others. Handle both: read nanos as long if
+        # present, integer-divide to micros (`div`, not `/` — these epochs
+        # exceed 2^53 so double math would round); a native timestamp just
+        # gets normalized to session-TZ TimestampType (UTC-pinned above).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -46,8 +46,8 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
-#: Same table as stored by the driver: ``ts`` is parquet
-#: TIMESTAMP(NANOS), which Spark can only read as a long. Streams over
+#: The same table when written with ``ts`` as parquet TIMESTAMP(NANOS)
+#: (pandas default), which Spark can only read as a long. Streams over
 #: those files declare the long and convert (integer div — see
 #: ``__spark_entry__._t`` for why ``/`` would corrupt the epoch).
 EVENTS_SCHEMA_NANOS = T.StructType(
@@ -55,15 +55,47 @@ EVENTS_SCHEMA_NANOS = T.StructType(
 )
 
 
+def _sniff_nanos_ts(path: str, path_glob: str | None) -> bool:
+    """True if the landing files store ``ts`` as TIMESTAMP(NANOS).
+
+    A file stream must declare its schema up front, but the driver's
+    events files have shipped with both nanosecond and microsecond
+    timestamps across generations — so peek at one parquet footer
+    (driver-side, O(KB)) instead of hard-coding either layout. An empty
+    landing dir defaults to the native micros schema.
+    """
+    import glob as _glob
+    import os
+
+    base = path.rstrip("/")
+    patterns = [
+        os.path.join(base, path_glob) if path_glob else None,
+        os.path.join(base, "*.parquet"),
+        base,  # `path` may itself be a glob (tests pass "dir/*")
+    ]
+    for pat in filter(None, patterns):
+        for f in sorted(_glob.glob(pat)):
+            if os.path.isfile(f):
+                try:
+                    import pyarrow.parquet as pq
+
+                    return str(pq.read_schema(f).field("ts").type) == "timestamp[ns]"
+                except (OSError, KeyError):
+                    continue
+    return False
+
+
 def read_events_stream(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
-    nanos_ts: bool = True,
+    nanos_ts: bool | None = None,
     path_glob: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a landing directory of event files."""
+    if nanos_ts is None and schema is None:
+        nanos_ts = _sniff_nanos_ts(path, path_glob)
     reader = spark.readStream.schema(
         schema if schema is not None else (EVENTS_SCHEMA_NANOS if nanos_ts else EVENTS_SCHEMA)
     )
