@@ -3173,6 +3173,63 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RefinedWeb-style line-level dedup. The driver's documents are
+    # single-line, so the wrapper plants the boilerplate a crawl would
+    # carry — a shared header and footer line around every doc — and the
+    # operator must strip exactly those (plus any body shared by ≥2
+    # docs, e.g. the corpus's planted duplicate texts) and reassemble
+    # the rest in order.
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter\n"),
+            F.col("text"),
+            F.lit("\n(c) example corp - all rights reserved"),
+        ).alias("text"),
+    )
+    return llm.line_dedup(docs, min_docs=2).select("doc_id", "text", "n_lines_kept")
+
+
+_LINE_DEDUP_SQL = """
+WITH docs2 AS (
+    SELECT doc_id,
+           'subscribe to our newsletter' || chr(10) || text || chr(10) ||
+           '(c) example corp - all rights reserved' AS text
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+           unnest(string_split(text, chr(10))) AS line
+    FROM docs2
+),
+freq AS (
+    SELECT line
+    FROM (SELECT line, count(DISTINCT doc_id) AS n FROM lines GROUP BY 1)
+    WHERE n >= 2
+),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM freq))
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS text,
+       count(*) AS n_lines_kept
+FROM kept GROUP BY doc_id
+"""
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Domain/source blocklist gate: tiny blocklist broadcast, corpus
+    # filtered in its scan stage (zero shuffles).
+    docs = _t(spark, sf_dir, "documents")
+    bl = spark.createDataFrame([("src3",), ("src7",), ("src15",)], ["source"])
+    return llm.blocklist_filter(docs, bl)
+
+
+_BLOCKLIST_SQL = """
+SELECT * FROM documents WHERE source NOT IN ('src3', 'src7', 'src15')
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3301,6 +3358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_step": q_bpe_merge_step,
         "bpe_train": q_bpe_train,
         "lm_perplexity": q_lm_perplexity,
+        "line_dedup": q_line_dedup,
+        "blocklist_filter": q_blocklist_filter,
     }
 
 
@@ -3421,6 +3480,8 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": _TOKEN_ENTROPY_SQL,
         "bpe_merge_step": _BPE_MERGE_SQL,
         "lm_perplexity": _LM_PERPLEXITY_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
+        "blocklist_filter": _BLOCKLIST_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

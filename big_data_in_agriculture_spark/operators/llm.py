@@ -1101,3 +1101,102 @@ def lm_perplexity(
         F.col("_avg_nll").cast("float").alias("avg_nll"),
         F.exp("_avg_nll").cast("float").alias("ppl"),
     ).orderBy(id_col)
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (RefinedWeb/Falcon-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Lines occurring in ≥ ``min_docs`` distinct documents.
+
+    The corpus-wide inverted index behind line-level dedup: explode each
+    document into its lines and count distinct containing documents per
+    line in ONE hash aggregate (count_distinct does its dedup map-side,
+    so the shuffle carries partially-deduped (line, id) pairs, not every
+    occurrence). Nav bars and cookie banners are hot keys by definition,
+    but the aggregate payload per key is just a count — AQE skew-split
+    covers the residue.
+    """
+    lines = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("line")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip corpus-frequent lines from every document (RefinedWeb §3.3).
+
+    Exact line-level dedup: any line appearing in ≥ ``min_docs``
+    distinct documents is boilerplate (headers, nav, legal footers) and
+    is removed from ALL of them; each document is reassembled from its
+    surviving lines in original order. Documents left with no lines
+    drop out entirely (their content was pure boilerplate).
+
+    Scale shape: two scans of the corpus (one to build the frequent-line
+    set, one to filter) and two shuffles — the count_distinct aggregate
+    keyed on the line, and the per-document reassembly keyed on the id.
+    The frequent-line set is tiny relative to the corpus (only repeated
+    lines survive the filter) and is broadcast, so the filtering scan
+    never shuffles the corpus itself. Reassembly order is enforced by
+    array_sort over (pos, line) structs — collect_list alone is
+    partition-order dependent.
+    """
+    boiler = boilerplate_lines(docs, min_docs, text_col, id_col, sep).select("line")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+    return rebuilt
+
+
+# ---------------------------------------------------------------------------
+# Source/domain blocklist filter
+# ---------------------------------------------------------------------------
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    key_col: str = "source",
+) -> DataFrame:
+    """Drop documents whose ``key_col`` appears in a blocklist table.
+
+    The URL/domain-blocklist gate of a crawl pipeline. The blocklist is
+    always tiny next to the corpus (thousands of domains vs billions of
+    docs), so it broadcasts and the corpus is filtered in its scan stage
+    — zero shuffles, and the anti-join predicate rides inside
+    whole-stage codegen. ``blocklist`` must carry a column named
+    ``key_col`` (extra columns are ignored).
+    """
+    keys = blocklist.select(key_col).distinct()
+    return docs.join(F.broadcast(keys), key_col, "left_anti")

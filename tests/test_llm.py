@@ -221,3 +221,60 @@ def test_lm_perplexity_flags_outlier_doc(spark):
     out = {r["doc_id"]: r["ppl"] for r in llm.lm_perplexity(docs).collect()}
     assert out[9] == max(out.values())
     assert out[9] > 2 * out[1]
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup + blocklist
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_strips_shared_lines_keeps_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha\nbeta\nFOOTER"),
+            (2, "HEADER\ngamma\nFOOTER"),
+            (3, "HEADER\nFOOTER"),  # pure boilerplate -> drops out
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in llm.line_dedup(docs, min_docs=2).collect()}
+    assert set(out) == {1, 2}  # doc 3 had no surviving lines
+    assert out[1]["text"] == "alpha\nbeta"  # original order, not sorted
+    assert out[1]["n_lines_kept"] == 2
+    assert out[2]["text"] == "gamma"
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    # line shared by exactly 2 docs survives at min_docs=3
+    docs = spark.createDataFrame(
+        [(1, "x\nshared"), (2, "y\nshared"), (3, "z")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in llm.line_dedup(docs, min_docs=3).collect()}
+    assert out == {1: "x\nshared", 2: "y\nshared", 3: "z"}
+
+
+def test_line_dedup_duplicate_line_within_one_doc_not_boilerplate(spark):
+    # repeated within ONE doc but in no other -> count_distinct(doc)=1,
+    # stays (line dedup is cross-document, not within-document)
+    docs = spark.createDataFrame(
+        [(1, "same\nsame"), (2, "other")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["text"] for r in llm.line_dedup(docs, min_docs=2).collect()}
+    assert out[1] == "same\nsame"
+
+
+def test_blocklist_filter_drops_blocked_sources(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "good.com"), (2, "b", "spam.com"), (3, "c", "good.com")],
+        ["doc_id", "text", "source"],
+    )
+    bl = spark.createDataFrame([("spam.com",), ("other.net",)], ["source"])
+    out = llm.blocklist_filter(docs, bl)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    # the corpus never shuffles: its anti-join is broadcast (the one
+    # hash exchange in the plan belongs to the tiny blocklist's
+    # distinct(), not to the docs side)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
