@@ -3230,6 +3230,43 @@ SELECT * FROM documents WHERE source NOT IN ('src3', 'src7', 'src15')
 """
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Concat-and-chunk packing positions. The Spark side computes the
+    # global prefix sum with the two-level bucketed scan (no global
+    # window); the oracle uses the naive OVER (ORDER BY) form — equal
+    # results prove the distributed decomposition is exact.
+    return llm.pack_chunks(_t(spark, sf_dir, "documents"), chunk_len=512)
+
+
+_PACK_CHUNKS_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS BIGINT) AS "offset"
+    FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       CAST(floor("offset" / 512.0) AS BIGINT) AS first_chunk,
+       CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT)
+           AS last_chunk
+FROM o
+"""
+
+
+def q_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: sharded first-fit-decreasing is iterative per bucket —
+    # not one SQL statement. Its invariants (every doc assigned exactly
+    # once, per-bin fill ≤ capacity, oversize isolation) are pytest-
+    # checked; here the driver sees stable rows/schema.
+    return llm.pack_firstfit(_t(spark, sf_dir, "documents"), capacity=512)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3360,6 +3397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "line_dedup": q_line_dedup,
         "blocklist_filter": q_blocklist_filter,
+        "pack_chunks": q_pack_chunks,
+        "pack_firstfit": q_pack_firstfit,
     }
 
 
@@ -3482,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "blocklist_filter": _BLOCKLIST_SQL,
+        "pack_chunks": _PACK_CHUNKS_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

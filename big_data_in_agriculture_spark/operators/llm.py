@@ -1200,3 +1200,157 @@ def blocklist_filter(
     """
     keys = blocklist.select(key_col).distinct()
     return docs.join(F.broadcast(keys), key_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch preparation)
+# ---------------------------------------------------------------------------
+
+def pack_chunks(
+    docs: DataFrame,
+    chunk_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing positions, without a global sort.
+
+    The corpus is conceptually concatenated in ``id_col`` order and cut
+    into fixed ``chunk_len`` token windows; each document's global token
+    offset determines which training chunks it lands in (documents may
+    straddle chunk boundaries — that is the point of this packing
+    style). Emits (doc, n_tokens, offset, first_chunk, last_chunk).
+
+    The naive plan — ``sum() OVER (ORDER BY id)`` with no partition key
+    — collapses 100 TB into ONE task. This implementation is the
+    classic two-level distributed prefix sum instead:
+
+    1. range-bucket by id (``floor(id / span)`` keeps bucket order
+       consistent with id order);
+    2. per-bucket token totals (tiny: ``n_buckets`` rows) get a cumsum
+       on a single partition — safe because it is bucket-count-sized,
+       not corpus-sized — yielding each bucket's base offset;
+    3. a within-bucket cumsum (window PARTITIONED by bucket) runs in
+       parallel across buckets; base + local - n = global offset.
+
+    Two shuffles of the (id, n) projection — never the text — plus one
+    broadcast-sized join back of bucket bases.
+    """
+    n_tok = F.size(TX.tokens(text_col)).cast("long")
+    slim = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+
+    max_id = slim.agg(F.max(id_col)).first()[0]
+    if max_id is None:
+        return slim.select(
+            id_col,
+            "n_tokens",
+            F.lit(0).cast("long").alias("offset"),
+            F.lit(0).cast("long").alias("first_chunk"),
+            F.lit(0).cast("long").alias("last_chunk"),
+        )
+    span = max(1, (int(max_id) + n_buckets) // n_buckets)
+    with_bucket = slim.withColumn("_b", (F.col(id_col) / span).cast("long"))
+
+    bases = (
+        with_bucket.groupBy("_b")
+        .agg(F.sum("n_tokens").alias("_btot"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_btot").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_base")
+    )
+
+    local = F.sum("n_tokens").over(
+        Window.partitionBy("_b").orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    out = (
+        with_bucket.join(F.broadcast(bases), "_b")
+        .withColumn("offset", (F.col("_base") + local - F.col("n_tokens")).cast("long"))
+        .withColumn("first_chunk", F.floor(F.col("offset") / chunk_len))
+        .withColumn(
+            "last_chunk",
+            F.floor(
+                (F.col("offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / chunk_len
+            ),
+        )
+    )
+    return out.select(id_col, "n_tokens", "offset", "first_chunk", "last_chunk")
+
+
+def pack_firstfit(
+    docs: DataFrame,
+    capacity: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """First-fit-decreasing sequence packing into capacity-bounded bins.
+
+    The padding-free batching style: each document must land whole in
+    one bin (no straddling), bins hold ≤ ``capacity`` tokens. Exact
+    global FFD is inherently sequential, so the distributed form runs
+    FFD independently inside hash buckets — the standard sharded
+    approximation: pack quality degrades only by the per-bucket tail
+    (≤ 1 underfull bin per bucket), while the corpus-sized work
+    parallelizes. Documents longer than ``capacity`` get a bin of their
+    own, flagged ``oversize`` (the caller decides truncate-vs-drop).
+
+    One shuffle of the (id, n_tokens) projection to buckets, then an
+    Arrow-batched applyInPandas doing the in-memory FFD per bucket —
+    state is O(open bins), bounded by bucket token volume / capacity.
+    Global bin ids are (bucket, local_bin) encoded as
+    ``bucket * 2^32 + local``.
+    """
+    import pandas as pd
+
+    n_tok = F.size(TX.tokens(text_col)).cast("long")
+    slim = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("_b"),
+    )
+
+    cap = int(capacity)
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["_b"].iloc[0])
+        fills: list[int] = []  # fill level per open bin
+        assign: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            placed = -1
+            if n <= cap:
+                for i, f in enumerate(fills):
+                    if f + n <= cap:
+                        placed = i
+                        break
+            if placed < 0:
+                fills.append(0)
+                placed = len(fills) - 1
+            fills[placed] += n
+            assign.append(placed)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "bin_id": [bucket * (1 << 32) + a for a in assign],
+                "oversize": [int(n) > cap for n in pdf["n_tokens"]],
+            }
+        )
+
+    schema = (
+        "doc_id long, n_tokens long, bin_id long, oversize boolean"
+    )
+    return slim.groupBy("_b").applyInPandas(_ffd, schema=schema)

@@ -278,3 +278,70 @@ def test_blocklist_filter_drops_blocked_sources(spark):
     plan = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_chunks_offsets_and_straddle(spark):
+    # 3 docs of 3/4/2 tokens, chunk_len=4:
+    # doc1 offset 0 -> chunk 0; doc2 offset 3 -> straddles chunks 0-1;
+    # doc3 offset 7 -> straddles 1-2
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in llm.pack_chunks(docs, chunk_len=4).collect()}
+    assert (out[1]["offset"], out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 0, 0)
+    assert (out[2]["offset"], out[2]["first_chunk"], out[2]["last_chunk"]) == (3, 0, 1)
+    assert (out[3]["offset"], out[3]["first_chunk"], out[3]["last_chunk"]) == (7, 1, 2)
+
+
+def test_pack_chunks_bucketed_prefix_sum_is_exact(spark):
+    # force many tiny buckets so the two-level decomposition is actually
+    # exercised, then compare against the naive driver-side cumsum
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(1, 101)],
+        ["doc_id", "text"],
+    ).repartition(8)
+    out = llm.pack_chunks(docs, chunk_len=10, n_buckets=5)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    running = 0
+    for r in rows:
+        assert r["offset"] == running
+        running += r["n_tokens"]
+
+
+def test_pack_firstfit_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 90 + 1))) for i in range(1, 201)],
+        ["doc_id", "text"],
+    )
+    rows = llm.pack_firstfit(docs, capacity=100, n_buckets=4).collect()
+    # every doc assigned exactly once
+    assert sorted(r["doc_id"] for r in rows) == list(range(1, 201))
+    # per-bin fill respects capacity (no doc here exceeds it)
+    fills = {}
+    for r in rows:
+        assert not r["oversize"]
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(f <= 100 for f in fills.values())
+    # first-fit invariant, per bucket (buckets pack independently):
+    # any two bins in one bucket sum past capacity — when the later bin
+    # opened, the earlier one had no room for its opening item
+    by_bucket: dict[int, list[int]] = {}
+    for bin_id, fill in fills.items():
+        by_bucket.setdefault(bin_id >> 32, []).append(fill)
+    for bucket_fills in by_bucket.values():
+        s = sorted(bucket_fills)
+        assert len(s) <= 1 or s[0] + s[1] > 100
+
+
+def test_pack_firstfit_oversize_isolated(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10)), (2, " ".join(["w"] * 300))],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in llm.pack_firstfit(docs, capacity=100).collect()}
+    assert rows[2]["oversize"] and not rows[1]["oversize"]
+    assert rows[1]["bin_id"] != rows[2]["bin_id"]  # giant doc got its own bin
