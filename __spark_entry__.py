@@ -3267,6 +3267,17 @@ def q_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.pack_firstfit(_t(spark, sf_dir, "documents"), capacity=512)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: train-then-encode round trip (the encode loop is
+    # per-word iterative — not SQL). Deterministic end to end: merges
+    # come from the deterministic trainer, the encoder is rank-greedy
+    # with no RNG. Correctness is pytest-checked against hand-computed
+    # segmentations; the driver sees stable rows/schema.
+    docs = _t(spark, sf_dir, "documents")
+    merges = llm.bpe_train(docs, n_merges=8)
+    return llm.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3399,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "pack_chunks": q_pack_chunks,
         "pack_firstfit": q_pack_firstfit,
+        "bpe_encode": q_bpe_encode,
     }
 
 

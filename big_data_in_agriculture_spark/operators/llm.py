@@ -8,11 +8,15 @@ blowup is confined to within-bucket pairs, which the band/shingle math
 keeps tiny.
 
 Scale notes per operator are inline. All text math is JVM-side Column
-expressions (functions/text.py); nothing here uses a Python UDF.
+expressions (functions/text.py). The only Python islands are the two
+inherently-iterative per-item loops — first-fit bin packing and the
+BPE encoder — both Arrow-batched (applyInPandas / pandas UDF), never
+row-at-a-time.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1310,8 +1314,6 @@ def pack_firstfit(
     Global bin ids are (bucket, local_bin) encoded as
     ``bucket * 2^32 + local``.
     """
-    import pandas as pd
-
     n_tok = F.size(TX.tokens(text_col)).cast("long")
     slim = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -1354,3 +1356,67 @@ def pack_firstfit(
         "doc_id long, n_tokens long, bin_id long, oversize boolean"
     )
     return slim.groupBy("_b").applyInPandas(_ffd, schema=schema)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a trained BPE merge list (the GPT-2 encoder loop).
+
+    Per word: start from characters, repeatedly merge the adjacent pair
+    with the LOWEST merge rank until none applies — the canonical
+    encode that reproduces training-time segmentations. Inherently a
+    per-word loop, so this is one of the few justified Python islands:
+    an Arrow-batched pandas UDF (never row-at-a-time), with the merge
+    table shipped once per executor in the closure (vocab-sized, ~50k
+    entries for real tokenizers — broadcast-scale by construction) and
+    a per-batch distinct-word cache so Zipf-heavy natural text encodes
+    each word once per batch, not once per occurrence.
+
+    Map-only: no shuffle at any scale; composes with ``bpe_train``.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _word_bpe(w: str, cache: dict) -> list[str]:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w)
+        while len(syms) > 1:
+            best_rank = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+            if best_rank is None:
+                break
+            left, right = merges[best_rank]
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[w] = syms
+        return syms
+
+    @F.pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        return texts.map(
+            lambda t: [
+                s for w in (t or "").split(" ") if w for s in _word_bpe(w, cache)
+            ]
+        )
+
+    return docs.select(
+        F.col(id_col),
+        _enc(F.col(text_col)).alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))

@@ -345,3 +345,47 @@ def test_pack_firstfit_oversize_isolated(spark):
     rows = {r["doc_id"]: r for r in llm.pack_firstfit(docs, capacity=100).collect()}
     assert rows[2]["oversize"] and not rows[1]["oversize"]
     assert rows[1]["bin_id"] != rows[2]["bin_id"]  # giant doc got its own bin
+
+
+# ---------------------------------------------------------------------------
+# BPE encode
+# ---------------------------------------------------------------------------
+
+def test_bpe_encode_textbook_segmentation(spark):
+    # Sennrich's example corpus: merges learned on {low, lower, newest,
+    # widest} frequencies produce 'es', 'est', 'lo', 'low' first.
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        ["doc_id", "text"],
+    )
+    merges = llm.bpe_train(docs, n_merges=4)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("l", "o")]
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in llm.bpe_encode(
+        spark.createDataFrame(
+            [(1, "lowest"), (2, "low"), (3, "unseen")], ["doc_id", "text"]
+        ),
+        merges,
+    ).collect()}
+    assert enc[1] == ["low", "est"]        # both merge families apply
+    assert enc[2] == ["low"]               # full word from 'lo'+'w'
+    assert enc[3] == ["u", "n", "s", "e", "e", "n"]  # no merge applies
+
+
+def test_bpe_encode_rank_priority_over_position(spark):
+    # 'ab' has lower rank than 'bc': in 'abc' the encoder must take
+    # 'ab'+'c', not 'a'+'bc', regardless of scan order
+    out = llm.bpe_encode(
+        spark.createDataFrame([(1, "abc")], ["doc_id", "text"]),
+        merges=[("a", "b"), ("b", "c")],
+    ).collect()[0]
+    assert out["bpe_tokens"] == ["ab", "c"]
+    assert out["n_bpe_tokens"] == 2
+
+
+def test_bpe_encode_empty_merges_and_empty_text(spark):
+    out = {r["doc_id"]: r["bpe_tokens"] for r in llm.bpe_encode(
+        spark.createDataFrame([(1, "hi yo"), (2, "")], ["doc_id", "text"]),
+        merges=[],
+    ).collect()}
+    assert out[1] == ["h", "i", "y", "o"]
+    assert out[2] == []
