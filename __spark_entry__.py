@@ -3278,6 +3278,51 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Oracle-backed recall floor for the approximate near-dup pipeline:
+    # byte-identical documents have identical MinHash signatures, agree
+    # in every LSH band, and verify at Jaccard 1.0 — so the pipeline's
+    # output restricted to sha-identical pairs must equal ALL
+    # sha-identical pairs (which plain SQL can enumerate). Any missed
+    # pair = row-count mismatch = recall bug surfaced by the oracle.
+    # The sf0.01 corpus happens to contain no natural byte-identical
+    # texts, so the wrapper plants copies of every 50th doc under
+    # offset ids — non-vacuous at every scale factor.
+    base = _t(spark, sf_dir, "documents")
+    planted = base.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    docs = base.unionByName(planted)
+    found = llm.minhash_neardup_pairs(docs, threshold=0.9, num_perm=64, bands=32)
+    hashed = docs.select(
+        F.col("doc_id"), F.sha2(F.col("text"), 256).alias("_sha")
+    )
+    exact_pairs = (
+        hashed.alias("a")
+        .join(hashed.alias("b"), "_sha")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    return found.join(exact_pairs, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
+    )
+
+
+_MINHASH_RECALL_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 50 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS FLOAT) AS jaccard
+FROM corpus a JOIN corpus b
+  ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3411,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "pack_firstfit": q_pack_firstfit,
         "bpe_encode": q_bpe_encode,
+        "minhash_recall_floor": q_minhash_recall_floor,
     }
 
 
@@ -3534,6 +3580,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "blocklist_filter": _BLOCKLIST_SQL,
         "pack_chunks": _PACK_CHUNKS_SQL,
+        "minhash_recall_floor": _MINHASH_RECALL_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
