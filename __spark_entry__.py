@@ -3323,6 +3323,55 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DoReMi-style mixture rebalancing: three domains, targets 2:1:1.
+    # Each side derives the same rates (N = min(count/target), rate =
+    # target*N/count) with the same IEEE-double expression order, so
+    # thresholds agree bit-exactly; the md5 draw is engine-portable.
+    out = llm.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        targets={"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        strata_col="source",
+    )
+    return out.select("doc_id", "source")
+
+
+_MIXTURE_SQL = """
+WITH t(source, tgt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+c AS (
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN t ON d.source = t.source GROUP BY d.source
+),
+j AS (SELECT c.source, c.n, t.tgt FROM c JOIN t ON c.source = t.source),
+nt AS (SELECT min(n / tgt) AS n_total FROM j),
+r AS (
+    SELECT source,
+           least(tgt * (SELECT n_total FROM nt) / n, 1.0) AS rate
+    FROM j
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.source
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < least(CAST(floor(rate * 4294967296.0) AS BIGINT), 4294967295)
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (k-means is iterative — not one SQL statement), but
+    # deterministic: lowest-id init, fixed iteration count, exact
+    # arithmetic. Copies of every 40th vector are planted under offset
+    # ids; the pytest twin asserts every planted copy is dropped.
+    from big_data_in_agriculture_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 40 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return semantic_dedup(
+        emb.unionByName(planted), k=8, threshold=0.999, max_iter=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3457,6 +3506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_firstfit": q_pack_firstfit,
         "bpe_encode": q_bpe_encode,
         "minhash_recall_floor": q_minhash_recall_floor,
+        "mixture_sample": q_mixture_sample,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3581,6 +3632,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": _BLOCKLIST_SQL,
         "pack_chunks": _PACK_CHUNKS_SQL,
         "minhash_recall_floor": _MINHASH_RECALL_SQL,
+        "mixture_sample": _MIXTURE_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -1420,3 +1420,41 @@ def bpe_encode(
         F.col(id_col),
         _enc(F.col(text_col)).alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance the corpus to target mixture proportions (DoReMi-style).
+
+    Given per-domain target weights, keep the LARGEST deterministic
+    subsample whose domain proportions match them: the achievable total
+    is N = min_s(count_s / target_s) (the scarcest domain binds, and is
+    kept whole), every other domain is thinned to rate_s =
+    target_s · N / count_s via the same md5-threshold Bernoulli draw as
+    ``stratified_sample`` — reproducible, append-stable, pushdown-
+    friendly. Domains absent from ``targets`` are dropped.
+
+    Scale shape: one count aggregate (k rows to the driver — the
+    mixture model is driver-scale by definition), then a pure per-row
+    filter on the corpus scan. Rates are derived with plain IEEE-double
+    arithmetic in a fixed expression order, so any engine recomputing
+    the same formula lands on bit-identical thresholds.
+    """
+    counts = {
+        r[strata_col]: r["n"]
+        for r in docs.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    present = {s: t for s, t in sorted(targets.items()) if s in counts}
+    if not present:
+        return docs.filter(F.lit(False))
+    n_total = min(counts[s] / t for s, t in present.items())
+    rates = {
+        s: min(t * n_total / counts[s], 1.0) for s, t in present.items()
+    }
+    return stratified_sample(docs, rates, strata_col, id_col)

@@ -539,3 +539,57 @@ def kmeans_assign(
     return embeddings.select(
         F.col(id_col), F.array_sort(pairs)[0]["cid"].alias("cluster")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    The modern pre-training pass (Abbas et al. 2023): cluster the
+    corpus with k-means, then — ONLY within each cluster — drop every
+    item that has a cosine-similar neighbor (≥ threshold) with a lower
+    id. The clustering is what makes 100 TB tractable: candidate pairs
+    are confined to a cluster, so the quadratic term is (n/k)² per
+    cluster instead of n² global, and k is chosen to keep clusters
+    machine-sized. Returns surviving (id, cluster) rows.
+
+    Plan shape: the Lloyd iterations touch the corpus once per
+    iteration (partial-aggregate shuffles of k×dim, see kmeans_fit);
+    the dedup itself is one self-join keyed on cluster id — a plain
+    shuffled hash join whose per-key fan-out is the cluster size.
+    Skewed (over-popular) clusters are the known failure mode at
+    scale: raise k, or let AQE skew-split the hot cluster's join.
+    """
+    cents = kmeans_fit(
+        embeddings, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col
+    )
+    assigned = kmeans_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
+    with_vec = assigned.join(
+        embeddings.select(F.col(id_col), _dvec(F.col(vec_col)).alias("_v")),
+        id_col,
+    )
+    a = with_vec.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = with_vec.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+    dupped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dupped, id_col, "left_anti")

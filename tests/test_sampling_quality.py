@@ -234,3 +234,42 @@ def test_bpe_train_deterministic_under_repartition(spark):
     a = bpe_train(docs, n_merges=3)
     b = bpe_train(docs.repartition(7), n_merges=3)
     assert a == b and len(a) == 3
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from big_data_in_agriculture_spark.operators.llm import mixture_sample
+
+    # 400/200/100 docs; targets 1:1:2 -> src2 binds (100/0.5=200 total):
+    # expect ~50/50/100 kept
+    rows = (
+        [(i, "a", "s0") for i in range(400)]
+        + [(i + 1000, "a", "s1") for i in range(200)]
+        + [(i + 2000, "a", "s2") for i in range(100)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = mixture_sample(
+        docs, {"s0": 0.25, "s1": 0.25, "s2": 0.5}, strata_col="source"
+    )
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["s2"] == 100                      # binding domain kept whole
+    assert abs(got["s0"] - 50) <= 15             # md5-Bernoulli around rate
+    assert abs(got["s1"] - 50) <= 15
+    # determinism + append-stability: same draw on a reshuffled frame
+    again = mixture_sample(
+        docs.repartition(13), {"s0": 0.25, "s1": 0.25, "s2": 0.5},
+        strata_col="source",
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+
+
+def test_mixture_sample_absent_domain_dropped(spark):
+    from big_data_in_agriculture_spark.operators.llm import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b")], ["doc_id", "text", "source"]
+    )
+    out = mixture_sample(docs, {"a": 1.0}, strata_col="source")
+    assert [r["doc_id"] for r in out.collect()] == [1]

@@ -164,3 +164,35 @@ def test_kmeans_deterministic_across_runs(spark):
     import numpy as np
 
     assert np.allclose(np.array(a), np.array(b), atol=1e-9)
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_in_agriculture_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    out = semantic_dedup(emb.unionByName(planted), k=4, threshold=0.999, max_iter=3)
+    ids = {r["vec_id"] for r in out.collect()}
+    # every planted byte-identical copy has a lower-id twin in the same
+    # cluster at cosine 1.0 -> all dropped; the survivor set is exactly
+    # the original corpus (no natural pair reaches 0.999 here)
+    assert all(i < 1000000 for i in ids)
+    assert len(ids) == n
+
+
+def test_semantic_dedup_keeps_distinct_vectors(spark):
+    from big_data_in_agriculture_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.001]), (4, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = semantic_dedup(emb, k=2, threshold=0.999, max_iter=3)
+    ids = sorted(r["vec_id"] for r in out.collect())
+    # 3 is a near-dup of 1 (cos ~0.9999995) -> dropped; others survive
+    assert ids == [1, 2, 4]
