@@ -295,5 +295,59 @@ PROBES["cdc_20m"] = probe_cdc
 PROBES["cumulative_users_20m"] = probe_cumulative_users
 
 
+
+def probe_line_dedup(spark, docs=200_000, lines_per_doc=12):
+    """Line-level dedup at 200k multi-line docs (~2.4M lines).
+
+    10% of lines draw from a tiny boilerplate pool (hot keys); the rest
+    are unique per (doc, pos). Stresses both shuffles: the
+    count_distinct aggregate on the line and the per-doc reassembly.
+    """
+    from big_data_in_agriculture_spark.operators.llm import line_dedup
+
+    doc = spark.range(docs)
+    mk_line = (
+        F.when(
+            (F.col("pos") % 10) == 0,
+            F.concat(F.lit("boiler-"), (F.col("pos") % 7).cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("uniq-"), F.col("doc_id").cast("string"),
+                F.lit("-"), F.col("pos").cast("string"),
+            )
+        )
+    )
+    docs_df = (
+        doc.select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(lines_per_doc - 1))).alias("pos"),
+        )
+        .select("doc_id", mk_line.alias("line"))
+        .groupBy("doc_id")
+        .agg(F.concat_ws("\n", F.collect_list("line")).alias("text"))
+    )
+    return line_dedup(docs_df, min_docs=2)
+
+
+def probe_pack_chunks(spark, docs=50_000_000):
+    """Two-level prefix sum over 50M docs — the no-global-window path."""
+    from big_data_in_agriculture_spark.operators.llm import pack_chunks
+
+    # pack_chunks only touches (id, n_tokens); feed a 1-token text and
+    # override n via a synthetic column path: build tiny texts of
+    # varying token counts arithmetically
+    docs_df = spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        # 1-8 single-char tokens; array_repeat+concat_ws stays JVM-side
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 8 + 1).cast("int"))).alias("text"),
+    )
+    return pack_chunks(docs_df, chunk_len=512, n_buckets=1024)
+
+
+PROBES["line_dedup_200k"] = probe_line_dedup
+PROBES["pack_chunks_50m"] = probe_pack_chunks
+
+
 if __name__ == "__main__":
     sys.exit(main())
