@@ -3372,6 +3372,117 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-2 composition over the NEW operators (the curation_pipeline
+    # twin covers sample→quality→dedup→contamination→split): planted
+    # boilerplate stripped by line-level dedup → source blocklist →
+    # mixture rebalance to target domain weights → concat-and-chunk
+    # packing offsets → per-source summary. One declarative plan; the
+    # oracle replays every stage in SQL, including re-deriving the
+    # mixture rates from the post-filter counts.
+    base = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    boiled = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter\n"),
+            F.col("text"),
+            F.lit("\n(c) example corp - all rights reserved"),
+        ).alias("text"),
+    )
+    cleaned = llm.line_dedup(boiled, min_docs=2).join(
+        base.select("doc_id", "source"), "doc_id"
+    )
+    bl = spark.createDataFrame([("src3",), ("src7",), ("src15",)], ["source"])
+    # Cut the lineage here: two downstream stages derive driver-side
+    # scalars (mixture counts, pack's max-id) and would otherwise each
+    # re-execute the whole dedup chain. At warehouse scale this is the
+    # natural "cleaned corpus" materialization point.
+    allowed = llm.blocklist_filter(cleaned, bl).localCheckpoint(eager=False)
+    mixed = llm.mixture_sample(
+        allowed,
+        targets={"src1": 0.5, "src2": 0.25, "src4": 0.25},
+        strata_col="source",
+    )
+    packed = llm.pack_chunks(mixed, chunk_len=256)
+    return (
+        packed.join(mixed.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("last_chunk").alias("max_chunk"),
+        )
+        .orderBy("source")
+    )
+
+
+_PREPROCESS_SQL = """
+WITH boiled AS (
+    SELECT doc_id,
+           'subscribe to our newsletter' || chr(10) || text || chr(10) ||
+           '(c) example corp - all rights reserved' AS text
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+           unnest(string_split(text, chr(10))) AS line
+    FROM boiled
+),
+freq AS (
+    SELECT line
+    FROM (SELECT line, count(DISTINCT doc_id) AS n FROM lines GROUP BY 1)
+    WHERE n >= 2
+),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM freq)),
+rebuilt AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+),
+allowed AS (
+    SELECT r.doc_id, d.source, r.text
+    FROM rebuilt r JOIN documents d ON r.doc_id = d.doc_id
+    WHERE d.source NOT IN ('src3', 'src7', 'src15')
+),
+t(source, tgt) AS (VALUES ('src1', 0.5), ('src2', 0.25), ('src4', 0.25)),
+c AS (
+    SELECT a.source, CAST(count(*) AS BIGINT) AS n
+    FROM allowed a JOIN t ON a.source = t.source GROUP BY a.source
+),
+j AS (SELECT c.source, c.n, t.tgt FROM c JOIN t ON c.source = t.source),
+nt AS (SELECT min(n / tgt) AS n_total FROM j),
+r AS (
+    SELECT source,
+           least(tgt * (SELECT n_total FROM nt) / n, 1.0) AS rate
+    FROM j
+),
+mixed AS (
+    SELECT a.doc_id, a.source, a.text
+    FROM allowed a JOIN r ON a.source = r.source
+    WHERE ('0x' || substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < least(CAST(floor(rate * 4294967296.0) AS BIGINT), 4294967295)
+),
+toks AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM mixed
+),
+o AS (
+    SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS off
+    FROM toks
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(floor((off + greatest(n_tokens, 1) - 1) / 256.0)) AS BIGINT)
+           AS max_chunk
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3508,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall_floor": q_minhash_recall_floor,
         "mixture_sample": q_mixture_sample,
         "semantic_dedup": q_semantic_dedup,
+        "preprocess_pipeline": q_preprocess_pipeline,
     }
 
 
@@ -3633,6 +3745,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _PACK_CHUNKS_SQL,
         "minhash_recall_floor": _MINHASH_RECALL_SQL,
         "mixture_sample": _MIXTURE_SQL,
+        "preprocess_pipeline": _PREPROCESS_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
