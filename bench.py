@@ -54,7 +54,22 @@ def main() -> int:
 
     from big_data_in_agriculture_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # Size shuffle partitions to the DATA, not the machine: ~8 MB of
+    # compressed parquet (~64 MB in-memory) per reduce task — the same
+    # rule a 100 TB deployment applies, which at bench scale stops
+    # paying launch overhead for reduce tasks with ~1 MB of input.
+    # Floor keeps local[cpus] parallel on tiny inputs; AQE still
+    # coalesces below the floor when a stage is smaller than that.
+    import glob as _glob
+
+    total_bytes = sum(
+        os.path.getsize(f) for f in _glob.glob(os.path.join(sf_dir, "*.parquet"))
+    )
+    shuffle_parts = int(max(8, min(2048, total_bytes // (8 << 20))))
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=shuffle_parts
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
