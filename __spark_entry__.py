@@ -62,7 +62,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Drift guard (same lesson as events.ts): if a driver generation
+    # stores date-grain columns as parquet DATE instead of TIMESTAMP,
+    # normalize to timestamp — Spark DateType → pandas `date` objects
+    # while DuckDB DATE → pandas Timestamps, so raw dates hash-mismatch
+    # on identical days. No-op on the current micros layout.
+    from pyspark.sql.types import DateType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, DateType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------

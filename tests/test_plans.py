@@ -192,3 +192,37 @@ def test_check_constraints_single_scan(spark, em):
     plan = explain.formatted_plan(df)
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "Join" not in plan
+
+
+def test_line_dedup_broadcasts_frequent_lines(spark, em):
+    # the corpus-filtering anti-join must be broadcast (the frequent-
+    # line set is tiny by construction) — a sort-merge anti-join would
+    # shuffle the whole exploded corpus a second time
+    df = em.q_line_dedup(spark, SF)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    explain.assert_no_cartesian(df)
+
+
+def test_pack_chunks_no_full_data_global_window(spark, em):
+    # the prefix sum must be two-level: the only single-partition
+    # exchange feeds the bucket-totals cumsum (bucket-count-sized
+    # aggregate output), never the raw (id, n_tokens) rows
+    import re
+
+    df = em.q_pack_chunks(spark, SF)
+    plan = explain.formatted_plan(df)
+    singles = re.findall(r"Arguments: SinglePartition", plan)
+    assert len(singles) <= 1
+    # the per-doc window partitions by bucket (parallel), so a
+    # hash-partitioned exchange must exist alongside
+    assert "Arguments: hashpartitioning" in plan
+
+
+def test_mixture_sample_is_scan_side_filter(spark, em):
+    # after the driver-side rate derivation, the corpus pass is a pure
+    # filter — same shape contract as stratified_sample
+    df = em.q_mixture_sample(spark, SF)
+    plan = explain.formatted_plan(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate"):
+        assert node not in plan
