@@ -3494,6 +3494,37 @@ FROM o GROUP BY 1 ORDER BY 1
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAG-style overlapping windows: 64-token chunks, 16-token overlap
+    # (stride 48). Map-only array math — the oracle replays the same
+    # start-offset arithmetic with DuckDB list comprehensions.
+    return llm.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+_CHUNK_DOCS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+st AS (
+    SELECT doc_id, tk,
+           [s FOR s IN range(0, greatest(len(tk), 1), 48)
+              IF s < greatest(len(tk) - 16, 1)] AS starts
+    FROM t
+),
+e AS (
+    SELECT doc_id, tk,
+           generate_subscripts(starts, 1) - 1 AS chunk_idx,
+           unnest(starts) AS s
+    FROM st
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text,
+       CAST(len(tk[s + 1 : s + 64]) AS BIGINT) AS n_chunk_tokens
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3631,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "semantic_dedup": q_semantic_dedup,
         "preprocess_pipeline": q_preprocess_pipeline,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -3757,6 +3789,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_recall_floor": _MINHASH_RECALL_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "preprocess_pipeline": _PREPROCESS_SQL,
+        "chunk_documents": _CHUNK_DOCS_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -1458,3 +1458,51 @@ def mixture_sample(
         s: min(t * n_total / counts[s], 1.0) for s, t in present.items()
     }
     return stratified_sample(docs, rates, strata_col, id_col)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows (RAG chunking).
+
+    Each document yields ceil(max(n - overlap, 1) / stride) chunks of up
+    to ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens (stride = chunk_tokens - overlap). Emits
+    (id, chunk_idx, chunk_text, n_chunk_tokens) — the unit an embedding
+    or retrieval pipeline indexes.
+
+    Pure array math, map-only: tokens are split once, window starts come
+    from ``sequence(0, n-1, stride)`` filtered to real starts, and each
+    chunk is a ``slice`` + ``array_join`` over the same token array —
+    one posexplode, no shuffle, no Python. Output row count scales with
+    corpus token volume / stride, the same factor the downstream index
+    pays by construction.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = TX.tokens(text_col)
+    n = F.size(toks)
+    # start offsets 0, stride, 2*stride, … that begin a NEW chunk: a
+    # start is real while start < max(n - overlap, 1) (the final chunk
+    # may be short but never a pure-overlap tail duplicate)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < F.greatest(n - F.lit(overlap), F.lit(1)),
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

@@ -389,3 +389,53 @@ def test_bpe_encode_empty_merges_and_empty_text(spark):
     ).collect()}
     assert out[1] == ["h", "i", "y", "o"]
     assert out[2] == []
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_overlap_and_tail(spark):
+    # 10 tokens, chunks of 4, overlap 2 (stride 2): starts 0,2,4,6
+    # (start 8 would be pure overlap: 8 >= 10-2), last chunk short
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        llm.chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9",
+    ]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 4]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(1, "a b"), (2, "c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           llm.chunk_documents(docs, chunk_tokens=8, overlap=2).collect()}
+    assert out[1]["chunk_text"] == "a b" and out[1]["chunk_idx"] == 0
+    assert out[2]["n_chunk_tokens"] == 1
+    assert len(out) == 2  # exactly one chunk each
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        llm.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_reconstruction(spark):
+    # stride-concatenation of chunks (dropping each chunk's leading
+    # overlap after the first) must reproduce the original text
+    text = " ".join(f"w{i}" for i in range(23))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        llm.chunk_documents(docs, chunk_tokens=8, overlap=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = rows[0]["chunk_text"].split(" ")
+    for r in rows[1:]:
+        rebuilt.extend(r["chunk_text"].split(" ")[3:])
+    assert " ".join(rebuilt) == text
