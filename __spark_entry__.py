@@ -3525,6 +3525,50 @@ FROM e
 """
 
 
+def q_crosscorpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup against "previously released" data: every 3rd doc plays the
+    # reference corpus; survivors are docs whose normalized fingerprint
+    # never appears there.
+    docs = _t(spark, sf_dir, "documents")
+    reference = docs.filter(F.col("doc_id") % 3 == 0)
+    return llm.crosscorpus_dedup(docs, reference).select("doc_id", "source")
+
+
+_CROSSCORPUS_SQL = """
+WITH fp AS (
+    SELECT doc_id, source,
+           sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+    FROM documents
+)
+SELECT doc_id, source FROM fp
+WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 3 = 0)
+"""
+
+
+def q_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drop the worst 20% by score; both engines compute the identical
+    # linear-interpolation percentile over the identical double scores
+    # (percentile ≡ quantile_cont — parity already proven by the
+    # `percentiles` query), so the cutoff and the kept set agree.
+    out = llm.quality_floor_filter(_t(spark, sf_dir, "documents"), drop_frac=0.2)
+    return out.select("doc_id", "n_chars")
+
+
+_QUALITY_FLOOR_SQL = """
+WITH scored AS (
+    SELECT doc_id, n_chars,
+           ((CAST(length(text) AS DOUBLE)
+             - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS q
+    FROM documents
+)
+SELECT doc_id, n_chars FROM scored
+WHERE q >= (SELECT quantile_cont(q, 0.2) FROM scored)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3663,6 +3707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "preprocess_pipeline": q_preprocess_pipeline,
         "chunk_documents": q_chunk_documents,
+        "crosscorpus_dedup": q_crosscorpus_dedup,
+        "quality_floor": q_quality_floor,
     }
 
 
@@ -3790,6 +3836,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _MIXTURE_SQL,
         "preprocess_pipeline": _PREPROCESS_SQL,
         "chunk_documents": _CHUNK_DOCS_SQL,
+        "crosscorpus_dedup": _CROSSCORPUS_SQL,
+        "quality_floor": _QUALITY_FLOOR_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

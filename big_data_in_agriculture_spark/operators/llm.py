@@ -1506,3 +1506,55 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def crosscorpus_dedup(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents whose normalized content already exists in another
+    corpus (dedup against previously-released/trained data).
+
+    Identity is the whitespace/case-normalized sha256 fingerprint, so
+    formatting variants of an already-seen page are caught. The
+    reference side collapses to its DISTINCT fingerprint set first —
+    one hash aggregate on uniform 64-hex keys — and the new corpus
+    anti-joins against it. When the reference fingerprint set fits the
+    broadcast threshold the corpus never shuffles; past it, Spark plans
+    a shuffled anti-join on the same uniform key — either way nothing
+    quadratic and no skew by construction.
+    """
+    ref_fp = reference.select(TX.fingerprint(text_col).alias("_fp")).distinct()
+    return (
+        docs.withColumn("_fp", TX.fingerprint(text_col))
+        .join(ref_fp, "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
+def quality_floor_filter(
+    docs: DataFrame,
+    drop_frac: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents at or above the ``drop_frac`` quality quantile.
+
+    Dynamic thresholding — "drop the worst 20%" — instead of a fixed
+    rule stack: score every doc with the cheap quality heuristic, take
+    the exact corpus quantile (linear interpolation, the same
+    percentile_cont definition DuckDB uses), keep scores ≥ cutoff.
+
+    Scale shape: one aggregate computes the cutoff scalar (exact
+    percentile sorts per-group state — the corpus collapses to scores
+    first, doubles only), which is baked into a scan-side filter for
+    the keep pass. Two scans, zero joins; ties at the cutoff are kept
+    on both engines (>= on the identical double).
+    """
+    scored = docs.withColumn("_q", TX.quality_score(text_col))
+    cutoff = scored.agg(
+        F.expr(f"percentile(_q, {float(drop_frac)!r})").alias("c")
+    ).first()["c"]
+    return scored.filter(F.col("_q") >= float(cutoff)).drop("_q")

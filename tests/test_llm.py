@@ -439,3 +439,30 @@ def test_chunk_documents_reconstruction(spark):
     for r in rows[1:]:
         rebuilt.extend(r["chunk_text"].split(" ")[3:])
     assert " ".join(rebuilt) == text
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus dedup + quality floor
+# ---------------------------------------------------------------------------
+
+def test_crosscorpus_dedup_catches_formatting_variants(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "fresh content"), (3, "other things")],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [(100, "hello world")], ["doc_id", "text"]  # normalized match of 1
+    )
+    kept = sorted(r["doc_id"] for r in llm.crosscorpus_dedup(docs, ref).collect())
+    assert kept == [2, 3]
+
+
+def test_quality_floor_drops_worst_fraction(spark):
+    # 8 normal docs + 2 degenerate (single repeated token -> low score)
+    rows = [(i, f"alpha beta gamma{i} delta epsilon") for i in range(8)]
+    rows += [(90, "x x x x x"), (91, "y y y y y")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"] for r in llm.quality_floor_filter(docs, drop_frac=0.2).collect()
+    )
+    assert kept == list(range(8))  # exactly the degenerate pair dropped
