@@ -3569,6 +3569,42 @@ WHERE q >= (SELECT quantile_cont(q, 0.2) FROM scored)
 """
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collocation detection: top-20 bigrams by PMI (min count 5);
+    # per-row ln over identical doubles, float cast before ranking,
+    # lexicographic tie-break — engine-deterministic top-k.
+    return llm.bigram_pmi(_t(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+_BIGRAM_PMI_SQL = """
+WITH t AS (
+    SELECT doc_id, ['<s>'] || string_split(text, ' ') AS tk FROM documents
+),
+big AS (
+    SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+                   FOR i IN range(1, greatest(len(tk), 1))]) AS p
+    FROM t
+),
+bg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM big),
+bc0 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+cc AS (SELECT w1, sum(c12) AS c1 FROM bc0 GROUP BY 1),
+bc AS (
+    SELECT bc0.w1, bc0.w2, bc0.c12, cc.c1
+    FROM bc0 JOIN cc ON bc0.w1 = cc.w1
+    WHERE bc0.w1 <> '<s>'
+),
+c2t AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY 1),
+tt AS (SELECT sum(c12) AS tot FROM bc)
+SELECT bc.w1, bc.w2, bc.c12,
+       CAST(ln(CAST(bc.c12 AS DOUBLE) * CAST(tot AS DOUBLE)
+               / (CAST(bc.c1 AS DOUBLE) * CAST(c2t.c2 AS DOUBLE))) AS FLOAT)
+           AS pmi
+FROM bc JOIN c2t ON bc.w2 = c2t.w2 CROSS JOIN tt
+WHERE bc.c12 >= 5
+ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3709,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "crosscorpus_dedup": q_crosscorpus_dedup,
         "quality_floor": q_quality_floor,
+        "bigram_pmi": q_bigram_pmi,
     }
 
 
@@ -3838,6 +3875,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _CHUNK_DOCS_SQL,
         "crosscorpus_dedup": _CROSSCORPUS_SQL,
         "quality_floor": _QUALITY_FLOOR_SQL,
+        "bigram_pmi": _BIGRAM_PMI_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

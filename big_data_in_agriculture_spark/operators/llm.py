@@ -1558,3 +1558,41 @@ def quality_floor_filter(
         F.expr(f"percentile(_q, {float(drop_frac)!r})").alias("c")
     ).first()["c"]
     return scored.filter(F.col("_q") >= float(cutoff)).drop("_q")
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information.
+
+    Phrase detection (the word2vec-phrases / NLTK collocation move):
+    PMI(w1,w2) = ln( c12 · T / (c1 · c2) ), where T is the total bigram
+    count and c1/c2 are the left/right context totals — computed on the
+    ALREADY-collapsed bigram table from ``bigram_counts`` (vocab²-sparse),
+    so the corpus is scanned once and every downstream aggregate is
+    vocabulary-sized. ``min_count`` suppresses the low-frequency noise
+    PMI is notorious for; ties break lexicographically for determinism.
+    """
+    bc = bigram_counts(docs, text_col).filter(F.col("w1") != "<s>")
+    c2 = bc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = bc.agg(F.sum("c12").alias("_t"))
+    pmi = (
+        bc.join(c2, "w2")
+        .join(F.broadcast(tot))
+        .filter(F.col("c12") >= int(min_count))
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("c12").cast("double") * F.col("_t").cast("double")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).cast("float"),
+        )
+    )
+    return (
+        pmi.select("w1", "w2", "c12", "pmi")
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

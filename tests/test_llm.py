@@ -466,3 +466,28 @@ def test_quality_floor_drops_worst_fraction(spark):
         r["doc_id"] for r in llm.quality_floor_filter(docs, drop_frac=0.2).collect()
     )
     assert kept == list(range(8))  # exactly the degenerate pair dropped
+
+
+def test_bigram_pmi_finds_collocation(spark):
+    # "new york" always co-occurs (c12=c1=c2) while filler words pair
+    # freely -> the collocation gets the highest PMI
+    base = "the a of to in and for on"
+    docs = spark.createDataFrame(
+        [(i, f"{base} new york {base}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    rows = llm.bigram_pmi(docs, min_count=5, k=3).collect()
+    assert (rows[0]["w1"], rows[0]["w2"]) == ("new", "york")
+    import math
+    # PMI = ln(c12*T/(c1*c2)) with c12=c1=c2=6 -> ln(T/6)
+    total = 6 * 17  # 18 tokens per doc -> 17 non-BOS bigrams x 6 docs
+    assert abs(rows[0]["pmi"] - math.log(total / 6)) < 1e-6
+
+
+def test_bigram_pmi_min_count_suppresses_rare(spark):
+    docs = spark.createDataFrame(
+        [(1, "rare pair"), (2, "common x common x common x common x common x")],
+        ["doc_id", "text"],
+    )
+    rows = llm.bigram_pmi(docs, min_count=5, k=10).collect()
+    assert all((r["w1"], r["w2"]) != ("rare", "pair") for r in rows)
