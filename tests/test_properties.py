@@ -258,3 +258,83 @@ def test_winsorize_bounds_and_interior(spark, vals):
     mid = len(vals) // 2
     if len(vals) % 2 == 1:
         assert math.isclose(s_out[mid], s_in[mid], rel_tol=1e-9, abs_tol=1e-4)
+
+
+@given(
+    n_toks=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    chunk_len=st.integers(min_value=2, max_value=16),
+)
+@SLOW
+def test_pack_chunks_offsets_partition_token_stream(spark, n_toks, chunk_len):
+    from big_data_in_agriculture_spark.operators.llm import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(n_toks)],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        pack_chunks(docs, chunk_len=chunk_len, n_buckets=4).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # offsets are the exact running sum in id order (note: "" splits to
+    # one empty token, so every doc contributes >= 1)
+    running = 0
+    for r in rows:
+        assert r["offset"] == running
+        running += r["n_tokens"]
+        assert r["first_chunk"] == r["offset"] // chunk_len
+        last = (r["offset"] + max(r["n_tokens"], 1) - 1) // chunk_len
+        assert r["last_chunk"] == last
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1, max_size=5,
+        ).map(lambda ls: "\n".join(ls)),
+        min_size=1, max_size=10,
+    )
+)
+@SLOW
+def test_line_dedup_identity_when_threshold_unreachable(spark, texts):
+    from big_data_in_agriculture_spark.operators.llm import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    # min_docs above the corpus size -> nothing can be boilerplate ->
+    # every doc reassembles to itself (order preservation round trip)
+    out = {r["doc_id"]: r["text"] for r in
+           line_dedup(docs, min_docs=len(texts) + 1).collect()}
+    assert out == {i: t for i, t in enumerate(texts)}
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40)
+        .map(lambda cs: " ".join(cs)),
+        min_size=1, max_size=8,
+    ),
+    chunk=st.integers(min_value=3, max_value=10),
+    overlap=st.integers(min_value=0, max_value=2),
+)
+@SLOW
+def test_chunk_documents_covers_and_reconstructs(spark, texts, chunk, overlap):
+    from big_data_in_agriculture_spark.operators.llm import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    by_doc: dict[int, list] = {}
+    for r in chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        # stride-reconstruction returns the original token stream
+        rebuilt = rows[0]["chunk_text"].split(" ")
+        for r in rows[1:]:
+            rebuilt.extend(r["chunk_text"].split(" ")[overlap:])
+        assert " ".join(rebuilt) == t
+        # every chunk except the last is full-size
+        assert all(r["n_chunk_tokens"] == chunk for r in rows[:-1])
