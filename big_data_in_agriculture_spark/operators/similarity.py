@@ -97,6 +97,30 @@ def knn_bruteforce(
     )
 
 
+def _centroid_dist_pairs(vec, cents: list[list[float]]) -> F.Column:
+    """(squared-distance, cid) structs against a centroid model.
+
+    The whole centroid table ships as ONE nested-array literal and the
+    per-centroid math runs inside a single ``transform`` — O(1) plan
+    nodes regardless of centroid count (the per-centroid expression-tree
+    formulation grew the plan by k×dim nodes, capping usable k), while
+    staying a pure map-side projection: no join, no shuffle, at any
+    corpus size. argmin = ``array_sort(...)[0]`` with the cid as the
+    deterministic tie-break.
+    """
+    return F.transform(
+        F.lit([[float(x) for x in c] for c in cents]),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(_dvec(vec), c, lambda a, b: a - b),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+
+
 def _hyperplane(seed: int, table: int, bit: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (no RNG state, no numpy
     on executors): component j = a zig-zag hash of (seed, table, bit, j)
@@ -255,25 +279,14 @@ def knn_ivf(
     cent_rows = (
         corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
     )
-    cents = [
-        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(cent_rows)
-    ]
+    cents = [[float(x) for x in row[vec_col]] for row in cent_rows]
 
-    def dist2(vec, cent: list[float]) -> F.Column:
-        c = F.array(*[F.lit(x) for x in cent])
-        diff = F.zip_with(_dvec(vec), c, lambda a, b: a - b)
-        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
-
-    # argmin / top-probe via ONE array_sort over (d, cid) structs — a
-    # chained when(closer, …) fold would nest each step's full distance
-    # tree inside the next (exponential expression blowup → driver OOM).
+    # argmin / top-probe via ONE array_sort over (d, cid) structs from a
+    # single nested-array centroid literal (_centroid_dist_pairs): the
+    # plan stays O(1) nodes however many cells the index has, and the
+    # assignment remains a map-only projection.
     def dist_pairs(vec) -> F.Column:
-        return F.array(
-            *[
-                F.struct(dist2(vec, cvec).alias("d"), F.lit(cid).alias("cid"))
-                for cid, cvec in cents
-            ]
-        )
+        return _centroid_dist_pairs(vec, cents)
 
     assigned = _fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
@@ -459,23 +472,7 @@ def kmeans_fit(
     cents = [[float(x) for x in r[vec_col]] for r in init]
 
     def dist_pairs(vec, cent_list) -> F.Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            _dvec(vec),
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda a, b: a - b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x * x,
-                    ).alias("d"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(cent_list)
-            ]
-        )
+        return _centroid_dist_pairs(vec, cent_list)
 
     dim = len(cents[0])
     for _ in range(max_iter):
@@ -519,23 +516,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid — pure projection."""
-    pairs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        _dvec(F.col(vec_col)),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: a - b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x * x,
-                ).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    pairs = _centroid_dist_pairs(F.col(vec_col), centroids)
     return embeddings.select(
         F.col(id_col), F.array_sort(pairs)[0]["cid"].alias("cluster")
     )
