@@ -59,3 +59,55 @@ def test_schema_evolution_new_column(spark, tmp_path):
     back = spark.read.parquet(path)
     got = {r["region"]: (r["t2m"], r["tp"]) for r in back.collect()}
     assert got["a"] == (1.0, None) and got["b"] == (2.0, 3.5)
+
+
+# ---------------------------------------------------------------------------
+# Partition-sliced upsert
+# ---------------------------------------------------------------------------
+
+def test_partitioned_upsert_only_touches_affected_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from big_data_in_agriculture_spark.sources.upsert import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "mart")
+    base = spark.createDataFrame(
+        [("r1", 1, 10.0), ("r1", 2, 20.0), ("r2", 1, 30.0), ("r3", 1, 40.0)],
+        ["region", "seq", "v"],
+    )
+    upsert_parquet_partitioned(spark, base, path, ["region", "seq"], ["region"])
+
+    untouched = sorted(glob.glob(f"{path}/region=r3/*.parquet"))
+    mtimes = [os.path.getmtime(f) for f in untouched]
+
+    # update one key in r1, insert a new key in r2; r3 must not move
+    batch = spark.createDataFrame(
+        [("r1", 2, 99.0), ("r2", 7, 70.0)], ["region", "seq", "v"]
+    )
+    n = upsert_parquet_partitioned(spark, batch, path, ["region", "seq"], ["region"])
+    assert n == 4  # merged slice: r1 (2 rows) + r2 (2 rows)
+
+    got = {(r["region"], r["seq"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("r1", 1): 10.0, ("r1", 2): 99.0, ("r2", 1): 30.0,
+                   ("r2", 7): 70.0, ("r3", 1): 40.0}
+    after = sorted(glob.glob(f"{path}/region=r3/*.parquet"))
+    assert after == untouched
+    assert [os.path.getmtime(f) for f in after] == mtimes
+
+
+def test_partitioned_upsert_idempotent_reload(spark, tmp_path):
+    from big_data_in_agriculture_spark.sources.upsert import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "mart")
+    batch = spark.createDataFrame(
+        [("r1", 1, 1.0), ("r2", 1, 2.0)], ["region", "seq", "v"]
+    )
+    for _ in range(2):  # replay the same load — converges, no dup rows
+        upsert_parquet_partitioned(spark, batch, path, ["region", "seq"], ["region"])
+    df = spark.read.parquet(path)
+    assert df.count() == 2
