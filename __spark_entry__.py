@@ -3605,6 +3605,24 @@ ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dataset-card rollup: by-lang / by-source / cross / overall in one
+    # scan (grouping sets). gid disambiguates set membership so NULL
+    # group labels are unambiguous on both engines.
+    return llm.corpus_report(_t(spark, sf_dir, "documents"))
+
+
+_CORPUS_REPORT_SQL = """
+SELECT lang, source,
+       GROUPING(lang, source) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+ORDER BY gid, lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3746,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosscorpus_dedup": q_crosscorpus_dedup,
         "quality_floor": q_quality_floor,
         "bigram_pmi": q_bigram_pmi,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -3876,6 +3895,7 @@ def oracle_sql() -> dict[str, str]:
         "crosscorpus_dedup": _CROSSCORPUS_SQL,
         "quality_floor": _QUALITY_FLOOR_SQL,
         "bigram_pmi": _BIGRAM_PMI_SQL,
+        "corpus_report": _CORPUS_REPORT_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

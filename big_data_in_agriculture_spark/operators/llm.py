@@ -1596,3 +1596,30 @@ def bigram_pmi(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dataset-card rollup: doc/token totals by lang, by source, by
+    (lang, source), and overall — ONE scan via GROUPING SETS.
+
+    Four separate groupBys would scan the corpus four times; the
+    grouping-sets Expand emits the combinations from a single pass and
+    partial aggregation keeps the shuffle at (distinct groups × sets)
+    rows. ``grouping_id`` disambiguates which set a row belongs to
+    (NULL group values vs genuinely-null data).
+    """
+    nt = TX.n_tokens(text_col)
+    return (
+        docs.select("lang", "source", nt.alias("_nt"))
+        .groupingSets(
+            [["lang"], ["source"], ["lang", "source"], []],
+            "lang",
+            "source",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+        )
+        .orderBy("gid", "lang", "source")
+    )

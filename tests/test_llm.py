@@ -491,3 +491,18 @@ def test_bigram_pmi_min_count_suppresses_rare(spark):
     )
     rows = llm.bigram_pmi(docs, min_count=5, k=10).collect()
     assert all((r["w1"], r["w2"]) != ("rare", "pair") for r in rows)
+
+
+def test_corpus_report_grouping_sets(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s1"), (2, "c", "en", "s2"), (3, "d e f", "de", "s1")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    rows = llm.corpus_report(docs).collect()
+    by_key = {(r["lang"], r["source"], r["gid"]): (r["n_docs"], r["total_tokens"])
+              for r in rows}
+    assert by_key[("en", None, 1)] == (2, 3)        # by-lang set
+    assert by_key[(None, "s1", 2)] == (2, 5)        # by-source set
+    assert by_key[("de", "s1", 0)] == (1, 3)        # cross set
+    assert by_key[(None, None, 3)] == (3, 6)        # grand total
+    assert len(rows) == 2 + 2 + 3 + 1
