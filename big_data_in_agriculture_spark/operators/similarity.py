@@ -155,24 +155,6 @@ def lsh_bucket(
     return bucket
 
 
-def _plane_table(
-    spark, dim: int, num_tables: int, num_bits: int, seed: int = 42
-):
-    """The LSH hyperplanes as a tiny broadcastable DataFrame.
-
-    Baking num_tables×num_bits×dim literals into the plan (the
-    expression-tree formulation) makes plan compilation dominate on
-    one-shot queries; as a 32-row broadcast table the plan stays small
-    and the same dots run as data-side arithmetic.
-    """
-    rows = [
-        (t, b, _hyperplane(seed, t, b, dim))
-        for t in range(num_tables)
-        for b in range(num_bits)
-    ]
-    return spark.createDataFrame(rows, ["tbl", "bit", "plane"])
-
-
 def _bucketize(
     df: DataFrame,
     side: str,
@@ -182,30 +164,44 @@ def _bucketize(
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
-    """(id, vec, tbl, bucket) rows via a broadcast join with the planes.
+    """(id, vec, tbl, bucket) rows — MAP-ONLY, zero shuffles.
 
-    One row per (vector, table, bit) before the partial-aggregated
-    groupBy packs sign bits into bucket ids — standard LSH fan-out,
-    shuffle payload one row per (vector, table).
+    All num_tables×num_bits hyperplanes ship as ONE nested-array
+    literal (a single plan node, like the IVF centroid model); each
+    table's bucket id packs its sign bits via zip_with against a 2^b
+    weight array, inside one ``transform`` over the plane table. The
+    per-vector output is the num_tables-long bucket array, exploded to
+    (tbl, bucket) rows. Earlier formulations measured worse: per-bit
+    expression trees made plan compilation dominate one-shot queries,
+    and the broadcast-join + groupBy bit-packing variant paid a
+    (vector × table)-row shuffle per side — this form has no exchange
+    at all before the candidate join, so bucketing scales as pure scan
+    parallelism at any corpus size.
     """
-    planes = _plane_table(df.sparkSession, dim, num_tables, num_bits)
-    tagged = _fan_out(df).select(
-        F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"{side}_vec")
+    planes_lit = F.lit(
+        [
+            [_hyperplane(42, t, b, dim) for b in range(num_bits)]
+            for t in range(num_tables)
+        ]
     )
-    return (
-        tagged.join(F.broadcast(planes))
-        .withColumn(
-            "bitval",
-            F.when(
-                _dot(_dvec(F.col(f"{side}_vec")), F.col("plane")) >= 0,
-                F.pow(F.lit(2.0), F.col("bit")).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy(f"{side}_id", "tbl")
-        # carry the vector through the aggregate (it's functionally
-        # determined by the id) instead of joining it back — saves a
-        # shuffle+join per side
-        .agg(F.sum("bitval").alias("bucket"), F.first(f"{side}_vec").alias(f"{side}_vec"))
+    weights = F.lit([float(1 << b) for b in range(num_bits)])
+    v = _dvec(F.col(vec_col))
+    buckets = F.transform(
+        planes_lit,
+        lambda tbl_planes: F.aggregate(
+            F.zip_with(
+                tbl_planes,
+                weights,
+                lambda p, w: F.when(_dot(v, p) >= 0, w).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long"),
+    )
+    return _fan_out(df).select(
+        F.col(id_col).alias(f"{side}_id"),
+        F.col(vec_col).alias(f"{side}_vec"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
     )
 
 
