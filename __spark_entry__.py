@@ -3623,6 +3623,68 @@ ORDER BY gid, lang, source
 """
 
 
+#: Fixed deterministic demo weights for the oracle-checked classifier
+#: score: dyadic rationals (31-bit denominator) so the SQL literal
+#: round-trips to the identical double on every engine.
+_CLS_DIM = 256
+_CLS_BIAS = 0.0625
+_CLS_W = [
+    float(((j + 1) * 2654435761 % (1 << 32)) / (1 << 31) - 1.0)
+    for j in range(_CLS_DIM)
+]
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashing-trick linear scorer under a FIXED model: w ships as one
+    # array literal, the margin folds out of a single aggregate over
+    # the token list — map-only at any corpus size. Engine-portable
+    # md5 buckets; float32 cast at the end absorbs summation-order and
+    # libm exp() last-ulp differences.
+    scored = llm.classifier_score(
+        _t(spark, sf_dir, "documents"), _CLS_W, _CLS_BIAS, dim=_CLS_DIM
+    )
+    return scored.withColumn("score", F.col("score").cast("float"))
+
+
+_CLASSIFIER_SCORE_SQL = f"""
+WITH w AS (SELECT [{", ".join(repr(x) for x in _CLS_W)}] AS wv)
+SELECT doc_id,
+       CAST(1.0 / (1.0 + exp(-(
+           list_sum(list_transform(string_split(text, ' '),
+               t -> wv[CAST(('0x' || substring(md5(lower(t)), 1, 8))::BIGINT
+                            % {_CLS_DIM} AS INT) + 1]))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE)
+           + {_CLS_BIAS!r}))) AS FLOAT) AS score
+FROM documents CROSS JOIN w
+"""
+
+
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full train→deploy loop: weak labels from the quality
+    # heuristic supervise a distributed logistic regression (one
+    # scan + one partial-agg shuffle per iteration, model on the
+    # driver), then the learned model scores every doc map-side.
+    # Rows-only: the trained weights depend on float reduction order
+    # at the last ulp, so scores aren't bit-stable enough to hash.
+    docs = _t(spark, sf_dir, "documents")
+    from big_data_in_agriculture_spark.functions import text as TXF
+
+    weak = TXF.quality_score("text") > 4.0
+    w, b = llm.classifier_train(
+        docs, weak, dim=64, iters=8, lr=1.0, l2=1e-4
+    )
+    scored = llm.classifier_score(docs, w, b, dim=64)
+    return (
+        docs.select("doc_id", weak.cast("int").alias("weak_label"))
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "weak_label",
+            F.round(F.col("score"), 4).cast("float").alias("score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3765,6 +3827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_floor": q_quality_floor,
         "bigram_pmi": q_bigram_pmi,
         "corpus_report": q_corpus_report,
+        "classifier_score": q_classifier_score,
+        "classifier_quality": q_classifier_quality,
     }
 
 
@@ -3896,6 +3960,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_floor": _QUALITY_FLOOR_SQL,
         "bigram_pmi": _BIGRAM_PMI_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
+        "classifier_score": _CLASSIFIER_SCORE_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

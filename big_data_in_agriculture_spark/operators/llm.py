@@ -1633,3 +1633,157 @@ def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("gid", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (fastText-style, no MLlib)
+# ---------------------------------------------------------------------------
+
+def feature_bucket(token: Column, dim: int) -> Column:
+    """Hashing-trick bucket (0..dim−1) for one token — engine-portable.
+
+    First 8 hex chars of md5(lower(token)) as a 32-bit integer, mod the
+    feature dimension: the same fixed-point every engine can replicate
+    (DuckDB: ``('0x' || substring(md5(lower(t)), 1, 8))::BIGINT % dim``),
+    so classifier scores are auditable outside Spark. Collisions are the
+    hashing trick's accepted tradeoff — dim controls them.
+    """
+    return (
+        F.conv(F.substring(F.md5(F.lower(token)), 1, 8), 16, 10)
+        .cast("long") % F.lit(dim)
+    ).cast("int")
+
+
+def classifier_margin(
+    text: Column, weights: list[float], bias: float, dim: int
+) -> Column:
+    """w·x + b for the mean-of-token-buckets feature map — MAP-ONLY.
+
+    x is the token-frequency vector over `dim` hash buckets, so
+    w·x = Σ_tokens w[bucket(t)] / n_tokens: the weight vector ships as
+    ONE array literal and the sum folds out of a single ``aggregate``
+    over the token list. No per-feature expression tree, no shuffle —
+    scoring a 100 TB corpus is pure scan parallelism.
+    """
+    if len(weights) != dim:
+        raise ValueError(f"weights has {len(weights)} entries, dim={dim}")
+    w = F.lit([float(x) for x in weights])
+    toks = TX.tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(w, feature_bucket(t, dim) + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.size(toks).cast("double") + F.lit(float(bias))
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc quality probability σ(w·x+b) under a fixed linear model.
+
+    The deploy-side half of the classifier: weights are a driver-side
+    artifact (trained below, or imported), the score is one projection.
+    """
+    margin = classifier_margin(F.col(text_col), weights, bias, dim)
+    return docs.select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("score"),
+    )
+
+
+def classifier_train(
+    docs: DataFrame,
+    label: Column,
+    dim: int = 256,
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+    text_col: str = "text",
+) -> tuple[list[float], float]:
+    """Distributed logistic regression on hashed bag-of-words features.
+
+    The iterative-algorithm pattern (same shape as kmeans_fit): the
+    MODEL (dim weights + bias) lives on the driver and enters each
+    iteration's plan as one array literal; the DATA flows through one
+    scan + one partial-aggregated shuffle per iteration:
+
+      1. margin per doc — map-only (`classifier_margin` form);
+      2. residual r = σ(margin) − y;
+      3. ∂w_j = Σ_docs r/n_tokens over tokens hashing to j, plus an L2
+         term — via explode(bucket array) → groupBy(bucket), with the
+         bias gradient riding along as sentinel bucket −1 (ONE shuffle
+         carries both);
+      4. driver applies the step and re-broadcasts.
+
+    Token buckets are computed ONCE into a checkpointed (y, n, buckets)
+    frame — at 100 TB that intermediate is what you'd persist to
+    storage; per-iteration cost is then independent of text length.
+    Gradient-descent steps, not SGD: deterministic given the input set
+    (modulo float reduction order), no RNG, resumable.
+
+    Returns (weights, bias).
+    """
+    feats = docs.select(
+        label.cast("double").alias("y"),
+        TX.n_tokens(text_col).cast("double").alias("n"),
+        F.transform(
+            TX.tokens(text_col), lambda t: feature_bucket(t, dim)
+        ).alias("buckets"),
+    )
+    feats = _fan_out(feats).localCheckpoint(eager=False)
+
+    w = [0.0] * dim
+    b = 0.0
+    n_docs = None
+    for _ in range(iters):
+        w_lit = F.lit(w)
+        margin = (
+            F.aggregate(
+                F.transform(
+                    "buckets", lambda j: F.element_at(w_lit, j + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.col("n")
+            + F.lit(b)
+        )
+        resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) - F.col("y")
+        # one row per (doc, bucket-occurrence) + one sentinel per doc;
+        # partial aggregation folds them map-side to dim+1 rows/partition
+        grads = (
+            feats.select(
+                resid.alias("r"),
+                F.col("n"),
+                F.explode(
+                    F.concat(F.col("buckets"), F.array(F.lit(-1).cast("int")))
+                ).alias("j"),
+            )
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    F.when(F.col("j") == -1, F.col("r")).otherwise(
+                        F.col("r") / F.col("n")
+                    )
+                ).alias("g"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        if n_docs is None:
+            n_docs = sum(int(r["cnt"]) for r in grads if r["j"] == -1) or 1
+        new_w = [wi * (1.0 - lr * l2) for wi in w]
+        for row in grads:
+            j = row["j"]
+            if j == -1:
+                b -= lr * float(row["g"]) / n_docs
+            else:
+                new_w[j] -= lr * float(row["g"]) / n_docs
+        w = new_w
+    return w, b
