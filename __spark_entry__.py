@@ -3685,6 +3685,65 @@ def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full Gopher rule stack in one codegen'd scan; min_words lowered
+    # to 40 so the synthetic ~50-token docs split non-vacuously. All
+    # signals are exact integer ratios / IEEE-identical divisions, so
+    # threshold comparisons agree bit-for-bit across engines.
+    return llm.gopher_filter(_t(spark, sf_dir, "documents"), min_words=40)
+
+
+def _gopher_sql() -> str:
+    from big_data_in_agriculture_spark.functions.text import LANG_MARKERS
+
+    stops = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    )
+    return f"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
+           (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+             + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sym,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                                l -> substring(l, 1, 2) IN ('- ', '* '))) AS DOUBLE)
+               / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS bullets,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                                l -> l LIKE '%...')) AS DOUBLE)
+               / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS ellipses,
+           len(list_filter(string_split(text, ' '),
+                           t -> lower(t) IN ({stops}))) AS stops
+    FROM documents
+), r AS (
+    SELECT *,
+           CASE WHEN nt < 40 THEN 'too_few_words'
+                WHEN nt > 100000 THEN 'too_many_words'
+                WHEN mwl < 3.0 THEN 'short_words'
+                WHEN mwl > 10.0 THEN 'long_words'
+                WHEN sym > 0.1 THEN 'symbol_spam'
+                WHEN bullets > 0.9 THEN 'bullet_heavy'
+                WHEN ellipses > 0.3 THEN 'ellipsis_heavy'
+                WHEN alpha < 0.80 THEN 'non_alpha'
+                WHEN stops < 2 THEN 'no_stopwords'
+                ELSE 'ok' END AS reason
+    FROM s
+)
+SELECT doc_id, nt AS n_words,
+       CAST(mwl AS FLOAT) AS mean_word_len,
+       CAST(sym AS FLOAT) AS symbol_ratio,
+       CAST(alpha AS FLOAT) AS alpha_ratio,
+       reason,
+       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3828,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": q_bigram_pmi,
         "corpus_report": q_corpus_report,
         "classifier_score": q_classifier_score,
+        "gopher_filter": q_gopher_filter,
         "classifier_quality": q_classifier_quality,
     }
 
@@ -3961,6 +4021,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": _BIGRAM_PMI_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
         "classifier_score": _CLASSIFIER_SCORE_SQL,
+        "gopher_filter": _gopher_sql(),
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -225,3 +225,58 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
     )
+
+
+# --- Gopher-style quality-rule signals (Rae et al. 2021, §A1.1) ------------
+# Pure Column arithmetic with exact ANSI twins: counts come from
+# length-difference tricks and array filters, never UDFs.
+
+BULLET_PREFIXES = ("- ", "* ")
+
+
+def mean_word_length(text: Column | str) -> Column:
+    """Mean token length = non-space chars / tokens (single-space split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.replace(c, F.lit(" "), F.lit(""))).cast("double") / n_tokens(
+        text
+    ).cast("double")
+
+
+def symbol_word_ratio(text: Column | str) -> Column:
+    """(# of '#' chars + '...' runs) per token — the symbol-spam signal."""
+    c = F.col(text) if isinstance(text, str) else text
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    dots = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    return (hashes + dots).cast("double") / n_tokens(text).cast("double")
+
+
+def alpha_word_ratio(text: Column | str) -> Column:
+    """Fraction of tokens containing at least one ASCII letter."""
+    toks = tokens(text)
+    return F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("double") / F.size(toks).cast("double")
+
+
+def lines(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, "\n")
+
+
+def bullet_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker ('- ' or '* ')."""
+    ls = lines(text)
+    hit = F.filter(
+        ls,
+        lambda l: F.substring(l, 1, 2).isin(list(BULLET_PREFIXES)),
+    )
+    return F.size(hit).cast("double") / F.size(ls).cast("double")
+
+
+def ellipsis_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines ending in '...' (the truncated-content signal)."""
+    ls = lines(text)
+    hit = F.filter(ls, lambda l: l.endswith("..."))
+    return F.size(hit).cast("double") / F.size(ls).cast("double")
