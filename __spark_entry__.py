@@ -3744,6 +3744,50 @@ FROM r
 """
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-shard assignment manifest: the two-level distributed
+    # prefix sum cuts the id-ordered corpus at token boundaries; the
+    # oracle recomputes shards with the naive OVER (ORDER BY) cumsum —
+    # equal manifests prove the bucketed decomposition exact at a
+    # second chunk size (pack_chunks oracles 512).
+    from big_data_in_agriculture_spark.sources import shards as SH
+
+    sharded = SH.assign_shards(
+        _t(spark, sf_dir, "documents"), tokens_per_shard=2000
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHARD_MANIFEST_SQL = """
+WITH o AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+           COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                        OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS off
+    FROM documents
+)
+SELECT CAST(floor(off / 2000) AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_id,
+       max(doc_id) AS last_id
+FROM o
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3888,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "classifier_score": q_classifier_score,
         "gopher_filter": q_gopher_filter,
+        "shard_manifest": q_shard_manifest,
         "classifier_quality": q_classifier_quality,
     }
 
@@ -4022,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _CORPUS_REPORT_SQL,
         "classifier_score": _CLASSIFIER_SCORE_SQL,
         "gopher_filter": _gopher_sql(),
+        "shard_manifest": _SHARD_MANIFEST_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
