@@ -33,6 +33,16 @@ _DEFAULTS: dict[str, str] = {
     # Broadcast anything under 64 MB — the star-schema dims (region,
     # nation, supplier, part) stay broadcast-able far beyond sf0.1.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime-injected bloom filters (default-on in Spark 4, pinned
+    # here so a deployment override can't silently lose it): a
+    # selective dim-side predicate seeds a bloom filter applied on the
+    # fact side BEFORE its shuffle — at 100 TB this is the difference
+    # between shuffling the whole fact table and shuffling the ~1%
+    # that can actually join. Application kicks in past the 10 GB
+    # fact-scan threshold, i.e. exactly the regime the local harness
+    # can't reach; tests/test_plans.py lowers the threshold to audit
+    # the injected filter shape.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
 }
 

@@ -226,3 +226,41 @@ def test_mixture_sample_is_scan_side_filter(spark, em):
     plan = explain.formatted_plan(df)
     for node in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate"):
         assert node not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, em):
+    # a selective dim-side predicate must seed a runtime bloom filter
+    # applied on the fact side before its shuffle (the 100 TB
+    # semi-join-reduction path). Default-on conf, but application is
+    # gated on a 10 GB fact scan — lower the gate to audit the shape.
+    from pyspark.sql import functions as F
+
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import __spark_entry__ as e
+
+        orders = e._t(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = e._t(spark, SF, "lineitem")
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
