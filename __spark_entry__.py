@@ -3788,6 +3788,67 @@ ORDER BY 1
 """
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher repetition family: duplicate-line char mass + top-n-gram
+    # coverage, all per-row array math in one scan. Fractions are
+    # exact-integer divisions, so threshold comparisons agree
+    # bit-for-bit across engines.
+    return llm.repetition_filter(_t(spark, sf_dir, "documents"))
+
+
+def _repetition_sql() -> str:
+    def grams(n: int) -> str:
+        return (
+            f"[array_to_string(list_slice(tk, i, i + {n - 1}), ' ') "
+            f"FOR i IN range(1, greatest(len(tk) - {n - 1}, 1) + 1)]"
+        )
+
+    def top(n: int) -> str:
+        return f"""
+        CAST(list_max(list_transform(list_distinct(g{n}),
+            g -> CASE WHEN len(list_filter(g{n}, x -> x = g)) >= 2
+                      THEN len(list_filter(g{n}, x -> x = g)) * length(g)
+                      ELSE 0 END)) AS DOUBLE) / nc AS f{n}"""
+
+    return f"""
+WITH s AS (
+    SELECT doc_id,
+           string_split(text, chr(10)) AS ls,
+           string_split(text, ' ') AS tk,
+           CAST(greatest(length(text), 1) AS DOUBLE) AS nc
+    FROM documents
+), g AS (
+    SELECT doc_id, ls, nc,
+           {grams(2)} AS g2, {grams(3)} AS g3, {grams(4)} AS g4
+    FROM s
+), f AS (
+    SELECT doc_id,
+        CAST(list_sum(list_transform(list_distinct(ls),
+            l -> CASE WHEN len(list_filter(ls, x -> x = l)) >= 2
+                      THEN len(list_filter(ls, x -> x = l)) * length(l)
+                      ELSE 0 END)) AS DOUBLE) / nc AS fdup,
+        {top(2)}, {top(3)}, {top(4)}
+    FROM g
+), r AS (
+    SELECT *,
+           CASE WHEN fdup > 0.30 THEN 'dup_lines'
+                WHEN f2 > 0.20 THEN 'top_2gram'
+                WHEN f3 > 0.18 THEN 'top_3gram'
+                WHEN f4 > 0.16 THEN 'top_4gram'
+                ELSE 'ok' END AS reason
+    FROM f
+)
+SELECT doc_id,
+       CAST(fdup AS FLOAT) AS dup_line_frac,
+       CAST(f2 AS FLOAT) AS top_2gram_frac,
+       CAST(f3 AS FLOAT) AS top_3gram_frac,
+       CAST(f4 AS FLOAT) AS top_4gram_frac,
+       reason,
+       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3933,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "gopher_filter": q_gopher_filter,
         "shard_manifest": q_shard_manifest,
+        "repetition_filter": q_repetition_filter,
         "classifier_quality": q_classifier_quality,
     }
 
@@ -4068,6 +4130,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _CLASSIFIER_SCORE_SQL,
         "gopher_filter": _gopher_sql(),
         "shard_manifest": _SHARD_MANIFEST_SQL,
+        "repetition_filter": _repetition_sql(),
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

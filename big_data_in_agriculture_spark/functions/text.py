@@ -280,3 +280,61 @@ def ellipsis_line_fraction(text: Column | str) -> Column:
     ls = lines(text)
     hit = F.filter(ls, lambda l: l.endswith("..."))
     return F.size(hit).cast("double") / F.size(ls).cast("double")
+
+
+def dup_line_char_fraction(text: Column | str) -> Column:
+    """Chars inside lines occurring ≥2× in the doc / total chars.
+
+    The Gopher duplicate-line signal: boilerplate-heavy pages repeat
+    whole lines (nav, footers, cookie banners). Pure array math per
+    row — distinct lines × occurrence counts — O(lines²) per doc,
+    bounded and map-only; no explode, no shuffle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ls = lines(text)
+    dup_chars = F.aggregate(
+        F.transform(
+            F.array_distinct(ls),
+            lambda l: F.when(
+                F.size(F.filter(ls, lambda x: x == l)) >= 2,
+                (F.size(F.filter(ls, lambda x: x == l)) * F.length(l)).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return dup_chars.cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    ).cast("double")
+
+
+def top_ngram_char_fraction(text: Column | str, n: int = 2) -> Column:
+    """Chars covered by the most-repeated word n-gram / total chars.
+
+    The Gopher top-n-gram signal: looping generations and SEO spam
+    repeat one phrase; coverage = occurrences × phrase length. Only
+    n-grams occurring ≥2× count (a unique n-gram is not repetition —
+    without that floor every short document trips the 4-gram
+    threshold on its longest phrase). Maximum over distinct n-grams
+    of the product — deterministic, no tie-break needed. Same
+    O(grams²) map-only shape as the duplicate-line signal.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(text)
+    nt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(nt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.when(
+                F.size(F.filter(grams, lambda x: x == g)) >= 2,
+                (
+                    F.size(F.filter(grams, lambda x: x == g)) * F.length(g)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return top.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")

@@ -74,3 +74,41 @@ def test_signal_values_exact(spark):
     assert r["n_words"] == nt
     assert r["mean_word_len"] == pytest.approx(n_nonspace / nt, rel=1e-6)
     assert r["alpha_ratio"] == 1.0 and r["symbol_ratio"] == 0.0
+
+
+# --- repetition rules ------------------------------------------------------
+
+def _rep(spark, rows, **kw):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in llm.repetition_filter(df, **kw).collect()}
+
+
+def test_repetition_rules_fire(spark):
+    got = _rep(
+        spark,
+        [
+            ("clean", CLEAN),
+            ("duplines", "unique opening line\n" + "the same exact line\n" * 4 + "a closing line"),
+            ("loop2", "buy now " * 20 + "the quick brown fox runs far"),
+        ],
+    )
+    assert got["clean"]["reason"] == "ok"
+    assert got["duplines"]["reason"] == "dup_lines"
+    assert got["duplines"]["dup_line_frac"] > 0.3
+    assert got["loop2"]["reason"] == "top_2gram"
+
+
+def test_repetition_fraction_values_exact(spark):
+    # 3 lines, "dup\n" twice: dup chars = 2*3=6 of len(text)
+    text = "dup\nsolo line\ndup"
+    got = _rep(spark, [("d", text)])
+    assert got["d"]["dup_line_frac"] == pytest.approx(6 / len(text), rel=1e-6)
+    # top 2-gram of "a b a b a" -> "a b" occurs 2x (coverage 6 chars)
+    t2 = "a b a b a"
+    got2 = _rep(spark, [("e", t2)])
+    assert got2["e"]["top_2gram_frac"] == pytest.approx(6 / len(t2), rel=1e-6)
+
+
+def test_single_line_no_dup(spark):
+    got = _rep(spark, [("s", CLEAN)])
+    assert got["s"]["dup_line_frac"] == 0.0
