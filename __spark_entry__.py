@@ -3849,6 +3849,25 @@ FROM r
 """
 
 
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the whole ranking family on ONE window spec (one shuffle+sort);
+    # unique-id tie-break makes ntile boundaries engine-deterministic
+    return relational.customer_rank_suite(_t(spark, sf_dir, "customer"))
+
+
+_WINDOW_RANKS_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       CAST(percent_rank() OVER w AS FLOAT) AS prnk,
+       CAST(cume_dist()    OVER w AS FLOAT) AS cdist,
+       ntile(4)       OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3995,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "shard_manifest": q_shard_manifest,
         "repetition_filter": q_repetition_filter,
+        "window_ranks": q_window_ranks,
         "classifier_quality": q_classifier_quality,
     }
 
@@ -4131,6 +4151,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _gopher_sql(),
         "shard_manifest": _SHARD_MANIFEST_SQL,
         "repetition_filter": _repetition_sql(),
+        "window_ranks": _WINDOW_RANKS_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -1170,3 +1170,30 @@ def top_n_orders(orders: DataFrame, n: int = 10) -> DataFrame:
         .limit(n)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+def customer_rank_suite(customer: DataFrame, buckets: int = 4) -> DataFrame:
+    """The full SQL ranking-function family over one window spec.
+
+    rank / dense_rank / percent_rank / cume_dist / ntile share a single
+    (partition, order) spec, so Catalyst evaluates all five in ONE
+    Window operator over one shuffle+sort — adding a ranking function
+    to an existing spec is free at any scale. The order key carries a
+    unique-id tie-break: with a total order, ntile bucket boundaries
+    (and therefore every output) are engine-deterministic, not
+    tie-dependent.
+    """
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).cast("float").alias("prnk"),
+        F.cume_dist().over(w).cast("float").alias("cdist"),
+        F.ntile(buckets).over(w).alias("quartile"),
+    )

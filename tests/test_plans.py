@@ -264,3 +264,15 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, em):
             old_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_rank_suite_single_window_operator(spark, em):
+    # five ranking functions, one window spec: exactly one Window node
+    # and one hash exchange — adding a function to a shared spec must
+    # not add a shuffle or a sort
+    import re
+
+    df = em.q_window_ranks(spark, SF)
+    plan = explain.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
