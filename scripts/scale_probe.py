@@ -349,5 +349,52 @@ PROBES["line_dedup_200k"] = probe_line_dedup
 PROBES["pack_chunks_50m"] = probe_pack_chunks
 
 
+def probe_classifier(spark, docs=50_000, dim=256, iters=3):
+    """Classifier training at 10x the bench corpus: 3 Lloyd-style
+    iterations (scan + partial-agg gradient shuffle each) + a map-only
+    scoring pass. Cost/iteration is the number that must stay flat
+    per-row at 100 TB."""
+    from big_data_in_agriculture_spark.operators.llm import (
+        classifier_score, classifier_train,
+    )
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.concat(
+            F.lit("w"), ((F.col("id") * 41 + i * 7) % 5000).cast("string")
+        ),
+    )
+    docs_df = spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),
+        (F.col("id") % 2).cast("int").alias("y"),
+    )
+    w, b = classifier_train(
+        docs_df, F.col("y"), dim=dim, iters=iters, lr=1.0
+    )
+    return classifier_score(docs_df, w, b, dim=dim)
+
+
+def probe_repetition(spark, docs=100_000):
+    """Gopher repetition gate at 20x the bench corpus: staged per-row
+    array math only — zero shuffles, pure scan parallelism."""
+    from big_data_in_agriculture_spark.operators.llm import repetition_filter
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(49)),
+        lambda i: F.concat(
+            F.lit("w"), ((F.col("id") * 13 + i * i) % 2000).cast("string")
+        ),
+    )
+    docs_df = spark.range(docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+    return repetition_filter(docs_df)
+
+
+PROBES["classifier_50k"] = probe_classifier
+PROBES["repetition_100k"] = probe_repetition
+
+
 if __name__ == "__main__":
     sys.exit(main())
