@@ -3868,6 +3868,28 @@ WINDOW w AS (PARTITION BY c_mktsegment
 """
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shuffle-key skew diagnostic on the natural join key: one scan,
+    # per-key partial agg, totals ride back as a broadcast 1-row
+    # cross join (AQE reuses the groupBy exchange across branches)
+    from big_data_in_agriculture_spark.operators.profile import key_skew
+
+    return key_skew(_t(spark, sf_dir, "events"), ["user_id"], top=10)
+
+
+_KEY_SKEW_SQL = """
+WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+s AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS tot,
+             CAST(count(*) AS DOUBLE) AS nk FROM c)
+SELECT c.user_id, c.n_rows,
+       CAST(c.n_rows / s.tot AS FLOAT) AS share,
+       CAST(c.n_rows * s.nk / s.tot AS FLOAT) AS skew_ratio
+FROM c CROSS JOIN s
+ORDER BY c.n_rows DESC, c.user_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4015,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "repetition_filter": q_repetition_filter,
         "window_ranks": q_window_ranks,
+        "key_skew": q_key_skew,
         "classifier_quality": q_classifier_quality,
     }
 
@@ -4152,6 +4175,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": _SHARD_MANIFEST_SQL,
         "repetition_filter": _repetition_sql(),
         "window_ranks": _WINDOW_RANKS_SQL,
+        "key_skew": _KEY_SKEW_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

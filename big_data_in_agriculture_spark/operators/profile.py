@@ -316,3 +316,43 @@ def value_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+def key_skew(
+    df: DataFrame, key_cols: list[str], top: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: the pre-flight check for join/agg
+    strategy at scale (salt? AQE skew-split? broadcast the other side?).
+
+    One partial-aggregated count per key, then the top-N heaviest keys
+    with their share of all rows and a ratio to the mean key load
+    (ratio >> 1 on a join key predicts straggler tasks). Deterministic
+    top-N via (count desc, key) ordering.
+
+    Totals come from re-aggregating the per-key counts and riding back
+    in as a broadcast 1-row cross join — all lazy, and the per-key
+    groupBy exchange is identical in both branches so AQE reuses it:
+    the input is scanned ONCE, no eager driver-side counts.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_tot"), F.count(F.lit(1)).alias("_nk")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "share",
+            (F.col("n_rows") / F.col("_tot").cast("double")).cast("float"),
+        )
+        .withColumn(
+            "skew_ratio",
+            (
+                F.col("n_rows")
+                * F.col("_nk").cast("double")
+                / F.col("_tot").cast("double")
+            ).cast("float"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top)
+        .drop("_tot", "_nk")
+    )

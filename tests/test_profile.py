@@ -54,3 +54,32 @@ def test_robust_outliers_flags_extremes_only(spark):
     out = robust_outliers(df, "key", "value", z_thresh=3.5).collect()
     assert [r["event_id"] for r in out] == [5]
     assert out[0]["robust_z"] > 3.5
+
+
+def test_key_skew_flags_hot_key(spark):
+    from big_data_in_agriculture_spark.operators.profile import key_skew
+    from pyspark.sql import functions as F
+
+    # 1000 rows: key 'hot' holds 500, 50 cold keys hold 10 each
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 500, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("k")
+    )
+    out = key_skew(df, ["k"], top=3).collect()
+    assert out[0]["k"] == "hot" and out[0]["n_rows"] == 500
+    assert abs(out[0]["share"] - 0.5) < 1e-6
+    # 51 keys, mean load ~19.6 -> hot ratio ~25.5
+    assert out[0]["skew_ratio"] > 20
+    assert out[1]["n_rows"] == 10  # deterministic tie-break by key
+    assert out[1]["k"] == "k0" and out[2]["k"] == "k1"
+
+
+def test_key_skew_uniform_ratio_one(spark):
+    from big_data_in_agriculture_spark.operators.profile import key_skew
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    out = key_skew(df, ["k"], top=10).collect()
+    assert all(abs(r["skew_ratio"] - 1.0) < 1e-6 for r in out)
+    assert all(r["n_rows"] == 10 for r in out)
