@@ -68,14 +68,20 @@ def test_minhash_no_cartesian(spark, em):
 def test_knn_lsh_no_cartesian(spark, em):
     # the DATA-side candidate join must be an equi-join on (table,
     # bucket) — the whole point is avoiding the brute-force product at
-    # scale. The ONLY products allowed are the two 32-row hyperplane
-    # fan-outs (a broadcast of the plane table, one per side).
+    # scale. Bucketing itself is map-only (hyperplanes ship as one
+    # nested literal), so NO product of any kind may appear anywhere.
     import re
 
     plan = explain.formatted_plan(em.q_knn_lsh(spark, SF))
     assert "CartesianProduct" not in plan
-    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
-    assert n_bnlj == 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one data-data join, and it is an equi-join
+    joins = re.findall(
+        r"^\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan,
+        re.M,
+    )
+    assert len(joins) == 1, plan
 
 
 def test_knn_bruteforce_is_intentional_broadcast_product(spark, em):
