@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--rates", type=_csv, default=None,
                    help="per-lang sample rates, e.g. en=0.5,de=1.0")
     c.add_argument("--test-buckets", type=int, default=1)
+
+    e = sub.add_parser(
+        "export-shards",
+        help="token-balanced training-shard export with manifest",
+    )
+    e.add_argument("--docs", required=True, help="documents parquet path")
+    e.add_argument("--out", required=True, help="shard output directory")
+    e.add_argument("--tokens-per-shard", type=int, default=100_000)
     return p
 
 
@@ -141,6 +149,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         curated.write.mode("overwrite").partitionBy("split").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"wrote curated corpus to {args.out}: {n} docs")
+    elif args.cmd == "export-shards":
+        from .sources.shards import export_training_shards
+
+        docs = spark.read.parquet(args.docs)
+        manifest = export_training_shards(
+            docs, args.out, tokens_per_shard=args.tokens_per_shard
+        )
+        rows = manifest.collect()
+        toks = sum(r["n_tokens"] for r in rows)
+        print(
+            f"wrote {len(rows)} shards to {args.out}: "
+            f"{sum(r['n_docs'] for r in rows)} docs, {toks} tokens"
+        )
     return 0
 
 

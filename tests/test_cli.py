@@ -64,3 +64,26 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     splits = {r["split"] for r in curated.select("split").distinct().collect()}
     assert splits == {"train", "test"}
     assert 0 < curated.count() < 500  # gated + sampled below the input size
+
+
+def test_export_shards_cli(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), 25)).alias("text"),
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "shards")
+    rc = cli.main(
+        [
+            "export-shards", "--docs", src, "--out", out,
+            "--tokens-per-shard", "100",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "10 shards" in capsys.readouterr().out
+    assert spark.read.parquet(f"{out}/data").count() == 40
+    assert spark.read.parquet(f"{out}/manifest").count() == 10
