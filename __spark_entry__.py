@@ -3890,6 +3890,63 @@ LIMIT 10
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval×interval overlap as a binned equi-join (both sides
+    # explode to bins; each pair survives only in its overlap-start
+    # bin — exactly once, no distinct). Oracle uses the naive
+    # inequality join, proving the decomposition exact.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    half_hour = 1_800_000_000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("t").alias("c_lo"),
+        (F.col("t") + half_hour).alias("c_hi"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("t").alias("p_lo"),
+        (F.col("t") + half_hour).alias("p_hi"),
+    )
+    return relational.interval_overlap_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "c_lo",
+        "c_hi",
+        "p_lo",
+        "p_hi",
+        bin_width=half_hour,
+    ).select("user_id", "click_id", "purchase_id")
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH b AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+),
+c AS (
+    SELECT user_id, event_id AS click_id, t AS c_lo,
+           t + 1800000000 AS c_hi
+    FROM b WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, event_id AS purchase_id, t AS p_lo,
+           t + 1800000000 AS p_hi
+    FROM b WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND c.c_lo <= p.p_hi AND p.p_lo <= c.c_hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4038,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "window_ranks": q_window_ranks,
         "key_skew": q_key_skew,
+        "interval_overlap": q_interval_overlap,
         "classifier_quality": q_classifier_quality,
     }
 
@@ -4176,6 +4234,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": _repetition_sql(),
         "window_ranks": _WINDOW_RANKS_SQL,
         "key_skew": _KEY_SKEW_SQL,
+        "interval_overlap": _INTERVAL_OVERLAP_SQL,
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,

@@ -974,6 +974,64 @@ def binned_range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join via bin bucketing — exactly once.
+
+    The overlap predicate ``l.lo <= r.hi AND r.lo <= l.hi`` (closed
+    intervals) plans as a nested-loop product natively; binning turns
+    it into an equi-join like `binned_range_join`, but BOTH sides now
+    explode to their covered bins, so one overlapping pair can meet in
+    several bins. Dedup costs nothing: a pair is kept only in the bin
+    containing the overlap's left edge (``max(l.lo, r.lo) div W``) —
+    each match survives in exactly one bin, no distinct pass, no
+    post-shuffle dedup state.
+
+    Column names of the two bound pairs must be distinct across sides
+    (rename before calling). All numeric; convert timestamps with
+    ``unix_micros`` first. Replication ~(len/W + 1) per interval per
+    side — choose W near the typical interval length.
+    """
+    lexp = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(left_hi) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    rexp = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(right_hi) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    overlap_start_bin = F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / F.lit(bin_width)
+    ).cast("long")
+    return (
+        lexp.join(rexp, [*on, "_bin"])
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("_bin") == overlap_start_bin)
+        )
+        .drop("_bin")
+    )
+
+
 def rolling_day_sum(
     df: DataFrame,
     part_col: str,

@@ -171,3 +171,49 @@ def test_binned_range_join_is_equi_join(spark):
     plan = explain.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_exact_and_once(spark):
+    from big_data_in_agriculture_spark.operators.relational import (
+        interval_overlap_join,
+    )
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("k", 1, 0, 100), ("k", 2, 250, 260), ("k", 3, 300, 400)],
+        ["k", "lid", "l_lo", "l_hi"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", 10, 90, 310),   # overlaps 1 (at edge 90-100), 2, 3
+            ("k", 11, 100, 100),  # touches 1 at exactly 100 (closed)
+            ("k", 12, 401, 500),  # disjoint from all
+        ],
+        ["k", "rid", "r_lo", "r_hi"],
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "l_lo", "l_hi", "r_lo", "r_hi", bin_width=50
+    )
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    # exactly-once despite interval 10 sharing many bins with 1 and 3
+    assert pairs == [(1, 10), (1, 11), (2, 10), (3, 10)]
+
+
+def test_interval_overlap_join_no_product_plan(spark):
+    from big_data_in_agriculture_spark.operators.relational import (
+        interval_overlap_join,
+    )
+    from big_data_in_agriculture_spark.plans import explain
+
+    left = spark.range(100).selectExpr(
+        "id % 5 AS k", "id AS lid", "id * 10 AS l_lo", "id * 10 + 15 AS l_hi"
+    )
+    right = spark.range(100).selectExpr(
+        "id % 5 AS k", "id AS rid", "id * 7 AS r_lo", "id * 7 + 9 AS r_hi"
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "l_lo", "l_hi", "r_lo", "r_hi", bin_width=16
+    )
+    plan = explain.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
