@@ -25,7 +25,8 @@ Layout:
                   Delta/Iceberg, foreachPartition ON CONFLICT on JDBC)
     streaming/    Structured Streaming variants of the mart pipeline
     plans/        plan-inspection helpers (pushdown/broadcast assertions)
-    cli.py        aggregate-hourly / aggregate-daily / load / query
+    cli.py        aggregate-hourly / aggregate-daily / load / query /
+                  curate / export-shards
 """
 
 __version__ = "0.1.0"

@@ -338,3 +338,47 @@ def test_chunk_documents_covers_and_reconstructs(spark, texts, chunk, overlap):
         assert " ".join(rebuilt) == t
         # every chunk except the last is full-size
         assert all(r["n_chunk_tokens"] == chunk for r in rows[:-1])
+
+
+@given(
+    lint=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200), st.integers(0, 60)),
+        min_size=1, max_size=12,
+    ),
+    rint=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200), st.integers(0, 60)),
+        min_size=1, max_size=12,
+    ),
+    width=st.integers(min_value=1, max_value=80),
+)
+@SLOW
+def test_interval_overlap_join_matches_naive(spark, lint, rint, width):
+    # the binned decomposition must equal the naive inequality join
+    # EXACTLY (same pairs, each exactly once) for any bin width
+    from pyspark.sql import functions as F
+
+    from big_data_in_agriculture_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, i, lo, lo + ln) for i, (k, lo, ln) in enumerate(lint)],
+        ["k", "lid", "l_lo", "l_hi"],
+    )
+    right = spark.createDataFrame(
+        [(k, i, lo, lo + ln) for i, (k, lo, ln) in enumerate(rint)],
+        ["k", "rid", "r_lo", "r_hi"],
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, ["k"], "l_lo", "l_hi", "r_lo", "r_hi", width
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (lk, llo, lln) in enumerate(lint)
+        for ri, (rk, rlo, rln) in enumerate(rint)
+        if lk == rk and llo <= rlo + rln and rlo <= llo + lln
+    )
+    assert got == want
