@@ -167,3 +167,48 @@ def compact_mart(
         .partitionBy(*partition_cols)
         .parquet(root)
     )
+
+
+def expire_partitions(
+    spark: SparkSession,
+    root: str,
+    keep_from: tuple[int, int],
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention: drop year/month partition directories older than
+    ``keep_from`` (inclusive cutoff) from a mart laid out with hive
+    ``year=YYYY/month=MM`` partitions at any nesting depth.
+
+    Partition discovery is filesystem-metadata only (directory listing
+    — no data files are opened), deletion is per-directory (the same
+    granularity the writers commit at), and the surviving data is
+    untouched on disk — no rewrite, no table-level lock. Returns the
+    deleted (or, with ``dry_run``, would-be-deleted) partition paths,
+    sorted, so callers can log an audit trail. Mirrors the lifecycle
+    operation warehouses run nightly; on Delta/Iceberg this becomes
+    ``DELETE WHERE`` + ``VACUUM`` / ``expire_snapshots``.
+    """
+    import re as _re
+    import shutil
+    from pathlib import Path
+
+    cutoff = keep_from[0] * 100 + keep_from[1]
+    doomed: list[str] = []
+    for month_dir in sorted(Path(root).rglob("month=*")):
+        if not month_dir.is_dir():
+            continue
+        ym = _re.search(r"year=(\d+)/month=(\d+)$", str(month_dir))
+        if not ym:
+            continue
+        if int(ym.group(1)) * 100 + int(ym.group(2)) < cutoff:
+            doomed.append(str(month_dir))
+    for path in doomed:
+        if not dry_run:
+            shutil.rmtree(path)
+    if not dry_run:
+        # drop now-empty year= directories so partition discovery
+        # doesn't trip on dataless branches
+        for year_dir in sorted(Path(root).rglob("year=*")):
+            if year_dir.is_dir() and not any(year_dir.iterdir()):
+                year_dir.rmdir()
+    return doomed

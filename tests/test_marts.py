@@ -142,3 +142,31 @@ def test_mart_read_merges_evolved_schema(spark, tmp_path):
     assert "wind_speed_10m" in merged.columns
     old = merged.filter("region = 1")
     assert old.filter(old.wind_speed_10m.isNull()).count() == 5
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "daily")
+    rows = []
+    for y, m in [(2021, 11), (2021, 12), (2022, 1), (2022, 2)]:
+        rows.append(("r1", dt.date(y, m, 5), 1.0))
+    df = spark.createDataFrame(rows, ["region", "day", "t2m_mean"]).withColumn(
+        "day", F.col("day").cast("date")
+    )
+    marts.write_daily_mart(df, root)
+
+    # dry run reports but deletes nothing
+    would = marts.expire_partitions(spark, root, keep_from=(2022, 1), dry_run=True)
+    assert len(would) == 2 and all("2021" in p for p in would)
+    assert spark.read.parquet(root).count() == 4
+
+    gone = marts.expire_partitions(spark, root, keep_from=(2022, 1))
+    assert sorted(gone) == sorted(would)
+    back = spark.read.parquet(root)
+    assert back.count() == 2
+    assert {(r["year"], r["month"]) for r in back.select("year", "month").collect()} == {
+        (2022, 1), (2022, 2)
+    }
