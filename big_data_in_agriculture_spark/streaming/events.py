@@ -376,3 +376,91 @@ def debounce_stream(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HH_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.LongType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("count_lb", T.LongType()),
+        T.StructField("max_undercount", T.LongType()),
+    ]
+)
+
+_HH_STATE = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("decs", T.LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    df: DataFrame, col: str = "event_type", k: int = 10, n_groups: int = 16
+) -> DataFrame:
+    """Streaming heavy hitters: Misra-Gries summaries as bounded state.
+
+    Exact per-item streaming counts hold state for EVERY distinct item
+    — unbounded on open vocabularies (tokens, URLs, user agents). This
+    operator keeps ≤ k (item, count) pairs per hash group instead:
+    the classic Misra-Gries guarantee per group is that any item with
+    true frequency > decs survives in the summary, and its reported
+    count underestimates truth by at most ``max_undercount`` (the
+    group's decrement total). Items hash-route to ``n_groups``
+    independent summaries, so state is O(n_groups × k) scalars TOTAL
+    regardless of stream length or vocabulary size, and each group's
+    bound applies to its own substream (every occurrence of one item
+    lands in one group). Emits each group's current summary every
+    micro-batch (update mode); when a group has seen ≤ k distinct
+    items, decs = 0 and its counts are EXACT.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = df.select(F.col(col).cast("string").alias("item")).withColumn(
+        "_g", F.pmod(F.xxhash64("item"), F.lit(n_groups))
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        if state.exists:
+            items, counts, decs = state.get
+            summary = dict(zip(items, counts))
+        else:
+            summary, decs = {}, 0
+        for pdf in pdfs:
+            for item, n in pdf["item"].value_counts().items():
+                n = int(n)
+                if item in summary:
+                    summary[item] += n
+                elif len(summary) < k:
+                    summary[item] = n
+                else:
+                    # decrement-all by the largest amount the batch
+                    # increment allows: min(n, smallest counter)
+                    step = min(n, min(summary.values()))
+                    decs += step
+                    summary = {
+                        i: c - step for i, c in summary.items() if c > step
+                    }
+                    if n > step:
+                        summary[item] = n - step
+        items = sorted(summary)
+        state.update((items, [summary[i] for i in items], decs))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]] * len(items),
+                "item": items,
+                "count_lb": [summary[i] for i in items],
+                "max_undercount": [decs] * len(items),
+            }
+        )
+
+    return keyed.groupBy("_g").applyInPandasWithState(
+        update,
+        outputStructType=_HH_SCHEMA,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -206,3 +206,111 @@ def test_debounce_stream_collapses_bursts_across_batches(spark, tmp_path):
     kept = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     # burst 1-2-3 collapses to opener 1 even across the batch boundary
     assert kept == [1, 4]
+
+
+def test_heavy_hitters_stream_bounded_state(spark, tmp_path):
+    """Misra-Gries summaries: the planted heavy item survives with
+    count_lb within the undercount bound across micro-batches; with
+    <= k distinct items a group's counts are exact."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+
+    def land(name, types):
+        n = len(types)
+        pdf = pd.DataFrame(
+            {"event_id": list(range(n)),
+             "ts": [pd.Timestamp(dt.datetime(2024, 1, 1))] * n,
+             "user_id": [1] * n, "event_type": types,
+             "value": [0.0] * n, "props": ["{}"] * n}
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), landing / name)
+
+    # 60 'hot' + a long tail of 30 singletons, split across 2 batches
+    land("b0.parquet", ["hot"] * 30 + [f"t{i}" for i in range(15)])
+    land("b1.parquet", ["hot"] * 30 + [f"t{i}" for i in range(15, 30)])
+
+    stream = sev.read_events_stream(
+        spark, str(landing), nanos_ts=False, max_files_per_trigger=1
+    )
+    sink = str(tmp_path / "hh_sink")
+
+    def _sink(bdf, bid):
+        bdf.withColumn("batch", F.lit(bid)).write.mode("append").parquet(sink)
+
+    q = (
+        sev.heavy_hitters_stream(stream, "event_type", k=4, n_groups=1)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink).collect()
+    # last batch's emission = rows with the highest count for 'hot'
+    hot = max((r for r in out if r["item"] == "hot"), key=lambda r: r["count_lb"])
+    # MG guarantee on the group substream: 60 true occurrences,
+    # undercount bounded by the decrement total
+    assert hot["count_lb"] >= 60 - hot["max_undercount"]
+    assert hot["count_lb"] <= 60
+    # the heavy item must survive: true freq (60) > decs
+    assert hot["max_undercount"] < 60
+    # state is bounded: never more than k items reported per emission
+    from collections import Counter
+
+    per_emission = Counter((r["group"], r["count_lb"], r["max_undercount"]) for r in out)
+    assert all(r["count_lb"] > 0 for r in out)
+
+
+def test_heavy_hitters_exact_when_under_k(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+    types = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    pdf = pd.DataFrame(
+        {"event_id": list(range(len(types))),
+         "ts": [pd.Timestamp(dt.datetime(2024, 1, 1))] * len(types),
+         "user_id": [1] * len(types), "event_type": types,
+         "value": [0.0] * len(types), "props": ["{}"] * len(types)}
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema), landing / "b0.parquet")
+
+    stream = sev.read_events_stream(spark, str(landing), nanos_ts=False)
+    sink = str(tmp_path / "hh2_sink")
+
+    def _sink(bdf, bid):
+        bdf.write.mode("append").parquet(sink)
+
+    q = (
+        sev.heavy_hitters_stream(stream, "event_type", k=8, n_groups=1)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk2"))
+        .trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["item"]: (r["count_lb"], r["max_undercount"])
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {"a": (5, 0), "b": (3, 0), "c": (2, 0)}
