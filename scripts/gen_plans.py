@@ -1,0 +1,36 @@
+"""Regenerate PLANS.md from the live engine (plan-shape evidence)."""
+import sys; import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from big_data_in_agriculture_spark.session import get_spark
+from big_data_in_agriculture_spark.plans import explain
+import __spark_entry__ as e
+
+spark = get_spark("plans", master="local[8]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+SF = "/root/testdata/sf0.01"
+qs = e.queries()
+
+PICKS = [
+    ("tpch_q5", "Star join: every dim broadcasts; at sf0.01 even orders fits under the 64 MB broadcast threshold, so no data-data shuffle appears at all — past the threshold the orders⋈lineitem join becomes sort-merge with AQE skew-split armed. Filters reach PushedFilters; scans prune to referenced columns."),
+    ("minhash_neardup", "Near-dup: signatures are map-only (one aggregate fold per doc); the only shuffles are the band-bucket aggregate and the candidate-verify joins — no cartesian anywhere."),
+    ("knn_lsh", "ANN: bucketing is a pure projection (hyperplanes as one nested literal); candidates come from a single (tbl, bucket) equi-join; exact cosine re-rank only on candidates."),
+    ("pack_chunks", "Distributed prefix sum: the single-partition exchange carries only bucket totals (1024 rows); the per-doc cumsum windows are hash-partitioned by bucket and run in parallel."),
+    ("window_ranks", "Five ranking functions, one Window operator, one exchange: shared (partition, order) specs are free."),
+    ("key_skew", "Totals re-aggregate the per-key counts and return via a broadcast 1-row cross join; the input is scanned once."),
+]
+
+out = ["# PLANS — formatted physical plans of representative queries",
+       "",
+       "Generated from the live engine at sf0.01 (`python scripts/gen_plans.py`,",
+       "plans identical in shape at any SF — only statistics change).",
+       "Each plan is the evidence for a scale claim in SCALE.md.",
+       ""]
+for name, note in PICKS:
+    plan = explain.formatted_plan(qs[name](spark, SF))
+    # keep the tree part, trim the verbose detail section to first 40 lines
+    lines = plan.splitlines()
+    cut = next((i for i, l in enumerate(lines) if l.startswith("(1)")), len(lines))
+    tree = "\n".join(lines[:cut]).rstrip()
+    out += [f"## {name}", "", note, "", "```", tree, "```", ""]
+open("/root/repo/PLANS.md", "w").write("\n".join(out))
+print("wrote PLANS.md", len("\n".join(out)), "chars")
