@@ -3947,6 +3947,50 @@ FROM c JOIN p
 """
 
 
+def q_gopher_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the two Gopher rule families composed: survivors of BOTH gates,
+    # rolled up per language — one oracle checking the gates compose
+    # (join semantics + keep flags) end-to-end, not just row-by-row.
+    docs = _t(spark, sf_dir, "documents")
+    ok_struct = (
+        llm.gopher_filter(docs, min_words=40)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    ok_rep = (
+        llm.repetition_filter(docs)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    from big_data_in_agriculture_spark.functions import text as TXF
+
+    return (
+        docs.join(ok_struct, "doc_id")
+        .join(ok_rep, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TXF.n_tokens("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _gopher_pipeline_sql() -> str:
+    return f"""
+WITH gop AS ({_gopher_sql()}),
+rep AS ({_repetition_sql()})
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens
+FROM documents d
+JOIN gop ON d.doc_id = gop.doc_id AND gop.keep = 1
+JOIN rep ON d.doc_id = rep.doc_id AND rep.keep = 1
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4096,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": q_window_ranks,
         "key_skew": q_key_skew,
         "interval_overlap": q_interval_overlap,
+        "gopher_pipeline": q_gopher_pipeline,
         "classifier_quality": q_classifier_quality,
     }
 
@@ -4235,6 +4280,7 @@ def oracle_sql() -> dict[str, str]:
         "window_ranks": _WINDOW_RANKS_SQL,
         "key_skew": _KEY_SKEW_SQL,
         "interval_overlap": _INTERVAL_OVERLAP_SQL,
+        "gopher_pipeline": _gopher_pipeline_sql(),
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.
         # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
