@@ -2316,6 +2316,49 @@ ORDER BY doc_id, rank
 """
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.bm25_search(
+        _t(spark, sf_dir, "documents"), "hash join filter", top_k=10
+    )
+
+
+_BM25_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS DOUBLE) AS tf0,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS DOUBLE) AS tf1,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS DOUBLE) AS tf2
+    FROM documents
+),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           sum(dl) AS total_len,
+           sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+    FROM base
+),
+scored AS (
+    SELECT b.doc_id,
+           (0.0
+            + ln(1.0 + (s.n_docs - s.df0 + 0.5) / (s.df0 + 0.5))
+              * (b.tf0 * 2.2 / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / (s.total_len / s.n_docs))))
+            + ln(1.0 + (s.n_docs - s.df1 + 0.5) / (s.df1 + 0.5))
+              * (b.tf1 * 2.2 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / (s.total_len / s.n_docs))))
+            + ln(1.0 + (s.n_docs - s.df2 + 0.5) / (s.df2 + 0.5))
+              * (b.tf2 * 2.2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / (s.total_len / s.n_docs))))
+           ) AS score_d
+    FROM base b CROSS JOIN stats s
+)
+SELECT doc_id, CAST(score_d AS FLOAT) AS score,
+       CAST(row_number() OVER (ORDER BY score_d DESC, doc_id) AS BIGINT) AS rank
+FROM scored WHERE score_d > 0
+ORDER BY score_d DESC, doc_id LIMIT 10
+"""
+
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downsample the dominant language, keep the rest whole — the
     # corpus-rebalancing move; md5-threshold draw is engine-portable
@@ -4093,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "sql_interface": q_sql_interface,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
         "stratified_sample": q_stratified_sample,
         "group_sample": q_group_sample,
         "check_constraints": q_check_constraints,
@@ -4238,6 +4282,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _INTERVAL_JOIN_SQL,
         "sql_interface": _NATION_RANK_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
+        "bm25_search": _BM25_SQL,
         "stratified_sample": _stratified_sql(),
         "group_sample": _GROUP_SAMPLE_SQL,
         "check_constraints": _CHECK_CONSTRAINTS_SQL,

@@ -1969,3 +1969,102 @@ def repetition_filter(
         reason.alias("reason"),
         (reason == "ok").cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+# ---------------------------------------------------------------------------
+
+def bm25_search(
+    docs: DataFrame,
+    query: str | list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a keyword query, ranked by Okapi BM25.
+
+    The retrieval primitive behind corpus inspection ("show me docs
+    about X") and RAG-baseline evaluation. Query terms are a tiny
+    driver-side list, which buys a plan with NO inverted index and NO
+    explode: per-term tf is `size(filter(tokens, t == term))` — pure
+    map-side array math — so the corpus is scanned exactly twice:
+
+      1. one partial-agg pass computing N, total token count, and each
+         term's document frequency (conditional sums in ONE aggregate);
+      2. one map-only scoring pass: the stats row is broadcast via a
+         1-row crossJoin, the BM25 sum is an EXPLICIT fixed-order
+         expression over the terms, and top-k is orderBy+limit, which
+         Spark executes as TakeOrderedAndProject (per-partition heaps +
+         driver merge — no global sort shuffle at 100 TB).
+
+    Float contract: idf/score math in float64 with a fixed summation
+    order (term list order), so DuckDB reproduces it bit-identically;
+    score is cast to float32 once at the end.
+
+    idf uses the Lucene/Robertson form ln(1 + (N - df + .5)/(df + .5)),
+    which is positive even for df > N/2 terms.
+    """
+    terms = query.split() if isinstance(query, str) else list(query)
+    # dedupe, preserve order (duplicated query terms would double-count)
+    seen: dict[str, None] = {}
+    for t in terms:
+        seen.setdefault(t, None)
+    terms = [t for t in seen if t]
+    if not terms:
+        raise ValueError("bm25_search: empty query")
+
+    toks = TX.tokens(text_col)
+    dl = F.size(toks).cast("double")
+
+    def tf(term: str) -> Column:
+        return F.size(
+            F.filter(toks, lambda x: x == F.lit(term))
+        ).cast("double")
+
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.sum(dl).alias("_total_len"),
+        *[
+            F.sum((tf(t) > 0).cast("double")).alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    # scoring side re-derives tf: docs scanned once per pass, map-only
+    scored = docs.select(
+        F.col(id_col),
+        dl.alias("_dl"),
+        *[tf(t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
+    ).crossJoin(F.broadcast(stats))
+
+    avgdl = F.col("_total_len") / F.col("_n_docs")
+    score: Column = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + 0.5)
+            / (F.col(f"_df_{i}") + 0.5)
+        )
+        contrib = idf * (
+            F.col(f"_tf_{i}")
+            * (k1 + 1.0)
+            / (F.col(f"_tf_{i}") + k1 * (1.0 - b + b * F.col("_dl") / avgdl))
+        )
+        score = score + contrib
+
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_score", score)
+        .filter(F.col("_score") > 0)
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            id_col,
+            F.col("_score").cast("float").alias("score"),
+            "rank",
+        )
+    )

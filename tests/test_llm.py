@@ -506,3 +506,65 @@ def test_corpus_report_grouping_sets(spark):
     assert by_key[("de", "s1", 0)] == (1, 3)        # cross set
     assert by_key[(None, None, 3)] == (3, 6)        # grand total
     assert len(rows) == 2 + 2 + 3 + 1
+
+
+class TestBM25Search:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "cat dog cat"),        # tf(cat)=2, dl=3
+                (2, "cat fish"),           # tf(cat)=1, dl=2
+                (3, "bird bird bird"),     # no query terms
+                (4, "dog dog dog dog"),    # tf(dog)=4, dl=4
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_hand_computed_score(self, spark):
+        import math
+
+        out = {
+            r["doc_id"]: r["score"]
+            for r in llm.bm25_search(
+                self._docs(spark), "cat", top_k=10
+            ).collect()
+        }
+        # N=4, df(cat)=2, avgdl=3; idf = ln(1 + 2.5/2.5) = ln 2
+        def bm25(tf, dl):
+            return math.log(2.0) * (
+                tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+            )
+
+        assert set(out) == {1, 2}  # zero-score docs dropped
+        assert out[1] == pytest.approx(bm25(2, 3), rel=1e-6)
+        assert out[2] == pytest.approx(bm25(1, 2), rel=1e-6)
+
+    def test_rank_order_and_ties(self, spark):
+        rows = llm.bm25_search(
+            self._docs(spark), "cat dog", top_k=2
+        ).collect()
+        assert [r["rank"] for r in rows] == [1, 2]
+        # scores strictly ordered; top_k truncates doc 2
+        assert rows[0]["score"] > rows[1]["score"]
+        assert len(rows) == 2
+
+    def test_duplicate_terms_not_double_counted(self, spark):
+        a = llm.bm25_search(self._docs(spark), "cat cat").collect()
+        b = llm.bm25_search(self._docs(spark), "cat").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+    def test_empty_query_raises(self, spark):
+        with pytest.raises(ValueError):
+            llm.bm25_search(self._docs(spark), "   ")
+
+    def test_plan_no_wide_shuffle(self, spark):
+        # scoring path: broadcast stats join only — the corpus is never
+        # shuffled (no Exchange hashpartitioning on the docs side before
+        # the top-k, which is TakeOrderedAndProject, not a global sort).
+        plan = llm.bm25_search(
+            self._docs(spark), "cat dog"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
