@@ -962,6 +962,44 @@ FROM with_best
 """
 
 
+def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 sliding windows: 1-day window every 6 hours — each event in
+    # exactly 4 overlapping epoch-aligned windows. Batch form of
+    # streaming.events.sliding_rollup (same code path; the streaming
+    # variant only adds a watermark). Order-dependent double sums cast
+    # to float32 once at the end, per the determinism contract.
+    from big_data_in_agriculture_spark.streaming.events import sliding_rollup
+
+    out = sliding_rollup(_t(spark, sf_dir, "events"), "1 day", "6 hours")
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        F.col("value_mean").cast("float").alias("value_mean"),
+        F.col("value_sum").cast("float").alias("value_sum"),
+    )
+
+
+_SLIDING_SQL = """
+WITH win AS (
+    SELECT make_timestamp(((CAST(floor(epoch(ts) / 21600) AS BIGINT) - i) * 21600) * 1000000)
+               AS window_start,
+           event_type, value
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 DAY AS window_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(avg(value) AS FLOAT) AS value_mean,
+       CAST(sum(value) AS FLOAT) AS value_sum
+FROM win
+GROUP BY 1, 2, 3
+"""
+
+
+
 def q_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.9: real Structured Streaming micro-batch (file source →
     # watermark → 1-day window → foreachBatch keyed upsert), run with an
@@ -4088,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_segments": q_union_all_segments,
         "doc_fingerprints": q_doc_fingerprints,
         "stream_daily_rollup": q_stream_daily_rollup,
+        "sliding_window_rollup": q_sliding_window_rollup,
         "multimodal_features": q_multimodal_features,
         "asof_attribution": q_asof_attribution,
         "salted_join": q_salted_join,
@@ -4232,6 +4271,7 @@ def oracle_sql() -> dict[str, str]:
         "union_all_segments": _UNION_SQL,
         "doc_fingerprints": _lang_sql(),
         "stream_daily_rollup": _STREAM_SQL,
+        "sliding_window_rollup": _SLIDING_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "asof_attribution": _ASOF_SQL,
         "salted_join": _SALTED_SQL,

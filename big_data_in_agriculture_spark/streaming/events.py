@@ -143,6 +143,54 @@ def daily_event_rollup(
     )
 
 
+def sliding_rollup(
+    events: DataFrame,
+    window: str = "1 day",
+    slide: str = "6 hours",
+    watermark: str | None = None,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window aggregate (overlapping windows, epoch-aligned).
+
+    The third windowing kind next to the tumbling ``daily_event_rollup``
+    and the gap-based ``session_rollup``: every event lands in
+    window/slide overlapping windows (e.g. 1 day every 6 hours = 4),
+    giving a smoothed trailing view — the moving-average dashboards are
+    built on. Works identically on a batch frame (watermark=None) and a
+    streaming frame (pass a watermark; state per open window is one
+    partial-agg row, expired once the watermark passes window end).
+
+    Scale shape: Spark's Expand-style window assignment replicates each
+    input row once per covered window BEFORE the partial aggregate, so
+    the shuffle still carries only (window, key) partial rows — the
+    replication factor (window/slide) is the knob to watch at 100 TB;
+    keep it small (here 4), never slide-by-1-minute a 1-day window.
+
+    Output grain: (window_start, window_end, key) — window bounds are
+    epoch-aligned multiples of the slide, identical to the SQL twin's
+    floor(epoch/slide) arithmetic.
+    """
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    w = F.window(F.col(ts_col), window, slide)
+    return (
+        src.groupBy(w.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("value_mean"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "value_mean",
+            "value_sum",
+        )
+    )
+
+
 def session_rollup(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -106,3 +106,57 @@ def test_dedup_stream_drops_duplicates_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_sliding_rollup_streaming_equals_batch(spark, tmp_path):
+    """availableNow sliding rollup over two file batches == batch twin."""
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.streaming import events as sev
+
+    land = tmp_path / "land"
+    land.mkdir()
+    t0 = dt.datetime(2024, 3, 1, 0, 30)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "click", float(i), "{}")
+        for i in range(12)
+    ]
+    half = len(rows) // 2
+    for j, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, sev.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(land / f"b{j}"))
+
+    batch = sev.sliding_rollup(
+        spark.read.parquet(str(land) + "/*"), "1 day", "6 hours"
+    )
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in batch.collect()
+    }
+    # every event covered by exactly window/slide = 4 windows
+    assert sum(n for n, _ in expect.values()) == 4 * len(rows)
+
+    stream = sev.read_events_stream(
+        spark, str(land) + "/*", nanos_ts=False, max_files_per_trigger=1
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        sev.sliding_rollup(stream, "1 day", "6 hours", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch aggregate exactly (no partials)
+    assert got
+    for k, v in got.items():
+        assert expect[k] == v
