@@ -227,17 +227,17 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_keys(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures and equi-join within band buckets.
+    """(id, band, bucket) rows: each band's r-row signature slice hashed.
 
-    Each band's r-row slice hashes to a bucket key; docs sharing ANY
-    band bucket become a candidate pair. Collision probability for true
-    Jaccard s is 1−(1−s^r)^b — with b=16, r=4 the S-curve knees near
-    s≈0.5. The join key is (band_idx, bucket_hash): uniform, skew-free.
+    The shared banding projection behind batch near-dup
+    (``lsh_candidate_pairs``) and incremental admission
+    (``streaming.corpus``): map-only explode of a bands-wide struct
+    array, no shuffle — callers decide how to join the bucket keys.
     """
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -253,6 +253,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join within band buckets.
+
+    Each band's r-row slice hashes to a bucket key; docs sharing ANY
+    band bucket become a candidate pair. Collision probability for true
+    Jaccard s is 1−(1−s^r)^b — with b=16, r=4 the S-curve knees near
+    s≈0.5. The join key is (band_idx, bucket_hash): uniform, skew-free.
+    """
+    banded = lsh_band_keys(signatures, bands, rows_per_band)
     # In-bucket expansion instead of a self-join: a self-join would run
     # the signature pipeline (shingle explode + num_perm affine mins —
     # the expensive part) once PER SIDE; grouping the bucket members

@@ -75,3 +75,163 @@ def start_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-aware admission (MinHash-LSH gate, cross-batch)
+# ---------------------------------------------------------------------------
+
+def _sig_jaccard(a, b):  # Column, Column -> Column
+    """Estimated Jaccard = fraction of agreeing MinHash components."""
+    return (
+        F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p == q).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.size(a)
+    )
+
+
+def admit_batch_neardup(
+    batch: DataFrame,
+    sink_path: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> None:
+    """Admit one landed batch, rejecting near-duplicates of ALL history.
+
+    The streaming twin of the batch MinHash pipeline: a document is
+    admitted only if (a) its exact fingerprint is new (within batch and
+    ever), and (b) no LSH band bucket it occupies contains an admitted
+    document whose signature-estimated Jaccard is ≥ threshold. The
+    S-curve math is identical to ``llm.lsh_candidate_pairs`` — only the
+    verify step differs: it compares stored SIGNATURES (estimated
+    Jaccard, num_perm components) instead of re-shingling stored text,
+    so the sink never re-reads document bodies.
+
+    Sink layout (both hash-partitioned appends, replay-idempotent):
+      sink/docs   — admitted rows + fingerprint + minhash signature
+      sink/index  — (band, bucket, id) LSH index of admitted docs
+
+    Scale: per batch, work is O(batch) signatures (map-only) + one
+    equi-join of the batch's band keys against the index — a pruned
+    two-column read of sink/index, uniform keys. Within-batch near-dup
+    keeps the LOWEST doc_id of each verified pair (greedy, order-free
+    deterministic; non-transitive chains admit the chain's survivors
+    exactly like the batch `dedup_near`). At 100 TB the index join is
+    the only shuffle and its payload is (band, bucket, id) triples.
+    """
+    from ..operators import llm
+
+    spark = batch.sparkSession
+    fp = batch.withColumn("fingerprint", TX.fingerprint("text"))
+    in_batch = (
+        fp.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        seen = spark.read.parquet(f"{sink_path}/docs").select("fingerprint")
+        fresh = in_batch.join(seen, "fingerprint", "left_anti")
+        first_batch = False
+    except Exception:  # first batch: no sink yet
+        fresh = in_batch
+        first_batch = True
+
+    rows_per_band = num_perm // bands
+    sigs = llm.minhash_signatures(fresh, num_perm=num_perm)
+    with_sig = fresh.join(
+        sigs.withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    # Signatures feed three consumers (in-batch pairs, index probe,
+    # final append) — localCheckpoint so the affine-min fold runs once.
+    with_sig = with_sig.localCheckpoint(eager=True)
+    sigs = with_sig.select(F.col("doc_id").alias("id"), "signature")
+
+    # (a) within-batch near-dup: verified pair (id_a < id_b) rejects id_b
+    cands = llm.lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sig_a = sigs.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("_sig_a")
+    )
+    sig_b = sigs.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("_sig_b")
+    )
+    rejected_in_batch = (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(_sig_jaccard(F.col("_sig_a"), F.col("_sig_b")) >= threshold)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+
+    # (b) cross-batch: probe the admitted LSH index, verify vs admitted
+    # signatures (read pruned to fingerprint+signature columns only)
+    if not first_batch:
+        probe = llm.lsh_band_keys(sigs, bands, rows_per_band)
+        index = spark.read.parquet(f"{sink_path}/index")
+        hits = (
+            probe.join(
+                index.select(
+                    "band", "bucket", F.col("id").alias("_admitted_id")
+                ),
+                ["band", "bucket"],
+            )
+            .select("id", "_admitted_id")
+            .distinct()
+        )
+        admitted_sigs = spark.read.parquet(f"{sink_path}/docs").select(
+            F.col("doc_id").alias("_admitted_id"),
+            F.col("signature").alias("_sig_b"),
+        )
+        rejected_cross = (
+            hits.join(sig_a.withColumnRenamed("id_a", "id"), "id")
+            .join(admitted_sigs, "_admitted_id")
+            .filter(
+                _sig_jaccard(F.col("_sig_a"), F.col("_sig_b")) >= threshold
+            )
+            .select(F.col("id").alias("doc_id"))
+            .distinct()
+        )
+        rejected = rejected_in_batch.unionByName(rejected_cross).distinct()
+    else:
+        rejected = rejected_in_batch
+
+    admitted = with_sig.join(rejected, "doc_id", "left_anti")
+    admitted = admitted.localCheckpoint(eager=True)
+    admitted.write.mode("append").parquet(f"{sink_path}/docs")
+    llm.lsh_band_keys(
+        admitted.select(F.col("doc_id").alias("id"), "signature"),
+        bands,
+        rows_per_band,
+    ).write.mode("append").parquet(f"{sink_path}/index")
+
+
+def start_neardup_ingest(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    schema,
+    threshold: float = 0.8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-stream the landing dir through the near-dup admission gate."""
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, _epoch: admit_batch_neardup(
+                b, sink_path, threshold=threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -45,3 +45,66 @@ def test_dedup_ingest_admits_each_fingerprint_once(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {1, 2, 5}
     # the sink carries the dedup index column
     assert all(len(r["fingerprint"]) == 64 for r in rows)
+
+
+def _para(word: str) -> str:
+    # long-enough distinct text so 3-shingle MinHash separates topics
+    return (
+        f"the {word} pipeline reads batches of {word} rows and writes "
+        f"compact {word} outputs while tracking {word} lineage carefully"
+    )
+
+
+def test_neardup_ingest_rejects_near_dups_across_batches(spark, tmp_path):
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    base = _para("alpha")
+    # batch 0: doc 2 is a near-dup of doc 1 (one word changed), doc 3
+    # distinct topic — within-batch gate keeps the min id of the pair
+    _land(spark, str(land / "b0"), [
+        (1, base),
+        (2, base.replace("carefully", "quickly")),
+        (3, _para("omega")),
+    ])
+    corpus.start_neardup_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, threshold=0.5
+    ).awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 3}
+
+    # batch 1: doc 4 near-dups admitted doc 1 (cross-batch reject),
+    # doc 5 byte-identical to doc 3 (exact reject), doc 6 new
+    _land(spark, str(land / "b1"), [
+        (4, base.replace("lineage", "history")),
+        (5, _para("omega")),
+        (6, _para("sigma")),
+    ])
+    corpus.start_neardup_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, threshold=0.5
+    ).awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 3, 6}
+
+    # the LSH index covers exactly the admitted docs
+    idx_ids = {r["id"] for r in spark.read.parquet(sink + "/index").collect()}
+    assert idx_ids == {1, 3, 6}
+
+
+def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+
+    rows = [(1, _para("alpha")), (2, _para("beta"))]
+    _land(spark, str(land / "b0"), rows)
+    for chk in ("chk1", "chk2"):  # fresh checkpoint = full replay
+        corpus.start_neardup_ingest(
+            spark, str(land) + "/*", sink, str(tmp_path / chk), DOC_SCHEMA
+        ).awaitTermination(180)
+    docs = spark.read.parquet(sink + "/docs").collect()
+    assert sorted(r["doc_id"] for r in docs) == [1, 2]
+    idx = spark.read.parquet(sink + "/index").collect()
+    assert {r["id"] for r in idx} == {1, 2}
