@@ -2397,6 +2397,42 @@ ORDER BY score_d DESC, doc_id LIMIT 10
 
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.substring_dedup(_t(spark, sf_dir, "documents"), k=6)
+
+
+_SUBSTR_DEDUP_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+    SELECT doc_id, i + 1 AS pos, md5(array_to_string(t[i+1:i+6], ' ')) AS gh
+    FROM toks, unnest(range(CASE WHEN len(t) >= 6 THEN len(t) - 5 ELSE 0 END)) u(i)
+),
+hot AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+covered AS (
+    SELECT DISTINCT g.doc_id, g.pos + j AS idx   -- 1-based token index
+    FROM grams g JOIN hot USING (gh), unnest(range(6)) r(j)
+),
+tokpos AS (
+    SELECT doc_id, i + 1 AS idx, t[i+1] AS tok
+    FROM toks, unnest(range(len(t))) u(i)
+),
+kept AS (
+    SELECT tp.doc_id, tp.idx, tp.tok
+    FROM tokpos tp ANTI JOIN covered c
+      ON tp.doc_id = c.doc_id AND tp.idx = c.idx
+)
+SELECT d.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       coalesce(c.n_removed, 0) AS n_removed
+FROM documents d
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+           FROM covered GROUP BY doc_id) c USING (doc_id)
+"""
+
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downsample the dominant language, keep the rest whole — the
     # corpus-rebalancing move; md5-threshold draw is engine-portable
@@ -4176,6 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
+        "substring_dedup": q_substring_dedup,
         "stratified_sample": q_stratified_sample,
         "group_sample": q_group_sample,
         "check_constraints": q_check_constraints,
@@ -4323,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_interface": _NATION_RANK_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "bm25_search": _BM25_SQL,
+        "substring_dedup": _SUBSTR_DEDUP_SQL,
         "stratified_sample": _stratified_sql(),
         "group_sample": _GROUP_SAMPLE_SQL,
         "check_constraints": _CHECK_CONSTRAINTS_SQL,

@@ -2081,3 +2081,121 @@ def bm25_search(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (repeated k-gram span removal)
+# ---------------------------------------------------------------------------
+
+def substring_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove token spans that repeat >= min_count times corpus-wide.
+
+    The exact-substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed
+    relationally (the paper builds a suffix array; a distributed
+    engine gets the same removal set from k-gram occurrence counts):
+    every k-token window is keyed by md5 of its joined tokens, windows
+    whose key occurs >= min_count times anywhere in the corpus are
+    flagged, and each doc drops the union of its flagged [pos, pos+k)
+    windows — boilerplate licence headers, templated navigation, and
+    copy-pasted passages vanish while unique prose stays.
+
+    Scale shape, in order:
+      1. gram emission — map-only explode, payload (doc, pos, 16-byte
+         digest), never the text;
+      2. ONE count aggregate on the digest (uniform key, partial aggs);
+      3. semi-join grams->hot digests (broadcastable when the hot set
+         is small, which boilerplate is);
+      4. ONE collect_list shuffle keyed by doc id to gather each doc's
+         flagged positions;
+      5. span union + token filtering as per-row ARRAY MATH: sorted
+         positions fold into disjoint [s, e) spans, tokens keep-filtered
+         by span membership — no token-level shuffle ever exists.
+
+    md5 (not xxhash64) keys keep the SQL oracle bit-identical; a
+    deployment chasing the last 2x swaps in xxhash64.
+    """
+    toks = TX.tokens(text_col)
+    n = F.size(toks)
+    # (doc, pos, digest) for every k-window; pos is 1-based
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            # guard: Spark's sequence(1, stop) runs DESCENDING when
+            # stop < 1, so short docs (n < k) get an explicit empty
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda p: F.md5(F.array_join(F.slice(toks, p, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("_i", "_gh"),
+    ).select(id_col, (F.col("_i") + 1).alias("pos"), "_gh")
+
+    hot = (
+        grams.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_gh")
+    )
+    flagged = (
+        grams.join(hot, "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_flags"))
+    )
+
+    span_t = "array<struct<s:int,e:int>>"
+    empty = F.array().cast(span_t)
+
+    def _fold(acc: Column, p: Column) -> Column:
+        last = F.element_at(acc, -1)
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], (p + k).cast("int")).alias("e"),
+                )
+            ),
+        )
+        fresh = F.concat(
+            acc,
+            F.array(
+                F.struct(p.cast("int").alias("s"), (p + k).cast("int").alias("e"))
+            ),
+        )
+        return F.when((F.size(acc) > 0) & (p <= last["e"]), extended).otherwise(
+            fresh
+        )
+
+    spans = F.aggregate(F.col("_flags"), empty, _fold)
+    out = (
+        docs.join(flagged, id_col, "left")
+        .withColumn("_spans", F.coalesce(spans, empty))
+        .select(
+            id_col,
+            F.array_join(
+                F.filter(
+                    toks,
+                    lambda x, i: ~F.exists(
+                        F.col("_spans"),
+                        lambda sp: (sp["s"] <= i + 1) & (i + 1 < sp["e"]),
+                    ),
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.aggregate(
+                F.col("_spans"),
+                F.lit(0),
+                lambda acc, sp: acc + (sp["e"] - sp["s"]),
+            ).cast("long").alias("n_removed"),
+        )
+    )
+    return out

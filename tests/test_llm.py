@@ -568,3 +568,58 @@ class TestBM25Search:
         )._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestSubstringDedup:
+    def test_shared_passage_removed_from_both(self, spark):
+        shared = "one two three four five six seven eight"  # 8 tokens
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha beta {shared} gamma delta"),
+                (2, f"epsilon {shared} zeta"),
+                (3, "unique prose with no repeats at all here"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in llm.substring_dedup(docs, k=8).collect()
+        }
+        assert out[1]["clean_text"] == "alpha beta gamma delta"
+        assert out[1]["n_removed"] == 8
+        assert out[2]["clean_text"] == "epsilon zeta"
+        assert out[3]["clean_text"] == "unique prose with no repeats at all here"
+        assert out[3]["n_removed"] == 0
+
+    def test_overlapping_windows_merge_into_one_span(self, spark):
+        # a 10-token shared passage flags 3 overlapping 8-windows that
+        # must merge into ONE [pos, pos+10) span, not 24 removed tokens
+        shared = "a b c d e f g h i j"
+        docs = spark.createDataFrame(
+            [(1, f"x {shared} y"), (2, f"p {shared} q")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r for r in llm.substring_dedup(docs, k=8).collect()
+        }
+        assert out[1]["clean_text"] == "x y"
+        assert out[1]["n_removed"] == 10
+
+    def test_within_doc_repeat_removes_both_occurrences(self, spark):
+        run = "r1 r2 r3 r4 r5 r6 r7 r8"
+        docs = spark.createDataFrame(
+            [(1, f"{run} middle words here {run}"),
+             (2, "completely different text goes in this row")],
+            ["doc_id", "text"],
+        )
+        out = llm.substring_dedup(docs, k=8).filter("doc_id = 1").first()
+        assert out["clean_text"] == "middle words here"
+        assert out["n_removed"] == 16
+
+    def test_short_doc_passthrough(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc")], ["doc_id", "text"]
+        )
+        for r in llm.substring_dedup(docs, k=8).collect():
+            assert r["clean_text"] == "tiny doc"
+            assert r["n_removed"] == 0
