@@ -2433,6 +2433,57 @@ LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
 
 
 
+_REGION_BBOXES = [
+    # region, N, W, S, E — /root/reference/config/regions.yaml:1-8
+    ("bashkortostan", 56.6, 53.1, 51.6, 59.9),
+    ("belarus", 56.2, 23.1, 51.2, 32.8),
+    ("moscow_oblast", 56.90, 34.80, 54.20, 40.80),
+    ("krasnodar", 46.30, 37.20, 43.20, 41.40),
+]
+
+
+def q_point_in_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spatial containment tag (reference C8 generalized): derive a
+    # deterministic (lat, lon) per event, join against the reference's
+    # region bboxes via the lat-banded equi-join. All-double math is
+    # products/fmod of identical inputs — bit-identical across engines.
+    ev = _t(spark, sf_dir, "events")
+    # integer-hash lat/lon (exact, engine-portable); DISTINCT generators
+    # per axis — correlated axes would make containment vacuously empty
+    pts = ev.select(
+        "event_id",
+        (((F.col("event_id") * 7919) % 12000) / 100.0 - 60.0).alias("lat"),
+        (((F.col("user_id") * 104729 + F.col("event_id")) % 36000) / 100.0
+         - 180.0).alias("lon"),
+    )
+    boxes = spark.createDataFrame(
+        _REGION_BBOXES, ["region", "north", "west", "south", "east"]
+    )
+    return relational.point_in_bbox_join(pts, boxes).select(
+        "event_id", "lat", "lon", "region"
+    )
+
+
+_POINT_BBOX_SQL = """
+WITH pts AS (
+    SELECT event_id,
+           ((event_id * 7919) % 12000) / 100.0 - 60.0 AS lat,
+           ((user_id * 104729 + event_id) % 36000) / 100.0 - 180.0 AS lon
+    FROM events
+),
+boxes(region, north, west, south, east) AS (
+    VALUES ('bashkortostan', 56.6, 53.1, 51.6, 59.9),
+           ('belarus', 56.2, 23.1, 51.2, 32.8),
+           ('moscow_oblast', 56.90, 34.80, 54.20, 40.80),
+           ('krasnodar', 46.30, 37.20, 43.20, 41.40)
+)
+SELECT event_id, lat, lon, region
+FROM pts JOIN boxes
+  ON lat >= south AND lat <= north AND lon >= west AND lon <= east
+"""
+
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downsample the dominant language, keep the rest whole — the
     # corpus-rebalancing move; md5-threshold draw is engine-portable
@@ -4192,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "gapfill_locf": q_gapfill_locf,
         "range_join_binned": q_range_join_binned,
+        "point_in_bbox": q_point_in_bbox,
         "quality_filter": q_quality_filter,
         "robust_outliers": q_robust_outliers,
         "top_tokens": q_top_tokens,
@@ -4341,6 +4393,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles": _PERCENTILES_SQL,
         "gapfill_locf": _GAPFILL_SQL,
         "range_join_binned": _RANGE_JOIN_SQL,
+        "point_in_bbox": _POINT_BBOX_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
         "robust_outliers": _OUTLIERS_SQL,
         "top_tokens": _TOP_TOKENS_SQL,

@@ -1255,3 +1255,60 @@ def customer_rank_suite(customer: DataFrame, buckets: int = 4) -> DataFrame:
         F.cume_dist().over(w).cast("float").alias("cdist"),
         F.ntile(buckets).over(w).alias("quartile"),
     )
+
+
+def point_in_bbox_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    north_col: str = "north",
+    west_col: str = "west",
+    south_col: str = "south",
+    east_col: str = "east",
+    band_deg: int = 10,
+) -> DataFrame:
+    """2-D spatial containment join: tag each point with covering boxes.
+
+    The reference tags rows with their region by construction (one file
+    per region — `dask_jobs/aggregate_hourly.py:118`); a general engine
+    must do it the other way: given arbitrary (lat, lon) points and a
+    table of bounding boxes `[N, W, S, E]` (`config/regions.yaml`
+    shape), join by containment. The naive predicate join is a
+    broadcast-nested-loop — fine for 4 regions, quadratic death for a
+    10⁶-cell geo grid — so this is the binned formulation of
+    ``binned_range_join`` lifted to 2-D:
+
+    1. each box explodes to the latitude BANDS it covers
+       (``sequence(floor(S/W°), floor(N/W°))`` — boxes are lat-narrow
+       in practice, so the replication factor stays ~1-2);
+    2. each point maps to its single band;
+    3. equi-join on the band (broadcast when boxes are small, shuffled
+       hash join otherwise), then exact 4-way containment re-check.
+
+    A point lives in exactly one band and a box lists each band once,
+    so every (point, box) match appears exactly once — no dedup.
+    Longitude is handled purely by the residual predicate: binning one
+    dimension already bounds candidates, and lat-banding is the right
+    single axis for whole-degree bboxes. No antimeridian wrap (the
+    reference's config never wraps; a wrapping box must be pre-split).
+    """
+    p = points.withColumn(
+        "_band", F.floor(F.col(lat_col) / F.lit(band_deg)).cast("long")
+    )
+    b = boxes.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(south_col) / F.lit(band_deg)).cast("long"),
+                F.floor(F.col(north_col) / F.lit(band_deg)).cast("long"),
+            )
+        ),
+    )
+    out = p.join(F.broadcast(b), "_band").filter(
+        (F.col(lat_col) >= F.col(south_col))
+        & (F.col(lat_col) <= F.col(north_col))
+        & (F.col(lon_col) >= F.col(west_col))
+        & (F.col(lon_col) <= F.col(east_col))
+    )
+    return out.drop("_band")

@@ -217,3 +217,66 @@ def test_interval_overlap_join_no_product_plan(spark):
     plan = explain.formatted_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPointInBboxJoin:
+    def _boxes(self, spark):
+        return spark.createDataFrame(
+            [
+                ("north_box", 55.0, 10.0, 45.0, 20.0),
+                ("tall_box", 35.0, 30.0, 5.0, 40.0),  # spans 4 bands
+            ],
+            ["region", "north", "west", "south", "east"],
+        )
+
+    def test_containment_and_boundaries(self, spark):
+        pts = spark.createDataFrame(
+            [
+                (1, 50.0, 15.0),   # inside north_box
+                (2, 45.0, 10.0),   # on south-west corner: inclusive
+                (3, 55.0, 20.0),   # on north-east corner: inclusive
+                (4, 50.0, 25.0),   # lat ok, lon outside
+                (5, 60.0, 15.0),   # lon ok, lat outside
+            ],
+            ["pid", "lat", "lon"],
+        )
+        got = {
+            r["pid"]: r["region"]
+            for r in relational.point_in_bbox_join(
+                pts, self._boxes(spark)
+            ).collect()
+        }
+        assert got == {1: "north_box", 2: "north_box", 3: "north_box"}
+
+    def test_multiband_box_matches_exactly_once(self, spark):
+        # tall_box covers bands 0..3; a point in each band matches once
+        pts = spark.createDataFrame(
+            [(1, 6.0, 35.0), (2, 16.0, 35.0), (3, 26.0, 35.0), (4, 34.0, 35.0)],
+            ["pid", "lat", "lon"],
+        )
+        rows = relational.point_in_bbox_join(pts, self._boxes(spark)).collect()
+        assert sorted(r["pid"] for r in rows) == [1, 2, 3, 4]
+        assert all(r["region"] == "tall_box" for r in rows)
+
+    def test_negative_latitude_bands(self, spark):
+        boxes = spark.createDataFrame(
+            [("southern", -40.0, 0.0, -50.0, 10.0)],
+            ["region", "north", "west", "south", "east"],
+        )
+        pts = spark.createDataFrame(
+            [(1, -45.0, 5.0), (2, -55.0, 5.0)], ["pid", "lat", "lon"]
+        )
+        rows = relational.point_in_bbox_join(pts, boxes).collect()
+        assert [r["pid"] for r in rows] == [1]
+
+    def test_plan_is_equi_join_not_nested_loop(self, spark):
+        pts = spark.createDataFrame([(1, 50.0, 15.0)], ["pid", "lat", "lon"])
+        plan = (
+            relational.point_in_bbox_join(pts, self._boxes(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
