@@ -170,3 +170,51 @@ def test_expire_partitions_retention(spark, tmp_path):
     assert {(r["year"], r["month"]) for r in back.select("year", "month").collect()} == {
         (2022, 1), (2022, 2)
     }
+
+
+class TestZorderLayout:
+    def test_zorder_skips_on_both_dimensions(self, spark, tmp_path):
+        """Z-order clustering must give file skipping on BOTH columns;
+        a single-column sort gives ~zero skipping on the other."""
+        import random
+
+        from big_data_in_agriculture_spark.sources import layout
+
+        rng = random.Random(7)
+        rows = [
+            (rng.randrange(10_000), rng.randrange(10_000)) for _ in range(20_000)
+        ]
+        df = spark.createDataFrame(rows, ["a", "b"]).repartition(8)
+
+        zpath = str(tmp_path / "z")
+        layout.zorder_write(df, zpath, ["a", "b"], n_files=16)
+
+        # single-column sorted baseline: perfect on a, useless on b
+        spath = str(tmp_path / "s")
+        df.repartitionByRange(16, "a").sortWithinPartitions("a") \
+            .write.mode("overwrite").parquet(spath)
+
+        probes = [123.0, 4567.0, 8910.0]
+        z_a = sum(layout.file_skipping_ratio(zpath, "a", p) for p in probes) / 3
+        z_b = sum(layout.file_skipping_ratio(zpath, "b", p) for p in probes) / 3
+        s_b = sum(layout.file_skipping_ratio(spath, "b", p) for p in probes) / 3
+
+        # both dimensions skip well under z-order…
+        assert z_a >= 0.5, z_a
+        assert z_b >= 0.5, z_b
+        # …while the 1-D sort leaves the second dimension unskippable
+        assert s_b <= 0.2, s_b
+
+    def test_zorder_write_preserves_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from big_data_in_agriculture_spark.sources import layout
+
+        df = spark.range(1000).select(
+            F.col("id").alias("a"), (F.col("id") * 7 % 1000).alias("b")
+        )
+        path = str(tmp_path / "z2")
+        layout.zorder_write(df, path, ["a", "b"], n_files=4)
+        back = spark.read.parquet(path)
+        assert back.count() == 1000
+        assert back.agg(F.sum("a")).first()[0] == 999 * 1000 // 2
