@@ -16,15 +16,19 @@ Four operators, one contract (cosine, deterministic tie-breaks):
 * ``embedding_neardup_pairs`` — the dedup flavor: all pairs above a
   high cosine threshold, LSH-bucketed candidates + exact verify.
 
-All vector math is JVM-side higher-order functions (zip_with /
-aggregate / transform) over array columns — no UDF, no collect. Floats
-are widened to float64 before any arithmetic so results match SQL
-oracles bit-for-bit (modulo a final ROUND, since fold order across
-engines can differ in the last ulp).
+Vector math that feeds an ORACLE comparison is JVM-side higher-order
+functions (zip_with / aggregate / transform) over array columns, floats
+widened to float64 so results match SQL oracles bit-for-bit (modulo a
+final ROUND, since fold order across engines can differ in the last
+ulp). The one deliberate exception is LSH bucketing (`_bucketize`):
+dense hyperplane projections are a BLAS matmul inside an Arrow-batched
+pandas UDF — see its docstring for the measured reasoning.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -122,10 +126,10 @@ def _centroid_dist_pairs(vec, cents: list[list[float]]) -> F.Column:
 
 
 def _hyperplane(seed: int, table: int, bit: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane (no RNG state, no numpy
-    on executors): component j = a zig-zag hash of (seed, table, bit, j)
-    mapped to [−1, 1]. Quality is adequate for sign-LSH; determinism is
-    the point (same plan every run, resumable, oracle-friendly)."""
+    """Deterministic pseudo-random hyperplane (no RNG state): component
+    j = a zig-zag hash of (seed, table, bit, j) mapped to [−1, 1].
+    Quality is adequate for sign-LSH; determinism is the point (same
+    plan every run, resumable, oracle-friendly)."""
     out = []
     for j in range(dim):
         h = (seed * 1_000_003 + table * 10_007 + bit * 101 + j) * 2654435761 % (2**32)
@@ -166,42 +170,52 @@ def _bucketize(
 ) -> DataFrame:
     """(id, vec, tbl, bucket) rows — MAP-ONLY, zero shuffles.
 
-    All num_tables×num_bits hyperplanes ship as ONE nested-array
-    literal (a single plan node, like the IVF centroid model); each
-    table's bucket id packs its sign bits via zip_with against a 2^b
-    weight array, inside one ``transform`` over the plane table. The
-    per-vector output is the num_tables-long bucket array, exploded to
-    (tbl, bucket) rows. Earlier formulations measured worse: per-bit
-    expression trees made plan compilation dominate one-shot queries,
-    and the broadcast-join + groupBy bit-packing variant paid a
-    (vector × table)-row shuffle per side — this form has no exchange
-    at all before the candidate join, so bucketing scales as pure scan
-    parallelism at any corpus size.
+    The num_tables×num_bits sign-dots are ONE dense matmul per Arrow
+    batch: an (n×dim) @ (dim×(tables·bits)) numpy product inside a
+    vectorized pandas UDF, sign bits packed with a weights dot. This is
+    the documented "UDFs are the slow path EXCEPT vectorized linear
+    algebra" exception: the earlier pure-Column formulation (nested
+    transform→aggregate→zip_with over a hyperplane literal) is
+    semantically identical but executes the higher-order functions
+    INTERPRETED, one object-tree walk per (row × plane × component) —
+    measured ~100× slower than the BLAS batch at sf0.1 and growing
+    linearly worse with corpus size. The hyperplanes stay the same
+    deterministic `_hyperplane` constants (no executor RNG), baked
+    into the UDF closure; still no exchange before the candidate join,
+    so bucketing scales as pure scan parallelism at any corpus size.
     """
-    planes_lit = F.lit(
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
         [
             [_hyperplane(42, t, b, dim) for b in range(num_bits)]
             for t in range(num_tables)
-        ]
-    )
-    weights = F.lit([float(1 << b) for b in range(num_bits)])
-    v = _dvec(F.col(vec_col))
-    buckets = F.transform(
-        planes_lit,
-        lambda tbl_planes: F.aggregate(
-            F.zip_with(
-                tbl_planes,
-                weights,
-                lambda p, w: F.when(_dot(v, p) >= 0, w).otherwise(F.lit(0.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).cast("long"),
-    )
+        ],
+        dtype=np.float64,
+    ).reshape(num_tables * num_bits, dim)
+    proj = planes.T.copy()  # dim × (tables·bits)
+    weights = (2.0 ** np.arange(num_bits)).astype(np.float64)
+    n_tables = num_tables
+    n_bits = num_bits
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (m @ proj) >= 0.0
+        ids = (
+            (bits.reshape(len(vecs), n_tables, n_bits) * weights)
+            .sum(axis=2)
+            .astype(np.int64)
+        )
+        return pd.Series(list(ids))
+
     return _fan_out(df).select(
         F.col(id_col).alias(f"{side}_id"),
         F.col(vec_col).alias(f"{side}_vec"),
-        F.posexplode(buckets).alias("tbl", "bucket"),
+        F.posexplode(_buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
 
 
