@@ -12,8 +12,8 @@ qs = e.queries()
 
 PICKS = [
     ("tpch_q5", "Star join: every dim broadcasts; at sf0.01 even orders fits under the 64 MB broadcast threshold, so no data-data shuffle appears at all — past the threshold the orders⋈lineitem join becomes sort-merge with AQE skew-split armed. Filters reach PushedFilters; scans prune to referenced columns."),
-    ("minhash_neardup", "Near-dup: signatures are map-only (one aggregate fold per doc); the only shuffles are the band-bucket aggregate and the candidate-verify joins — no cartesian anywhere."),
-    ("knn_lsh", "ANN: bucketing is a pure projection (hyperplanes as one nested literal); candidates come from a single (tbl, bucket) equi-join; exact cosine re-rank only on candidates."),
+    ("minhash_neardup", "Near-dup: signatures are map-only (one Arrow-batched numpy kernel per batch — ArrowEvalPython node, no exchange); the only shuffles are the band-bucket aggregate and the candidate-verify joins — no cartesian anywhere."),
+    ("knn_lsh", "ANN: bucketing is a map-only ArrowEvalPython projection (one BLAS matmul per batch, no exchange); candidates come from a single (tbl, bucket) equi-join; exact cosine re-rank only on candidates."),
     ("pack_chunks", "Distributed prefix sum: the single-partition exchange carries only bucket totals (1024 rows); the per-doc cumsum windows are hash-partitioned by bucket and run in parallel."),
     ("window_ranks", "Five ranking functions, one Window operator, one exchange: shared (partition, order) specs are free."),
     ("key_skew", "Totals re-aggregate the per-key counts and return via a broadcast 1-row cross join; the input is scanned once."),
