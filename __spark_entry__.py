@@ -2484,6 +2484,49 @@ FROM pts JOIN boxes
 
 
 
+def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-event-type value trend over time: x = days since epoch
+    from big_data_in_agriculture_spark.operators.timeseries import grouped_trend
+
+    # center x near the data (days since 2024-01-01): raw days-since-
+    # epoch (~2e4) makes n·Σx² − (Σx)² cancel ~10 significant digits,
+    # amplifying last-ulp sum differences past float32
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "x_day",
+        ((F.unix_timestamp("ts") - F.lit(1704067200)) / F.lit(86400.0)),
+    )
+    return grouped_trend(ev, ["event_type"], "x_day", "value")
+
+
+_GROUPED_TREND_SQL = """
+WITH base AS (
+    SELECT event_type,
+           (epoch(ts) - 1704067200) / 86400.0 AS x,
+           CAST(value AS DOUBLE) AS y
+    FROM events
+),
+s AS (
+    SELECT event_type,
+           count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM base GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS FLOAT) AS slope,
+       CAST(round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+            AS FLOAT) AS intercept,
+       CAST(round(CASE WHEN (n * syy - sy * sy) > 0
+                 THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            END, 6) AS FLOAT) AS r2
+FROM s
+WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+ORDER BY event_type
+"""
+
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downsample the dominant language, keep the rest whole — the
     # corpus-rebalancing move; md5-threshold draw is engine-portable
@@ -4272,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "vocab_coverage": q_vocab_coverage,
         "rolling_zscore": q_rolling_zscore,
+        "grouped_trend": q_grouped_trend,
         "correlation_matrix": q_correlation_matrix,
         "quantile_bins": q_quantile_bins,
         "lang_confusion": q_lang_confusion,
@@ -4421,6 +4465,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "rolling_zscore": _ROLLING_ZSCORE_SQL,
+        "grouped_trend": _GROUPED_TREND_SQL,
         "correlation_matrix": _CORRELATION_SQL,
         "quantile_bins": _QUANTILE_BINS_SQL,
         "lang_confusion": _lang_confusion_sql(),

@@ -180,3 +180,62 @@ def rolling_zscore(
         )
         .orderBy(key_col, day_col)
     )
+
+
+def grouped_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key OLS trend line (slope, intercept, r²) in ONE aggregate.
+
+    The "is this region warming / is this metric drifting" primitive:
+    closed-form simple regression from the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²[, Σy²]) — all computed in a single hash
+    aggregate with map-side partials, so the shuffle carries one
+    6-number row per key at any input size. No window, no sort, no
+    per-key iteration: this is the distributed formulation of what a
+    pandas groupby-apply(np.polyfit) would do with a Python task per
+    key.
+
+    Degenerate keys (fewer than min_points rows, or zero x-variance)
+    are dropped rather than emitting NULL/NaN slopes.
+
+    Float contract: sums accumulate in float64; the closed forms
+    subtract near-equal products (n·Σx² − Σx·Σx cancels), which
+    AMPLIFIES the order-dependent last ulp of the sums — so outputs are
+    ROUNDed (slope/intercept 4 dp, r² 6 dp) before the float32 cast,
+    and callers should center x near the data to keep the cancellation
+    shallow (see q_grouped_trend).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    det = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / det
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    # r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − Σx²) · (n·Σy² − Σy²))
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r2 = F.when(den_y > 0, num * num / (det * den_y)).otherwise(F.lit(None))
+    return (
+        agg.filter((F.col("n") >= min_points) & (det > 0))
+        .select(
+            *key_cols,
+            "n",
+            F.round(slope, 4).cast("float").alias("slope"),
+            F.round(intercept, 4).cast("float").alias("intercept"),
+            F.round(r2, 6).cast("float").alias("r2"),
+        )
+        .orderBy(*key_cols)
+    )

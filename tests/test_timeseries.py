@@ -61,3 +61,53 @@ def test_ema_matches_pandas_ewm(spark):
         assert np.allclose(grp["ema"].to_numpy(), expected.to_numpy())
     # constant series: EMA is the constant
     assert (got[got["key"] == 2]["ema"] == 3.0).all()
+
+
+class TestGroupedTrend:
+    def test_exact_line_recovered(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            grouped_trend,
+        )
+
+        # y = 2x + 1 exactly for key 'a'; y constant for key 'b'
+        rows = [("a", float(x), 2.0 * x + 1.0) for x in range(10)]
+        rows += [("b", float(x), 5.0) for x in range(10)]
+        df = spark.createDataFrame(rows, ["k", "x", "y"])
+        out = {r["k"]: r for r in grouped_trend(df, ["k"], "x", "y").collect()}
+        assert out["a"]["slope"] == 2.0
+        assert out["a"]["intercept"] == 1.0
+        assert out["a"]["r2"] == 1.0
+        assert out["b"]["slope"] == 0.0
+        # zero y-variance: r² undefined → NULL, not NaN
+        assert out["b"]["r2"] is None
+
+    def test_degenerate_keys_dropped(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            grouped_trend,
+        )
+
+        df = spark.createDataFrame(
+            [("one_point", 1.0, 2.0),
+             ("no_x_var", 3.0, 1.0), ("no_x_var", 3.0, 9.0)],
+            ["k", "x", "y"],
+        )
+        assert grouped_trend(df, ["k"], "x", "y").count() == 0
+
+    def test_single_shuffle_plan(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            grouped_trend,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(x), float(x)) for x in range(4)], ["k", "x", "y"]
+        )
+        plan = (
+            grouped_trend(df, ["k"], "x", "y")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one hash-partitioned exchange for the agg + the final sort's
+        # range exchange; no window, no join
+        assert "Window" not in plan
+        assert "Join" not in plan
