@@ -3578,6 +3578,46 @@ WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # alpha = 0.5 on purpose: c^0.5 is IEEE sqrt (correctly rounded in
+    # every engine), so the target shares — and hence the md5
+    # thresholds — are bit-identical between the Python driver
+    # derivation and the SQL twin. The SQL sums sqrt weights with a
+    # fixed-order list_reduce matching Python's sorted-key iteration.
+    out = llm.temperature_sample(
+        _t(spark, sf_dir, "documents"), alpha=0.5, strata_col="lang"
+    )
+    return out.select("doc_id", "lang")
+
+
+_TEMPERATURE_SQL = """
+WITH c AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+tw AS (
+    SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+                       (a, b) -> a + b) AS total_w
+    FROM c
+),
+tgt AS (
+    SELECT lang, n,
+           sqrt(CAST(n AS DOUBLE)) / (SELECT total_w FROM tw) AS t
+    FROM c
+),
+nt AS (SELECT min(n / t) AS n_total FROM tgt),
+r AS (
+    SELECT lang,
+           least(t * (SELECT n_total FROM nt) / n, 1.0) AS rate
+    FROM tgt
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < least(CAST(floor(rate * 4294967296.0) AS BIGINT), 4294967295)
+"""
+
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only (k-means is iterative — not one SQL statement), but
     # deterministic: lowest-id init, fixed iteration count, exact
@@ -4342,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "minhash_recall_floor": q_minhash_recall_floor,
         "mixture_sample": q_mixture_sample,
+        "temperature_sample": q_temperature_sample,
         "semantic_dedup": q_semantic_dedup,
         "preprocess_pipeline": q_preprocess_pipeline,
         "chunk_documents": q_chunk_documents,
@@ -4488,6 +4529,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _PACK_CHUNKS_SQL,
         "minhash_recall_floor": _MINHASH_RECALL_SQL,
         "mixture_sample": _MIXTURE_SQL,
+        "temperature_sample": _TEMPERATURE_SQL,
         "preprocess_pipeline": _PREPROCESS_SQL,
         "chunk_documents": _CHUNK_DOCS_SQL,
         "crosscorpus_dedup": _CROSSCORPUS_SQL,

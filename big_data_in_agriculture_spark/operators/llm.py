@@ -1500,6 +1500,47 @@ def mixture_sample(
     return stratified_sample(docs, rates, strata_col, id_col)
 
 
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance domains to temperature-flattened proportions.
+
+    The multilingual/multi-domain mixing rule (mBERT, XLM-R, mT5):
+    target share of domain s ∝ count_s^alpha. alpha=1 keeps the natural
+    distribution, alpha=0 forces uniform, the 0.2-0.7 range up-samples
+    the tail without drowning the head. The targets are DERIVED from
+    the corpus's own counts — the ``mixture_sample`` special case where
+    the mixture model is p_s = c_s^alpha / Σc^alpha — then the largest
+    achievable subsample with those proportions is kept (the most
+    over-target domain binds and is kept whole; with alpha < 1 that is
+    always the SMALLEST domain, which is the point).
+
+    Same scale shape as mixture_sample: one count aggregate to the
+    driver, then a scan-side deterministic filter; the derivation is
+    fixed-order float64, reproducible by any engine from the counts.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("temperature_sample: alpha must be in [0, 1]")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in docs.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return docs.filter(F.lit(False))
+    total_w = sum(c ** alpha for _, c in sorted(counts.items()))
+    targets = {s: (c ** alpha) / total_w for s, c in sorted(counts.items())}
+    n_total = min(counts[s] / t for s, t in targets.items())
+    rates = {
+        s: min(t * n_total / counts[s], 1.0) for s, t in targets.items()
+    }
+    return stratified_sample(docs, rates, strata_col, id_col)
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

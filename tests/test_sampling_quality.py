@@ -273,3 +273,45 @@ def test_mixture_sample_absent_domain_dropped(spark):
     )
     out = mixture_sample(docs, {"a": 1.0}, strata_col="source")
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestTemperatureSample:
+    def _docs(self, spark):
+        rows = [(i, "big") for i in range(400)] + [
+            (1000 + i, "small") for i in range(50)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "source"])
+
+    def test_alpha_one_is_identity(self, spark):
+        from big_data_in_agriculture_spark.operators import llm
+
+        docs = self._docs(spark)
+        assert llm.temperature_sample(docs, alpha=1.0).count() == 450
+
+    def test_alpha_zero_equalizes(self, spark):
+        from big_data_in_agriculture_spark.operators import llm
+
+        out = llm.temperature_sample(self._docs(spark), alpha=0.0)
+        by = {r["source"]: r["n"] for r in out.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+        # smallest domain binds and is kept whole; big thinned to ~50
+        assert by["small"] == 50
+        assert 30 <= by["big"] <= 70  # Bernoulli band around 50
+
+    def test_intermediate_alpha_monotone(self, spark):
+        from big_data_in_agriculture_spark.operators import llm
+
+        out = llm.temperature_sample(self._docs(spark), alpha=0.5)
+        by = {r["source"]: r["n"] for r in out.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert by["small"] == 50
+        # sqrt flattening: big/small target ratio = sqrt(400/50) ≈ 2.83
+        assert 100 <= by["big"] <= 185  # around 0.354*400 ≈ 141
+
+    def test_bad_alpha_raises(self, spark):
+        import pytest as _pytest
+
+        from big_data_in_agriculture_spark.operators import llm
+
+        with _pytest.raises(ValueError):
+            llm.temperature_sample(self._docs(spark), alpha=1.5)
