@@ -105,3 +105,84 @@ def test_ingest_pipeline_with_fake_decoder(spark, tmp_path, as_zip):
 def test_default_decoder_raises_without_libs():
     with pytest.raises(NotImplementedError, match="xarray"):
         netcdf.default_decoder(NC_MAGIC, ["t2m"])
+
+
+class TestNetCDFDataSource:
+    def _source(self):
+        # subclass defined here so cloudpickle ships it (and the fake
+        # decoder) by value to worker processes
+        from big_data_in_agriculture_spark.sources.netcdf_datasource import (
+            NetCDFDataSource,
+        )
+
+        fake = _make_fake_decoder()
+
+        class FakeNetCDFSource(NetCDFDataSource):
+            _decoder = staticmethod(fake)
+
+        return FakeNetCDFSource
+
+    def _multi_layout(self, tmp_path):
+        import zipfile as _zip
+
+        for region in ("alpha", "beta"):
+            for month in (1, 2):
+                d = tmp_path / "raw" / f"region={region}" / "year=2022"
+                d.mkdir(parents=True, exist_ok=True)
+                (d / f"month={month:02d}.nc").write_bytes(NC_MAGIC)
+        return str(tmp_path / "raw")
+
+    def test_reads_all_partitions(self, spark, tmp_path):
+        root = self._multi_layout(tmp_path)
+        spark.dataSource.register(self._source())
+        df = spark.read.format("netcdf").option("path", root).load()
+        # 4 files x 8 grid rows
+        assert df.count() == 32
+        assert set(r["region"] for r in df.select("region").distinct().collect()) == {
+            "alpha", "beta"
+        }
+        # unit conversion contract: raw Kelvin arrives undisturbed
+        assert df.agg({"t2m": "max"}).first()[0] == 280.0
+
+    def test_option_pruning_plans_one_task(self, spark, tmp_path):
+        root = self._multi_layout(tmp_path)
+        src = self._source()
+        spark.dataSource.register(src)
+        reader = src(
+            {"path": root, "region": "alpha", "month": "2"}
+        ).reader(None)
+        parts = reader.partitions()
+        assert len(parts) == 1 and "region=alpha" in parts[0].path \
+            and "month=02" in parts[0].path
+        df = (
+            spark.read.format("netcdf")
+            .option("path", root)
+            .option("region", "alpha")
+            .option("month", "2")
+            .load()
+        )
+        assert df.count() == 8
+        assert df.select("region").distinct().first()[0] == "alpha"
+
+    def test_missing_partition_tolerance(self, spark, tmp_path):
+        root = self._multi_layout(tmp_path)
+        spark.dataSource.register(self._source())
+        df = (
+            spark.read.format("netcdf")
+            .option("path", root)
+            .option("region", "nonexistent")
+            .load()
+        )
+        assert df.count() == 0
+
+    def test_feeds_hourly_pipeline(self, spark, tmp_path):
+        from big_data_in_agriculture_spark.operators import hourly
+
+        root = self._multi_layout(tmp_path)
+        spark.dataSource.register(self._source())
+        raw = spark.read.format("netcdf").option("path", root).load()
+        mart = hourly.spatial_mean_hourly(raw)
+        row = mart.filter("region = 'alpha'").orderBy("ts").first()
+        # constant 280K grid → mean exactly 280K → 6.85°C; wind 3-4-5
+        assert abs(row["t2m"] - 6.85) < 1e-6
+        assert abs(row["wind_speed_10m"] - 5.0) < 1e-6
