@@ -3618,6 +3618,15 @@ WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: Datasketches HLL estimates have no DuckDB twin; the
+    # pytest harness bounds the error and asserts the union property.
+    from big_data_in_agriculture_spark.operators.profile import hll_rollup
+
+    return hll_rollup(_t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only (k-means is iterative — not one SQL statement), but
     # deterministic: lowest-id init, fixed iteration count, exact
@@ -4342,6 +4351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mart_roundtrip": q_mart_roundtrip,
         "profile_lineitem": q_profile_lineitem,
         "approx_profile_events": q_approx_profile_events,
+        "hll_rollup": q_hll_rollup,
         "text_cleaning": q_text_cleaning,
         "interval_join": q_interval_join,
         "sql_interface": q_sql_interface,

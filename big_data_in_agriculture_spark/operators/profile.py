@@ -356,3 +356,42 @@ def key_skew(
         .limit(top)
         .drop("_tot", "_nk")
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketches PLUS their union, re-aggregated not rescanned.
+
+    The mergeable-sketch pattern that makes distinct counts tractable at
+    100 TB: build one Datasketches HLL per group (`hll_sketch_agg` —
+    partial aggregation applies, shuffle payload = the ~2^lg_config_k
+    byte sketch per group), then derive the GLOBAL distinct estimate by
+    merging the per-group sketches (`hll_union_agg`) — the raw rows are
+    never touched again. The same union property powers incremental
+    daily sketches → monthly rollups without re-reading a month of data.
+
+    Output: one row per group (estimate per group) plus the '__all__'
+    union row. Estimates are approximate — verify with the 3-sigma test
+    harness, not a SQL hash oracle.
+    """
+    sketches = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(lg_config_k)).alias("_sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_group = sketches.select(
+        F.col(group_col).cast("string").alias("group"),
+        "n_rows",
+        F.hll_sketch_estimate("_sk").alias("approx_distinct"),
+    )
+    union = sketches.agg(
+        F.lit("__all__").alias("group"),
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("_sk", F.lit(False))
+        ).alias("approx_distinct"),
+    ).select("group", "n_rows", "approx_distinct")
+    return per_group.unionByName(union).orderBy("group")

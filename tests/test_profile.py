@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from big_data_in_agriculture_spark.operators import profile
 
 
@@ -83,3 +85,35 @@ def test_key_skew_uniform_ratio_one(spark):
     out = key_skew(df, ["k"], top=10).collect()
     assert all(abs(r["skew_ratio"] - 1.0) < 1e-6 for r in out)
     assert all(r["n_rows"] == 10 for r in out)
+
+
+class TestHllRollup:
+    def test_union_matches_direct_sketch_and_bounds(self, spark):
+        from big_data_in_agriculture_spark.operators.profile import hll_rollup
+
+        # 4 groups × overlapping member ranges; true global distinct 30k
+        df = spark.range(120_000).select(
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") % 30_000).alias("member"),
+        )
+        out = {r["group"]: r for r in hll_rollup(df, "g", "member").collect()}
+        # per-group true distinct = 30k/4 (members stripe across groups)
+        for g in ("0", "1", "2", "3"):
+            est = out[g]["approx_distinct"]
+            assert abs(est - 7500) / 7500 < 0.05, (g, est)
+        # union row: merged sketches estimate the TRUE global distinct —
+        # NOT the sum of per-group estimates (~30k vs 4x7500 would agree
+        # here; the overlap case below separates the two)
+        assert abs(out["__all__"]["approx_distinct"] - 30_000) / 30_000 < 0.05
+        assert out["__all__"]["n_rows"] == 120_000
+
+    def test_union_dedups_across_groups(self, spark):
+        from big_data_in_agriculture_spark.operators.profile import hll_rollup
+
+        # both groups contain the SAME 5000 members: per-group ≈ 5000,
+        # naive sum ≈ 10000, correct union ≈ 5000
+        df = spark.range(10_000).select(
+            (F.col("id") % 2).alias("g"), (F.col("id") % 5_000).alias("m")
+        )
+        out = {r["group"]: r for r in hll_rollup(df, "g", "m").collect()}
+        assert abs(out["__all__"]["approx_distinct"] - 5_000) / 5_000 < 0.05
