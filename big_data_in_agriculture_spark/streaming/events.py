@@ -512,3 +512,48 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def start_enriched_append(
+    spark: SparkSession,
+    source_path: str,
+    dim_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    on: str = "user_id",
+    available_now: bool = True,
+    nanos_ts: bool | None = None,
+) -> StreamingQuery:
+    """Stream-static enrichment: join each micro-batch against a dim table.
+
+    The streaming half of the serving enrichment join: events stream in,
+    the dimension (user profile, region attributes — the reference's
+    `regions.yaml` writ large) lives as a parquet table that OTHER jobs
+    update. The join runs inside ``foreachBatch`` and re-reads the
+    dimension PER BATCH — the documented pattern for picking up dim
+    updates mid-stream (a plain stream-static join may cache the file
+    listing; the explicit re-read makes freshness a contract, not an
+    accident). Rows with no dim match pass through with NULLs (left
+    join) rather than being dropped.
+
+    Scale: the dim read is per micro-batch, so keep it broadcast-sized
+    or partition-pruned; for a huge dimension use the CDC/upsert mart
+    and join on its partition keys instead. Exactly-once: the appended
+    batch is keyed by the checkpoint's batch id — a replayed batch
+    overwrites nothing (append of identical rows is prevented by the
+    checkpoint; foreachBatch runs once per committed batch id).
+    """
+    stream = read_events_stream(spark, source_path, nanos_ts=nanos_ts)
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        batch_df.join(F.broadcast(dim), on, "left").write.mode(
+            "append"
+        ).parquet(sink_path)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

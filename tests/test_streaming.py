@@ -160,3 +160,51 @@ def test_sliding_rollup_streaming_equals_batch(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert expect[k] == v
+
+
+def test_enriched_append_refreshes_dim_between_runs(spark, tmp_path):
+    """foreachBatch re-reads the dim: batch 0 sees v1, batch 1 sees v2,
+    and batch 0's sink rows are NOT rewritten (exactly-once append)."""
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.streaming import events as sev
+
+    land = tmp_path / "land"
+    land.mkdir()
+    dim_path = str(tmp_path / "dim")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    t0 = dt.datetime(2024, 5, 1, 12, 0)
+
+    def land_batch(name, ids):
+        rows = [(i, t0, i, "click", 1.0, "{}") for i in ids]
+        spark.createDataFrame(rows, sev.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(land / name))
+
+    def write_dim(version):
+        spark.createDataFrame(
+            [(1, version), (2, version)], ["user_id", "tier"]
+        ).write.mode("overwrite").parquet(dim_path)
+
+    land_batch("b0", [1, 2, 3])     # user 3 has no dim row
+    write_dim("v1")
+    sev.start_enriched_append(
+        spark, str(land) + "/*", dim_path, sink, chk, nanos_ts=False
+    ).awaitTermination(120)
+
+    write_dim("v2")
+    land_batch("b1", [11, 2])       # reuses user 2 → must see v2
+    # b1 events need distinct event ids: rewrite with new ids
+    rows = [(11, t0, 1, "click", 1.0, "{}"), (12, t0, 2, "click", 1.0, "{}")]
+    spark.createDataFrame(rows, sev.EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(str(land / "b1"))
+    sev.start_enriched_append(
+        spark, str(land) + "/*", dim_path, sink, chk, nanos_ts=False
+    ).awaitTermination(120)
+
+    got = {
+        r["event_id"]: r["tier"] for r in spark.read.parquet(sink).collect()
+    }
+    assert got[1] == "v1" and got[2] == "v1"   # first run kept
+    assert got[3] is None                      # left join passthrough
+    assert got[11] == "v2" and got[12] == "v2"  # second run enriched fresh
