@@ -3627,6 +3627,60 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.textrank_keywords(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+_TEXTRANK_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+    SELECT t[i+1] AS w1, t[i+2] AS w2
+    FROM toks, unnest(range(len(t) - 1)) u(i)
+),
+bg AS (
+    SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+),
+edges AS (
+    SELECT src, dst, sum(w) AS w FROM (
+        SELECT w1 AS src, w2 AS dst, c AS w FROM bg
+        UNION ALL
+        SELECT w2 AS src, w1 AS dst, c AS w FROM bg
+    ) GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS word FROM edges),
+n AS (SELECT count(*) AS nn FROM nodes),
+r0 AS (SELECT word, 1.0 / nn AS rank FROM nodes, n),
+r1 AS (
+    SELECT e.dst AS word,
+           (1.0 - 0.85) / nn + 0.85 * sum(e.w / o.wout * r.rank) AS rank
+    FROM edges e JOIN outw o ON e.src = o.src
+                 JOIN r0 r ON e.src = r.word, n
+    GROUP BY e.dst, nn
+),
+r2 AS (
+    SELECT e.dst AS word,
+           (1.0 - 0.85) / nn + 0.85 * sum(e.w / o.wout * r.rank) AS rank
+    FROM edges e JOIN outw o ON e.src = o.src
+                 JOIN r1 r ON e.src = r.word, n
+    GROUP BY e.dst, nn
+),
+r3 AS (
+    SELECT e.dst AS word,
+           (1.0 - 0.85) / nn + 0.85 * sum(e.w / o.wout * r.rank) AS rank
+    FROM edges e JOIN outw o ON e.src = o.src
+                 JOIN r2 r ON e.src = r.word, n
+    GROUP BY e.dst, nn
+)
+SELECT word, CAST(round(rank, 8) AS FLOAT) AS rank
+FROM r3
+ORDER BY round(rank, 8) DESC, word
+LIMIT 20
+"""
+
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only (k-means is iterative — not one SQL statement), but
     # deterministic: lowest-id init, fixed iteration count, exact
@@ -4399,6 +4453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosscorpus_dedup": q_crosscorpus_dedup,
         "quality_floor": q_quality_floor,
         "bigram_pmi": q_bigram_pmi,
+        "textrank_keywords": q_textrank,
         "corpus_report": q_corpus_report,
         "classifier_score": q_classifier_score,
         "gopher_filter": q_gopher_filter,
@@ -4545,6 +4600,7 @@ def oracle_sql() -> dict[str, str]:
         "crosscorpus_dedup": _CROSSCORPUS_SQL,
         "quality_floor": _QUALITY_FLOOR_SQL,
         "bigram_pmi": _BIGRAM_PMI_SQL,
+        "textrank_keywords": _TEXTRANK_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
         "classifier_score": _CLASSIFIER_SCORE_SQL,
         "gopher_filter": _gopher_sql(),

@@ -2257,3 +2257,89 @@ def substring_dedup(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (weighted PageRank on the co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+def textrank_keywords(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_count: int = 3,
+    damping: float = 0.85,
+    iterations: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus keywords by TextRank: PageRank over word co-occurrence.
+
+    Mihalcea & Tarau 2004, corpus-scale: nodes are words, edges are
+    adjacent-pair co-occurrences with count weights (symmetrized — the
+    original TextRank graph is undirected), rank iterates
+
+        r(v) ← (1−d)/N + d · Σ_{u∼v} w(u,v)/wout(u) · r(u)
+
+    for a FIXED iteration count (deterministic, oracle-friendly; rank
+    ordering stabilizes in 2-4 iterations on text graphs).
+
+    Scale shape: the graph is built ONCE from the bigram table (corpus
+    scanned once, vocabulary²-sparse edges); each iteration is one
+    equi-join of the edge table with the rank vector + one partial-agg
+    shuffle keyed by word — the classic DataFrame PageRank loop whose
+    per-iteration cost is edge-table-sized, never corpus-sized. The
+    min_count floor prunes the Zipf tail so the edge table stays
+    broadcast-sized for real corpora; symmetrization guarantees every
+    node has out-weight (no dangling-mass term needed).
+
+    Float contract: per-target sums are order-dependent doubles →
+    rank is ROUNDed to 8 dp (values ~1/N) before the float32 cast.
+    """
+    bg = bigram_counts(docs, text_col).filter(
+        (F.col("c12") >= min_count) & (F.col("w1") != F.lit("<s>"))
+    )
+    edges = (
+        bg.select(
+            F.col("w1").alias("src"),
+            F.col("w2").alias("dst"),
+            F.col("c12").cast("double").alias("w"),
+        )
+        .unionByName(
+            bg.select(
+                F.col("w2").alias("src"),
+                F.col("w1").alias("dst"),
+                F.col("c12").cast("double").alias("w"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # built once, joined per iter
+
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    nodes = edges.select(F.col("src").alias("word")).distinct()
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    contrib_edges = edges.join(outw, "src")
+    for _ in range(iterations):
+        ranks = (
+            contrib_edges.join(
+                ranks.withColumnRenamed("word", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("word"),
+                (F.col("w") / F.col("wout") * F.col("rank")).alias("_c"),
+            )
+            .groupBy("word")
+            .agg(
+                (F.lit(base) + F.lit(damping) * F.sum("_c")).alias("rank")
+            )
+        )
+    return (
+        ranks.select(
+            "word", F.round(F.col("rank"), 8).cast("float").alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("word"))
+        .limit(top_k)
+    )

@@ -623,3 +623,44 @@ class TestSubstringDedup:
         for r in llm.substring_dedup(docs, k=8).collect():
             assert r["clean_text"] == "tiny doc"
             assert r["n_removed"] == 0
+
+
+class TestTextRank:
+    def _docs(self, spark):
+        # star topology: every co-occurrence involves 'hub'; the closing
+        # 'hub' keeps x/y/z structurally identical (z→hub count too)
+        text = ("hub x hub y hub z " * 3) + "hub"
+        return spark.createDataFrame(
+            [(1, text), (2, text)], ["doc_id", "text"]
+        )
+
+    def test_hub_ranks_first_and_mass_conserved(self, spark):
+        rows = llm.textrank_keywords(
+            self._docs(spark), top_k=10, min_count=2, iterations=3
+        ).collect()
+        assert rows[0]["word"] == "hub"
+        leaves = {r["word"]: r["rank"] for r in rows[1:]}
+        assert set(leaves) == {"x", "y", "z"}
+        # symmetric graph, no dangling mass: total rank stays 1
+        assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-5
+        # leaves are structurally identical → equal ranks
+        assert len({round(v, 6) for v in leaves.values()}) == 1
+
+    def test_deterministic_under_repartition(self, spark):
+        docs = self._docs(spark)
+        a = llm.textrank_keywords(docs, min_count=2).collect()
+        b = llm.textrank_keywords(docs.repartition(7), min_count=2).collect()
+        assert [(r["word"], r["rank"]) for r in a] == [
+            (r["word"], r["rank"]) for r in b
+        ]
+
+    def test_min_count_prunes_rare_pairs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b rare pair")], ["doc_id", "text"]
+        )
+        words = {
+            r["word"]
+            for r in llm.textrank_keywords(docs, min_count=3).collect()
+        }
+        assert "rare" not in words and "pair" not in words
+        assert {"a", "b"} <= words
