@@ -395,6 +395,84 @@ def probe_repetition(spark, docs=100_000):
 PROBES["classifier_50k"] = probe_classifier
 PROBES["repetition_100k"] = probe_repetition
 
+def probe_substring_dedup(spark, docs=100_000):
+    """Exact substring dedup at 20x the bench corpus. 10% of docs embed
+    a shared 12-token boilerplate passage; work = map-only gram digests
+    + one count agg + per-doc span folds."""
+    from big_data_in_agriculture_spark.operators.llm import substring_dedup
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(49)),
+        lambda i: F.when(
+            (F.col("id") % 10 == 0) & (i >= 10) & (i < 22),
+            F.concat(F.lit("boiler"), i.cast("string")),
+        ).otherwise(
+            F.concat(F.lit("w"), F.xxhash64(F.col("id"), i).cast("string"))
+        ),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    return substring_dedup(df, k=8)
+
+
+def probe_bm25(spark, docs=1_000_000):
+    """BM25 at 200x the bench corpus: two scans, map-side tf math,
+    TakeOrdered top-k — no index, no wide shuffle."""
+    from big_data_in_agriculture_spark.operators.llm import bm25_search
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"), ((F.col("id") * 31 + i * 7) % 1000).cast("string")
+        ),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    return bm25_search(df, "w1 w2 w3", top_k=10)
+
+
+def probe_sliding(spark, rows=20_000_000, keys=5):
+    """Sliding windows at ~140x the bench events: 4x row replication
+    into (window, key) partials — shuffle carries partial rows only."""
+    from big_data_in_agriculture_spark.streaming.events import sliding_rollup
+
+    df = spark.range(rows).select(
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000)
+        ).alias("ts"),
+        F.concat(F.lit("k"), (F.col("id") % keys).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    return sliding_rollup(df, "1 day", "6 hours")
+
+
+def probe_textrank(spark, docs=200_000):
+    """TextRank at 40x the bench corpus: 3 edge-table-sized join+agg
+    iterations after a single corpus scan."""
+    from big_data_in_agriculture_spark.operators.llm import textrank_keywords
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.concat(
+            F.lit("w"), ((F.col("id") * 17 + i * 13) % 3000).cast("string")
+        ),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    return textrank_keywords(df, top_k=20, min_count=3)
+
+
+PROBES["substring_dedup_100k"] = probe_substring_dedup
+PROBES["bm25_1m"] = probe_bm25
+PROBES["sliding_20m"] = probe_sliding
+PROBES["textrank_200k"] = probe_textrank
+
+
 
 if __name__ == "__main__":
     sys.exit(main())
