@@ -3681,6 +3681,43 @@ LIMIT 20
 
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity resolution on the product-name vocabulary: which catalog
+    # names are near-variants of each other (shared char trigrams)
+    names = _t(spark, sf_dir, "part").select(
+        F.col("p_name").alias("name")
+    ).distinct()
+    out = relational.fuzzy_join(
+        names, names, "name", "name", "name", "name", threshold=0.35
+    )
+    return out.filter(F.col("id_a") < F.col("id_b"))
+
+
+_FUZZY_JOIN_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+g AS (
+    SELECT name,
+           list_distinct(
+               CASE WHEN length(name) >= 3
+                    THEN list_transform(range(length(name) - 2),
+                                        i -> substring(name, i + 1, 3))
+                    ELSE [name] END
+           ) AS grams
+    FROM names
+)
+SELECT a.name AS id_a, b.name AS id_b,
+       CAST(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams))) AS FLOAT) AS jaccard
+FROM g a JOIN g b ON a.name < b.name
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+      >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only (k-means is iterative — not one SQL statement), but
     # deterministic: lowest-id init, fixed iteration count, exact
@@ -4462,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": q_window_ranks,
         "key_skew": q_key_skew,
         "interval_overlap": q_interval_overlap,
+        "fuzzy_join": q_fuzzy_join,
         "gopher_pipeline": q_gopher_pipeline,
         "classifier_quality": q_classifier_quality,
     }
@@ -4609,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
         "window_ranks": _WINDOW_RANKS_SQL,
         "key_skew": _KEY_SKEW_SQL,
         "interval_overlap": _INTERVAL_OVERLAP_SQL,
+        "fuzzy_join": _FUZZY_JOIN_SQL,
         "gopher_pipeline": _gopher_pipeline_sql(),
         # knn_ivf: approximate probing — rows-only like knn_lsh; the
         # exact twin (knn_bruteforce) is oracle-checked.

@@ -1312,3 +1312,82 @@ def point_in_bbox_join(
         & (F.col(lon_col) <= F.col(east_col))
     )
     return out.drop("_band")
+
+
+def char_grams(col: Column | str, q: int = 3) -> Column:
+    """Distinct character q-grams of a string (whole string if shorter)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.array_distinct(
+        F.when(
+            n >= q,
+            F.transform(
+                F.sequence(F.lit(1), n - q + 1),
+                lambda i: c.substr(i, F.lit(q)),
+            ),
+        ).otherwise(F.array(c))
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_col: str,
+    right_col: str,
+    threshold: float = 0.5,
+    q: int = 3,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Approximate string match (entity resolution) via char-q-gram Jaccard.
+
+    The record-linkage join SQL engines fake with LIKE and UDF loops:
+    candidates come from an INVERTED-INDEX equi-join on shared q-grams
+    (never a cross join — the plan audit in tests enforces it), then
+    exact Jaccard over the full distinct-gram arrays verifies each
+    candidate. Jaccard is a ratio of integers (one IEEE division) —
+    bit-identical across engines, no rounding dance.
+
+    Scale: gram explosion is map-only; the index join is keyed by gram
+    — Zipf-frequent grams ("ing", "er ") fan out, so ``max_gram_df``
+    optionally drops grams above a document frequency from CANDIDATE
+    GENERATION only (verification still uses full arrays, so the
+    measure is unchanged; only recall of pairs sharing NOTHING but
+    ubiquitous grams is traded — the standard positional-filtering
+    trade in similarity joins).
+    """
+    lg = left.select(
+        F.col(left_id).alias("id_a"),
+        char_grams(left_col, q).alias("_ga"),
+    )
+    rg = right.select(
+        F.col(right_id).alias("id_b"),
+        char_grams(right_col, q).alias("_gb"),
+    )
+    la = lg.select("id_a", F.explode("_ga").alias("gram"))
+    rb = rg.select("id_b", F.explode("_gb").alias("gram"))
+    if max_gram_df is not None:
+        hot = (
+            rb.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("gram")
+        )
+        la = la.join(hot, "gram", "left_anti")
+        rb = rb.join(hot, "gram", "left_anti")
+    cands = la.join(rb, "gram").select("id_a", "id_b").distinct()
+    verified = (
+        cands.join(lg, "id_a")
+        .join(rg, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_ga", "_gb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.size("_ga") + F.size("_gb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
+    ).orderBy("id_a", "id_b")

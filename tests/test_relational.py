@@ -280,3 +280,51 @@ class TestPointInBboxJoin:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestFuzzyJoin:
+    def test_hand_computed_jaccard(self, spark):
+        df = spark.createDataFrame(
+            [(1, "red plate"), (2, "hot plate"), (3, "zz")], ["id", "name"]
+        )
+        out = relational.fuzzy_join(
+            df, df, "id", "id", "name", "name", threshold=0.3
+        ).filter("id_a < id_b").collect()
+        # grams: 7 each, 4 shared (' pl','pla','lat','ate') → 4/10
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+        assert abs(out[0]["jaccard"] - 0.4) < 1e-7
+
+    def test_short_strings_whole_gram(self, spark):
+        df = spark.createDataFrame([(1, "ab"), (2, "ab")], ["id", "name"])
+        out = relational.fuzzy_join(
+            df, df, "id", "id", "name", "name", threshold=0.99
+        ).filter("id_a < id_b").collect()
+        assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+    def test_max_gram_df_prunes_candidates_not_measure(self, spark):
+        # 'ate' appears everywhere; capping df must not change jaccard
+        # of surviving pairs, only drop pairs with no rare gram shared
+        rows = [(i, f"name{i} plate") for i in range(10)] + [
+            (100, "gadget alpha"), (101, "gadget alphb")
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        full = relational.fuzzy_join(
+            df, df, "id", "id", "name", "name", threshold=0.6
+        ).filter("id_a < id_b")
+        capped = relational.fuzzy_join(
+            df, df, "id", "id", "name", "name", threshold=0.6, max_gram_df=5
+        ).filter("id_a < id_b")
+        f = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
+        c = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+        assert (100, 101) in c
+        for k, v in c.items():
+            assert f[k] == v  # measure unchanged where candidates survive
+
+    def test_plan_has_no_cartesian(self, spark):
+        df = spark.createDataFrame([(1, "abcdef"), (2, "abcxyz")], ["id", "name"])
+        plan = (
+            relational.fuzzy_join(df, df, "id", "id", "name", "name")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
