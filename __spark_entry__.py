@@ -3718,6 +3718,47 @@ ORDER BY id_a, id_b
 
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.profile import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], k=3
+    )
+
+
+_K_ANON_SQL = """
+SELECT lang, source, count(*) AS group_size
+FROM documents GROUP BY 1, 2 HAVING count(*) < 3
+ORDER BY lang, source
+"""
+
+
+def q_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant orphans: drop every 7th order, then audit lineitem's FK
+    from big_data_in_agriculture_spark.operators.profile import (
+        referential_check,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 != 0
+    )
+    return referential_check(li, orders, "l_orderkey", "o_orderkey")
+
+
+_REF_CHECK_SQL = """
+WITH parent AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
+counts AS (
+    SELECT l_orderkey AS orphan_key, count(*) AS n_child_rows
+    FROM lineitem GROUP BY 1
+)
+SELECT c.orphan_key, c.n_child_rows
+FROM counts c ANTI JOIN parent p ON c.orphan_key = p.o_orderkey
+ORDER BY c.orphan_key
+"""
+
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only (k-means is iterative — not one SQL statement), but
     # deterministic: lowest-id init, fixed iteration count, exact
@@ -4452,6 +4493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "group_sample": q_group_sample,
         "check_constraints": q_check_constraints,
+        "k_anonymity": q_k_anonymity,
+        "referential_check": q_referential_check,
         "event_transitions": q_event_transitions,
         "contamination": q_contamination,
         "vocab_coverage": q_vocab_coverage,
@@ -4605,6 +4648,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sql(),
         "group_sample": _GROUP_SAMPLE_SQL,
         "check_constraints": _CHECK_CONSTRAINTS_SQL,
+        "k_anonymity": _K_ANON_SQL,
+        "referential_check": _REF_CHECK_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "contamination": _CONTAMINATION_SQL,
         "vocab_coverage": _VOCAB_COVERAGE_SQL,

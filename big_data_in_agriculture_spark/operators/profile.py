@@ -395,3 +395,56 @@ def hll_rollup(
         ).alias("approx_distinct"),
     ).select("group", "n_rows", "approx_distinct")
     return per_group.unionByName(union).orderBy("group")
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Quasi-identifier groups smaller than k (re-identification risk).
+
+    The governance audit behind "is this table safe to share": any
+    combination of quasi-identifier values matching fewer than k rows
+    singles people out. ONE hash aggregate on the quasi columns; the
+    risky-group table is what a suppression/generalization pass then
+    consumes. At 100 TB the aggregate is partial-agg friendly and the
+    output is bounded by the number of RARE combinations — the ones
+    you care about — not the table size.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+        .orderBy(*quasi_cols)
+    )
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Orphaned foreign keys: child keys with no parent row.
+
+    The cross-table data-quality expectation `check_constraints` can't
+    express (it is single-scan by design): a left-anti join from the
+    child's DISTINCT key set — collapsed BEFORE the join, so the join
+    input is key-cardinality-sized, not fact-table-sized — against the
+    parent's key column (pruned scan). Empty result = constraint holds.
+    """
+    orphans = (
+        child.select(F.col(child_key).alias("orphan_key"))
+        .distinct()
+        .join(
+            parent.select(F.col(parent_key).alias("orphan_key")),
+            "orphan_key",
+            "left_anti",
+        )
+    )
+    return (
+        child.select(F.col(child_key).alias("orphan_key"))
+        .groupBy("orphan_key")
+        .agg(F.count(F.lit(1)).alias("n_child_rows"))
+        .join(orphans, "orphan_key", "left_semi")
+        .orderBy("orphan_key")
+    )

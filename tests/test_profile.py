@@ -117,3 +117,32 @@ class TestHllRollup:
         )
         out = {r["group"]: r for r in hll_rollup(df, "g", "m").collect()}
         assert abs(out["__all__"]["approx_distinct"] - 5_000) / 5_000 < 0.05
+
+
+class TestGovernance:
+    def test_k_anonymity_flags_small_groups(self, spark):
+        rows = [("us", "a")] * 5 + [("us", "b")] * 2 + [("de", "a")]
+        df = spark.createDataFrame(rows, ["country", "zip"])
+        out = {
+            (r["country"], r["zip"]): r["group_size"]
+            for r in profile.k_anonymity(df, ["country", "zip"], k=5).collect()
+        }
+        assert out == {("us", "b"): 2, ("de", "a"): 1}
+
+    def test_referential_check_finds_orphans(self, spark):
+        child = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "z"), (9, "w")], ["fk", "v"]
+        )
+        parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+        out = {
+            r["orphan_key"]: r["n_child_rows"]
+            for r in profile.referential_check(
+                child, parent, "fk", "pk"
+            ).collect()
+        }
+        assert out == {9: 1}
+
+    def test_referential_check_clean_is_empty(self, spark):
+        child = spark.createDataFrame([(1, "x")], ["fk", "v"])
+        parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+        assert profile.referential_check(child, parent, "fk", "pk").count() == 0
