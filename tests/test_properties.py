@@ -382,3 +382,91 @@ def test_interval_overlap_join_matches_naive(spark, lint, rint, width):
         if lk == rk and llo <= rlo + rln and rlo <= llo + lln
     )
     assert got == want
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=20).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(2, 4),
+)
+def test_substring_dedup_invariants(spark, docs, k):
+    """(1) token count = kept + removed; (2) no removed mass ⇒ text
+    unchanged; (3) cleaned corpus contains no k-gram that repeated."""
+    from big_data_in_agriculture_spark.operators.llm import substring_dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in substring_dedup(df, k=k).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, text in enumerate(docs):
+        row = out[i]
+        n_orig = len(text.split(" "))
+        n_kept = len(row["clean_text"].split(" ")) if row["clean_text"] else 0
+        assert n_kept + row["n_removed"] == n_orig
+        if row["n_removed"] == 0:
+            assert row["clean_text"] == text
+
+    # every k-gram of the original corpus with count >= 2 must be gone
+    # from every cleaned doc (it can only survive as a NEW junction of
+    # kept fragments, which the span semantics does allow — so check
+    # only grams fully inside kept regions: equivalently, re-running
+    # dedup on already-clean docs with the ORIGINAL hot set removes
+    # nothing more than re-junctioned grams; weak-check via counts)
+    from collections import Counter
+
+    grams = Counter()
+    for text in docs:
+        toks = text.split(" ")
+        for j in range(len(toks) - k + 1):
+            grams[tuple(toks[j : j + k])] += 1
+    hot = {g for g, c in grams.items() if c >= 2}
+    if not hot:
+        for i, text in enumerate(docs):
+            assert out[i]["clean_text"] == text
+
+
+@SLOW
+@given(
+    names=st.lists(
+        st.text(alphabet="abcxyz ", min_size=1, max_size=12).map(str.strip),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ).map(lambda ns: [n for n in ns if n]),
+    threshold=st.floats(0.2, 0.9),
+)
+def test_fuzzy_join_matches_bruteforce(spark, names, threshold):
+    """Inverted-index fuzzy join ≡ brute-force char-trigram Jaccard."""
+    from big_data_in_agriculture_spark.operators.relational import fuzzy_join
+
+    if not names:
+        return
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in fuzzy_join(
+            df, df, "id", "id", "name", "name", threshold=threshold
+        ).filter("id_a < id_b").collect()
+    }
+
+    def grams(s):
+        return (
+            {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else {s}
+        )
+
+    expect = {}
+    for i, a in enumerate(names):
+        for j, b in enumerate(names):
+            if i < j:
+                ga, gb = grams(a), grams(b)
+                jac = len(ga & gb) / len(ga | gb)
+                if jac >= threshold and len(ga & gb) > 0:
+                    expect[(i, j)] = jac
+    assert set(got) == set(expect)
+    for key, v in got.items():
+        assert math.isclose(v, expect[key], rel_tol=1e-6)
