@@ -191,3 +191,101 @@ def resize_images(
             yield pd.DataFrame(out, columns=["asset_id", "width", "height", "payload"])
 
     return assets.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+def perceptual_hash(
+    features: DataFrame,
+    feature_col: str = "feature",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """64-bit average-hash (aHash) from a decoded feature vector.
+
+    The image near-dup key: bit i = (feature[i] > mean of the first 64
+    components). Runs entirely JVM-side on the `extract_features`
+    output — the binary payload is long gone by this stage, so hashing
+    100 TB of images shuffles nothing and decodes nothing twice.
+    MSB-first accumulation (acc·2 + bit) packs the bits into one long
+    (Java wrap-around on the top bit is deterministic).
+    """
+    padded = F.slice(
+        F.concat(
+            F.transform(F.col(feature_col), lambda x: x.cast("double")),
+            F.array_repeat(F.lit(0.0), 64),
+        ),
+        1,
+        64,
+    )
+    mean = F.aggregate(padded, F.lit(0.0), lambda a, x: a + x) / F.lit(64.0)
+
+    def _pack(vals: Column) -> Column:
+        # acc·2 + bit over ≤32 bits — stays far below long overflow
+        # (ANSI mode rejects the wrap a full 64-bit fold would hit)
+        return F.aggregate(
+            vals,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * F.lit(2).cast("long")
+            + F.when(x > mean, 1).otherwise(0).cast("long"),
+        )
+
+    hi = _pack(F.slice(padded, 1, 32))
+    lo = _pack(F.slice(padded, 33, 32))
+    phash = F.shiftleft(hi, 32).bitwiseOR(lo)
+    return features.select(F.col(id_col), phash.alias("phash"))
+
+
+def phash_neardup(
+    features: DataFrame,
+    max_distance: int = 3,
+    feature_col: str = "feature",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Image near-dup pairs by Hamming distance on the 64-bit aHash.
+
+    Banding with a PIGEONHOLE GUARANTEE instead of a probabilistic
+    S-curve: the hash splits into 4 disjoint 16-bit bands, and any two
+    hashes within Hamming distance 3 must agree on at least one whole
+    band — so candidate generation (equi-join on (band, value)) has
+    100% recall for max_distance ≤ 3, with exact `bit_count(xor)`
+    verification after. Same shuffle shape as MinHash-LSH: map-only
+    band explode, one uniform-key join, no cross join anywhere.
+    """
+    if max_distance > 3:
+        raise ValueError(
+            "4-band pigeonhole guarantees recall only for max_distance <= 3"
+        )
+    hashes = perceptual_hash(features, feature_col, id_col)
+    banded = hashes.select(
+        F.col(id_col).alias("id"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("phash"), 16 * j)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "phash", "bb.band", "bb.val")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("phash").alias("_ha"), "band", "val"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("phash").alias("_hb"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

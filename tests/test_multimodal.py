@@ -73,3 +73,63 @@ def test_resize_images_plumbing(spark):
         resize_fn=lambda p, w, h: b"RSZ" + bytes([w, h]),
     ).collect()
     assert all(bytes(r["payload"]) == b"RSZ\x02\x02" for r in tagged)
+
+
+class TestPhashNearDup:
+    def _features(self, spark, patterns):
+        # feature[i] = +1 if bit i (MSB-first) set else -1 → mean ≈ 0,
+        # so the aHash reproduces the pattern exactly
+        rows = []
+        for aid, bits in patterns.items():
+            assert len(bits) == 64
+            rows.append((aid, [1.0 if b == "1" else -1.0 for b in bits]))
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("feature", T.ArrayType(T.FloatType())),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def test_phash_reproduces_bit_pattern(self, spark):
+        from big_data_in_agriculture_spark.operators import multimodal as mm
+
+        bits = "1010" * 16
+        df = self._features(spark, {1: bits})
+        got = mm.perceptual_hash(df).first()["phash"]
+        expect = int(bits, 2) - (1 << 64 if bits[0] == "1" else 0)
+        assert got == expect
+
+    def test_neardup_within_three_bits_found(self, spark):
+        from big_data_in_agriculture_spark.operators import multimodal as mm
+
+        base = "1010" * 16
+        flip2 = base[:10] + ("0" if base[10] == "1" else "1") + base[11:]
+        flip2 = flip2[:40] + ("0" if flip2[40] == "1" else "1") + flip2[41:]
+        far = "1100" * 16  # distance 32
+        df = self._features(spark, {1: base, 2: flip2, 3: far})
+        rows = mm.phash_neardup(df, max_distance=3).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [
+            (1, 2, 2)
+        ]
+
+    def test_identical_assets_distance_zero(self, spark):
+        from big_data_in_agriculture_spark.operators import multimodal as mm
+
+        bits = "0011" * 16
+        df = self._features(spark, {7: bits, 9: bits})
+        rows = mm.phash_neardup(df).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [
+            (7, 9, 0)
+        ]
+
+    def test_distance_cap_guard(self, spark):
+        import pytest as _pytest
+
+        from big_data_in_agriculture_spark.operators import multimodal as mm
+
+        df = self._features(spark, {1: "0" * 64})
+        with _pytest.raises(ValueError):
+            mm.phash_neardup(df, max_distance=5)
