@@ -112,3 +112,55 @@ def file_skipping_ratio(path: str, col: str, value: float) -> float:
         if lo is not None and (value < lo or value > hi):
             skipped += 1
     return skipped / len(files) if files else 0.0
+
+
+def write_with_bloom(
+    df,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 100_000,
+    mode: str = "overwrite",
+    codec: str = "zstd",
+) -> None:
+    """Parquet write with per-column bloom filters (+ zstd).
+
+    The third skipping mechanism beside partition pruning and min/max
+    clustering: bloom filters answer point predicates (`user_id = X`)
+    on HIGH-CARDINALITY, UNSORTED columns where min/max ranges are
+    useless — each row group stores a compact membership filter and a
+    reader skips groups that definitely lack the value. Costs ~1 byte/
+    distinct value at write time; pays off on every selective lookup.
+    zstd is the 100 TB default codec (parquet's snappy default trades
+    ~30% size for negligible CPU at today's zstd levels).
+    """
+    w = df.write.mode(mode).option("compression", codec)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    w.parquet(path)
+
+
+def has_bloom_filter(spark, path: str, col: str) -> bool:
+    """True if any row group stores a bloom filter for `col`.
+
+    pyarrow's footer object does not surface bloom offsets, so this
+    asks the JVM parquet reader (same library that wrote the file).
+    """
+    import glob
+    import os
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            conf, jvm.org.apache.hadoop.fs.Path(f)
+        )
+        for block in footer.getBlocks():
+            for c in block.getColumns():
+                if (
+                    c.getPath().toDotString() == col
+                    and c.getBloomFilterOffset() >= 0
+                ):
+                    return True
+    return False

@@ -218,3 +218,22 @@ class TestZorderLayout:
         back = spark.read.parquet(path)
         assert back.count() == 1000
         assert back.agg(F.sum("a")).first()[0] == 999 * 1000 // 2
+
+
+class TestBloomFilterWrites:
+    def test_bloom_metadata_present_and_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from big_data_in_agriculture_spark.sources import layout
+
+        df = spark.range(50_000).select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 97).alias("bucket"),
+        )
+        path = str(tmp_path / "bloomed")
+        layout.write_with_bloom(df, path, ["user_id"], ndv=50_000)
+        assert layout.has_bloom_filter(spark, path, "user_id")
+        assert not layout.has_bloom_filter(spark, path, "bucket")
+        back = spark.read.parquet(path)
+        assert back.count() == 50_000
+        assert back.filter("user_id = 12345").count() == 1
