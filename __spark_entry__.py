@@ -3759,6 +3759,36 @@ ORDER BY c.orphan_key
 
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic docs carry no punctuation — plant sentence boundaries
+    # (text. text! …) so the UDTF emits real multi-sentence output
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(". "), F.col("text"), F.lit("!")
+        ).alias("text"),
+    )
+    return llm.split_sentences(docs)
+
+
+_SPLIT_SENT_SQL = """
+WITH sents AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(
+                   regexp_extract_all(text || '. ' || text || '!',
+                                      '[^.!?]+[.!?]?'),
+                   x -> trim(x)),
+               x -> x <> ''
+           ) AS l
+    FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS sent_idx, l[i + 1] AS sentence
+FROM sents, unnest(range(len(l))) u(i)
+"""
+
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only (k-means is iterative — not one SQL statement), but
     # deterministic: lowest-id init, fixed iteration count, exact
@@ -4530,6 +4560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "preprocess_pipeline": q_preprocess_pipeline,
         "chunk_documents": q_chunk_documents,
+        "split_sentences": q_split_sentences,
         "crosscorpus_dedup": q_crosscorpus_dedup,
         "quality_floor": q_quality_floor,
         "bigram_pmi": q_bigram_pmi,
@@ -4680,6 +4711,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample": _TEMPERATURE_SQL,
         "preprocess_pipeline": _PREPROCESS_SQL,
         "chunk_documents": _CHUNK_DOCS_SQL,
+        "split_sentences": _SPLIT_SENT_SQL,
         "crosscorpus_dedup": _CROSSCORPUS_SQL,
         "quality_floor": _QUALITY_FLOOR_SQL,
         "bigram_pmi": _BIGRAM_PMI_SQL,

@@ -2343,3 +2343,50 @@ def textrank_keywords(
         .orderBy(F.col("rank").desc(), F.col("word"))
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (Python UDTF — one input row, many output rows)
+# ---------------------------------------------------------------------------
+
+def split_sentences(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Segment documents into sentences via a Spark 4 Python UDTF.
+
+    The table-function shape (one row in, N rows out with their own
+    schema) the reference never needed but an LLM pipeline constantly
+    does — sentence-level dedup, per-sentence quality scores, citation
+    chunking. The segmentation rule is deliberately regex-simple
+    (`[^.!?]+[.!?]?`, RE2-compatible) so the SQL oracle reproduces it;
+    swap a real tokenizer into `eval` without touching the plan.
+
+    UDTFs run as Arrow-batched Python like pandas UDFs; the lateral
+    join is map-only (no shuffle — each doc's sentences are emitted in
+    the task that read it). sent_idx counts EMITTED sentences, 0-based.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class _SplitSentences:
+        def eval(self, text: str):  # noqa: ANN001
+            if not text:
+                return
+            idx = 0
+            for m in _re.findall(r"[^.!?]+[.!?]?", text):
+                s = m.strip(" ")
+                if s:
+                    yield idx, s
+                    idx += 1
+
+    spark = docs.sparkSession
+    spark.udtf.register("split_sentences_udtf", _SplitSentences)
+    docs.select(id_col, text_col).createOrReplaceTempView("_split_sent_in")
+    return spark.sql(
+        f"""
+        SELECT {id_col}, s.sent_idx, s.sentence
+        FROM _split_sent_in, LATERAL split_sentences_udtf({text_col}) s
+        """
+    )

@@ -664,3 +664,29 @@ class TestTextRank:
         }
         assert "rare" not in words and "pair" not in words
         assert {"a", "b"} <= words
+
+
+class TestSplitSentences:
+    def test_segments_and_indexes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello world. How are you? Fine!"),
+             (2, "no punctuation here"),
+             (3, "")],
+            ["doc_id", "text"],
+        )
+        rows = llm.split_sentences(df).orderBy("doc_id", "sent_idx").collect()
+        got = [(r["doc_id"], r["sent_idx"], r["sentence"]) for r in rows]
+        assert got == [
+            (1, 0, "Hello world."),
+            (1, 1, "How are you?"),
+            (1, 2, "Fine!"),
+            (2, 0, "no punctuation here"),
+        ]
+
+    def test_lateral_is_map_only(self, spark):
+        df = spark.createDataFrame([(1, "a. b.")], ["doc_id", "text"])
+        plan = (
+            llm.split_sentences(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # UDTF lateral join never shuffles
