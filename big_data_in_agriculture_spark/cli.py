@@ -78,6 +78,20 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--docs", required=True, help="documents parquet path")
     e.add_argument("--out", required=True, help="shard output directory")
     e.add_argument("--tokens-per-shard", type=int, default=100_000)
+
+    s = sub.add_parser("search", help="BM25 keyword search over a corpus")
+    s.add_argument("--docs", required=True, help="documents parquet path")
+    s.add_argument("--query", required=True, help="space-separated terms")
+    s.add_argument("--top-k", type=int, default=10)
+
+    pr = sub.add_parser("profile", help="one-pass table profile + FK audit")
+    pr.add_argument("--table", required=True, help="parquet path to profile")
+    pr.add_argument("--fk", default=None,
+                    help="referential audit: childcol=parentpath:parentcol")
+
+    pub = sub.add_parser("publish", help="publish a versioned snapshot")
+    pub.add_argument("--source", required=True, help="parquet input path")
+    pub.add_argument("--root", required=True, help="versioned dataset root")
     return p
 
 
@@ -149,6 +163,32 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         curated.write.mode("overwrite").partitionBy("split").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"wrote curated corpus to {args.out}: {n} docs")
+    elif args.cmd == "search":
+        from .operators.llm import bm25_search
+
+        docs = spark.read.parquet(args.docs)
+        for row in bm25_search(docs, args.query, top_k=args.top_k).collect():
+            print(row.asDict())
+    elif args.cmd == "profile":
+        from .operators.profile import profile_table, referential_check
+
+        table = spark.read.parquet(args.table)
+        for row in profile_table(table).collect():
+            print(row.asDict())
+        if args.fk:
+            child_col, rest = args.fk.split("=", 1)
+            parent_path, parent_col = rest.rsplit(":", 1)
+            orphans = referential_check(
+                table, spark.read.parquet(parent_path), child_col, parent_col
+            )
+            n = orphans.limit(1).count()
+            print(f"referential check {args.fk}: "
+                  f"{'VIOLATED' if n else 'ok'}")
+    elif args.cmd == "publish":
+        from .sources.versioned import write_version
+
+        v = write_version(spark.read.parquet(args.source), args.root)
+        print(f"published version {v} under {args.root}")
     elif args.cmd == "export-shards":
         from .sources.shards import export_training_shards
 

@@ -87,3 +87,36 @@ def test_export_shards_cli(spark, tmp_path, capsys):
     assert "10 shards" in capsys.readouterr().out
     assert spark.read.parquet(f"{out}/data").count() == 40
     assert spark.read.parquet(f"{out}/manifest").count() == 10
+
+
+def test_cli_search_profile_publish(spark, tmp_path, capsys):
+    from big_data_in_agriculture_spark import cli
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine joins data"), (2, "pandas local frames"),
+         (3, "spark shuffles data fast")],
+        ["doc_id", "text"],
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+
+    assert cli.main(
+        ["search", "--docs", docs_path, "--query", "spark data", "--top-k", "2"],
+        spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "'doc_id': 1" in out or "'doc_id': 3" in out
+    assert "'rank': 1" in out
+
+    assert cli.main(["profile", "--table", docs_path], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "'column': 'text'" in out
+
+    root = str(tmp_path / "versions")
+    assert cli.main(
+        ["publish", "--source", docs_path, "--root", root], spark=spark
+    ) == 0
+    assert "published version 1" in capsys.readouterr().out
+    from big_data_in_agriculture_spark.sources import versioned as V
+
+    assert V.latest_version(root) == 1
