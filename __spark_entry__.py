@@ -2397,6 +2397,18 @@ ORDER BY score_d DESC, doc_id LIMIT 10
 
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same oracle as bm25_search: the indexed scorer is engineered to
+    # be bit-identical to the scan-time scorer (exact-integer stats,
+    # fixed-order float math) — one build, point-lookup queries after.
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bm25idx-")
+    llm.build_inverted_index(_t(spark, sf_dir, "documents"), tmp)
+    return llm.bm25_search_indexed(spark, tmp, "hash join filter", top_k=10)
+
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.substring_dedup(_t(spark, sf_dir, "documents"), k=6)
 
@@ -4519,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
+        "bm25_indexed": q_bm25_indexed,
         "substring_dedup": q_substring_dedup,
         "stratified_sample": q_stratified_sample,
         "group_sample": q_group_sample,
@@ -4675,6 +4688,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_interface": _NATION_RANK_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
         "bm25_search": _BM25_SQL,
+        "bm25_indexed": _BM25_SQL,
         "substring_dedup": _SUBSTR_DEDUP_SQL,
         "stratified_sample": _stratified_sql(),
         "group_sample": _GROUP_SAMPLE_SQL,

@@ -2390,3 +2390,128 @@ def split_sentences(
         FROM _split_sent_in, LATERAL split_sentences_udtf({text_col}) s
         """
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist an inverted index for standing BM25 workloads.
+
+    ``bm25_search`` scans the corpus per query — right for ad-hoc
+    inspection, wrong for a search service. This materializes the three
+    relations a scorer needs:
+
+      path/postings    (token, doc_id, tf)  partitioned by the token's
+                       first character → a query's terms prune to a few
+                       directories, and the token filter pushes into
+                       the parquet scan (point lookups, never a corpus
+                       scan);
+      path/docstats    (doc_id, dl)
+      path/corpusstats one row: (n_docs, total_len)
+
+    Build cost is one explode + one (doc, token) count aggregate —
+    the same shuffle a tf-idf pass pays. total_len is a sum of integer
+    token counts (exact in float64 at any order), so index-time and
+    scan-time BM25 agree bit-for-bit.
+    """
+    toks = TX.tokens(text_col)
+    postings = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn("tok_prefix", F.substring("token", 1, 1))
+    )
+    postings.write.mode("overwrite").partitionBy("tok_prefix").parquet(
+        f"{path}/postings"
+    )
+    docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("double").alias("dl"),
+    ).write.mode("overwrite").parquet(f"{path}/docstats")
+    docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size(toks).cast("double")).alias("total_len"),
+    ).write.mode("overwrite").parquet(f"{path}/corpusstats")
+
+
+def bm25_search_indexed(
+    spark,
+    index_path: str,
+    query: str | list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over a persisted index — bit-identical to ``bm25_search``.
+
+    Per query: each term's postings are a PRUNED point lookup
+    (tok_prefix partition + pushed token equality), joined onto
+    docstats in a FIXED term order with missing tf coalesced to 0 —
+    the same explicit fixed-order float expression as the scan-time
+    scorer, so both return identical scores for the same corpus. Only
+    docs matching ≥1 term ever enter the plan; work scales with
+    posting-list sizes, not corpus size.
+    """
+    terms = query.split() if isinstance(query, str) else list(query)
+    seen: dict[str, None] = {}
+    for t in terms:
+        seen.setdefault(t, None)
+    terms = [t for t in seen if t]
+    if not terms:
+        raise ValueError("bm25_search_indexed: empty query")
+
+    postings = spark.read.parquet(f"{index_path}/postings")
+    docstats = spark.read.parquet(f"{index_path}/docstats")
+    stats = spark.read.parquet(f"{index_path}/corpusstats")
+
+    matched = (
+        postings.filter(F.col("token").isin(terms))
+        .select("doc_id")
+        .distinct()
+        .join(docstats, "doc_id")
+    )
+    scored = matched
+    for i, t in enumerate(terms):
+        tf_t = (
+            postings.filter(
+                (F.col("tok_prefix") == t[:1]) & (F.col("token") == t)
+            )
+            .select("doc_id", F.col("tf").alias(f"_tf_{i}"))
+        )
+        scored = scored.join(tf_t, "doc_id", "left").withColumn(
+            f"_tf_{i}", F.coalesce(F.col(f"_tf_{i}"), F.lit(0.0))
+        )
+    dfreqs = postings.filter(F.col("token").isin(terms)).groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    df_map = {r["token"]: r["df"] for r in dfreqs.collect()}
+    srow = stats.first()
+    n_docs, total_len = srow["n_docs"], srow["total_len"]
+    avgdl = total_len / n_docs
+
+    score: Column = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = df_map.get(t, 0.0)
+        idf = F.log(
+            F.lit(1.0) + (F.lit(n_docs) - df_t + 0.5) / (df_t + 0.5)
+        )
+        contrib = idf * (
+            F.col(f"_tf_{i}")
+            * (k1 + 1.0)
+            / (F.col(f"_tf_{i}") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        )
+        score = score + contrib
+
+    w = Window.orderBy(F.col("_score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("_score", score)
+        .filter(F.col("_score") > 0)
+        .orderBy(F.col("_score").desc(), F.col("doc_id"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", F.col("_score").cast("float").alias("score"), "rank")
+    )

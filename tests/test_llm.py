@@ -690,3 +690,44 @@ class TestSplitSentences:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan  # UDTF lateral join never shuffles
+
+
+class TestBM25Indexed:
+    def test_indexed_equals_scan_scorer(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [
+                (1, "cat dog cat fish"),
+                (2, "cat fish"),
+                (3, "bird bird"),
+                (4, "dog dog dog cat"),
+            ],
+            ["doc_id", "text"],
+        )
+        idx = str(tmp_path / "idx")
+        llm.build_inverted_index(docs, idx)
+        scan = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in llm.bm25_search(docs, "cat dog", top_k=10).collect()
+        ]
+        indexed = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in llm.bm25_search_indexed(
+                spark, idx, "cat dog", top_k=10
+            ).collect()
+        ]
+        assert scan == indexed  # bit-identical, including float scores
+
+    def test_postings_lookup_is_pruned(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+        )
+        idx = str(tmp_path / "idx")
+        llm.build_inverted_index(docs, idx)
+        plan = (
+            llm.bm25_search_indexed(spark, idx, "alpha")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # token equality pushed into the parquet scan; prefix partition
+        # filter prunes the postings directories
+        assert "EqualTo(token,alpha)" in plan  # pushed into the scan
+        assert "tok_prefix" in plan
