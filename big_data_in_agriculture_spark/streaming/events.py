@@ -290,6 +290,7 @@ def click_purchase_join_stream(
     events: DataFrame,
     attribution_window: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: clicks ⋈ purchases per user.
 
@@ -301,24 +302,28 @@ def click_purchase_join_stream(
     state — THE property that separates a streaming join from a batch
     join wearing a trench coat. Works identically on batch frames
     (the harness oracle-checks that form).
+
+    ``how="leftOuter"`` emits UNCONVERTED clicks too (NULL purchase
+    columns) — but only once the watermark proves no purchase can
+    still arrive, which is why the outer rows trail the inner ones by
+    up to watermark+window in event time. That delayed-NULL semantics
+    is the streaming-correct form of "clicks without attribution".
     """
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .withWatermark("ts", watermark)
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
+    # Watermark BEFORE splitting sides: a per-side watermark after the
+    # filter only advances on that side's own events, so a lull in
+    # purchases would freeze the global (min) watermark and outer rows
+    # would never emit. Watermarking the shared input lets every event
+    # advance both sides' clocks; the filters inherit it.
+    wm = events.withWatermark("ts", watermark)
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
     )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", watermark)
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
     )
     return clicks.join(
         purchases,
@@ -328,6 +333,7 @@ def click_purchase_join_stream(
             F.col("purchase_ts")
             >= F.col("click_ts") - F.expr(f"INTERVAL {attribution_window}")
         ),
+        how,
     ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
 
 

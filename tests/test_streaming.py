@@ -208,3 +208,52 @@ def test_enriched_append_refreshes_dim_between_runs(spark, tmp_path):
     assert got[1] == "v1" and got[2] == "v1"   # first run kept
     assert got[3] is None                      # left join passthrough
     assert got[11] == "v2" and got[12] == "v2"  # second run enriched fresh
+
+
+def test_outer_interval_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: an unconverted click surfaces with
+    NULL purchase columns once the watermark passes its horizon."""
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.streaming import events as sev
+
+    land = tmp_path / "land"
+    land.mkdir()
+    t0 = dt.datetime(2024, 6, 1, 8, 0)
+
+    def batch(name, rows):
+        spark.createDataFrame(rows, sev.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(land / name))
+
+    # b0: purchase at t0, converted click 5m later; click 3 unconverted
+    batch("b0", [
+        (1, t0, 10, "purchase", 9.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 10, "click", 1.0, "{}"),
+        (3, t0, 20, "click", 1.0, "{}"),
+    ])
+    # b1 advances the watermark past b0's horizon; outer rows are
+    # emitted in the FOLLOWING micro-batch, so b2 exists to flush them
+    batch("b1", [(4, t0 + dt.timedelta(hours=9), 99, "click", 1.0, "{}")])
+    batch("b2", [(5, t0 + dt.timedelta(hours=10), 99, "click", 1.0, "{}")])
+
+    stream = sev.read_events_stream(
+        spark, str(land) + "/*", nanos_ts=False, max_files_per_trigger=1
+    )
+    joined = sev.click_purchase_join_stream(
+        stream, attribution_window="1 hour", watermark="2 hours",
+        how="leftOuter",
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["click_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert rows[2]["purchase_value"] == 9.0      # converted: inner row
+    assert rows[3]["purchase_ts"] is None        # unconverted: NULL row
+    assert rows[3]["user_id"] == 20
