@@ -2409,6 +2409,20 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm.epoch_shuffle(_t(spark, sf_dir, "documents"), seed=7)
+
+
+_EPOCH_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+            ORDER BY md5('7:' || CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+           AS pos
+FROM documents
+"""
+
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.substring_dedup(_t(spark, sf_dir, "documents"), k=6)
 
@@ -4518,6 +4532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pipeline": q_llm_pipeline,
         "value_histogram": q_value_histogram,
         "hash_split": q_hash_split,
+        "epoch_shuffle": q_epoch_shuffle,
         "ema": q_ema,
         "retention_cohorts": q_retention_cohorts,
         "funnel": q_funnel,
@@ -4677,6 +4692,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_pipeline": _LLM_PIPELINE_SQL,
         "value_histogram": _HISTOGRAM_SQL,
         "hash_split": _HASH_SPLIT_SQL,
+        "epoch_shuffle": _EPOCH_SHUFFLE_SQL,
         "ema": _EMA_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "funnel": _FUNNEL_SQL,

@@ -2515,3 +2515,54 @@ def bm25_search_indexed(
         .withColumn("rank", F.row_number().over(w))
         .select("doc_id", F.col("_score").cast("float").alias("score"), "rank")
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global training-order permutation, no global sort.
+
+    Training wants a different-but-reproducible document order per
+    epoch. The naive `row_number() OVER (ORDER BY md5(seed||id))` plans
+    a single-partition global sort — dead at 100 TB — so this uses the
+    same two-level decomposition as the pack_chunks prefix sum:
+
+      1. shuffle key = md5(seed:id); bucket = its first byte (the
+         ORDER PREFIX, so bucket-major + within-bucket order IS the
+         global key order);
+      2. within-bucket row_number (256 parallel window partitions);
+      3. bucket offsets = cumulative counts of the 256-row bucket
+         histogram, broadcast back.
+
+    Output (id, pos): pos is the exact rank the global sort would give
+    — verified against the naive OVER(ORDER BY) form by the oracle.
+    New seed → new permutation; same seed → identical order on every
+    engine and partitioning.
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    keyed = docs.select(F.col(id_col), key.alias("_k")).withColumn(
+        "_b", F.conv(F.substring("_k", 1, 2), 16, 10).cast("int")
+    )
+    keyed = keyed.localCheckpoint(eager=True)  # two consumers below
+    counts = (
+        keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    by_bucket = {r["_b"]: r["_n"] for r in counts}
+    offsets, acc = {}, 0
+    for b in sorted(by_bucket):
+        offsets[b] = acc
+        acc += by_bucket[b]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_b").orderBy("_k")
+    return keyed.select(
+        id_col,
+        (
+            F.element_at(off_map, F.col("_b"))
+            + F.row_number().over(w)
+            - 1
+        ).cast("long").alias("pos"),
+    )

@@ -731,3 +731,31 @@ class TestBM25Indexed:
         # filter prunes the postings directories
         assert "EqualTo(token,alpha)" in plan  # pushed into the scan
         assert "tok_prefix" in plan
+
+
+class TestEpochShuffle:
+    def test_pos_is_exact_permutation(self, spark):
+        docs = spark.range(300).select(F.col("id").alias("doc_id"))
+        out = llm.epoch_shuffle(docs, seed=1).collect()
+        assert sorted(r["pos"] for r in out) == list(range(300))
+
+    def test_seed_changes_order_and_determinism(self, spark):
+        docs = spark.range(100).select(F.col("id").alias("doc_id"))
+        a = {r["doc_id"]: r["pos"] for r in llm.epoch_shuffle(docs, 1).collect()}
+        b = {r["doc_id"]: r["pos"] for r in llm.epoch_shuffle(docs, 2).collect()}
+        c = {
+            r["doc_id"]: r["pos"]
+            for r in llm.epoch_shuffle(docs.repartition(13), 1).collect()
+        }
+        assert a != b          # new epoch, new permutation
+        assert a == c          # same seed: partitioning-independent
+
+    def test_no_single_partition_global_sort(self, spark):
+        docs = spark.range(100).select(F.col("id").alias("doc_id"))
+        plan = (
+            llm.epoch_shuffle(docs, 1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # window partitions by bucket — a hash exchange, not the
+        # SinglePartition a global OVER (ORDER BY) would plan
+        assert "SinglePartition" not in plan
