@@ -563,3 +563,79 @@ def start_enriched_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def user_value_stats_stream(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) via transformWithStateInPandas.
+
+    The Spark 4 arbitrary-state API (successor to
+    ``applyInPandasWithState``): typed per-key ValueState survives
+    across micro-batches in the state store, batches arrive as pandas.
+    State per user is three scalars — O(users) total, the same bound
+    as ``running_user_totals_stream`` — but the new API adds schema'd
+    state (queryable/evolvable) and timers; this operator is the
+    minimal template the heavier stateful ops migrate onto.
+
+    Runtime dependency: the transformWithState protocol speaks protobuf
+    to the state server; environments without a working
+    ``google.protobuf`` (this container) fail at query start — the
+    pytest twin skips there, ``running_user_totals_stream``
+    (applyInPandasWithState, no protobuf) remains the portable form.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+            T.StructField("value_max", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("m", T.DoubleType()),
+        ]
+    )
+
+    class _Stats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            n, s, m = 0, 0.0, float("-inf")
+            if self._state.exists():
+                n, s, m = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                m = max(m, float(pdf["value"].max()))
+            self._state.update((n, s, m))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [s],
+                    "value_max": [m],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _Stats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

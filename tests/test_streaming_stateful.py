@@ -314,3 +314,62 @@ def test_heavy_hitters_exact_when_under_k(spark, tmp_path):
     got = {r["item"]: (r["count_lb"], r["max_undercount"])
            for r in spark.read.parquet(sink).collect()}
     assert got == {"a": (5, 0), "b": (3, 0), "c": (2, 0)}
+
+
+def _protobuf_usable() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_usable(),
+    reason="transformWithState needs google.protobuf (absent in container)",
+)
+def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: ValueState survives batches."""
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.streaming import events as sev
+
+    land = tmp_path / "land"
+    land.mkdir()
+    t0 = dt.datetime(2024, 2, 1)
+
+    def batch(name, rows):
+        spark.createDataFrame(rows, sev.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(land / name))
+
+    batch("b0", [(1, t0, 7, "click", 2.0, "{}"),
+                 (2, t0, 7, "click", 5.0, "{}"),
+                 (3, t0, 8, "click", 1.0, "{}")])
+    batch("b1", [(4, t0, 7, "click", 3.0, "{}")])
+
+    stream = sev.read_events_stream(
+        spark, str(land) + "/*", nanos_ts=False, max_files_per_trigger=1
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        sev.user_value_stats_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.read.parquet(sink).collect()
+    # last emitted row per user reflects the full accumulated state
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    assert final[7]["n_events"] == 3
+    assert final[7]["value_sum"] == 10.0
+    assert final[7]["value_max"] == 5.0
+    assert final[8]["n_events"] == 1
