@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: Settled representative set (keep stable across rounds so BENCH_r{N}
@@ -76,8 +78,18 @@ def main() -> int:
 
     qs = entrymod.queries()
 
-    # Warmup: spin executors + codegen on a small scan outside timing.
+    # Warmup: spin executors + codegen on a small scan outside timing,
+    # and start the Python UDF workers (the Arrow-kernel queries —
+    # minhash, LSH — otherwise bill ~1.5 s of one-time worker spinup
+    # to whichever of them runs first).
     qs["tpch_q1"](spark, sf_dir).count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
