@@ -2510,6 +2510,30 @@ FROM pts JOIN boxes
 
 
 
+def q_diurnal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        diurnal_anomaly,
+    )
+
+    return diurnal_anomaly(
+        _t(spark, sf_dir, "events"), "event_type"
+    ).withColumnRenamed("ts", "obs_ts")
+
+
+_DIURNAL_SQL = """
+WITH normals AS (
+    SELECT event_type, hour(ts) AS hod, avg(value) AS normal_d
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_type, e.ts AS obs_ts, e.value,
+       CAST(n.normal_d AS FLOAT) AS normal,
+       CAST(e.value - n.normal_d AS FLOAT) AS anomaly
+FROM events e JOIN normals n
+  ON e.event_type = n.event_type AND hour(e.ts) = n.hod
+"""
+
+
+
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-event-type value trend over time: x = days since epoch
     from big_data_in_agriculture_spark.operators.timeseries import grouped_trend
@@ -4558,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "rolling_zscore": q_rolling_zscore,
         "grouped_trend": q_grouped_trend,
+        "diurnal_anomaly": q_diurnal_anomaly,
         "correlation_matrix": q_correlation_matrix,
         "quantile_bins": q_quantile_bins,
         "lang_confusion": q_lang_confusion,
@@ -4716,6 +4741,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _VOCAB_COVERAGE_SQL,
         "rolling_zscore": _ROLLING_ZSCORE_SQL,
         "grouped_trend": _GROUPED_TREND_SQL,
+        "diurnal_anomaly": _DIURNAL_SQL,
         "correlation_matrix": _CORRELATION_SQL,
         "quantile_bins": _QUANTILE_BINS_SQL,
         "lang_confusion": _lang_confusion_sql(),

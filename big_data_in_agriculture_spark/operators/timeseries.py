@@ -289,3 +289,42 @@ def asof_cogroup(
         .cogroup(right.groupBy(key))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def diurnal_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day climatology + anomaly per observation.
+
+    The climate-analysis pattern the reference's marts exist to feed
+    (ERA5 normals/anomalies, here at diurnal grain so one month of data
+    is enough to define the normal): (1) one aggregate computes each
+    (key, hour-of-day)'s mean — the "normal"; (2) the normals table
+    (key × 24 rows, broadcast-sized by construction) joins back onto
+    the observations map-side; anomaly = value − normal. Two scans of
+    nothing: the fact is read once, aggregated, and re-joined — the
+    second "scan" is the original frame, so Spark reuses the same
+    exchange under AQE when the plan allows.
+
+    Float contract: the normal is an order-dependent double mean →
+    normal and anomaly cast to float32 at the end on both engines.
+    """
+    hod = F.hour(F.col(ts_col))
+    normals = (
+        df.groupBy(F.col(key_col), hod.alias("_hod"))
+        .agg(F.avg(F.col(value_col)).alias("_normal"))
+    )
+    return (
+        df.withColumn("_hod", hod)
+        .join(F.broadcast(normals), [key_col, "_hod"])
+        .select(
+            key_col,
+            ts_col,
+            value_col,
+            F.col("_normal").cast("float").alias("normal"),
+            (F.col(value_col) - F.col("_normal")).cast("float").alias("anomaly"),
+        )
+    )

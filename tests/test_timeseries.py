@@ -151,3 +151,43 @@ class TestAsofCogroup:
         assert cg[("u1", ts(20))] == 20.0
         assert cg[("u2", ts(3))] is None
         assert cg[("u3", ts(9))] is None
+
+
+class TestDiurnalAnomaly:
+    def test_normals_and_anomalies(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            diurnal_anomaly,
+        )
+
+        d = dt.datetime
+        rows = [
+            ("t", d(2024, 1, 1, 8), 10.0),
+            ("t", d(2024, 1, 2, 8), 14.0),   # 8h normal = 12
+            ("t", d(2024, 1, 1, 20), 5.0),   # 20h normal = 5
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "value"])
+        out = {
+            (r["k"], r["ts"]): (r["normal"], r["anomaly"])
+            for r in diurnal_anomaly(df, "k").collect()
+        }
+        assert out[("t", d(2024, 1, 1, 8))] == (12.0, -2.0)
+        assert out[("t", d(2024, 1, 2, 8))] == (12.0, 2.0)
+        assert out[("t", d(2024, 1, 1, 20))] == (5.0, 0.0)
+
+    def test_normals_join_is_broadcast(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            diurnal_anomaly,
+        )
+
+        df = spark.createDataFrame(
+            [("t", dt.datetime(2024, 1, 1, 8), 1.0)], ["k", "ts", "value"]
+        )
+        plan = (
+            diurnal_anomaly(df, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
