@@ -17,6 +17,8 @@ PICKS = [
     ("pack_chunks", "Distributed prefix sum: the single-partition exchange carries only bucket totals (1024 rows); the per-doc cumsum windows are hash-partitioned by bucket and run in parallel."),
     ("window_ranks", "Five ranking functions, one Window operator, one exchange: shared (partition, order) specs are free."),
     ("key_skew", "Totals re-aggregate the per-key counts and return via a broadcast 1-row cross join; the input is scanned once."),
+    ("substring_dedup", "Exact substring dedup: gram digests are map-only, ONE count aggregate finds hot k-grams, a semi-join + per-doc collect gathers flagged positions, and span-union/token filtering are per-row array folds — no token-level shuffle anywhere."),
+    ("point_in_bbox", "Spatial containment as a lat-banded BroadcastHashJoin with a residual 4-way predicate — the raw containment join would plan a BroadcastNestedLoopJoin."),
 ]
 
 out = ["# PLANS — formatted physical plans of representative queries",
