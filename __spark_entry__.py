@@ -122,6 +122,56 @@ GROUP BY 1, 2
 """
 
 
+def q_era5_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # area-weighted variant of A1: cos-lat cell weights. The oracle
+    # replicates sum(w*x)/sum(w) with the same conversions-after-mean
+    # order; cos/radians are both IEEE-correctly-rounded here and the
+    # final float32 cast absorbs any last-ulp libm spread.
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.select(
+        F.col("event_type").alias("region"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+        ((F.col("user_id") % 120) / 2.0 - 30.0).alias("latitude"),
+        (F.col("value") + F.lit(273.15)).alias("t2m"),
+        (F.col("value") / F.lit(1000.0)).alias("tp"),
+        (F.col("value") / F.lit(10.0)).alias("u10"),
+        (F.col("value") / F.lit(7.0)).alias("v10"),
+    )
+    return hourly_ops.spatial_mean_weighted(
+        grid, variables=["t2m", "tp", "u10", "v10"], cast="float"
+    )
+
+
+
+_ERA5_WEIGHTED_SQL = """
+WITH grid AS (
+    SELECT event_type AS region,
+           date_trunc('hour', ts) AS ts,
+           cos(radians((user_id % 120) / 2.0 - 30.0)) AS w,
+           value + 273.15 AS t2m,
+           value / 1000.0 AS tp,
+           value / 10.0 AS u10,
+           value / 7.0 AS v10
+    FROM events
+),
+agg AS (
+    SELECT region, ts,
+           sum(w * t2m) / sum(w) AS t2m,
+           sum(w * tp) / sum(w) AS tp,
+           sum(w * u10) / sum(w) AS u10,
+           sum(w * v10) / sum(w) AS v10
+    FROM grid GROUP BY 1, 2
+)
+SELECT region, ts,
+       CAST(t2m - 273.15 AS FLOAT) AS t2m,
+       CAST(tp * 1000.0 AS FLOAT) AS tp,
+       CAST(u10 AS FLOAT) AS u10,
+       CAST(v10 AS FLOAT) AS v10,
+       CAST(sqrt(u10 * u10 + v10 * v10) AS FLOAT) AS wind_speed_10m
+FROM agg
+"""
+
+
 def q_era5_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A3 + C6 + C9: per-column agg specs, {col}_{fn} naming, presence-gated.
     hourly = _pseudo_grid(spark, sf_dir, hourly_ts=False).select(
@@ -4475,6 +4525,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "era5_hourly_spatial_mean": q_era5_hourly_spatial_mean,
+        "era5_weighted_mean": q_era5_weighted_mean,
         "era5_daily_rollup": q_era5_daily_rollup,
         "era5_chain": q_era5_chain,
         "era5_serve_filter_daily": q_era5_serve_filter_daily,
@@ -4635,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "era5_hourly_spatial_mean": _ERA5_HOURLY_SQL,
+        "era5_weighted_mean": _ERA5_WEIGHTED_SQL,
         "era5_daily_rollup": _ERA5_DAILY_SQL,
         "era5_chain": _ERA5_CHAIN_SQL,
         "era5_serve_filter_daily": _ERA5_FILTER_SQL,
