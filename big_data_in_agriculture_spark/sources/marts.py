@@ -212,3 +212,42 @@ def expire_partitions(
             if year_dir.is_dir() and not any(year_dir.iterdir()):
                 year_dir.rmdir()
     return doomed
+
+
+def small_file_report(
+    spark: SparkSession,
+    root: str,
+    threshold_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Per-directory small-file audit — the compaction trigger signal.
+
+    Streaming appends and per-batch upserts accrete files far below the
+    ideal scan unit; at 100 TB the symptom is task-launch overhead and
+    footer-read storms, and the fix is ``compact_mart``. This walks the
+    dataset's directories (driver-side FS listing — metadata only, no
+    data read) and reports, per leaf directory: file count, bytes, and
+    how many files sit under the threshold. Feed the worst rows to
+    ``compact_mart`` rather than compacting everything on a schedule.
+    """
+    import os
+
+    rows = []
+    for dirpath, _dirs, files in os.walk(root):
+        parquets = [f for f in files if f.endswith(".parquet")]
+        if not parquets:
+            continue
+        sizes = [os.path.getsize(os.path.join(dirpath, f)) for f in parquets]
+        rows.append(
+            (
+                os.path.relpath(dirpath, root),
+                len(sizes),
+                int(sum(sizes)),
+                sum(1 for s in sizes if s < threshold_bytes),
+            )
+        )
+    schema = (
+        "partition string, n_files long, total_bytes long, n_small long"
+    )
+    return spark.createDataFrame(
+        sorted(rows), schema=schema
+    ).orderBy(F.col("n_small").desc(), "partition")

@@ -237,3 +237,25 @@ class TestBloomFilterWrites:
         back = spark.read.parquet(path)
         assert back.count() == 50_000
         assert back.filter("user_id = 12345").count() == 1
+
+
+def test_small_file_report_flags_fragmented_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from big_data_in_agriculture_spark.sources import marts
+
+    root = str(tmp_path / "mart")
+    # fragmented partition: 8 tiny files; healthy partition: 1 file
+    spark.range(100).withColumn("p", F.lit("frag")).repartition(8) \
+        .write.partitionBy("p").parquet(root)
+    spark.range(100).withColumn("p", F.lit("ok")).coalesce(1) \
+        .write.mode("append").partitionBy("p").parquet(root)
+
+    rep = {r["partition"]: r for r in
+           marts.small_file_report(spark, root).collect()}
+    assert rep["p=frag"]["n_files"] == 8
+    assert rep["p=frag"]["n_small"] == 8
+    assert rep["p=ok"]["n_files"] == 1
+    # worst partition sorts first
+    first = marts.small_file_report(spark, root).first()
+    assert first["partition"] == "p=frag"
