@@ -205,12 +205,18 @@ def admit_batch_neardup(
 
     admitted = with_sig.join(rejected, "doc_id", "left_anti")
     admitted = admitted.localCheckpoint(eager=True)
-    admitted.write.mode("append").parquet(f"{sink_path}/docs")
+    # Index FIRST: a crash between the two appends must not blind the
+    # gate. Orphan index rows (index written, docs append lost) are
+    # inert — cross-batch verification inner-joins admitted_sigs from
+    # docs, so a bucket hit with no docs row drops out — whereas the
+    # reverse order (docs without index) would permanently exempt those
+    # documents from future near-dup candidacy.
     llm.lsh_band_keys(
         admitted.select(F.col("doc_id").alias("id"), "signature"),
         bands,
         rows_per_band,
     ).write.mode("append").parquet(f"{sink_path}/index")
+    admitted.write.mode("append").parquet(f"{sink_path}/docs")
 
 
 def start_neardup_ingest(
