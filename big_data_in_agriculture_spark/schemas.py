@@ -123,3 +123,26 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def diff_schemas(old, new) -> dict[str, list]:
+    """Field-level schema diff: added / removed / retyped columns.
+
+    The CI gate for schema evolution: run against yesterday's mart
+    footer before a write lands (pairs with the mergeSchema read path
+    in sources/marts.py — additions are usually safe, silent retypes
+    are how a double column becomes a string at 100 TB). Nested structs
+    compare by their full simpleString, so any nested change surfaces
+    as a retype of the top-level field.
+    """
+    old_f = {f.name: f.dataType.simpleString() for f in old.fields}
+    new_f = {f.name: f.dataType.simpleString() for f in new.fields}
+    return {
+        "added": sorted(n for n in new_f if n not in old_f),
+        "removed": sorted(n for n in old_f if n not in new_f),
+        "retyped": sorted(
+            (n, old_f[n], new_f[n])
+            for n in old_f
+            if n in new_f and old_f[n] != new_f[n]
+        ),
+    }

@@ -31,3 +31,35 @@ def test_daily_agg_spec_names_match_reference_marts():
 
 def test_var_map_covers_raw_variables():
     assert set(schemas.VAR_MAP) == set(schemas.RAW_VARIABLES)
+
+
+def test_diff_schemas_reports_all_change_kinds():
+    from pyspark.sql import types as T
+
+    from big_data_in_agriculture_spark.schemas import diff_schemas
+
+    old = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("gone", T.StringType()),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),   # silent retype!
+            T.StructField("fresh", T.DateType()),
+        ]
+    )
+    d = diff_schemas(old, new)
+    assert d["added"] == ["fresh"]
+    assert d["removed"] == ["gone"]
+    assert d["retyped"] == [("b", "double", "string")]
+
+
+def test_diff_schemas_identical_is_empty():
+    from big_data_in_agriculture_spark.schemas import HOURLY_SCHEMA, diff_schemas
+
+    d = diff_schemas(HOURLY_SCHEMA, HOURLY_SCHEMA)
+    assert d == {"added": [], "removed": [], "retyped": []}
