@@ -2584,6 +2584,84 @@ FROM events e JOIN normals n
 
 
 
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.copurchase_pairs(_t(spark, sf_dir, "lineitem"))
+
+
+_COPURCHASE_SQL = """
+WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM parts a JOIN parts b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+"""
+
+
+def q_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.qoq_growth(_t(spark, sf_dir, "orders"))
+
+
+_QOQ_SQL = """
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) AS VARCHAR) || '-Q'
+               || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+           sum(o_totalprice) AS spend
+    FROM orders GROUP BY 1, 2
+),
+lagged AS (
+    SELECT *, lag(spend) OVER (PARTITION BY o_custkey ORDER BY quarter)
+                  AS prev_spend
+    FROM spend
+)
+SELECT o_custkey, quarter,
+       CAST(spend AS FLOAT) AS spend,
+       CAST(prev_spend AS FLOAT) AS prev_spend,
+       CAST(round((spend - prev_spend) / prev_spend, 4) AS FLOAT) AS growth
+FROM lagged
+WHERE prev_spend IS NOT NULL
+  AND CAST(round((spend - prev_spend) / prev_spend, 4) AS FLOAT) >= 0.2
+ORDER BY o_custkey, quarter
+"""
+
+
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pareto_contribution(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"),
+    )
+
+
+_PARETO_SQL = """
+WITH rev AS (
+    SELECT n.n_name AS nation, l.l_partkey,
+           sum(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *,
+           sum(revenue) OVER (PARTITION BY nation) AS total,
+           coalesce(sum(revenue) OVER (
+               PARTITION BY nation ORDER BY revenue DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS before
+    FROM rev
+)
+SELECT nation, l_partkey,
+       CAST(revenue AS FLOAT) AS revenue,
+       CAST(round((before + revenue) / total, 4) AS FLOAT) AS cum_share
+FROM ranked WHERE before / total < 0.8
+ORDER BY nation, revenue DESC, l_partkey
+"""
+
+
+
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-event-type value trend over time: x = days since epoch
     from big_data_in_agriculture_spark.operators.timeseries import grouped_trend
@@ -4572,6 +4650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "asof_attribution": q_asof_attribution,
         "salted_join": q_salted_join,
+        "copurchase_pairs": q_copurchase,
+        "qoq_growth": q_qoq_growth,
+        "pareto_contribution": q_pareto,
         "bpe_token_stats": q_bpe_token_stats,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -4731,6 +4812,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "asof_attribution": _ASOF_SQL,
         "salted_join": _SALTED_SQL,
+        "copurchase_pairs": _COPURCHASE_SQL,
+        "qoq_growth": _QOQ_SQL,
+        "pareto_contribution": _PARETO_SQL,
         "bpe_token_stats": _bpe_sql(),
         # embedding_neardup IS oracle-checkable despite LSH: identical
         # vectors agree on every hyperplane sign, so recall on the

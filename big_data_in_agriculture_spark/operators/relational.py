@@ -1391,3 +1391,139 @@ def fuzzy_join(
     return verified.select(
         "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+def copurchase_pairs(
+    lineitem: DataFrame,
+    min_count: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Market-basket analysis: most co-purchased part pairs.
+
+    The classic association query: parts appearing in the SAME order,
+    counted across orders. The pair space is generated per order by a
+    self-equi-join on the order key (never a corpus cross join —
+    candidates are bounded by order size², ~7² here and small for any
+    realistic basket), with `a < b` canonicalization so each pair
+    counts once per order. Duplicate part lines within one order
+    collapse first so a twice-ordered part doesn't self-pair.
+
+    Scale: one distinct + one self-join keyed on the order id (uniform
+    key) + one count aggregate; top-k is TakeOrderedAndProject.
+    """
+    parts = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = parts.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_count)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(top_k)
+    )
+
+
+def qoq_growth(
+    orders: DataFrame,
+    min_growth: float = 0.2,
+) -> DataFrame:
+    """Customers whose quarterly spend grew ≥ min_growth QoQ.
+
+    Growth-cohort shape: one (customer, quarter) aggregate, one lag
+    window over each customer's quarter series, growth filter. Exact
+    integer-cent-free contract: spend sums are doubles → growth rounded
+    to 4 dp and cast float32 like every ratio in the suite.
+    """
+    q = F.concat(
+        F.year("o_orderdate").cast("string"),
+        F.lit("-Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    spend = orders.groupBy(
+        F.col("o_custkey"), q.alias("quarter")
+    ).agg(F.sum("o_totalprice").alias("spend"))
+    w = Window.partitionBy("o_custkey").orderBy("quarter")
+    prev = F.lag("spend").over(w)
+    return (
+        spend.withColumn("prev_spend", prev)
+        .filter(F.col("prev_spend").isNotNull())
+        .withColumn(
+            "growth",
+            F.round(
+                (F.col("spend") - F.col("prev_spend")) / F.col("prev_spend"),
+                4,
+            ).cast("float"),
+        )
+        .filter(F.col("growth") >= min_growth)
+        .select(
+            "o_custkey",
+            "quarter",
+            F.col("spend").cast("float").alias("spend"),
+            F.col("prev_spend").cast("float").alias("prev_spend"),
+            "growth",
+        )
+        .orderBy("o_custkey", "quarter")
+    )
+
+
+def pareto_contribution(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    share_cut: float = 0.8,
+) -> DataFrame:
+    """Per-nation Pareto: the smallest top-revenue part set covering
+    ``share_cut`` of that nation's revenue.
+
+    The 80/20 analysis: revenue per (nation, part), ranked within the
+    nation by revenue (part key tie-break), running share via a window
+    cumsum over the nation partition — each nation sorts only its own
+    aggregate (nation-partitioned window, no global order). A part is
+    kept while the share BEFORE it is < share_cut, so the output is the
+    minimal prefix whose cumulative share reaches the cut.
+    """
+    rev = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_partkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    )
+    total_w = Window.partitionBy("nation")
+    cum_before = F.coalesce(
+        F.sum("revenue").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    return (
+        rev.withColumn("_total", F.sum("revenue").over(total_w))
+        .withColumn("_before", cum_before)
+        .filter(F.col("_before") / F.col("_total") < share_cut)
+        .select(
+            "nation",
+            "l_partkey",
+            F.col("revenue").cast("float").alias("revenue"),
+            F.round(
+                (F.col("_before") + F.col("revenue")) / F.col("_total"), 4
+            ).cast("float").alias("cum_share"),
+        )
+        .orderBy("nation", F.col("revenue").desc(), "l_partkey")
+    )

@@ -328,3 +328,51 @@ class TestFuzzyJoin:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBasketGrowthPareto:
+    def test_copurchase_counts_and_no_self_pairs(self, spark):
+        li = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 20), (2, 10), (2, 20), (3, 30)],
+            ["l_orderkey", "l_partkey"],
+        )
+        rows = relational.copurchase_pairs(li, min_count=1).collect()
+        got = {(r["part_a"], r["part_b"]): r["n_orders"] for r in rows}
+        # duplicate part line in order 1 collapses; pair counted per order
+        assert got == {(10, 20): 2}
+
+    def test_qoq_growth_filters_and_math(self, spark):
+        import datetime as dt
+
+        orders = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 5), 100.0),
+                (1, dt.datetime(2024, 4, 5), 150.0),   # +50% → kept
+                (1, dt.datetime(2024, 7, 5), 150.0),   # flat → dropped
+                (2, dt.datetime(2024, 1, 5), 100.0),   # first quarter only
+            ],
+            ["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        rows = relational.qoq_growth(orders, min_growth=0.2).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["o_custkey"], r["quarter"]) == (1, "2024-Q2")
+        assert r["growth"] == 0.5
+
+    def test_pareto_minimal_prefix(self, spark):
+        # one nation, revenues 60/30/10: the 0.8 cut needs {60, 30}
+        li = spark.createDataFrame(
+            [(1, 100, 60.0, 0.0), (2, 200, 30.0, 0.0), (3, 300, 10.0, 0.0)],
+            ["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+        )
+        orders = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], ["o_orderkey", "o_custkey"]
+        )
+        customer = spark.createDataFrame([(1, 5)], ["c_custkey", "c_nationkey"])
+        nation = spark.createDataFrame([(5, "N_A")], ["n_nationkey", "n_name"])
+        rows = relational.pareto_contribution(
+            li, orders, customer, nation, share_cut=0.8
+        ).collect()
+        assert [r["l_partkey"] for r in rows] == [100, 200]
+        assert abs(rows[0]["cum_share"] - 0.6) < 1e-6
+        assert abs(rows[1]["cum_share"] - 0.9) < 1e-6
