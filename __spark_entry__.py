@@ -2662,6 +2662,62 @@ ORDER BY nation, revenue DESC, l_partkey
 
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.association_rules(_t(spark, sf_dir, "lineitem"))
+
+
+_ASSOC_SQL = """
+WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM parts),
+item AS (SELECT l_partkey AS item, count(*) AS item_orders FROM parts GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS pair_orders
+    FROM parts a JOIN parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+directed AS (
+    SELECT x AS antecedent, y AS consequent, pair_orders FROM pairs
+    UNION ALL
+    SELECT y AS antecedent, x AS consequent, pair_orders FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.pair_orders,
+       CAST(round(d.pair_orders / (SELECT n_orders FROM n), 6) AS FLOAT) AS support,
+       CAST(round(CAST(d.pair_orders AS DOUBLE) / ia.item_orders, 6) AS FLOAT) AS confidence,
+       CAST(round((d.pair_orders * (SELECT n_orders FROM n))
+                  / (CAST(ia.item_orders AS DOUBLE) * ic.item_orders), 6) AS FLOAT) AS lift
+FROM directed d
+JOIN item ia ON d.antecedent = ia.item
+JOIN item ic ON d.consequent = ic.item
+ORDER BY confidence DESC, antecedent, consequent LIMIT 50
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           datediff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-12-31')
+               AS recency_days,
+           count(*) AS frequency,
+           sum(o_totalprice) AS monetary
+    FROM orders GROUP BY 1
+)
+SELECT o_custkey, recency_days, frequency,
+       CAST(monetary AS FLOAT) AS monetary,
+       ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+       ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       ntile(4) OVER (ORDER BY CAST(round(monetary * 100) AS BIGINT) DESC,
+                      o_custkey) AS m_score
+FROM per_cust
+ORDER BY o_custkey
+"""
+
+
+
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-event-type value trend over time: x = days since epoch
     from big_data_in_agriculture_spark.operators.timeseries import grouped_trend
@@ -4651,6 +4707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "salted_join": q_salted_join,
         "copurchase_pairs": q_copurchase,
+        "association_rules": q_association_rules,
+        "rfm_segments": q_rfm_segments,
         "qoq_growth": q_qoq_growth,
         "pareto_contribution": q_pareto,
         "bpe_token_stats": q_bpe_token_stats,
@@ -4813,6 +4871,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": _ASOF_SQL,
         "salted_join": _SALTED_SQL,
         "copurchase_pairs": _COPURCHASE_SQL,
+        "association_rules": _ASSOC_SQL,
+        "rfm_segments": _RFM_SQL,
         "qoq_growth": _QOQ_SQL,
         "pareto_contribution": _PARETO_SQL,
         "bpe_token_stats": _bpe_sql(),

@@ -1527,3 +1527,124 @@ def pareto_contribution(
         )
         .orderBy("nation", F.col("revenue").desc(), "l_partkey")
     )
+
+
+def association_rules(
+    lineitem: DataFrame,
+    min_pair_orders: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Apriori 2-itemset rules: support, confidence, lift per pair.
+
+    The step after ``copurchase_pairs``: each canonical pair (a < b)
+    becomes two directed rules a→b and b→a with
+
+        support    = P(a,b)   = pair_orders / n_orders
+        confidence = P(b | a) = pair_orders / orders(a)
+        lift       = P(a,b) / (P(a) · P(b))
+
+    Exact integer counts everywhere; the three ratios are single IEEE
+    divisions ROUNDed to 6 dp + float32 like the suite's other ratios.
+    Item supports join onto the (already tiny) pair table — the fact
+    table is scanned twice (pairs, item counts), both into partial
+    aggregates; nothing quadratic beyond the per-basket pair space.
+    """
+    parts = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = parts.select("l_orderkey").distinct().count()
+    item = parts.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("item_orders")
+    )
+    a = parts.select(F.col("l_orderkey"), F.col("l_partkey").alias("x"))
+    b = parts.select(F.col("l_orderkey"), F.col("l_partkey").alias("y"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= min_pair_orders)
+    )
+    directed = pairs.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "pair_orders",
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "pair_orders",
+        )
+    )
+    ante = item.select(
+        F.col("item").alias("antecedent"),
+        F.col("item_orders").alias("_na"),
+    )
+    cons = item.select(
+        F.col("item").alias("consequent"),
+        F.col("item_orders").alias("_nc"),
+    )
+    n = float(n_orders)
+    out = (
+        directed.join(ante, "antecedent")
+        .join(cons, "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_orders",
+            F.round(F.col("pair_orders") / F.lit(n), 6)
+            .cast("float")
+            .alias("support"),
+            F.round(F.col("pair_orders") / F.col("_na"), 6)
+            .cast("float")
+            .alias("confidence"),
+            F.round(
+                (F.col("pair_orders") * F.lit(n))
+                / (F.col("_na") * F.col("_nc")),
+                6,
+            )
+            .cast("float")
+            .alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("confidence").desc(), "antecedent", "consequent"
+    ).limit(top_k)
+
+
+def rfm_segments(
+    orders: DataFrame,
+    n_tiles: int = 4,
+    asof: str = "1998-12-31",
+) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quartiles.
+
+    The marketing-analytics staple: per customer, days since last
+    order (R), order count (F), total spend (M); each scored into
+    n_tiles by ntile windows ordered with custkey tie-breaks so the
+    segmentation is deterministic across engines and partitionings.
+    One aggregate + three global ntile windows — the windows order a
+    CUSTOMER-grain table (already aggregated), which is the part a
+    100 TB deployment would range-partition; the fact scan happens
+    once.
+    """
+    cut = F.to_timestamp(F.lit(asof))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(cut, F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    # order monetary by EXACT integer cents: the raw double sum is
+    # order-dependent in its last ulp, and two equal-cent customers
+    # could swap sides of the ntile boundary across engines
+    cents = F.round(F.col("monetary") * 100).cast("long")
+    w_m = Window.orderBy(cents.desc(), F.col("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("float").alias("monetary"),
+        F.ntile(n_tiles).over(w_r).alias("r_score"),
+        F.ntile(n_tiles).over(w_f).alias("f_score"),
+        F.ntile(n_tiles).over(w_m).alias("m_score"),
+    ).orderBy("o_custkey")

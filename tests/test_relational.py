@@ -376,3 +376,47 @@ class TestBasketGrowthPareto:
         assert [r["l_partkey"] for r in rows] == [100, 200]
         assert abs(rows[0]["cum_share"] - 0.6) < 1e-6
         assert abs(rows[1]["cum_share"] - 0.9) < 1e-6
+
+
+class TestAssociationRfm:
+    def test_rule_math_hand_checked(self, spark):
+        # orders: {A,B} ×2, {A} ×1, {B} ×1  → n=4, a=3, b=3, ab=2
+        li = spark.createDataFrame(
+            [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (4, 2)],
+            ["l_orderkey", "l_partkey"],
+        )
+        rules = {
+            (r["antecedent"], r["consequent"]): r
+            for r in relational.association_rules(li).collect()
+        }
+        r = rules[(1, 2)]
+        assert r["pair_orders"] == 2
+        assert abs(r["support"] - 0.5) < 1e-6          # 2/4
+        assert abs(r["confidence"] - 2 / 3) < 1e-6     # 2/3
+        assert abs(r["lift"] - (2 * 4) / 9) < 1e-6     # 8/9
+        assert (2, 1) in rules  # both directions emitted
+
+    def test_rfm_scores_quartiles(self, spark):
+        import datetime as dt
+
+        rows = []
+        for cust in range(8):
+            # customer k orders k+1 times, each 100.0, last order k days
+            # before the as-of date
+            for i in range(cust + 1):
+                rows.append(
+                    (cust, dt.datetime(1998, 12, 31 - cust), 100.0)
+                )
+        orders = spark.createDataFrame(
+            rows, ["o_custkey", "o_orderdate", "o_totalprice"]
+        )
+        out = {r["o_custkey"]: r for r in
+               relational.rfm_segments(orders).collect()}
+        # most recent + least frequent customer: best R, worst F/M
+        assert out[0]["r_score"] == 1
+        assert out[0]["f_score"] == 4
+        assert out[0]["m_score"] == 4
+        # oldest + most frequent: worst R, best F/M
+        assert out[7]["r_score"] == 4
+        assert out[7]["f_score"] == 1
+        assert out[7]["m_score"] == 1
