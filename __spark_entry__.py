@@ -4023,6 +4023,44 @@ FROM sents, unnest(range(len(l))) u(i)
 
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroid_similarity(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
+_LABEL_CENTROID_SQL = """
+WITH dims AS (
+    SELECT label, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS val
+    FROM embeddings, unnest(range(len(embedding))) u(i)
+),
+cent AS (
+    SELECT label, dim, avg(val) AS mean FROM dims GROUP BY 1, 2
+),
+vecs AS (
+    SELECT label, list(mean ORDER BY dim) AS centroid FROM cent GROUP BY 1
+),
+pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           a.centroid AS ca, b.centroid AS cb
+    FROM vecs a JOIN vecs b ON a.label < b.label
+)
+SELECT label_a, label_b,
+       CAST(round(
+           list_reduce(list_transform(range(len(ca)),
+                                      i -> ca[i + 1] * cb[i + 1]),
+                       (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(ca, v -> v * v),
+                               (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(cb, v -> v * v),
+                                 (x, y) -> x + y))), 6) AS FLOAT)
+           AS centroid_cosine
+FROM pairs
+ORDER BY label_a, label_b
+"""
+
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only (k-means is iterative — not one SQL statement), but
     # deterministic: lowest-id init, fixed iteration count, exact
@@ -4778,6 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "weighted_sample": q_weighted_sample,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "label_centroids": q_label_centroids,
         "cdc_apply": q_cdc_apply,
         "scd2_history": q_scd2_history,
         "cumulative_users": q_cumulative_users,
@@ -4943,6 +4982,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _lang_confusion_sql(),
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "embedding_dim_stats": _EMBEDDING_DIM_STATS_SQL,
+        "label_centroids": _LABEL_CENTROID_SQL,
         "cdc_apply": _CDC_APPLY_SQL,
         "scd2_history": _SCD2_SQL,
         "cumulative_users": _CUMULATIVE_USERS_SQL,

@@ -584,3 +584,58 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dupped, id_col, "left_anti")
+
+
+def label_centroid_similarity(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid vectors + pairwise centroid cosines.
+
+    Class-separation diagnostic for an embedding space: average vector
+    per label (one posexplode + (label, dim) partial agg — the shuffle
+    carries per-dim partial sums over a labels×dim key space, never
+    vectors), centroids rebuilt as arrays, then the labels×labels
+    cosine matrix — quadratic only in the LABEL count, which is a
+    model-card-sized number. High off-diagonal cosine = confusable
+    classes; the retrieval/dedup thresholds above depend on knowing it.
+
+    Output: one row per unordered label pair (a < b) with the cosine
+    of their centroids (float64 math, ROUND 6 + float32 at the end).
+    """
+    dims = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean"))
+            ).alias("_dm")
+        )
+        .select(
+            "label",
+            F.transform(F.col("_dm"), lambda x: x["mean"]).alias("centroid"),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("_ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("_cb")
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("_ca"), F.col("_cb")), 6)
+            .cast("float")
+            .alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

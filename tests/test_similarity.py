@@ -196,3 +196,51 @@ def test_semantic_dedup_keeps_distinct_vectors(spark):
     ids = sorted(r["vec_id"] for r in out.collect())
     # 3 is a near-dup of 1 (cos ~0.9999995) -> dropped; others survive
     assert ids == [1, 2, 4]
+
+
+class TestLabelCentroids:
+    def test_centroids_and_cosines(self, spark):
+        from big_data_in_agriculture_spark.operators.similarity import (
+            label_centroid_similarity,
+        )
+
+        # label A points average to (1,0); B to (0,1); C to (1,0) too
+        rows = [
+            ("A", [1.0, 0.0]), ("A", [1.0, 0.0]),
+            ("B", [0.0, 1.0]), ("B", [0.0, 1.0]),
+            ("C", [2.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, ["label", "embedding"])
+        out = {
+            (r["label_a"], r["label_b"]): r["centroid_cosine"]
+            for r in label_centroid_similarity(df).collect()
+        }
+        assert out[("A", "B")] == 0.0   # orthogonal centroids
+        assert out[("A", "C")] == 1.0   # same direction
+        assert out[("B", "C")] == 0.0
+        assert len(out) == 3            # unordered pairs only
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from big_data_in_agriculture_spark.operators.similarity import (
+            label_centroid_similarity,
+        )
+
+        rng = np.random.RandomState(3)
+        rows = [
+            (f"L{i % 3}", [float(x) for x in rng.randn(8)]) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, ["label", "embedding"])
+        out = {
+            (r["label_a"], r["label_b"]): r["centroid_cosine"]
+            for r in label_centroid_similarity(df).collect()
+        }
+        cents = {}
+        for lbl in ("L0", "L1", "L2"):
+            vs = np.array([v for l, v in rows if l == lbl])
+            cents[lbl] = vs.mean(axis=0)
+        for (a, b), got in out.items():
+            ca, cb = cents[a], cents[b]
+            want = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+            assert abs(got - want) < 1e-5
