@@ -2718,6 +2718,51 @@ ORDER BY o_custkey
 
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # triangle counts on the co-purchase graph (pairs sharing >= 2
+    # orders) — graph built once from lineitem, triangles from the
+    # edge table alone
+    li = _t(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return relational.triangle_participation(edges)
+
+
+_TRIANGLES_SQL = """
+WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM parts a JOIN parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tris AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+)
+SELECT node, count(*) AS n_triangles
+FROM corners GROUP BY 1
+ORDER BY n_triangles DESC, node LIMIT 50
+"""
+
+
+
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-event-type value trend over time: x = days since epoch
     from big_data_in_agriculture_spark.operators.timeseries import grouped_trend
@@ -4745,6 +4790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "salted_join": q_salted_join,
         "copurchase_pairs": q_copurchase,
+        "triangle_participation": q_triangles,
         "association_rules": q_association_rules,
         "rfm_segments": q_rfm_segments,
         "qoq_growth": q_qoq_growth,
@@ -4910,6 +4956,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": _ASOF_SQL,
         "salted_join": _SALTED_SQL,
         "copurchase_pairs": _COPURCHASE_SQL,
+        "triangle_participation": _TRIANGLES_SQL,
         "association_rules": _ASSOC_SQL,
         "rfm_segments": _RFM_SQL,
         "qoq_growth": _QOQ_SQL,

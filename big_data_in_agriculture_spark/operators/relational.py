@@ -1648,3 +1648,52 @@ def rfm_segments(
         F.ntile(n_tiles).over(w_f).alias("f_score"),
         F.ntile(n_tiles).over(w_m).alias("m_score"),
     ).orderBy("o_custkey")
+
+
+def triangle_participation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    top_k: int = 50,
+) -> DataFrame:
+    """Per-node triangle counts on an undirected graph.
+
+    The classic distributed graph metric (community density, spam-ring
+    detection on the co-purchase graph). Edges arrive canonicalized
+    (src < dst, deduped); triangles enumerate as a < b < c via two
+    equi-joins on the EDGE table — never touching the original fact
+    data — so cost is bounded by edge-count × average degree, the
+    standard compact-forward bound. Each triangle credits all three
+    corners; counts are exact integers.
+    """
+    # canonicalize (either input orientation), drop self-loops, dedup
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        e.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(top_k)
+    )

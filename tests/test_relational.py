@@ -420,3 +420,30 @@ class TestAssociationRfm:
         assert out[7]["r_score"] == 4
         assert out[7]["f_score"] == 1
         assert out[7]["m_score"] == 1
+
+
+class TestTriangles:
+    def test_known_graph(self, spark):
+        # K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3}, {1,2,4}
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["src", "dst"]
+        )
+        out = {r["node"]: r["n_triangles"] for r in
+               relational.triangle_participation(edges).collect()}
+        assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    def test_uncanonical_and_duplicate_edges_tolerated(self, spark):
+        edges = spark.createDataFrame(
+            [(2, 1), (1, 3), (3, 2), (1, 2)], ["src", "dst"]
+        )
+        out = {r["node"]: r["n_triangles"] for r in
+               relational.triangle_participation(edges).collect()}
+        # reversed and duplicate orientations canonicalize to one edge
+        # each; triangle {1,2,3} counted exactly once
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_triangle_free_graph_empty(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+        )
+        assert relational.triangle_participation(edges).count() == 0
