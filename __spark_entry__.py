@@ -2763,6 +2763,39 @@ ORDER BY n_triangles DESC, node LIMIT 50
 
 
 
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.analytics import (
+        trending_items,
+    )
+
+    return trending_items(
+        _t(spark, sf_dir, "events"), "6 hours", "2 hours", top_k=3
+    )
+
+
+_TRENDING_SQL = """
+WITH win AS (
+    SELECT make_timestamp(((CAST(floor(epoch(ts) / 7200) AS BIGINT) - i)
+                           * 7200) * 1000000) AS window_start,
+           event_type AS item
+    FROM events CROSS JOIN (SELECT unnest(range(3)) AS i)
+),
+counts AS (
+    SELECT window_start, item, count(*) AS n_events
+    FROM win GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY window_start
+                                 ORDER BY n_events DESC, item) AS rank
+    FROM counts
+)
+SELECT window_start, item, n_events, rank
+FROM ranked WHERE rank <= 3
+ORDER BY window_start, rank
+"""
+
+
+
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-event-type value trend over time: x = days since epoch
     from big_data_in_agriculture_spark.operators.timeseries import grouped_trend
@@ -4786,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "stream_daily_rollup": q_stream_daily_rollup,
         "sliding_window_rollup": q_sliding_window_rollup,
+        "trending_items": q_trending,
         "multimodal_features": q_multimodal_features,
         "asof_attribution": q_asof_attribution,
         "salted_join": q_salted_join,
@@ -4952,6 +4986,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _lang_sql(),
         "stream_daily_rollup": _STREAM_SQL,
         "sliding_window_rollup": _SLIDING_SQL,
+        "trending_items": _TRENDING_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "asof_attribution": _ASOF_SQL,
         "salted_join": _SALTED_SQL,

@@ -237,3 +237,41 @@ def funnel_conversion(
             for k in range(1, len(steps) + 1)
         ]
     )
+
+
+def trending_items(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str = "2 hours",
+    top_k: int = 3,
+    item_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Top-k items per sliding window — the trending-now query.
+
+    Counts per (window, item) come from ONE aggregate over the
+    window-replicated rows (replication factor window/slide, same knob
+    as sliding_rollup); the per-window top-k is a rank window
+    partitioned by window start — thousands of independent small
+    partitions, no global sort. Epoch-aligned bounds keep the SQL twin
+    exact; counts are integers so ranking is engine-deterministic with
+    the item tie-break.
+    """
+    w = F.window(F.col(ts_col), window, slide)
+    counts = events.groupBy(
+        w.alias("win"), F.col(item_col).alias("item")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    rk = Window.partitionBy("win").orderBy(
+        F.col("n_events").desc(), F.col("item")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("win.start").alias("window_start"),
+            "item",
+            "n_events",
+            "rank",
+        )
+        .orderBy("window_start", "rank")
+    )

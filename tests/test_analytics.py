@@ -94,3 +94,28 @@ def test_debounce_chained_burst_keeps_only_opener(spark):
                   for r in debounce_events(ev, gap_seconds=60).collect())
     # burst 1-4 collapses to opener 1 even though 1->4 spans 100s > 60s
     assert kept == [1, 5, 6]
+
+
+class TestTrendingItems:
+    def test_topk_per_window_with_ties(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.analytics import (
+            trending_items,
+        )
+
+        t0 = dt.datetime(2024, 3, 1, 0, 30)
+        rows = (
+            [(t0, "a")] * 3 + [(t0, "b")] * 3 + [(t0, "c")] * 1
+        )
+        df = spark.createDataFrame(rows, ["ts", "event_type"])
+        out = trending_items(df, "2 hours", "1 hour", top_k=2).collect()
+        # every event in 2 windows; per window: a,b tie at 3 → item order
+        by_win = {}
+        for r in out:
+            by_win.setdefault(r["window_start"], []).append(
+                (r["rank"], r["item"], r["n_events"])
+            )
+        assert len(by_win) == 2
+        for ranked in by_win.values():
+            assert ranked == [(1, "a", 3), (2, "b", 3)]  # c cut by top-k
