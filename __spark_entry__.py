@@ -2473,6 +2473,64 @@ FROM documents
 
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch reading ease from whitespace words, sentence punctuation
+    # (planted — synthetic docs carry none), and vowel-group syllable
+    # estimates. Integer counts → one fixed-order double formula,
+    # ROUND 2 + float32.
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(". "), F.col("text"), F.lit("!")
+        ).alias("text"),
+    )
+    words = F.size(F.split(F.col("text"), " ")).cast("double")
+    sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")),
+        F.lit(1),
+    ).cast("double")
+    sylls = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    ).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (sylls / words)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        F.round(flesch, 2).cast("float").alias("flesch"),
+    )
+
+
+_READABILITY_SQL = """
+WITH base AS (
+    SELECT doc_id, text || '. ' || text || '!' AS text FROM documents
+),
+counts AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                AS DOUBLE) AS sents,
+           CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                AS DOUBLE) AS sylls
+    FROM base
+)
+SELECT doc_id,
+       CAST(words AS BIGINT) AS n_words,
+       CAST(sents AS BIGINT) AS n_sentences,
+       CAST(sylls AS BIGINT) AS n_syllables,
+       CAST(round(206.835 - 1.015 * (words / sents)
+                  - 84.6 * (sylls / words), 2) AS FLOAT) AS flesch
+FROM counts
+"""
+
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.substring_dedup(_t(spark, sf_dir, "documents"), k=6)
 
@@ -4802,6 +4860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
+        "readability": q_readability,
         "corpus_profile": q_corpus_profile,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
@@ -4971,6 +5030,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": _DEDUP_GROUPS_SQL,
         "dedup_exact_docs": _DEDUP_DOCS_SQL,
         "text_stats": _TEXT_STATS_SQL,
+        "readability": _READABILITY_SQL,
         "corpus_profile": _CORPUS_PROFILE_SQL,
         "jaccard_pairs": _JACCARD_SQL,
         "simhash": _simhash_oracle(),
