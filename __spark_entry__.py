@@ -2531,6 +2531,63 @@ FROM counts
 
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant subset-duplication: wrapper docs embed docs 0-2 verbatim
+    # plus fresh trailing prose — high containment, low Jaccard, the
+    # case the symmetric near-dup measures miss
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapper = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" completely new trailing commentary appended here"),
+        ).alias("text"),
+    )
+    return llm.containment_pairs(
+        docs.unionByName(wrapper), threshold=0.8, k=3
+    )
+
+
+_CONTAINMENT_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           text || ' completely new trailing commentary appended here'
+               AS text
+    FROM documents WHERE doc_id < 3
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+shingled AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+    FROM toks
+),
+exploded AS (
+    SELECT doc_id, len(sh) AS set_size, unnest(sh) AS shingle FROM shingled
+),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.set_size AS na, b.set_size AS nb, count(*) AS inter
+    FROM exploded a JOIN exploded b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+),
+directed AS (
+    SELECT id_a AS contained, id_b AS container,
+           CAST(inter AS DOUBLE) / na AS c FROM shared
+    UNION ALL
+    SELECT id_b AS contained, id_a AS container,
+           CAST(inter AS DOUBLE) / nb AS c FROM shared
+)
+SELECT contained, container, CAST(c AS FLOAT) AS containment
+FROM directed WHERE c >= 0.8
+ORDER BY contained, container
+"""
+
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.substring_dedup(_t(spark, sf_dir, "documents"), k=6)
 
@@ -4863,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "corpus_profile": q_corpus_profile,
         "jaccard_pairs": q_jaccard_pairs,
+        "containment_pairs": q_containment,
         "simhash": q_simhash,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_norms": q_embedding_norms,
@@ -5033,6 +5091,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _READABILITY_SQL,
         "corpus_profile": _CORPUS_PROFILE_SQL,
         "jaccard_pairs": _JACCARD_SQL,
+        "containment_pairs": _CONTAINMENT_SQL,
         "simhash": _simhash_oracle(),
         "knn_bruteforce": _KNN_SQL,
         "embedding_norms": _NORMS_SQL,

@@ -2566,3 +2566,89 @@ def epoch_shuffle(
             - 1
         ).cast("long").alias("pos"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed pairs where most of A's shingles appear in B.
+
+    Broder containment C(A→B) = |A∩B| / |A| — the asymmetric measure
+    symmetric Jaccard misses: a short document EMBEDDED in a long one
+    (quote-farms, scraped aggregation, doc+boilerplate wrappers) has
+    high containment but low Jaccard, and a dedup policy usually drops
+    the contained side. Same exact inverted-index shape as
+    ``jaccard_pairs`` (shared-shingle counts from one shingle-keyed
+    shuffle), then BOTH directions are scored — |∩|/|A| and |∩|/|B| —
+    and rows above threshold are emitted as (contained, container).
+
+    Containment is a ratio of exact integers: one IEEE division,
+    bit-identical across engines, float32 on output. Shingles travel
+    as STRINGS (TX.word_shingles), not rotate-xor hashes: containment
+    sits at exactness boundaries (C = 1.0 decides "drop the contained
+    doc"), and on repetitive text the hash combine collides often
+    enough to push a true superset pair under the threshold. A
+    web-scale deployment swaps in a collision-resistant 128-bit hash;
+    the measure is unchanged.
+    """
+    shingled = _fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        TX.word_shingles(F.col(text_col), k).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+    exploded = shingled.select(
+        "id", "set_size", F.explode("shingles").alias("shingle")
+    )
+    # sort bucket members by id so every co-occurrence of a doc pair
+    # lands in ONE canonical (id_a < id_b) orientation — an unsorted
+    # collect_list would split a pair's shared-shingle count across
+    # both orientations and undercount |∩|
+    buckets = exploded.groupBy("shingle").agg(
+        F.array_sort(
+            F.collect_list(F.struct("id", "set_size"))
+        ).alias("ds")
+    )
+    n = F.size("ds")
+    pair_arrays = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, n),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["set_size"].alias("na"),
+                    y["set_size"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    shared = (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b", "p.na", "p.nb")
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    fwd = shared.select(
+        F.col("id_a").alias("contained"),
+        F.col("id_b").alias("container"),
+        (F.col("inter").cast("double") / F.col("na")).alias("_c"),
+    )
+    rev = shared.select(
+        F.col("id_b").alias("contained"),
+        F.col("id_a").alias("container"),
+        (F.col("inter").cast("double") / F.col("nb")).alias("_c"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("_c") >= threshold)
+        .select(
+            "contained",
+            "container",
+            F.col("_c").cast("float").alias("containment"),
+        )
+        .orderBy("contained", "container")
+    )

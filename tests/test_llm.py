@@ -759,3 +759,30 @@ class TestEpochShuffle:
         # window partitions by bucket — a hash exchange, not the
         # SinglePartition a global OVER (ORDER BY) would plan
         assert "SinglePartition" not in plan
+
+
+class TestContainmentPairs:
+    def test_embedded_doc_full_containment(self, spark):
+        short = "alpha beta gamma delta epsilon zeta"
+        long_ = short + " plus entirely different closing material here"
+        docs = spark.createDataFrame(
+            [(1, short), (2, long_), (3, "unrelated text about other things")],
+            ["doc_id", "text"],
+        )
+        rows = llm.containment_pairs(docs, threshold=0.8).collect()
+        got = {(r["contained"], r["container"]): r["containment"] for r in rows}
+        assert got[(1, 2)] == 1.0        # short fully inside long
+        assert (2, 1) not in got         # reverse direction below 0.8
+        assert not any(3 in k for k in got)
+
+    def test_directionality_math(self, spark):
+        # A has 4 shingles, B has 8, sharing 4: C(A→B)=1.0, C(B→A)=0.5
+        a = "w1 w2 w3 w4 w5 w6"                       # 4 shingles
+        b = a + " x1 x2 x3 x4"                         # 8 shingles, 4 shared? 
+        docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+        rows = {
+            (r["contained"], r["container"]): r["containment"]
+            for r in llm.containment_pairs(docs, threshold=0.4).collect()
+        }
+        assert rows[(1, 2)] == 1.0
+        assert 0.4 <= rows[(2, 1)] < 1.0
