@@ -241,3 +241,52 @@ def start_neardup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_quarantine_ingest(
+    spark: SparkSession,
+    source_glob: str,
+    clean_sink: str,
+    dead_letter_sink: str,
+    checkpoint_path: str,
+    schema,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream CSV landings; malformed rows go to a dead-letter sink.
+
+    The streaming face of ``sources.text_formats``: a partner feed
+    lands files continuously, one torn line must not kill the query OR
+    silently vanish. The stream reads PERMISSIVE with the corrupt
+    column declared; ``foreachBatch`` splits each micro-batch and
+    appends clean rows and quarantined rows (partial parse + raw line)
+    to separate parquet sinks. The dead-letter sink is replayable:
+    after a parser/schema fix, re-ingest it as an ordinary batch.
+    """
+    from pyspark.sql import types as T
+
+    from ..sources.text_formats import CORRUPT_COL, split_quarantine
+
+    eff = schema
+    if CORRUPT_COL not in schema.fieldNames():
+        eff = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    stream = (
+        spark.readStream.schema(eff)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", "true")
+        .csv(source_glob)
+    )
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        clean, bad = split_quarantine(batch_df)
+        clean.write.mode("append").parquet(clean_sink)
+        bad.write.mode("append").parquet(dead_letter_sink)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

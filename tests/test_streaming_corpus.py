@@ -108,3 +108,38 @@ def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
     assert sorted(r["doc_id"] for r in docs) == [1, 2]
     idx = spark.read.parquet(sink + "/index").collect()
     assert {r["id"] for r in idx} == {1, 2}
+
+
+def test_quarantine_ingest_dead_letters_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    (land / "f0.csv").write_text(
+        "id,name,score\n1,alice,9.5\n2,bob,NOT_A_NUMBER\n"
+    )
+    (land / "f1.csv").write_text("id,name,score\n3,carol,7.0\n")
+
+    q = corpus.start_quarantine_ingest(
+        spark,
+        str(land) + "/*.csv",
+        str(tmp_path / "clean"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "chk"),
+        schema,
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert sorted(r["id"] for r in clean.collect()) == [1, 3]
+    dlq = spark.read.parquet(str(tmp_path / "dlq")).collect()
+    assert len(dlq) == 1
+    assert "NOT_A_NUMBER" in dlq[0]["_corrupt_record"]
+    assert dlq[0]["id"] == 2  # partial parse preserved for replay
