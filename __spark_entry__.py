@@ -2588,6 +2588,26 @@ ORDER BY contained, container
 
 
 
+def q_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weight = n_chars: longer docs proportionally likelier
+    return llm.weighted_topk_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", k=50
+    )
+
+
+_WEIGHTED_TOPK_SQL = """
+WITH keyed AS (
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+           ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 1.0) / 4294967297.0) / CAST(n_chars AS DOUBLE) AS sk
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, CAST(round(sk, 10) AS FLOAT) AS sample_key
+FROM keyed ORDER BY sk DESC, doc_id LIMIT 50
+"""
+
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.substring_dedup(_t(spark, sf_dir, "documents"), k=6)
 
@@ -5012,6 +5032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         "lang_confusion": q_lang_confusion,
         "weighted_sample": q_weighted_sample,
+        "weighted_topk_sample": q_weighted_topk,
         "embedding_dim_stats": q_embedding_dim_stats,
         "label_centroids": q_label_centroids,
         "cdc_apply": q_cdc_apply,
@@ -5182,6 +5203,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bins": _QUANTILE_BINS_SQL,
         "lang_confusion": _lang_confusion_sql(),
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "weighted_topk_sample": _WEIGHTED_TOPK_SQL,
         "embedding_dim_stats": _EMBEDDING_DIM_STATS_SQL,
         "label_centroids": _LABEL_CENTROID_SQL,
         "cdc_apply": _CDC_APPLY_SQL,

@@ -2652,3 +2652,42 @@ def containment_pairs(
         )
         .orderBy("contained", "container")
     )
+
+
+def weighted_topk_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES).
+
+    The one-pass distributed answer to "pick k docs, probability
+    proportional to weight, no duplicates": each row draws a
+    deterministic uniform u from md5(id) and keys itself by
+    ln(u)/w — the monotone transform of u^(1/w) — and the k LARGEST
+    keys are the sample. TakeOrderedAndProject gives per-partition
+    heaps + a driver merge of k rows: no global sort, no sequential
+    reservoir, identical result at any partitioning.
+
+    ``weighted_sample`` (above) is the Bernoulli per-row variant
+    (independent keeps, random size); this one returns EXACTLY k rows.
+    Zero/negative weights are excluded (they can never be sampled).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)  # (int32 draw + 1) / (2^32 + 1): u ∈ (0, 1)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("_sk", key)
+        .orderBy(F.col("_sk").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.col(weight_col).cast("double").alias("weight"),
+            F.round(F.col("_sk"), 10).cast("float").alias("sample_key"),
+        )
+    )

@@ -315,3 +315,40 @@ class TestTemperatureSample:
 
         with _pytest.raises(ValueError):
             llm.temperature_sample(self._docs(spark), alpha=1.5)
+
+
+class TestWeightedTopkSample:
+    def test_exact_k_and_partition_stable(self, spark):
+        from big_data_in_agriculture_spark.operators import llm
+
+        docs = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 9 + 1).cast("double").alias("w"),
+        )
+        a = llm.weighted_topk_sample(docs, "w", k=40).collect()
+        b = llm.weighted_topk_sample(docs.repartition(11), "w", k=40).collect()
+        assert len(a) == 40
+        assert [(r["doc_id"], r["sample_key"]) for r in a] == [
+            (r["doc_id"], r["sample_key"]) for r in b
+        ]
+
+    def test_heavier_weights_oversampled(self, spark):
+        from big_data_in_agriculture_spark.operators import llm
+
+        # half the docs weight 10, half weight 1 → heavy docs dominate
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 1000, 10.0).otherwise(1.0).alias("w"),
+        )
+        out = llm.weighted_topk_sample(docs, "w", k=200).collect()
+        heavy = sum(1 for r in out if r["weight"] == 10.0)
+        assert heavy > 150  # ≫ the 100 a uniform draw would give
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from big_data_in_agriculture_spark.operators import llm
+
+        docs = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0)], ["doc_id", "w"]
+        )
+        rows = llm.weighted_topk_sample(docs, "w", k=10).collect()
+        assert [r["doc_id"] for r in rows] == [1]
