@@ -2931,6 +2931,60 @@ ORDER BY window_start, rank
 
 
 
+def q_seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        seasonal_envelope,
+    )
+
+    return seasonal_envelope(_t(spark, sf_dir, "events"), "event_type")
+
+
+_SEASONAL_SQL = """
+SELECT event_type, hour(ts) AS hour_of_day, count(*) AS n_obs,
+       CAST(quantile_cont(value, 0.1) AS FLOAT) AS p_lo,
+       CAST(quantile_cont(value, 0.5) AS FLOAT) AS p_mid,
+       CAST(quantile_cont(value, 0.9) AS FLOAT) AS p_hi
+FROM events GROUP BY 1, 2
+ORDER BY event_type, hour_of_day
+"""
+
+
+def q_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fraction of line items shipped within 30/60 days of order, per
+    # order priority — conditional aggregates on one joined scan
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.avg((lag_days <= 30).cast("double")), 6
+            ).cast("float").alias("within_30d"),
+            F.round(
+                F.avg((lag_days <= 60).cast("double")), 6
+            ).cast("float").alias("within_60d"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SHIP_SLA_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(round(avg(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                          CAST(l_shipdate AS DATE)) <= 30
+                           THEN 1.0 ELSE 0.0 END), 6) AS FLOAT) AS within_30d,
+       CAST(round(avg(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                          CAST(l_shipdate AS DATE)) <= 60
+                           THEN 1.0 ELSE 0.0 END), 6) AS FLOAT) AS within_60d
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-event-type value trend over time: x = days since epoch
     from big_data_in_agriculture_spark.operators.timeseries import grouped_trend
@@ -5028,6 +5082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "grouped_trend": q_grouped_trend,
         "diurnal_anomaly": q_diurnal_anomaly,
+        "seasonal_envelope": q_seasonal_envelope,
+        "ship_sla": q_ship_sla,
         "correlation_matrix": q_correlation_matrix,
         "quantile_bins": q_quantile_bins,
         "lang_confusion": q_lang_confusion,
@@ -5199,6 +5255,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore": _ROLLING_ZSCORE_SQL,
         "grouped_trend": _GROUPED_TREND_SQL,
         "diurnal_anomaly": _DIURNAL_SQL,
+        "seasonal_envelope": _SEASONAL_SQL,
+        "ship_sla": _SHIP_SLA_SQL,
         "correlation_matrix": _CORRELATION_SQL,
         "quantile_bins": _QUANTILE_BINS_SQL,
         "lang_confusion": _lang_confusion_sql(),

@@ -328,3 +328,42 @@ def diurnal_anomaly(
             (F.col(value_col) - F.col("_normal")).cast("float").alias("anomaly"),
         )
     )
+
+
+def seasonal_envelope(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    percentiles: tuple[float, float, float] = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Per (key, hour-of-day) percentile bands — the seasonality envelope.
+
+    The companion to ``diurnal_anomaly``: instead of one normal per
+    slot, the p10/p50/p90 band an alerting system draws "expected
+    range" from. One hash aggregate with exact interpolated
+    percentiles (`percentile`, not the sketch — the slot cardinality
+    is keys×24, so exactness is affordable at any input size: partial
+    state is per-slot value lists only when the optimizer can't do
+    better, and the output is slot-sized).
+    """
+    lo, mid, hi = percentiles
+    hod = F.hour(F.col(ts_col))
+    return (
+        df.groupBy(F.col(key_col), hod.alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
+            F.expr(f"percentile({value_col}, {mid})").alias("_mid"),
+            F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
+        )
+        .select(
+            key_col,
+            "hour_of_day",
+            "n_obs",
+            F.col("_lo").cast("float").alias("p_lo"),
+            F.col("_mid").cast("float").alias("p_mid"),
+            F.col("_hi").cast("float").alias("p_hi"),
+        )
+        .orderBy(key_col, "hour_of_day")
+    )

@@ -191,3 +191,27 @@ class TestDiurnalAnomaly:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestSeasonalEnvelope:
+    def test_band_values_and_ordering(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            seasonal_envelope,
+        )
+
+        rows = [
+            ("t", dt.datetime(2024, 1, d, 8), float(v))
+            for d, v in enumerate([10, 20, 30, 40, 50], start=1)
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "value"])
+        out = seasonal_envelope(df, "k").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["hour_of_day"] == 8 and r["n_obs"] == 5
+        # interpolated percentiles over [10..50]
+        assert abs(r["p_lo"] - 14.0) < 1e-5
+        assert r["p_mid"] == 30.0
+        assert abs(r["p_hi"] - 46.0) < 1e-5
+        assert r["p_lo"] <= r["p_mid"] <= r["p_hi"]
