@@ -2608,6 +2608,95 @@ FROM keyed ORDER BY sk DESC, doc_id LIMIT 50
 
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-linguistics health check: OLS slope of ln(freq) vs
+    # ln(rank) over the top-100 tokens (Zipf predicts ~ -1). Reuses the
+    # sufficient-stats closed form (see timeseries.grouped_trend);
+    # counts are exact integers so both engines see identical (x, y)
+    # points and the rounded slope matches.
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("t")) \
+        .filter(F.col("t") != "")
+    from pyspark.sql import Window
+
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("t"))
+    top = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 100
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("f").cast("double"))
+    s = top.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_tokens_fit"),
+        F.round(slope, 4).cast("float").alias("zipf_slope"),
+    )
+
+
+_ZIPF_SQL = """
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+freq AS (
+    SELECT t, count(*) AS f FROM tok WHERE t <> '' GROUP BY 1
+),
+top AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rank FROM freq
+    QUALIFY rank <= 100
+),
+s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(ln(CAST(rank AS DOUBLE))) AS sx,
+           sum(ln(CAST(f AS DOUBLE))) AS sy,
+           sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(f AS DOUBLE))) AS sxy,
+           sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+    FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS FLOAT)
+           AS zipf_slope
+FROM s
+"""
+
+
+def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocabulary-richness: share of vocab seen exactly once (hapax
+    # legomena) and once-or-twice (dis) — exact integer ratios
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("t")) \
+        .filter(F.col("t") != "")
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    return freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("f") == 1).cast("long")).alias("n_hapax"),
+        F.round(
+            F.sum((F.col("f") == 1).cast("double")) / F.count(F.lit(1)), 6
+        ).cast("float").alias("hapax_rate"),
+    )
+
+
+_HAPAX_SQL = """
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+freq AS (SELECT t, count(*) AS f FROM tok WHERE t <> '' GROUP BY 1)
+SELECT count(*) AS vocab_size,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(round(sum(CASE WHEN f = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+            AS FLOAT) AS hapax_rate
+FROM freq
+"""
+
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.substring_dedup(_t(spark, sf_dir, "documents"), k=6)
 
@@ -5050,6 +5139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "robust_outliers": q_robust_outliers,
         "top_tokens": q_top_tokens,
+        "zipf_slope": q_zipf_slope,
+        "hapax_rate": q_hapax_rate,
         "dedup_keep_best": q_dedup_keep_best,
         "json_props": q_json_props,
         "llm_pipeline": q_llm_pipeline,
@@ -5225,6 +5316,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _QUALITY_FILTER_SQL,
         "robust_outliers": _OUTLIERS_SQL,
         "top_tokens": _TOP_TOKENS_SQL,
+        "zipf_slope": _ZIPF_SQL,
+        "hapax_rate": _HAPAX_SQL,
         "dedup_keep_best": _KEEP_BEST_SQL,
         "json_props": _JSON_PROPS_SQL,
         "llm_pipeline": _LLM_PIPELINE_SQL,
