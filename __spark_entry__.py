@@ -3074,6 +3074,58 @@ GROUP BY 1 ORDER BY 1
 
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini coefficient of per-customer spend: the classic inequality
+    # KPI. G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted spend
+    # (custkey tie-break; ranks and the formula are exact given the
+    # same x order — spend ordered by exact integer cents like RFM).
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    cents = F.round(F.col("x") * 100).cast("long")
+    w = Window.orderBy(cents.asc(), F.col("o_custkey"))
+    ranked = spend.withColumn("i", F.row_number().over(w).cast("double"))
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(gini, 4).cast("float").alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH spend AS (
+    SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT x,
+           CAST(row_number() OVER (
+               ORDER BY CAST(round(x * 100) AS BIGINT) ASC, o_custkey)
+               AS DOUBLE) AS i
+    FROM spend
+),
+s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+           sum(i * x) AS six
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(round(2.0 * six / (n * sx) - (n + 1.0) / n, 4) AS FLOAT) AS gini
+FROM s
+"""
+
+
+
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-event-type value trend over time: x = days since epoch
     from big_data_in_agriculture_spark.operators.timeseries import grouped_trend
@@ -5107,6 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_participation": q_triangles,
         "association_rules": q_association_rules,
         "rfm_segments": q_rfm_segments,
+        "revenue_gini": q_revenue_gini,
         "qoq_growth": q_qoq_growth,
         "pareto_contribution": q_pareto,
         "bpe_token_stats": q_bpe_token_stats,
@@ -5281,6 +5334,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_participation": _TRIANGLES_SQL,
         "association_rules": _ASSOC_SQL,
         "rfm_segments": _RFM_SQL,
+        "revenue_gini": _GINI_SQL,
         "qoq_growth": _QOQ_SQL,
         "pareto_contribution": _PARETO_SQL,
         "bpe_token_stats": _bpe_sql(),
