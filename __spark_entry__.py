@@ -2697,6 +2697,47 @@ FROM freq
 
 
 
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution of exact-duplicate cluster sizes — the dedup
+    # dashboard number ("how much of the corpus is 2x, 3x, Nx
+    # duplicated"). Duplicates planted: every 25th doc replicated
+    # twice under offset ids → clusters of size 3.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup1 = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    dup2 = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup1).unionByName(dup2)
+    sizes = corpus.groupBy(F.sha2("text", 256).alias("_h")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+_DUP_HIST_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 25 = 0
+    UNION ALL
+    SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 25 = 0
+),
+sizes AS (
+    SELECT sha256(text) AS h, count(*) AS cluster_size
+    FROM corpus GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.substring_dedup(_t(spark, sf_dir, "documents"), k=6)
 
@@ -5130,6 +5171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_acctbal": q_rollup,
         "top10_orders": q_top10_orders,
         "dedup_exact_groups": q_dedup_exact_groups,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
         "readability": q_readability,
@@ -5307,6 +5349,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_acctbal": _ROLLUP_SQL,
         "top10_orders": _TOP10_SQL,
         "dedup_exact_groups": _DEDUP_GROUPS_SQL,
+        "dup_cluster_histogram": _DUP_HIST_SQL,
         "dedup_exact_docs": _DEDUP_DOCS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "readability": _READABILITY_SQL,
