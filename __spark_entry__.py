@@ -798,7 +798,10 @@ FROM documents
 """
 
 
-# Rows-only entries (no SQL-expressible oracle): approximate/LSH ops.
+# Approximate ops with FULL SQL twins: the Spark pipelines use only
+# engine-portable hashing (md5-derived shingle/bucket hashes,
+# deterministic hyperplane/centroid constants), so DuckDB replays the
+# entire approximate pipeline — candidates included — bit-identically.
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm.minhash_neardup_pairs(
@@ -806,10 +809,140 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_neardup_sql(
+    threshold: float = 0.5, num_perm: int = 64, bands: int = 16, k: int = 3
+) -> str:
+    """DuckDB replay of the FULL MinHash-LSH near-dup pipeline.
+
+    Mirrors llm.minhash_neardup_pairs(portable=True) stage by stage:
+    md5-derived 32-bit shingle hashes (TX.shingle_hashes_md5), the
+    same _affine_params (a_i*h + b_i) mod 2^61−1 minima, md5 band
+    buckets over '|'-joined signature slices, in-bucket pairs with
+    id_a < id_b, then exact-Jaccard verification on candidates.
+    Integer hashing end-to-end; the final jaccard is ONE double
+    division of exact integers — bit-identical across engines.
+    """
+    rows_per_band = num_perm // bands
+    mers = (1 << 61) - 1
+    params = [llm._affine_params(i) for i in range(num_perm)]
+    sig_exprs = ",\n           ".join(
+        f"list_min([(h*{a}+{b})%{mers} FOR h IN hs]) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_structs = ",\n        ".join(
+        "{'band': %d, 'bucket': ('0x' || substr(md5(concat_ws('|', %s)),1,15))::BIGINT}"
+        % (
+            i,
+            ", ".join(
+                f"s{i * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for i in range(bands)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+    SELECT doc_id, list_distinct([
+        ('0x' || substr(md5(array_to_string(toks[(i+1):(i+{k})], ' ')),1,8))::BIGINT
+        FOR i IN range(0, greatest(len(toks)-{k},0)+1)
+    ]) AS hs
+    FROM tok
+),
+sig AS (
+    SELECT doc_id,
+           {sig_exprs}
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, u.band AS band, u.bucket AS bucket FROM (
+        SELECT doc_id, unnest([
+        {band_structs}
+        ]) AS u FROM sig
+    )
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.hs, sb.hs)) AS n_common,
+           len(sa.hs) AS na, len(sb.hs) AS nb
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b,
+       n_common::DOUBLE / (na + nb - n_common)::DOUBLE AS jaccard
+FROM verified
+WHERE n_common::DOUBLE / (na + nb - n_common)::DOUBLE >= {threshold}
+"""
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.knn_lsh(emb, queries, dim=64, k=3, num_tables=4, num_bits=8)
+
+
+def _knn_lsh_sql(
+    dim: int = 64, k: int = 3, num_tables: int = 4, num_bits: int = 8
+) -> str:
+    """DuckDB replay of the sign-LSH kNN pipeline.
+
+    The hyperplanes are similarity._hyperplane's deterministic
+    constants, emitted as DOUBLE[] literals (Python float repr
+    round-trips to the identical IEEE double). Bucket = sum of
+    2^b over planes with ⟨v, r⟩ ≥ 0 — sign decisions are stable
+    across engines because |dot| ~ O(1) while cross-engine fold
+    order differs only in the last ulp. Candidates, exact re-rank
+    (ROUND 6), and the row_number top-k mirror similarity.knn_lsh.
+    """
+    tbl_structs = []
+    for t in range(num_tables):
+        bits = []
+        for b in range(num_bits):
+            plane = similarity._hyperplane(42, t, b, dim)
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {2 ** b} ELSE 0 END)"
+            )
+        tbl_structs.append(
+            "{'tbl': %d, 'bucket': (%s)::BIGINT}" % (t, " + ".join(bits))
+        )
+    structs = ",\n        ".join(tbl_structs)
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bb AS (
+    SELECT vec_id, v, u.tbl AS tbl, u.bucket AS bucket FROM (
+        SELECT vec_id, v, unnest([
+        {structs}
+        ]) AS u FROM e
+    )
+),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           max(round(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6)) AS cosine_sim
+    FROM bb q JOIN bb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    GROUP BY q.vec_id, c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM cand
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1593,6 +1726,69 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.knn_ivf(emb, queries, k=3, n_centroids=16, n_probe=4)
+
+
+def _knn_ivf_sql(
+    dim: int = 64, k: int = 3, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    """DuckDB replay of the IVF kNN pipeline (similarity.knn_ivf).
+
+    The coarse centroids are DATA-DEFINED but deterministic — the
+    n_centroids lowest-id corpus vectors — so the oracle recomputes
+    them in SQL instead of needing literals. Assignment/probing =
+    squared-distance argmin with cid tie-break (row_number), exactly
+    the array_sort((d, cid)) order Spark uses; re-rank is the shared
+    ROUND-6 cosine + id tie-break.
+    """
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv
+    FROM e ORDER BY vec_id LIMIT {n_centroids}
+),
+dists AS (
+    SELECT e.vec_id, cent.cid,
+           list_sum(list_transform(range(1, {dim + 1}),
+                    i -> (e.v[i]-cent.cv[i])*(e.v[i]-cent.cv[i]))) AS d
+    FROM e, cent
+),
+assigned AS (
+    SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+probed AS (
+    SELECT vec_id AS query_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists WHERE vec_id < 10
+    ) WHERE rn <= {n_probe}
+),
+cand AS (
+    SELECT p.query_id, a.neighbor_id,
+           max(round(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6)) AS cosine_sim
+    FROM probed p
+    JOIN assigned a ON p.cluster = a.cluster
+    JOIN e q ON q.vec_id = p.query_id
+    JOIN e c ON c.vec_id = a.neighbor_id
+    WHERE a.neighbor_id <> p.query_id
+    GROUP BY p.query_id, a.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM cand
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5489,9 +5685,39 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap": _INTERVAL_OVERLAP_SQL,
         "fuzzy_join": _FUZZY_JOIN_SQL,
         "gopher_pipeline": _gopher_pipeline_sql(),
-        # knn_ivf: approximate probing — rows-only like knn_lsh; the
-        # exact twin (knn_bruteforce) is oracle-checked.
-        # minhash_neardup / knn_lsh: approximate (LSH) — no SQL oracle,
-        # driver records rows-only checks; exact twins (jaccard_pairs,
-        # knn_bruteforce) are oracle-checked above.
+        # Approximate ops with FULL pipeline twins (portable md5
+        # hashing / deterministic constants — DuckDB replays the
+        # whole candidate generation bit-identically):
+        "minhash_neardup": _minhash_neardup_sql(),
+        "knn_lsh": _knn_lsh_sql(),
+        "knn_ivf": _knn_ivf_sql(),
+        # ------------------------------------------------------------------
+        # Deliberately rows-only — each is non-SQL-expressible for a
+        # stated reason (the driver records a weaker rows-only check):
+        # * approx_profile_events / hll_rollup: HyperLogLog sketches.
+        #   Spark's HLL++ register layout and DuckDB's approx_count_
+        #   distinct are different sketch implementations; their
+        #   estimates differ by design. Exact twins (profile_events,
+        #   ndv_rollup-style exact counts) are oracle-checked above.
+        # * kmeans_clusters / semantic_dedup: Lloyd iterations update
+        #   centroids from DISTRIBUTED float sums whose fold order is
+        #   partition-dependent; the centroid literals baked into each
+        #   subsequent iteration's plan therefore differ from any SQL
+        #   re-derivation in the last ulp, and the iteration count
+        #   (driver-side `moved < tol` early stop) can diverge with
+        #   them. Verified instead by planted-cluster recall tests.
+        # * bpe_train / bpe_encode: iterative greedy merge selection —
+        #   each round's argmax depends on the previous round's merged
+        #   corpus (a loop over data-dependent state, not a fixpoint
+        #   SQL can express); encode additionally applies the learned
+        #   merge list per token in priority order. Verified by
+        #   textbook-sequence tests (known corpora → known merges).
+        # * pack_firstfit: first-fit-decreasing is an inherently
+        #   sequential heuristic (bin state mutates per item); its
+        #   deterministic twin `pack_chunks` (prefix-sum packing) IS
+        #   oracle-checked above.
+        # * classifier_quality: logistic-regression weights come from
+        #   gradient descent over distributed float partials (same
+        #   fold-order nondeterminism as kmeans); the SCORING path
+        #   with fixed weights (classifier_score) IS oracle-checked.
     }

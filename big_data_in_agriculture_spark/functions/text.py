@@ -209,6 +209,33 @@ def shingle_hashes(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.transform(combined, lambda x: F.xxhash64(x)))
 
 
+def shingle_hashes_md5(text: Column | str, k: int = 3) -> Column:
+    """Distinct PORTABLE 32-bit shingle hashes, as array<long>.
+
+    The engine-portable twin of :func:`shingle_hashes`: hash = the
+    first 8 hex chars of ``md5(shingle)`` parsed as an integer —
+    DuckDB reproduces it verbatim as
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT`` (both engines emit
+    lowercase hex md5 of the UTF-8 bytes). Values are uniform in
+    [0, 2^32), exactly the domain MinHash's affine permutations
+    expect, so ``minhash_signatures`` needs no extra masking.
+
+    Trade-off vs :func:`shingle_hashes`: md5 over the materialized
+    shingle string costs ~2× the rotate-xor token combine; a 100 TB
+    deployment that does not need a SQL oracle passes
+    ``portable=False`` to the MinHash operators to get the xxhash64
+    path back. Collision space is 2^32 (vs 2^64): collisions merely
+    merge two shingles in BOTH engines identically, a no-op for the
+    set semantics near-dup already accepts below ~10^8 shingles/doc.
+    """
+    return F.array_distinct(
+        F.transform(
+            word_shingles(text, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
+    )
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles as an array<string> (MinHash/Jaccard input).
 

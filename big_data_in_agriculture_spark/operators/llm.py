@@ -182,6 +182,7 @@ def minhash_signatures(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = True,
 ) -> DataFrame:
     """num_perm-wide MinHash signature per doc as array<long>.
 
@@ -202,15 +203,29 @@ def minhash_signatures(
       the expression tree up ~num_perm×; analysis + codegen of that
       plan dominates one-shot queries (measured 17 s cold vs 3 s for
       this single-aggregate form at sf0.1, and ~2× slower warm).
+
+    ``portable=True`` (default) derives the base 32-bit shingle hash
+    from md5 (TX.shingle_hashes_md5) so DuckDB reproduces signatures
+    — and therefore band buckets, candidates, and verified pairs —
+    BIT-IDENTICALLY; the SQL twin lives in __spark_entry__'s
+    ``_minhash_neardup_sql``. ``portable=False`` restores the
+    xxhash64 token-combine (~2× cheaper hashing) for deployments
+    that don't need an engine-portable oracle.
     """
-    mask = F.lit((1 << 32) - 1)
-    shingled = _fan_out(docs).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            TX.shingle_hashes(F.col(text_col), k),
-            lambda s: s.bitwiseAND(mask),
-        ).alias("h"),
-    )
+    if portable:
+        shingled = _fan_out(docs).select(
+            F.col(id_col).alias("id"),
+            TX.shingle_hashes_md5(F.col(text_col), k).alias("h"),
+        )
+    else:
+        mask = F.lit((1 << 32) - 1)
+        shingled = _fan_out(docs).select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                TX.shingle_hashes(F.col(text_col), k),
+                lambda s: s.bitwiseAND(mask),
+            ).alias("h"),
+        )
     # The min-fold itself is integer linear algebra — (|shingles| ×
     # num_perm) affine transforms, column-wise minima — so like LSH
     # bucketing (similarity._bucketize) it runs as a vectorized numpy
@@ -245,7 +260,10 @@ def minhash_signatures(
 
 
 def lsh_band_keys(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """(id, band, bucket) rows: each band's r-row signature slice hashed.
 
@@ -253,7 +271,23 @@ def lsh_band_keys(
     (``lsh_candidate_pairs``) and incremental admission
     (``streaming.corpus``): map-only explode of a bands-wide struct
     array, no shuffle — callers decide how to join the bucket keys.
+
+    ``portable=True`` buckets via the first 15 hex chars of
+    ``md5('s0|s1|...')`` (60 bits, DuckDB-replicable:
+    ``('0x' || substr(md5(concat_ws('|', ...)), 1, 15))::BIGINT``);
+    ``portable=False`` uses the cheaper xxhash64 over the raw slice.
+    Either way the key is uniform and skew-free.
     """
+
+    def _bucket(i: int) -> F.Column:
+        vals = [
+            F.col("signature")[i * rows_per_band + r] for r in range(rows_per_band)
+        ]
+        if portable:
+            joined = F.concat_ws("|", *[v.cast("string") for v in vals])
+            return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(*vals)
+
     return signatures.select(
         "id",
         F.explode(
@@ -261,9 +295,7 @@ def lsh_band_keys(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[i * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
+                        _bucket(i).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
@@ -273,7 +305,10 @@ def lsh_band_keys(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """Band the signatures and equi-join within band buckets.
 
@@ -282,7 +317,7 @@ def lsh_candidate_pairs(
     Jaccard s is 1−(1−s^r)^b — with b=16, r=4 the S-curve knees near
     s≈0.5. The join key is (band_idx, bucket_hash): uniform, skew-free.
     """
-    banded = lsh_band_keys(signatures, bands, rows_per_band)
+    banded = lsh_band_keys(signatures, bands, rows_per_band, portable=portable)
     # In-bucket expansion instead of a self-join: a self-join would run
     # the signature pipeline (shingle explode + num_perm affine mins —
     # the expensive part) once PER SIDE; grouping the bucket members
@@ -321,6 +356,7 @@ def minhash_neardup_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = True,
 ) -> DataFrame:
     """LSH candidates → exact Jaccard verification → pairs ≥ threshold.
 
@@ -328,18 +364,23 @@ def minhash_neardup_pairs(
     (candidates only), then a verification join that recomputes true
     shingle Jaccard ONLY for candidates. At 100 TB the verification
     input is the candidate list (tiny), not the corpus.
+
+    ``portable=True`` (default) keeps every hash in the pipeline
+    md5-derived so a DuckDB oracle replays the ENTIRE pipeline —
+    signatures, buckets, candidates, verified jaccard — and the
+    driver's hash check can go green on an approximate operator.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
+    sigs = minhash_signatures(docs, num_perm, k, text_col, id_col, portable=portable)
     # The candidate list feeds THREE consumers (two id-set branches +
     # the final join); without a cut, the whole signature+banding
     # pipeline re-executes per branch — map-side work is never shared
     # across plan branches. Candidates are tiny by construction
     # (near-dup families only), so a lazy localCheckpoint materializes
     # them once; measured ~2× on the full pipeline at sf0.1.
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint(
-        eager=False
-    )
+    cands = lsh_candidate_pairs(
+        sigs, bands, rows_per_band, portable=portable
+    ).localCheckpoint(eager=False)
     # Verification only needs shingle sets for docs that appear in a
     # candidate pair — a vanishing fraction of the corpus. Semi-join
     # that id set (broadcast) BEFORE computing shingles, so the full
@@ -359,7 +400,11 @@ def minhash_neardup_pairs(
         )
         .select(
             F.col(id_col).alias("id"),
-            TX.shingle_hashes(F.col(text_col), k).alias("shingles"),
+            (
+                TX.shingle_hashes_md5(F.col(text_col), k)
+                if portable
+                else TX.shingle_hashes(F.col(text_col), k)
+            ).alias("shingles"),
         )
     )
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
