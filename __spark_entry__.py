@@ -3069,13 +3069,16 @@ WITH spend AS (
     SELECT o_custkey,
            CAST(year(o_orderdate) AS VARCHAR) || '-Q'
                || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+           year(o_orderdate) * 4 + quarter(o_orderdate) AS qidx,
            sum(o_totalprice) AS spend
-    FROM orders GROUP BY 1, 2
+    FROM orders GROUP BY 1, 2, 3
 ),
 lagged AS (
-    SELECT *, lag(spend) OVER (PARTITION BY o_custkey ORDER BY quarter)
-                  AS prev_spend
+    SELECT o_custkey, quarter, spend,
+           CASE WHEN qidx - lag(qidx) OVER w = 1
+                THEN lag(spend) OVER w END AS prev_spend
     FROM spend
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY qidx)
 )
 SELECT o_custkey, quarter,
        CAST(spend AS FLOAT) AS spend,

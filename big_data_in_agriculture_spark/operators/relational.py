@@ -1305,7 +1305,12 @@ def point_in_bbox_join(
             )
         ),
     )
-    out = p.join(F.broadcast(b), "_band").filter(
+    # No explicit broadcast hint: a handful of config bboxes auto-
+    # broadcasts under spark.sql.autoBroadcastJoinThreshold anyway,
+    # while a large box table (the 10^6-cell geo grid case above) must
+    # be free to take the shuffled-hash path — forcing F.broadcast here
+    # would ship the whole grid to every task. AQE picks per-run.
+    out = p.join(b, "_band").filter(
         (F.col(lat_col) >= F.col(south_col))
         & (F.col(lat_col) <= F.col(north_col))
         & (F.col(lon_col) >= F.col(west_col))
@@ -1436,7 +1441,11 @@ def qoq_growth(
     """Customers whose quarterly spend grew ≥ min_growth QoQ.
 
     Growth-cohort shape: one (customer, quarter) aggregate, one lag
-    window over each customer's quarter series, growth filter. Exact
+    window over each customer's quarter series, growth filter. "QoQ"
+    means ADJACENT quarters only: the lag is gated on the linearized
+    quarter index (year*4 + quarter) differing by exactly 1, so a
+    customer with a gap (1995-Q1 then 1995-Q4) contributes NO growth
+    row for Q4 rather than an inflated cross-gap comparison. Exact
     integer-cent-free contract: spend sums are doubles → growth rounded
     to 4 dp and cast float32 like every ratio in the suite.
     """
@@ -1445,13 +1454,17 @@ def qoq_growth(
         F.lit("-Q"),
         F.quarter("o_orderdate").cast("string"),
     )
+    qidx = F.year("o_orderdate") * 4 + F.quarter("o_orderdate")
     spend = orders.groupBy(
-        F.col("o_custkey"), q.alias("quarter")
+        F.col("o_custkey"), q.alias("quarter"), qidx.alias("_qidx")
     ).agg(F.sum("o_totalprice").alias("spend"))
-    w = Window.partitionBy("o_custkey").orderBy("quarter")
-    prev = F.lag("spend").over(w)
+    w = Window.partitionBy("o_custkey").orderBy("_qidx")
+    prev = F.when(
+        F.col("_qidx") - F.lag("_qidx").over(w) == 1, F.lag("spend").over(w)
+    )
     return (
         spend.withColumn("prev_spend", prev)
+        .drop("_qidx")
         .filter(F.col("prev_spend").isNotNull())
         .withColumn(
             "growth",

@@ -56,7 +56,19 @@ def read_jdbc(
 
 
 def upsert_statement(table: str, columns: list[str], key: list[str]) -> str:
-    """K4's dynamically-built ON CONFLICT statement (one row of %s)."""
+    """K4's dynamically-built ON CONFLICT statement (one row of %s).
+
+    Postgres-dialect parity with the reference loader
+    (flows/load_hourly_parquet_to_postgres.py:29-36): same dynamic
+    SET-list over non-key columns, same ``ON CONFLICT (region, ts) DO
+    UPDATE SET c=EXCLUDED.c`` shape. NOTE: embedded Derby (the only DB
+    in the test harness) has no ``ON CONFLICT`` — the integration tests
+    exercise the read path and the transaction/batching protocol
+    against Derby, while this statement's TEXT is guarded by exact
+    shape tests (tests/test_jdbc.py); executing it requires a real
+    Postgres. The parquet-backed MERGE twin (sources/upsert.py) carries
+    the fully-executed upsert semantics in-harness.
+    """
     non_key = [c for c in columns if c not in key]
     sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_key)
     cols = ", ".join(columns)

@@ -34,6 +34,22 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions import text as TX
 
 
+def _sink_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit filesystem check for a sink's existence.
+
+    The admission gates MUST distinguish "no sink yet" (first batch —
+    gate everything through) from a TRANSIENT read failure (permissions,
+    corrupt footer). Catching ``Exception`` around the sink read would
+    silently disable dedup gating for the batch and admit duplicates;
+    this checks the path itself, so a sink that exists but fails to
+    read raises — the stream retries instead of corrupting the corpus.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def admit_batch(batch: DataFrame, sink_path: str) -> None:
     """Dedup one landed batch against itself and the sink, then append."""
     spark = batch.sparkSession
@@ -48,10 +64,10 @@ def admit_batch(batch: DataFrame, sink_path: str) -> None:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    try:
+    if _sink_exists(spark, sink_path):
         seen = spark.read.parquet(sink_path).select("fingerprint")
         fresh = in_batch.join(seen, "fingerprint", "left_anti")
-    except Exception:  # first batch: no sink yet
+    else:  # first batch: no sink yet
         fresh = in_batch
     fresh.write.mode("append").parquet(sink_path)
 
@@ -137,13 +153,12 @@ def admit_batch_neardup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    try:
+    first_batch = not _sink_exists(spark, f"{sink_path}/docs")
+    if first_batch:
+        fresh = in_batch
+    else:
         seen = spark.read.parquet(f"{sink_path}/docs").select("fingerprint")
         fresh = in_batch.join(seen, "fingerprint", "left_anti")
-        first_batch = False
-    except Exception:  # first batch: no sink yet
-        fresh = in_batch
-        first_batch = True
 
     rows_per_band = num_perm // bands
     sigs = llm.minhash_signatures(fresh, num_perm=num_perm)
@@ -258,9 +273,15 @@ def start_quarantine_ingest(
     lands files continuously, one torn line must not kill the query OR
     silently vanish. The stream reads PERMISSIVE with the corrupt
     column declared; ``foreachBatch`` splits each micro-batch and
-    appends clean rows and quarantined rows (partial parse + raw line)
+    writes clean rows and quarantined rows (partial parse + raw line)
     to separate parquet sinks. The dead-letter sink is replayable:
     after a parser/schema fix, re-ingest it as an ordinary batch.
+
+    Replay safety: foreachBatch is at-least-once, so both sinks are
+    keyed by the checkpoint batch id (``_batch_id=<id>`` partitions,
+    dynamic overwrite) — a crash between the append and the checkpoint
+    commit replays the batch into the SAME partition instead of
+    duplicating rows.
     """
     from pyspark.sql import types as T
 
@@ -279,10 +300,16 @@ def start_quarantine_ingest(
         .csv(source_glob)
     )
 
-    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         clean, bad = split_quarantine(batch_df)
-        clean.write.mode("append").parquet(clean_sink)
-        bad.write.mode("append").parquet(dead_letter_sink)
+        for df, path in ((clean, clean_sink), (bad, dead_letter_sink)):
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_path

@@ -544,18 +544,29 @@ def start_enriched_append(
 
     Scale: the dim read is per micro-batch, so keep it broadcast-sized
     or partition-pruned; for a huge dimension use the CDC/upsert mart
-    and join on its partition keys instead. Exactly-once: the appended
-    batch is keyed by the checkpoint's batch id — a replayed batch
-    overwrites nothing (append of identical rows is prevented by the
-    checkpoint; foreachBatch runs once per committed batch id).
+    and join on its partition keys instead.
+
+    Exactly-once EFFECT from at-least-once delivery: foreachBatch may
+    replay a batch whose parquet append landed but whose checkpoint
+    commit did not (crash in between). The sink is therefore keyed by
+    the checkpoint's batch id — each batch writes its own
+    ``_batch_id=<id>`` partition with DYNAMIC partition overwrite, so
+    a replay overwrites that one partition with identical rows instead
+    of appending duplicates. Readers see ``_batch_id`` as an ordinary
+    partition column (and can prune on it for incremental consumption).
     """
     stream = read_events_stream(spark, source_path, nanos_ts=nanos_ts)
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         dim = batch_df.sparkSession.read.parquet(dim_path)
-        batch_df.join(F.broadcast(dim), on, "left").write.mode(
-            "append"
-        ).parquet(sink_path)
+        (
+            batch_df.join(F.broadcast(dim), on, "left")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(sink_path)
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_path

@@ -79,3 +79,29 @@ def test_upsert_statement_shape():
         "INSERT INTO hourly (region, ts, t2m) VALUES (%s, %s, %s) "
         "ON CONFLICT (region, ts) DO UPDATE SET t2m = EXCLUDED.t2m"
     )
+
+
+def test_upsert_statement_matches_reference_loader():
+    """Exact Postgres-dialect parity with the reference's mart loader
+    (flows/load_hourly_parquet_to_postgres.py:29-36): key (region, ts),
+    EXCLUDED.<col> update for every non-key column in column order,
+    schema-qualified table name preserved. Derby cannot execute ON
+    CONFLICT, so the statement TEXT is the contract under test; the
+    executed-upsert semantics live in sources/upsert.py tests."""
+    from big_data_in_agriculture_spark.sources.jdbc import upsert_statement
+
+    # the reference hourly mart's serving columns (dask_jobs/aggregate_hourly.py)
+    cols = ["region", "ts", "t2m_c", "td2m_c", "wind10", "tp_mm"]
+    stmt = upsert_statement("marts.era5_hourly", cols, key=["region", "ts"])
+    assert stmt.startswith(
+        "INSERT INTO marts.era5_hourly (region, ts, t2m_c, td2m_c, wind10, tp_mm) "
+        "VALUES (%s, %s, %s, %s, %s, %s)"
+    )
+    assert "ON CONFLICT (region, ts) DO UPDATE SET " in stmt
+    set_clause = stmt.split("DO UPDATE SET ")[1]
+    assert set_clause == (
+        "t2m_c = EXCLUDED.t2m_c, td2m_c = EXCLUDED.td2m_c, "
+        "wind10 = EXCLUDED.wind10, tp_mm = EXCLUDED.tp_mm"
+    )
+    # key columns never appear in the SET list (they're the conflict target)
+    assert "region = EXCLUDED" not in stmt and "ts = EXCLUDED" not in stmt

@@ -279,7 +279,13 @@ class TestPointInBboxJoin:
         )
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
-        assert "BroadcastHashJoin" in plan
+        # equi-join on the band key; WHICH hash strategy is AQE's call
+        # now that the forced broadcast hint is gone (a huge box table
+        # must be able to take the shuffled path)
+        assert any(
+            j in plan
+            for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        ), plan
 
 
 class TestFuzzyJoin:
