@@ -85,20 +85,28 @@ def sniff_netcdf_bytes(content: bytes) -> bytes:
 def default_decoder(nc_bytes: bytes, variables: list[str]) -> pd.DataFrame:
     """Decode NetCDF4/HDF5 bytes to a long-form frame (S6/S7/C7/A2).
 
-    Needs xarray (+ h5netcdf/netCDF4). This container ships neither, so
-    the call raises; inject a decoder (tests use a deterministic fake)
-    or install the libs in a real deployment.
+    Primary path: the dependency-free pure-Python HDF5 reader
+    (``sources/hdf5.py``) — proven against the reference's committed
+    raw ERA5 bytes (tests/test_golden_parity.py reproduces the
+    committed hourly mart raw→hourly). Files using HDF5 constructs
+    outside its documented subset fall back to xarray when installed;
+    without xarray the original error surfaces with both stories.
     """
+    from .hdf5 import Hdf5FormatError, era5_frame  # noqa: PLC0415
+
     try:
-        import xarray as xr  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "NetCDF decode requires xarray + h5netcdf/netCDF4, which are "
-            "not installed in this environment. Pass decoder=... to "
-            "read_raw_grid, or install the libraries. The Spark plumbing "
-            "around this decode (binaryFile scan, ZIP sniff, partition "
-            "tagging, Arrow batching) is fully functional."
-        ) from exc
+        return era5_frame(nc_bytes, variables)
+    except Hdf5FormatError as primary_err:
+        try:
+            import xarray as xr  # noqa: PLC0415
+        except ImportError:
+            raise NotImplementedError(
+                f"pure-Python HDF5 decode failed ({primary_err}) and the "
+                "xarray fallback is not installed in this environment. "
+                "Pass decoder=... to read_raw_grid, or install xarray + "
+                "h5netcdf/netCDF4 for files outside the pure reader's "
+                "documented subset."
+            ) from primary_err
 
     ds = xr.open_dataset(io.BytesIO(nc_bytes))
     present = [v for v in variables if v in ds.data_vars]
