@@ -65,6 +65,60 @@ def test_minhash_signature_shape_and_determinism(docs):
     assert by_id == again  # fully deterministic, no RNG state
 
 
+def test_minhash_portable_kernel_matches_column_twin(docs):
+    """The Arrow kernel (hashlib md5 + numpy affine minima) is
+    BIT-IDENTICAL to the Column formulation TX.shingle_hashes_md5 →
+    affine min fold — the same chain the DuckDB oracle replays in SQL.
+    This is the parity the driver's hash check on minhash_neardup
+    rests on."""
+    from pyspark.sql import functions as F
+
+    from big_data_in_agriculture_spark.functions import text as TX
+
+    num_perm = 16
+    kernel = {
+        r["id"]: list(r["signature"])
+        for r in llm.minhash_signatures(docs, num_perm=num_perm).collect()
+    }
+    params = [llm._affine_params(i) for i in range(num_perm)]
+    mers = (1 << 61) - 1
+    h = TX.shingle_hashes_md5(F.col("text"), 3)
+
+    def affine(a, b):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(mers)
+
+    cols = [
+        F.array_min(F.transform(h, affine(a, b))).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    column = {
+        r["doc_id"]: [r[f"s{i}"] for i in range(num_perm)]
+        for r in docs.select("doc_id", *cols).collect()
+    }
+    assert kernel == column
+
+
+def test_lsh_band_bucket_portable_matches_sql_formula(spark):
+    """Portable band buckets == ('0x'||substr(md5(concat_ws('|',...)),
+    1,15))::BIGINT — computed here in pure Python exactly as the
+    DuckDB oracle would."""
+    import hashlib
+
+    sigs = spark.createDataFrame(
+        [(1, list(range(8))), (2, [7, 6, 5, 4, 3, 2, 1, 0])],
+        "id long, signature array<long>",
+    )
+    got = {
+        (r["id"], r["band"]): r["bucket"]
+        for r in llm.lsh_band_keys(sigs, bands=2, rows_per_band=4).collect()
+    }
+    for rid, sig in ((1, list(range(8))), (2, [7, 6, 5, 4, 3, 2, 1, 0])):
+        for band in range(2):
+            joined = "|".join(str(x) for x in sig[band * 4 : (band + 1) * 4])
+            expect = int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+            assert got[(rid, band)] == expect
+
+
 def test_simhash_identical_and_distinct(docs):
     fp = {r["doc_id"]: r["simhash"] for r in llm.simhash(docs).collect()}
     assert fp[1] == fp[2] and fp[4] == fp[5]
