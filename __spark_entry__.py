@@ -2699,7 +2699,12 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.cast("long").alias("n_words"),
         sents.cast("long").alias("n_sentences"),
         sylls.cast("long").alias("n_syllables"),
-        F.round(flesch, 2).cast("float").alias("flesch"),
+        # floor-based half-up (NOT F.round): ratios of small integers
+        # land EXACTLY on .xx5 doubles (here 44/36 → 85.164999…), where
+        # Spark's BigDecimal HALF_UP and DuckDB's round() disagree.
+        # floor(x*100 + 0.5)/100 is the same IEEE op sequence in both
+        # engines → bit-identical at every boundary.
+        (F.floor(flesch * 100 + F.lit(0.5)) / 100).cast("float").alias("flesch"),
     )
 
 
@@ -2720,8 +2725,11 @@ SELECT doc_id,
        CAST(words AS BIGINT) AS n_words,
        CAST(sents AS BIGINT) AS n_sentences,
        CAST(sylls AS BIGINT) AS n_syllables,
-       CAST(round(206.835 - 1.015 * (words / sents)
-                  - 84.6 * (sylls / words), 2) AS FLOAT) AS flesch
+       -- floor-based half-up, mirroring the Spark side: engine round()
+       -- semantics diverge on exact .xx5 doubles
+       CAST(floor((206.835 - 1.015 * (words / sents)
+                   - 84.6 * (sylls / words)) * 100 + 0.5) / 100
+            AS FLOAT) AS flesch
 FROM counts
 """
 

@@ -106,6 +106,26 @@ def main() -> int:
         .localCheckpoint(eager=False)
         .count()
     )
+    # Third warmup: a 200-doc corpus through the inverted-index pair
+    # expansion — the interpreted array-combinator codegen (transform/
+    # slice/flatten over collected structs) JITs on first execution
+    # (~2-4x measured on the first doc-shaped query in a fresh JVM).
+    # Steady-state per-query cost is what extrapolates to a long-lived
+    # cluster session, so the one-time JIT belongs to warmup.
+    from big_data_in_agriculture_spark.operators.llm import jaccard_pairs
+    from pyspark.sql.functions import concat_ws, lit, sequence, transform
+
+    tiny = spark.range(200).select(
+        col("id").alias("doc_id"),
+        concat_ws(
+            " ",
+            transform(
+                sequence(lit(0), lit(20)),
+                lambda i: ((col("id") % 50) * 31 + i).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    jaccard_pairs(tiny, threshold=0.5).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -12,13 +12,13 @@ qs = e.queries()
 
 PICKS = [
     ("tpch_q5", "Star join: every dim broadcasts; at sf0.01 even orders fits under the 64 MB broadcast threshold, so no data-data shuffle appears at all — past the threshold the orders⋈lineitem join becomes sort-merge with AQE skew-split armed. Filters reach PushedFilters; scans prune to referenced columns."),
-    ("minhash_neardup", "Near-dup: signatures are map-only (one Arrow-batched numpy kernel per batch — ArrowEvalPython node, no exchange); the only shuffles are the band-bucket aggregate and the candidate-verify joins — no cartesian anywhere."),
+    ("minhash_neardup", "Near-dup: signatures AND band buckets are map-only Arrow kernels (ArrowEvalPython nodes, no exchange; portable md5 hashing inside the kernels, bit-identical to the DuckDB oracle); the only shuffles are the band-bucket aggregate and the candidate-verify joins — no cartesian anywhere."),
     ("knn_lsh", "ANN: bucketing is a map-only ArrowEvalPython projection (one BLAS matmul per batch, no exchange); candidates come from a single (tbl, bucket) equi-join; exact cosine re-rank only on candidates."),
     ("pack_chunks", "Distributed prefix sum: the single-partition exchange carries only bucket totals (1024 rows); the per-doc cumsum windows are hash-partitioned by bucket and run in parallel."),
     ("window_ranks", "Five ranking functions, one Window operator, one exchange: shared (partition, order) specs are free."),
     ("key_skew", "Totals re-aggregate the per-key counts and return via a broadcast 1-row cross join; the input is scanned once."),
     ("substring_dedup", "Exact substring dedup: gram digests are map-only, ONE count aggregate finds hot k-grams, a semi-join + per-doc collect gathers flagged positions, and span-union/token filtering are per-row array folds — no token-level shuffle anywhere."),
-    ("point_in_bbox", "Spatial containment as a lat-banded BroadcastHashJoin with a residual 4-way predicate — the raw containment join would plan a BroadcastNestedLoopJoin."),
+    ("point_in_bbox", "Spatial containment as a lat-banded equi-join with a residual 4-way predicate — the raw containment join would plan a BroadcastNestedLoopJoin. No forced broadcast hint: small config box tables auto-broadcast under the threshold, a large geo grid takes the shuffled path (AQE decides per run)."),
 ]
 
 out = ["# PLANS — formatted physical plans of representative queries",

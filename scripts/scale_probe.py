@@ -142,7 +142,14 @@ PROBES = {
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    # --steady: run each probe twice and report the second (steady-
+    # state) time. The first execution of an expression-heavy pipeline
+    # pays one-time JVM JIT/codegen (measured up to 4x on the minhash
+    # probe) that a long-lived cluster session never re-pays — the
+    # steady number is the one that extrapolates to 100 TB.
+    steady = "--steady" in args
+    only = {a for a in args if not a.startswith("--")}
     from big_data_in_agriculture_spark.session import get_spark
 
     spark = get_spark(
@@ -157,7 +164,18 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         n = fn(spark).count()
-        print(f"{name}: {time.perf_counter() - t0:.1f}s ({n} rows out)", flush=True)
+        cold = time.perf_counter() - t0
+        if steady:
+            t0 = time.perf_counter()
+            n = fn(spark).count()
+            warm = time.perf_counter() - t0
+            print(
+                f"{name}: {warm:.1f}s steady / {cold:.1f}s cold "
+                f"({n} rows out)",
+                flush=True,
+            )
+        else:
+            print(f"{name}: {cold:.1f}s ({n} rows out)", flush=True)
     return 0
 
 
