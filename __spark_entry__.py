@@ -5341,6 +5341,78 @@ ORDER BY d.lang
 """
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT key, sum(n) AS tot, count(*) AS n_days FROM daily GROUP BY key
+),
+scored AS (
+    SELECT d.key, d.day, s.n_days,
+           sum(d.n - CAST(s.tot AS DOUBLE) / s.n_days)
+               OVER (PARTITION BY d.key ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum
+    FROM daily d JOIN stats s ON d.key = s.key
+),
+ranked AS (
+    SELECT key, day, n_days, cusum,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY abs(cusum) DESC, day) AS rn
+    FROM scored
+)
+SELECT key,
+       CAST(day AS TIMESTAMP) AS changepoint_day,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(abs(cusum) AS FLOAT) AS max_drift
+FROM ranked WHERE rn = 1
+ORDER BY key
+"""
+
+
+def q_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    return seasonal_naive_backtest(_t(spark, sf_dir, "events"))
+
+
+_SEASONAL_BACKTEST_SQL = """
+WITH daily AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT key, n,
+           lag(n, 1) OVER w AS l1,
+           lag(n, 7) OVER w AS ls
+    FROM daily
+    WINDOW w AS (PARTITION BY key ORDER BY day)
+)
+SELECT key,
+       count(*) AS n_days_scored,
+       CAST(CAST(sum(abs(n - l1)) AS DOUBLE) / count(*) AS FLOAT) AS mae_naive,
+       CAST(CAST(sum(abs(n - ls)) AS DOUBLE) / count(*) AS FLOAT) AS mae_seasonal,
+       CAST(CAST(sum(abs(n - ls)) AS DOUBLE) / sum(abs(n - l1)) AS FLOAT)
+           AS seasonal_error_ratio
+FROM lagged
+WHERE l1 IS NOT NULL AND ls IS NOT NULL
+GROUP BY key
+ORDER BY key
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5530,6 +5602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "fuzzy_join": q_fuzzy_join,
         "classifier_quality": q_classifier_quality,
+        "cusum_changepoint": q_cusum_changepoint,
+        "seasonal_backtest": q_seasonal_backtest,
     }
 
 
@@ -5701,6 +5775,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap": _INTERVAL_OVERLAP_SQL,
         "fuzzy_join": _FUZZY_JOIN_SQL,
         "gopher_pipeline": _gopher_pipeline_sql(),
+        "cusum_changepoint": _CUSUM_SQL,
+        "seasonal_backtest": _SEASONAL_BACKTEST_SQL,
         # Approximate ops with FULL pipeline twins (portable md5
         # hashing / deterministic constants — DuckDB replays the
         # whole candidate generation bit-identically):

@@ -367,3 +367,121 @@ def seasonal_envelope(
         )
         .orderBy(key_col, "hour_of_day")
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key CUSUM changepoint over daily event counts.
+
+    Classic mean-shift detection (Page 1954): for each key, take the
+    daily count series n_t, compute the cumulative sum of deviations
+    from the key's own mean S_t = Σ_{i≤t}(n_i − μ), and report the day
+    where |S_t| peaks — the most likely single changepoint — with the
+    peak drift as the change magnitude. A series with a level shift at
+    day c makes |S| a tent peaking at c; a stable series keeps |S|
+    near 0 (the drift magnitude doubles as a "is there a change at
+    all" score callers can threshold).
+
+    Engine-portable by construction: counts are integers, μ is ONE
+    division of two exact integers, and the running sum folds in day
+    order on both engines — every float op is an identical IEEE
+    sequence, so the SQL oracle hash-matches bit-for-bit (no rounding
+    dance needed beyond the terminal float32 cast).
+
+    Scale: one (key, day) hash aggregate (map-side partial), one
+    broadcast-sized per-key mean, one window cumsum partitioned by key
+    — day count per key is calendar-bounded, so the window sort is
+    tiny regardless of event volume.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("key").agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        daily.join(stats, "key")
+        .withColumn("_mu", F.col("_tot").cast("double") / F.col("n_days"))
+        .withColumn(
+            "cusum", F.sum(F.col("n") - F.col("_mu")).over(w_cum)
+        )
+    )
+    w_rank = Window.partitionBy("key").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "key",
+            F.col("day").cast("timestamp").alias("changepoint_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.abs(F.col("cusum")).cast("float").alias("max_drift"),
+        )
+        .orderBy("key")
+    )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    season_lag: int = 7,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Backtest two zero-parameter forecasters on daily counts.
+
+    The forecasting-pipeline smoke test every metrics stack needs
+    BEFORE reaching for models: per key, score (a) the naive forecast
+    ŷ_t = y_{t−1} and (b) the seasonal-naive ŷ_t = y_{t−season_lag}
+    by mean absolute error over the days where both lags exist, plus
+    the seasonal improvement ratio. A seasonal series (weekday
+    patterns) makes MAE_seasonal ≪ MAE_naive; white noise ties them.
+
+    All errors are |integer − integer|; the MAEs are one division of
+    exact integer sums — bit-identical across engines before the
+    terminal float32 cast. One aggregate + one per-key window (lags
+    share a single (key, day-order) sort) + one aggregate.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("key").orderBy("day")
+    lagged = daily.select(
+        "key",
+        "n",
+        F.lag("n", 1).over(w).alias("_l1"),
+        F.lag("n", season_lag).over(w).alias("_ls"),
+    ).filter(F.col("_l1").isNotNull() & F.col("_ls").isNotNull())
+    return (
+        lagged.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            F.sum(F.abs(F.col("n") - F.col("_l1"))).alias("_ae1"),
+            F.sum(F.abs(F.col("n") - F.col("_ls"))).alias("_aes"),
+        )
+        .select(
+            "key",
+            "n_days_scored",
+            (F.col("_ae1").cast("double") / F.col("n_days_scored"))
+            .cast("float")
+            .alias("mae_naive"),
+            (F.col("_aes").cast("double") / F.col("n_days_scored"))
+            .cast("float")
+            .alias("mae_seasonal"),
+            # exact-integer ratio: seasonal error share of naive error
+            (F.col("_aes").cast("double") / F.col("_ae1"))
+            .cast("float")
+            .alias("seasonal_error_ratio"),
+        )
+        .orderBy("key")
+    )

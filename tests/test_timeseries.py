@@ -215,3 +215,74 @@ class TestSeasonalEnvelope:
         assert r["p_mid"] == 30.0
         assert abs(r["p_hi"] - 46.0) < 1e-5
         assert r["p_lo"] <= r["p_mid"] <= r["p_hi"]
+
+
+class TestCusumChangepoint:
+    def _events(self, spark, counts_by_day, key="click"):
+        import datetime as dt
+
+        rows = []
+        eid = 0
+        for d, n in enumerate(counts_by_day):
+            for _ in range(n):
+                rows.append(
+                    (eid, dt.datetime(2024, 3, 1) + dt.timedelta(days=d, minutes=eid % 60), 1, key, 1.0, "{}")
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+
+    def test_level_shift_found_at_the_shift(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            cusum_changepoint,
+        )
+
+        # 6 days at 2/day then 6 days at 10/day: |CUSUM| peaks on the
+        # last low day (the classic tent apex right before the shift)
+        ev = self._events(spark, [2] * 6 + [10] * 6)
+        out = cusum_changepoint(ev).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert str(r["changepoint_day"])[:10] == "2024-03-06"  # day idx 5
+        assert r["n_days"] == 12
+        # drift = 6 days × (mean 6 − level 2) = 24
+        assert abs(r["max_drift"] - 24.0) < 1e-6
+
+    def test_stable_series_has_small_drift(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            cusum_changepoint,
+        )
+
+        ev = self._events(spark, [5] * 10)
+        r = cusum_changepoint(ev).collect()[0]
+        assert r["max_drift"] < 1e-9  # constant series: zero drift
+
+
+class TestSeasonalNaiveBacktest:
+    def test_weekly_periodic_series_scores_zero_seasonal_error(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            seasonal_naive_backtest,
+        )
+
+        # exact weekly pattern repeated 3x: seasonal-naive is perfect,
+        # 1-day naive is not
+        pattern = [1, 5, 2, 8, 3, 9, 4]
+        rows = []
+        eid = 0
+        for d in range(21):
+            for _ in range(pattern[d % 7]):
+                rows.append(
+                    (eid, dt.datetime(2024, 5, 1) + dt.timedelta(days=d), 1, "click", 1.0, "{}")
+                )
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        r = seasonal_naive_backtest(ev, season_lag=7).collect()[0]
+        assert r["n_days_scored"] == 14  # days 8..21 have both lags
+        assert r["mae_seasonal"] == 0.0
+        assert r["mae_naive"] > 0
+        assert r["seasonal_error_ratio"] == 0.0
