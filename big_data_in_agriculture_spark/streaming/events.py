@@ -650,3 +650,101 @@ def user_value_stats_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+_DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_batches", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("reference_rate", T.DoubleType()),
+        T.StructField("cusum_pos", T.DoubleType()),
+        T.StructField("cusum_neg", T.DoubleType()),
+        T.StructField("drifted", T.BooleanType()),
+    ]
+)
+
+_DRIFT_STATE = T.StructType(
+    [
+        T.StructField("n_batches", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ref_batches", T.LongType()),
+        T.StructField("ref_events", T.LongType()),
+        T.StructField("cusum_pos", T.DoubleType()),
+        T.StructField("cusum_neg", T.DoubleType()),
+    ]
+)
+
+
+def drift_monitor_stream(
+    events: DataFrame,
+    reference_batches: int = 5,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Streaming CUSUM drift monitor: per-key event-rate change alarms.
+
+    The streaming twin of ``timeseries.cusum_changepoint``, as a
+    two-sided tabular CUSUM (Page): the first ``reference_batches``
+    micro-batches establish each key's reference events-per-batch rate
+    μ; afterwards every batch updates
+    ``S⁺ = max(0, S⁺ + (n−μ) − slack·μ)`` and
+    ``S⁻ = max(0, S⁻ − (n−μ) − slack·μ)``, and the key reports
+    ``drifted`` once either side exceeds ``threshold·μ``. The monitor
+    a training-data ingest runs next to the corpus gates: a crawler
+    source going quiet (S⁻) or a spam flood (S⁺) flags within a few
+    batches, with the slack term absorbing normal noise.
+
+    State per key is six scalars — O(keys) total, no per-event state —
+    and survives restarts in the state store like every
+    applyInPandasWithState operator here. Emitted in update mode: one
+    row per key per batch with the current alarm status.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        if state.exists:
+            nb, ne, rb, re_, sp, sn = state.get
+        else:
+            nb = ne = rb = re_ = 0
+            sp = sn = 0.0
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+        nb += 1
+        ne += batch_n
+        if nb <= reference_batches:
+            rb += 1
+            re_ += batch_n
+            mu = re_ / rb
+        else:
+            mu = re_ / rb if rb else 0.0
+            dev = batch_n - mu
+            sp = max(0.0, sp + dev - slack * mu)
+            sn = max(0.0, sn - dev - slack * mu)
+        state.update((nb, ne, rb, re_, sp, sn))
+        mu_out = re_ / rb if rb else 0.0
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_batches": [nb],
+                "n_events": [ne],
+                "reference_rate": [mu_out],
+                "cusum_pos": [sp],
+                "cusum_neg": [sn],
+                "drifted": [
+                    nb > reference_batches
+                    and (sp > threshold * mu_out or sn > threshold * mu_out)
+                ],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_DRIFT_SCHEMA,
+        stateStructType=_DRIFT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

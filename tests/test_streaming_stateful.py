@@ -373,3 +373,73 @@ def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
     assert final[7]["value_sum"] == 10.0
     assert final[7]["value_max"] == 5.0
     assert final[8]["n_events"] == 1
+
+
+def test_drift_monitor_flags_flood_after_reference(spark, tmp_path):
+    """5 stable batches establish the reference rate; a 10x flood batch
+    must raise cusum_pos past threshold·μ and flag drifted — while the
+    stable prefix never alarms."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+    t0 = dt.datetime(2024, 7, 1)
+    eid = 0
+
+    def land(name, n_events):
+        nonlocal eid
+        rows = {
+            "event_id": list(range(eid, eid + n_events)),
+            "ts": [pd.Timestamp(t0 + dt.timedelta(minutes=i)) for i in range(n_events)],
+            "user_id": [1] * n_events,
+            "event_type": ["click"] * n_events,
+            "value": [1.0] * n_events,
+            "props": ["{}"] * n_events,
+        }
+        eid += n_events
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows)).cast(schema),
+            str(landing / name),
+        )
+
+    for b in range(5):
+        land(f"b{b}.parquet", 4)  # reference: 4 events/batch
+    land("b5.parquet", 40)  # flood
+
+    stream = sev.read_events_stream(
+        spark, str(landing), nanos_ts=False, max_files_per_trigger=1
+    )
+    out = sev.drift_monitor_stream(
+        stream, reference_batches=5, slack=0.5, threshold=5.0
+    )
+    chk = str(tmp_path / "chk")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_t")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM drift_t ORDER BY n_batches"
+    ).collect()
+    assert [r["n_batches"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    # stable prefix: no alarms, reference rate = 4
+    for r in rows[:5]:
+        assert not r["drifted"] and r["cusum_pos"] == 0.0
+    assert rows[4]["reference_rate"] == 4.0
+    # flood batch: deviation 36 − slack 2 = 34 > 5 × 4
+    flood = rows[5]
+    assert flood["drifted"] and flood["cusum_pos"] == 34.0
+    assert flood["n_events"] == 60
