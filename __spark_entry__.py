@@ -5413,6 +5413,59 @@ ORDER BY key
 """
 
 
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # target slice = English docs; score every doc's target-likeness
+    docs = _t(spark, sf_dir, "documents")
+    return llm.dsir_scores(docs, F.col("lang") == "en", buckets=4096)
+
+
+def _dsir_sql(buckets: int = 4096) -> str:
+    """DuckDB replay of the DSIR pipeline (llm.dsir_scores).
+
+    Same md5 fixed-point buckets (feature_bucket), exact-integer
+    counts, add-one smoothing; the per-doc Σ log-ratio is fold-order
+    dependent across engines — absorbed by the float32 cast like every
+    order-dependent aggregate in the suite.
+    """
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, tgt,
+           unnest(list_concat(
+               [('0x' || substr(md5(lower(x)), 1, 8))::BIGINT % {buckets}
+                FOR x IN t],
+               [('0x' || substr(md5(lower(t[i] || ' ' || t[i+1])), 1, 8))::BIGINT
+                % {buckets}
+                FOR i IN range(1, greatest(len(t), 1))]
+           )) AS bucket
+    FROM toks
+),
+per_bucket AS (
+    SELECT bucket,
+           sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_t,
+           sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS n_r
+    FROM grams GROUP BY bucket
+),
+totals AS (
+    SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM per_bucket
+),
+model AS (
+    SELECT bucket,
+           ln((n_t + 1)::DOUBLE / (tot_t + {buckets})::DOUBLE)
+           - ln((n_r + 1)::DOUBLE / (tot_r + {buckets})::DOUBLE) AS log_ratio
+    FROM per_bucket, totals
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(m.log_ratio) AS FLOAT) AS dsir_score
+FROM grams g JOIN model m ON g.bucket = m.bucket
+GROUP BY g.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5604,6 +5657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_quality": q_classifier_quality,
         "cusum_changepoint": q_cusum_changepoint,
         "seasonal_backtest": q_seasonal_backtest,
+        "dsir_scores": q_dsir_scores,
     }
 
 
@@ -5777,6 +5831,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_pipeline": _gopher_pipeline_sql(),
         "cusum_changepoint": _CUSUM_SQL,
         "seasonal_backtest": _SEASONAL_BACKTEST_SQL,
+        "dsir_scores": _dsir_sql(),
         # Approximate ops with FULL pipeline twins (portable md5
         # hashing / deterministic constants — DuckDB replays the
         # whole candidate generation bit-identically):

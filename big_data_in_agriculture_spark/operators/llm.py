@@ -2831,3 +2831,99 @@ def weighted_topk_sample(
             F.round(F.col("_sk"), 10).cast("float").alias("sample_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _dsir_grams(text: Column, buckets: int) -> Column:
+    """Hashed word uni+bigram buckets for one doc, as array<int>.
+
+    The DSIR feature map: every whitespace token and every adjacent
+    token pair, hashed into ``buckets`` via the engine-portable
+    feature_bucket fixed-point (md5). Duplicates KEPT — DSIR models
+    bag-of-ngrams counts, not sets.
+    """
+    toks = F.split(text, " ")
+    unigrams = F.transform(toks, lambda t: feature_bucket(t, buckets))
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        lambda t, i: feature_bucket(
+            F.concat_ws(" ", t, F.element_at(toks, i + 2)), buckets
+        ),
+    )
+    return F.concat(unigrams, bigrams)
+
+
+def dsir_scores(
+    docs: DataFrame,
+    is_target: Column,
+    buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc DSIR importance score: how target-like is each document.
+
+    Data Selection via Importance Resampling (Xie et al. 2023): fit
+    two bag-of-hashed-ngram distributions — the TARGET slice
+    (``is_target``, e.g. a high-quality or in-domain subset) and the
+    RAW rest — and score every document by its log importance weight
+    ``Σ_g log p̂_target(bucket(g)) − log p̂_raw(bucket(g))`` over its
+    uni+bigrams (add-one smoothing on both sides). High scores =
+    target-like; feeding the scores to weighted/top-k sampling
+    (``weighted_sample``/``weighted_topk_sample``) completes the
+    selection pipeline.
+
+    Scale shape: the MODEL is the per-bucket log-ratio table —
+    ``buckets`` rows regardless of corpus size — built by one
+    explode+aggregate pass (map-side partial: the shuffle carries at
+    most buckets×partitions rows) and broadcast back; scoring is the
+    same explode joined against the broadcast model + one per-doc sum
+    (map-side partial again). No all-pairs, no driver data collect.
+
+    Engine parity: bucket ids are the md5 fixed-point
+    (feature_bucket), counts/totals are exact integers, smoothing is
+    one division, and only the final per-doc SUM of log-ratios is
+    fold-order dependent — absorbed by the terminal float32 cast per
+    the repo-wide determinism contract.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        is_target.cast("boolean").alias("_tgt"),
+        F.explode(_dsir_grams(F.col(text_col), buckets)).alias("bucket"),
+    )
+    per_bucket = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("n_r"),
+    )
+    totals = per_bucket.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
+    )
+    model = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("n_t") + 1).cast("double")
+                / (F.col("tot_t") + F.lit(buckets)).cast("double")
+            )
+            - F.log(
+                (F.col("n_r") + 1).cast("double")
+                / (F.col("tot_r") + F.lit(buckets)).cast("double")
+            )
+        ).alias("log_ratio"),
+    )
+    scored = (
+        grams.join(F.broadcast(model), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("log_ratio").alias("_score"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("_score").cast("float").alias("dsir_score"),
+    )

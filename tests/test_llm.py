@@ -840,3 +840,44 @@ class TestContainmentPairs:
         }
         assert rows[(1, 2)] == 1.0
         assert 0.4 <= rows[(2, 1)] < 1.0
+
+
+class TestDsirScores:
+    def test_target_like_docs_score_higher(self, spark):
+        """DSIR: docs sharing the target slice's vocabulary must score
+        above docs sharing the raw slice's vocabulary (Xie et al. 2023
+        importance weights)."""
+        from pyspark.sql import functions as F
+
+        target_text = "the quick brown fox jumps over the lazy dog"
+        raw_text = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+        rows = []
+        for i in range(20):
+            rows.append((i, target_text, "en"))
+        for i in range(20, 40):
+            rows.append((i, raw_text, "xx"))
+        # probes: NOT in the target slice, but written in each dialect
+        rows.append((100, "quick brown fox dog", "xx"))
+        rows.append((101, "lorem ipsum sit elit", "xx"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {
+            r["doc_id"]: r["dsir_score"]
+            for r in llm.dsir_scores(docs, F.col("lang") == "en").collect()
+        }
+        assert out[100] > 0 > out[101]
+        # the target docs themselves score highest of all
+        assert min(out[i] for i in range(20)) > out[100]
+
+    def test_scores_are_deterministic(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 7} w{i % 3} common", "en" if i % 2 else "xx")
+             for i in range(30)],
+            "doc_id long, text string, lang string",
+        )
+        a = {r["doc_id"]: r["dsir_score"]
+             for r in llm.dsir_scores(docs, F.col("lang") == "en").collect()}
+        b = {r["doc_id"]: r["dsir_score"]
+             for r in llm.dsir_scores(docs, F.col("lang") == "en").collect()}
+        assert a == b
