@@ -2319,22 +2319,40 @@ def substring_dedup(
     md5 (not xxhash64) keys keep the SQL oracle bit-identical; a
     deployment chasing the last 2x swaps in xxhash64.
     """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
     toks = TX.tokens(text_col)
-    n = F.size(toks)
+
+    # Per-window digests in ONE Arrow kernel: hashlib.md5 of the
+    # ' '-joined k-token window == F.md5(array_join(slice(...))) ==
+    # DuckDB md5 — bit-identical hex — while the Column chain executes
+    # md5+array_join+slice INTERPRETED per window (the same measured
+    # ~5x HOF penalty as the MinHash shingle kernel). Short docs
+    # (n < k) emit no windows.
+    @pandas_udf(ArrayType(StringType()))
+    def _gram_digests(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append([])
+                continue
+            t = txt.split(" ")
+            out.append(
+                [
+                    hashlib.md5(" ".join(t[p : p + k]).encode("utf-8")).hexdigest()
+                    for p in range(max(len(t) - k + 1, 0))
+                ]
+            )
+        return pd.Series(out)
+
     # (doc, pos, digest) for every k-window; pos is 1-based
     grams = docs.select(
         F.col(id_col),
-        F.posexplode(
-            # guard: Spark's sequence(1, stop) runs DESCENDING when
-            # stop < 1, so short docs (n < k) get an explicit empty
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - k + 1),
-                    lambda p: F.md5(F.array_join(F.slice(toks, p, k), " ")),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        ).alias("_i", "_gh"),
+        F.posexplode(_gram_digests(F.col(text_col))).alias("_i", "_gh"),
     ).select(id_col, (F.col("_i") + 1).alias("pos"), "_gh")
 
     hot = (
