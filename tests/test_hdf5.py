@@ -119,3 +119,127 @@ def test_dimension_list_resolution():
     assert f.dim_names("latitude") is None or f.dim_names("latitude") == [
         "latitude"
     ]
+
+
+def _build_v0_file() -> bytes:
+    """Hand-assemble a minimal superblock-v0 HDF5 file: old-style root
+    group (symbol-table message → v1 B-tree → SNOD → local heap) with
+    one contiguous float64 dataset carrying a v1 attribute — the
+    old-library layout netcdf-c emits with pre-1.10 HDF5. Exercises
+    the v0-superblock, v1-object-header, SNOD and v1-attribute paths
+    the real CDS file (all new-style) never touches."""
+    import struct
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    buf = bytearray()
+
+    def pad(n: int) -> None:
+        buf.extend(b"\x00" * ((n - len(buf) % n) % n))
+
+    # ---- plan addresses (two-pass not needed: fixed sizes) ----
+    # superblock: 0..96 ; dataset OH: 96 ; root OH after it; then
+    # heap data, local heap, SNOD, B-tree, raw data.
+    data = struct.pack("<4d", 1.5, 2.5, 3.5, 4.5)
+
+    # dataset object header v1 (at 96)
+    ds_msgs = []
+    # dataspace v1: ver 1, rank 1, flags 0, res(5), dim 4
+    ds_msgs.append((0x0001, struct.pack("<BBB5xQ", 1, 1, 0, 4)))
+    # datatype: v1 class0? -> float64: byte0 0x11, bits 0x20 0 0, size 8,
+    # props: bitoffset 0, precision 64, exploc 52, expsize 11, manloc 0,
+    # mansize 52, bias 1023
+    ds_msgs.append((
+        0x0003,
+        struct.pack("<B3BI", 0x11, 0x20, 0x3F, 0x00, 8)
+        + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023),
+    ))
+    # attribute v1: name 'units', dtype = fixed string len 1, scalar
+    attr_name = b"units\x00\x00\x00"  # 'units' padded to 8
+    attr_dt = struct.pack("<B3BI", 0x13, 0, 0, 0, 1)  # v1 class3 size1
+    attr_ds = struct.pack("<BBB5x", 1, 0, 0)  # v1 rank 0 -> 8 bytes
+    attr_body = (
+        struct.pack("<BBHHH", 1, 0, 6, len(attr_dt), len(attr_ds))
+        + attr_name
+        + attr_dt + b"\x00" * ((8 - len(attr_dt) % 8) % 8)
+        + attr_ds
+        + b"K"
+    )
+    ds_msgs.append((0x000C, attr_body))
+    # layout v3 contiguous: addr/size patched later
+    layout_at = None
+
+    def v1_header(msgs) -> bytes:
+        body = b""
+        for mtype, mbody in msgs:
+            mb = mbody + b"\x00" * ((8 - len(mbody) % 8) % 8)
+            body += struct.pack("<HHB3x", mtype, len(mb), 0) + mb
+        return (
+            struct.pack("<BBHII4x", 1, 0, len(msgs), 1, len(body)) + body
+        )
+
+    # Two-pass layout: header SIZES are independent of the addresses
+    # they embed, so build once with dummies to size, then rebuild.
+    def ds_header_at(data_addr: int) -> bytes:
+        layout = struct.pack("<BBQQ", 3, 1, data_addr, len(data))
+        return v1_header(ds_msgs + [(0x0008, layout)])
+
+    def root_header_at(btree: int, heap: int) -> bytes:
+        return v1_header([(0x0011, struct.pack("<QQ", btree, heap))])
+
+    ds_addr = 96
+    root_addr = ds_addr + len(ds_header_at(0))
+    heap_data_addr = root_addr + len(root_header_at(0, 0))
+    heap_data = b"\x00" + b"temp\x00\x00\x00\x00"  # offset 0 unused; name at 1
+    name_off = 1
+    heap_addr = heap_data_addr + len(heap_data)
+    local_heap = (
+        b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF, heap_data_addr)
+    )
+    snod_addr = heap_addr + len(local_heap)
+    snod = (
+        b"SNOD"
+        + struct.pack("<BBH", 1, 0, 1)
+        + struct.pack("<QQI4x16x", name_off, ds_addr, 0)
+    )
+    btree_addr = snod_addr + len(snod)
+    btree = (
+        b"TREE"
+        + struct.pack("<BBHQQ", 0, 0, 1, UNDEF, UNDEF)
+        + struct.pack("<Q", 0)        # key 0
+        + struct.pack("<Q", snod_addr)  # child 0
+        + struct.pack("<Q", 0)        # key 1
+    )
+    data_addr = btree_addr + len(btree)
+
+    ds_header = ds_header_at(data_addr)
+    root_header = root_header_at(btree_addr, heap_addr)
+
+    eof = data_addr + len(data)
+    superblock = (
+        b"\x89HDF\r\n\x1a\n"
+        + struct.pack("<BBBBBBBBHHI", 0, 0, 0, 0, 0, 8, 8, 0, 4, 16, 0)
+        + struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+        + struct.pack("<QQI4x16x", 0, root_addr, 0)  # root symbol entry
+    )
+    buf.extend(superblock)
+    buf.extend(b"\x00" * (96 - len(buf)))
+    buf.extend(ds_header)
+    buf.extend(root_header)
+    buf.extend(heap_data)
+    buf.extend(local_heap)
+    buf.extend(snod)
+    buf.extend(btree)
+    buf.extend(data)
+    return bytes(buf)
+
+
+def test_old_style_v0_superblock_and_snod_group():
+    """Superblock v0 + v1 object headers + symbol-table group + v1
+    attribute + contiguous data — the pre-1.10 layout — parses and
+    reads correctly."""
+    f = Hdf5File(_build_v0_file())
+    assert list(f.datasets) == ["temp"]
+    ds = f.datasets["temp"]
+    assert ds.shape == (4,)
+    assert ds.attrs["units"] == "K"
+    assert f.read("temp").tolist() == [1.5, 2.5, 3.5, 4.5]
