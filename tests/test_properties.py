@@ -470,3 +470,53 @@ def test_fuzzy_join_matches_bruteforce(spark, names, threshold):
     assert set(got) == set(expect)
     for key, v in got.items():
         assert math.isclose(v, expect[key], rel_tol=1e-6)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_minhash_kernel_column_parity_on_arbitrary_text(spark, texts):
+    """The portable Arrow kernel (hashlib md5 + numpy affine minima)
+    and the Column twin (TX.shingle_hashes_md5 → affine fold) must be
+    BIT-IDENTICAL on arbitrary unicode — empties, exotic whitespace,
+    multi-byte chars — because the DuckDB oracle replays the Column
+    form. Guards the kernel against tokenization drift (str.split(' ')
+    vs F.split(c, ' ') keep-empties semantics)."""
+    from pyspark.sql import functions as F
+
+    from big_data_in_agriculture_spark.functions import text as TX
+    from big_data_in_agriculture_spark.operators import llm
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    num_perm = 8
+    kernel = {
+        r["id"]: list(r["signature"])
+        for r in llm.minhash_signatures(docs, num_perm=num_perm).collect()
+    }
+    params = [llm._affine_params(i) for i in range(num_perm)]
+    mers = (1 << 61) - 1
+
+    def affine(a, b):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(mers)
+
+    cols = [
+        F.array_min(F.transform(TX.shingle_hashes_md5(F.col("text"), 3), affine(a, b))).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    column = {
+        r["doc_id"]: [r[f"s{i}"] for i in range(num_perm)]
+        for r in docs.select("doc_id", *cols).collect()
+    }
+    assert kernel == column
