@@ -784,12 +784,25 @@ _TIME_UNITS = {
 
 
 def decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
-    """CF time decode: '<unit> since <epoch>' → datetime64[ns]."""
+    """CF time decode: '<unit> since <epoch>' → datetime64[ns].
+
+    Handles the epoch spellings CF files actually carry: bare dates,
+    'YYYY-MM-DD HH:MM:SS[.f]' (classic ERA5: 'hours since 1900-01-01
+    00:00:00.0'), and UTC designators ('Z', '+00:00', ' UTC') — all
+    naive-UTC here, matching the reference's TIMESTAMP-not-TIMESTAMPTZ
+    convention. Non-UTC offsets are out of scope and raise.
+    """
     parts = units.split(" since ")
     if len(parts) != 2 or parts[0].strip().lower() not in _TIME_UNITS:
         raise Hdf5FormatError(f"unsupported time units {units!r}")
     unit = _TIME_UNITS[parts[0].strip().lower()]
-    origin = np.datetime64(parts[1].strip().replace(" ", "T").rstrip("Z"), "ns")
+    epoch = parts[1].strip()
+    for suffix in ("Z", "+00:00", "+0000", "+00", "UTC"):
+        if epoch.endswith(suffix):
+            epoch = epoch[: -len(suffix)].strip()
+    if "+" in epoch or epoch.count("-") > 2:  # a non-UTC offset remains
+        raise Hdf5FormatError(f"non-UTC time origin {parts[1]!r}")
+    origin = np.datetime64(epoch.replace(" ", "T"), "ns")
     return origin + values.astype(f"timedelta64[{unit}]").astype("timedelta64[ns]")
 
 

@@ -49,8 +49,17 @@ def test_decode_cf_time_units():
     assert str(hrs[2]) == "2022-02-01T08:00:00.000000000"
     days = decode_cf_time(vals, "days since 1900-01-01")
     assert str(days[1]) == "1900-01-02T00:00:00.000000000"
+    # classic-ERA5 fractional-second epoch + UTC designators
+    era5 = decode_cf_time(vals, "hours since 1900-01-01 00:00:00.0")
+    assert str(era5[1]) == "1900-01-01T01:00:00.000000000"
+    z = decode_cf_time(vals, "seconds since 1970-01-01T00:00:00Z")
+    assert str(z[1]) == "1970-01-01T00:00:01.000000000"
+    utc = decode_cf_time(vals, "seconds since 1970-01-01 00:00:00+00:00")
+    assert str(utc[1]) == "1970-01-01T00:00:01.000000000"
     with pytest.raises(Hdf5FormatError, match="time units"):
         decode_cf_time(vals, "fortnights since 1970-01-01")
+    with pytest.raises(Hdf5FormatError, match="non-UTC"):
+        decode_cf_time(vals, "seconds since 1970-01-01 00:00:00+05:30")
 
 
 def test_shuffle_deflate_chunk_roundtrip():
