@@ -5466,6 +5466,34 @@ GROUP BY g.doc_id
 """
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: state built from 80% of events,
+    the other 20% folded in incrementally — output must equal the
+    full-history rollup (which is exactly what the oracle computes)."""
+    from big_data_in_agriculture_spark.operators import materialized as mv
+
+    ev = _t(spark, sf_dir, "events")
+    history = ev.filter(F.col("event_id") % 5 < 4)
+    delta = ev.filter(F.col("event_id") % 5 == 4)
+    state = mv.rollup_state(history, ["event_type"])
+    updated = mv.incremental_rollup_update(state, delta, ["event_type"])
+    return mv.serve_rollup(updated).withColumn(
+        "day", F.col("day").cast("timestamp")
+    )
+
+
+_INCREMENTAL_ROLLUP_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events,
+       CAST(avg(value) AS FLOAT) AS value_mean,
+       CAST(sum(value) AS FLOAT) AS value_sum,
+       CAST(min(value) AS FLOAT) AS value_min,
+       CAST(max(value) AS FLOAT) AS value_max
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5658,6 +5686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "seasonal_backtest": q_seasonal_backtest,
         "dsir_scores": q_dsir_scores,
+        "incremental_rollup": q_incremental_rollup,
     }
 
 
@@ -5832,6 +5861,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": _CUSUM_SQL,
         "seasonal_backtest": _SEASONAL_BACKTEST_SQL,
         "dsir_scores": _dsir_sql(),
+        "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
         # Approximate ops with FULL pipeline twins (portable md5
         # hashing / deterministic constants — DuckDB replays the
         # whole candidate generation bit-identically):
