@@ -5494,6 +5494,73 @@ GROUP BY 1, 2
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG hybrid retrieval: BM25 lexical top-20 ∪ cosine-kNN semantic
+    top-20 (query = embedding 0, ids aligned to doc ids in the
+    synthetic tables), fused with reciprocal-rank fusion."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    lexical = llm.bm25_search(docs, "hash join filter", top_k=20)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    sim = F.round(
+        similarity.cosine(F.col("q_vec"), F.col("embedding")), 6
+    )
+    semantic = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("cos"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("cos").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    return llm.hybrid_search_rrf(lexical, semantic, k=10)
+
+
+_HYBRID_SQL = f"""
+WITH lex AS (
+    SELECT doc_id, rank AS rl FROM ({_BM25_SQL.replace("LIMIT 10", "LIMIT 20")})
+),
+qv AS (
+    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+),
+sem AS (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rs
+    FROM (
+        SELECT e.vec_id AS doc_id,
+               round(list_dot_product(e.embedding::DOUBLE[], qv.q)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv.q, qv.q))), 6) AS cos
+        FROM embeddings e, qv WHERE e.vec_id <> 0
+    )
+    QUALIFY rs <= 20
+),
+fused AS (
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           lex.rl, sem.rs,
+           coalesce(1.0 / (60 + lex.rl), 0.0)
+           + coalesce(1.0 / (60 + sem.rs), 0.0) AS rrf
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id,
+       CAST(rl AS BIGINT) AS lexical_rank,
+       CAST(rs AS BIGINT) AS semantic_rank,
+       CAST(rrf AS FLOAT) AS rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5687,6 +5754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_backtest": q_seasonal_backtest,
         "dsir_scores": q_dsir_scores,
         "incremental_rollup": q_incremental_rollup,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -5862,6 +5930,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_backtest": _SEASONAL_BACKTEST_SQL,
         "dsir_scores": _dsir_sql(),
         "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
+        "hybrid_search": _HYBRID_SQL,
         # Approximate ops with FULL pipeline twins (portable md5
         # hashing / deterministic constants — DuckDB replays the
         # whole candidate generation bit-identically):

@@ -2945,3 +2945,54 @@ def dsir_scores(
         F.col("n_grams").cast("long").alias("n_grams"),
         F.col("_score").cast("float").alias("dsir_score"),
     )
+
+
+def hybrid_search_rrf(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retriever rankings (RAG hybrid search).
+
+    The standard lexical+vector combiner (Cormack et al. 2009):
+    ``rrf(d) = Σ_r 1/(c + rank_r(d))`` over the rankings that retrieved
+    d — rank-based, so BM25 scores and cosines never need calibration
+    against each other. Documents found by only one retriever keep that
+    one term (full outer join); ties break by id.
+
+    Scale: both inputs are top-k lists (retriever-bounded, tiny), so
+    the fuse is a broadcast-sized join whatever the corpus size behind
+    the retrievers. Exactly engine-portable: ranks are integers and the
+    score is a fixed-order pair of divisions.
+    """
+    lex = lexical.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_col).alias("_rl")
+    )
+    sem = semantic.select(
+        F.col(id_col).alias("doc_id"), F.col(rank_col).alias("_rs")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("_rl")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("_rs")), F.lit(0.0)),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return fused.select(
+        "doc_id",
+        F.col("_rl").cast("long").alias("lexical_rank"),
+        F.col("_rs").cast("long").alias("semantic_rank"),
+        F.col("rrf_score").cast("float").alias("rrf_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

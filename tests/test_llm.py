@@ -881,3 +881,34 @@ class TestDsirScores:
         b = {r["doc_id"]: r["dsir_score"]
              for r in llm.dsir_scores(docs, F.col("lang") == "en").collect()}
         assert a == b
+
+
+class TestHybridSearchRrf:
+    def test_fusion_math_and_outer_semantics(self, spark):
+        """RRF = 1/(60+rl) + 1/(60+rs); docs seen by one retriever keep
+        one term; ordering by fused score with id tie-break."""
+        lex = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+        )
+        sem = spark.createDataFrame(
+            [(2, 1), (4, 2)], "doc_id long, rank long"
+        )
+        out = {r["doc_id"]: r for r in llm.hybrid_search_rrf(lex, sem, k=10).collect()}
+        # doc 2: both lists -> two terms, ranked first
+        assert abs(out[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-7
+        assert out[2]["rank"] == 1
+        # single-list docs keep one term
+        assert abs(out[1]["rrf_score"] - 1 / 61) < 1e-7
+        assert out[4]["semantic_rank"] == 2 and out[4]["lexical_rank"] is None
+        # doc 1 (1/61) beats doc 4 (1/62) beats doc 3 (1/63)
+        assert out[1]["rank"] == 2 and out[4]["rank"] == 3 and out[3]["rank"] == 4
+
+    def test_k_truncation(self, spark):
+        lex = spark.createDataFrame(
+            [(i, i) for i in range(1, 30)], "doc_id long, rank long"
+        )
+        sem = spark.createDataFrame(
+            [(i + 100, i) for i in range(1, 30)], "doc_id long, rank long"
+        )
+        got = llm.hybrid_search_rrf(lex, sem, k=5).collect()
+        assert len(got) == 5
