@@ -19,6 +19,8 @@ PICKS = [
     ("key_skew", "Totals re-aggregate the per-key counts and return via a broadcast 1-row cross join; the input is scanned once."),
     ("substring_dedup", "Exact substring dedup: gram digests are map-only, ONE count aggregate finds hot k-grams, a semi-join + per-doc collect gathers flagged positions, and span-union/token filtering are per-row array folds — no token-level shuffle anywhere."),
     ("point_in_bbox", "Spatial containment as a lat-banded equi-join with a residual 4-way predicate — the raw containment join would plan a BroadcastNestedLoopJoin. No forced broadcast hint: small config box tables auto-broadcast under the threshold, a large geo grid takes the shuffled path (AQE decides per run)."),
+    ("dsir_scores", "DSIR importance scoring: the bucket model (a `buckets`-row aggregate) comes back as a BroadcastHashJoin against the exploded grams — scoring stays map-side + one per-doc partial-aggregated sum; corpus size never inflates the model."),
+    ("incremental_rollup", "Materialized-view maintenance: exactly the delta aggregate + the state merge aggregate — no third aggregate over raw history exists in the plan, which is the no-rescan guarantee."),
 ]
 
 out = ["# PLANS — formatted physical plans of representative queries",
