@@ -5349,11 +5349,25 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(_t(spark, sf_dir, "events"))
 
 
-_CUSUM_SQL = """
-WITH daily AS (
-    SELECT event_type AS key, date_trunc('day', ts) AS day, count(*) AS n
-    FROM events GROUP BY 1, 2
-),
+_DENSE_DAILY_SQL = """
+    sparse AS (
+        SELECT event_type AS key, date_trunc('day', ts) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT key, unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS day
+        FROM sparse GROUP BY key
+    ),
+    daily AS (
+        SELECT spine.key, spine.day, coalesce(sparse.n, 0) AS n
+        FROM spine LEFT JOIN sparse
+          ON spine.key = sparse.key AND spine.day = sparse.day
+    )
+"""
+
+_CUSUM_SQL = f"""
+WITH {_DENSE_DAILY_SQL},
 stats AS (
     SELECT key, sum(n) AS tot, count(*) AS n_days FROM daily GROUP BY key
 ),
@@ -5388,11 +5402,8 @@ def q_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_naive_backtest(_t(spark, sf_dir, "events"))
 
 
-_SEASONAL_BACKTEST_SQL = """
-WITH daily AS (
-    SELECT event_type AS key, date_trunc('day', ts) AS day, count(*) AS n
-    FROM events GROUP BY 1, 2
-),
+_SEASONAL_BACKTEST_SQL = f"""
+WITH {_DENSE_DAILY_SQL},
 lagged AS (
     SELECT key, n,
            lag(n, 1) OVER w AS l1,

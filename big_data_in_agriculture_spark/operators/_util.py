@@ -8,12 +8,28 @@ from pyspark.sql import DataFrame
 _DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
 
 
+#: Spark byte-string suffixes (JavaUtils.byteStringAsBytes): 1k=1024.
+_BYTE_SUFFIXES = {
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
 def _max_partition_bytes(df: DataFrame) -> int:
-    raw = df.sparkSession.conf.get(
-        "spark.sql.files.maxPartitionBytes", str(_DEFAULT_SPLIT_BYTES)
-    )
+    raw = str(
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(_DEFAULT_SPLIT_BYTES)
+        )
+    ).strip().lower()
+    # accept every form Spark does: "134217728", "134217728b", "128m",
+    # "128mb", "1g" — a misparse here silently disables the fan-out
+    # the helper exists for, so cover the human-readable spellings too
+    num = raw.rstrip("kmgtb")
+    suffix = raw[len(num):]
     try:
-        return int(str(raw).lower().rstrip("b"))
+        return int(num) * _BYTE_SUFFIXES.get(suffix, 1)
     except ValueError:
         return _DEFAULT_SPLIT_BYTES
 

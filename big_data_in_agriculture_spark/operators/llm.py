@@ -161,6 +161,41 @@ def jaccard_pairs(
 _MERSENNE61 = (1 << 61) - 1
 
 
+# --- shared portable shingle/gram primitives (Python side) -----------------
+# ONE implementation of the tokenize/window/md5 fixed-point feeds every
+# Arrow kernel below (signatures, verification shingles, substring gram
+# digests). The bit-parity contract with TX.shingle_hashes_md5, the
+# Column md5 forms, and the DuckDB oracles rests on these staying the
+# single source of truth — test_llm/test_properties assert the parity.
+
+def _window_grams(toks: list[str], k: int, whole_doc_if_short: bool) -> list[str]:
+    """' '-joined k-token windows of a token list, in position order.
+
+    Shingling convention (whole_doc_if_short=True, matches
+    TX.word_shingles): a doc shorter than k tokens yields its whole
+    token string as the single gram, so every doc has ≥1 shingle.
+    Substring-dedup convention (False): short docs yield NO windows.
+    """
+    m = len(toks) - k + 1
+    if m < 1:
+        return [" ".join(toks)] if whole_doc_if_short else []
+    return [" ".join(toks[i : i + k]) for i in range(m)]
+
+
+def _md5_u32(gram: str) -> int:
+    """First 4 md5 bytes big-endian == the engines' shared fixed point
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT`` / conv(substr(md5…))."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(gram.encode("utf-8")).digest()[:4], "big")
+
+
+def _md5_shingle_hashes(text: str, k: int) -> set[int]:
+    """Distinct portable 32-bit shingle hashes of one document."""
+    toks = text.split(" ")
+    return {_md5_u32(g) for g in _window_grams(toks, k, True)}
+
+
 def _affine_params(i: int) -> tuple[int, int]:
     """Deterministic (a, b) for permutation i via a splitmix-style mix.
 
@@ -227,12 +262,9 @@ def minhash_signatures(
         # The Column twin (TX.shingle_hashes_md5 → affine fold) computes
         # identical values — test_llm asserts bit-parity — but spends
         # ~5× the time in interpreted HOF lambdas (md5+conv+substring
-        # chains per element); hashlib.md5 here is the same primitive
-        # DuckDB's md5() and Spark's F.md5 evaluate, so the SQL oracle
-        # still replays signatures exactly. Single-space split matches
-        # F.split(c, ' ') (both keep empty tokens).
-        import hashlib
-
+        # chains per element); _md5_shingle_hashes is the shared
+        # fixed-point (same primitive DuckDB's md5() and Spark's F.md5
+        # evaluate), so the SQL oracle still replays signatures exactly.
         @pandas_udf(ArrayType(LongType()))
         def _sig_text(texts: pd.Series) -> pd.Series:
             out = []
@@ -240,18 +272,9 @@ def minhash_signatures(
                 if txt is None:
                     out.append(None)
                     continue
-                toks = txt.split(" ")
-                m = max(len(toks) - k + 1, 1)
-                shingles = {" ".join(toks[i : i + k]) for i in range(m)}
+                shingles = _md5_shingle_hashes(txt, k)
                 hv = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
-                        )
-                        for s in shingles
-                    ),
-                    dtype=np.int64,
-                    count=len(shingles),
+                    shingles, dtype=np.int64, count=len(shingles)
                 )
                 sig = ((hv[:, None] * a_vec[None, :] + b_vec) % mers).min(axis=0)
                 out.append(sig)
@@ -458,14 +481,11 @@ def minhash_neardup_pairs(
         .distinct()
     )
     if portable:
-        # Same md5 shingle primitive as the signature kernel, as one
-        # small Arrow UDF: the Column twin (TX.shingle_hashes_md5)
+        # Same shared md5 shingle primitive as the signature kernel, as
+        # one small Arrow UDF: the Column twin (TX.shingle_hashes_md5)
         # appears TWICE in this plan (sa/sb branches) and its per-
         # element md5+conv+substring chains dominate one-shot plan
-        # analysis/codegen. hashlib.md5 [:4] big-endian == the SQL
-        # twin's ('0x' || substr(md5(s),1,8))::BIGINT, bit-identical.
-        import hashlib
-
+        # analysis/codegen.
         import pandas as pd
         from pyspark.sql.pandas.functions import pandas_udf
         from pyspark.sql.types import ArrayType, LongType
@@ -477,17 +497,7 @@ def minhash_neardup_pairs(
                 if txt is None:
                     out.append(None)
                     continue
-                toks = txt.split(" ")
-                m = max(len(toks) - k + 1, 1)
-                uniq = {" ".join(toks[i : i + k]) for i in range(m)}
-                out.append(
-                    [
-                        int.from_bytes(
-                            hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
-                        )
-                        for s in uniq
-                    ]
-                )
+                out.append(list(_md5_shingle_hashes(txt, k)))
             return pd.Series(out)
 
         shingle_expr = _shingles_md5(F.col(text_col))
@@ -2327,12 +2337,12 @@ def substring_dedup(
 
     toks = TX.tokens(text_col)
 
-    # Per-window digests in ONE Arrow kernel: hashlib.md5 of the
-    # ' '-joined k-token window == F.md5(array_join(slice(...))) ==
-    # DuckDB md5 — bit-identical hex — while the Column chain executes
+    # Per-window digests in ONE Arrow kernel over the SHARED windowing
+    # helper (_window_grams, substring convention: short docs emit no
+    # windows): hashlib.md5 hex == F.md5(array_join(slice(...))) ==
+    # DuckDB md5 — bit-identical — while the Column chain executes
     # md5+array_join+slice INTERPRETED per window (the same measured
-    # ~5x HOF penalty as the MinHash shingle kernel). Short docs
-    # (n < k) emit no windows.
+    # ~5x HOF penalty as the MinHash shingle kernel).
     @pandas_udf(ArrayType(StringType()))
     def _gram_digests(texts: pd.Series) -> pd.Series:
         out = []
@@ -2340,11 +2350,10 @@ def substring_dedup(
             if txt is None:
                 out.append([])
                 continue
-            t = txt.split(" ")
             out.append(
                 [
-                    hashlib.md5(" ".join(t[p : p + k]).encode("utf-8")).hexdigest()
-                    for p in range(max(len(t) - k + 1, 0))
+                    hashlib.md5(g.encode("utf-8")).hexdigest()
+                    for g in _window_grams(txt.split(" "), k, False)
                 ]
             )
         return pd.Series(out)

@@ -369,6 +369,37 @@ def seasonal_envelope(
     )
 
 
+def _dense_daily_counts(
+    events: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """(key, day, n) with EVERY calendar day in each key's span.
+
+    Zero-event days matter to rate statistics: a quiet day IS a count
+    of 0, and leaving it out of the daily aggregate would silently
+    shift lag alignments (seasonal backtest) and bias the mean
+    (CUSUM). Same per-key spine pattern as gapfill_locf — bounds
+    aggregate + sequence/explode, no cross join against a global
+    calendar.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("_d0", "_d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    return spine.join(daily, ["key", "day"], "left").select(
+        "key", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
 def cusum_changepoint(
     events: DataFrame,
     key_col: str = "event_type",
@@ -395,11 +426,12 @@ def cusum_changepoint(
     broadcast-sized per-key mean, one window cumsum partitioned by key
     — day count per key is calendar-bounded, so the window sort is
     tiny regardless of event volume.
+
+    The series is DENSIFIED first (_dense_daily_counts): a zero-event
+    day is a count of 0, and dropping it would bias μ upward and skew
+    the drift toward quiet stretches.
     """
-    daily = events.groupBy(
-        F.col(key_col).alias("key"),
-        F.date_trunc("day", F.col(ts_col)).alias("day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _dense_daily_counts(events, key_col, ts_col)
     stats = daily.groupBy("key").agg(
         F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("n_days")
     )
@@ -450,11 +482,13 @@ def seasonal_naive_backtest(
     exact integer sums — bit-identical across engines before the
     terminal float32 cast. One aggregate + one per-key window (lags
     share a single (key, day-order) sort) + one aggregate.
+
+    The series is DENSIFIED first (_dense_daily_counts): row-offset
+    lags over a present-days-only series would silently drift off
+    weekly alignment after a single zero-event day — the classic
+    seasonal-backtest bug.
     """
-    daily = events.groupBy(
-        F.col(key_col).alias("key"),
-        F.date_trunc("day", F.col(ts_col)).alias("day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _dense_daily_counts(events, key_col, ts_col)
     w = Window.partitionBy("key").orderBy("day")
     lagged = daily.select(
         "key",

@@ -82,6 +82,20 @@ class Dataset:
     attrs: dict[str, object] = field(default_factory=dict)
 
 
+#: Exceptions a malformed-but-signature-valid file can surface from the
+#: raw byte plumbing (slicing, struct, zlib, numpy reshapes, UTF-8) —
+#: normalized to Hdf5FormatError at the public boundary so callers (and
+#: netcdf.default_decoder's xarray fallback) need one except clause.
+_PARSE_ERRORS = (
+    IndexError,
+    struct.error,
+    zlib.error,
+    UnicodeDecodeError,
+    OverflowError,
+    ValueError,
+)
+
+
 class Hdf5File:
     """Read-only view over NetCDF4/HDF5 bytes: {name: Dataset} + root attrs."""
 
@@ -92,12 +106,17 @@ class Hdf5File:
         self.root_attrs: dict[str, object] = {}
         self.datasets: dict[str, Dataset] = {}
         self.addr_to_name: dict[int, str] = {}
-        root_addr = self._parse_superblock()
-        for name, addr in self._group_links(root_addr, into=self.root_attrs):
-            self.addr_to_name[addr] = name
-            ds = self._parse_dataset(name, addr)
-            if ds is not None:
-                self.datasets[name] = ds
+        try:
+            root_addr = self._parse_superblock()
+            for name, addr in self._group_links(root_addr, into=self.root_attrs):
+                self.addr_to_name[addr] = name
+                ds = self._parse_dataset(name, addr)
+                if ds is not None:
+                    self.datasets[name] = ds
+        except _PARSE_ERRORS as exc:
+            raise Hdf5FormatError(
+                f"malformed HDF5 structure ({type(exc).__name__}: {exc})"
+            ) from exc
 
     def dim_names(self, name: str) -> list[str] | None:
         """Dimension-scale names of a dataset via its DIMENSION_LIST.
@@ -155,7 +174,7 @@ class Hdf5File:
         flags = self.buf[addr + 5]
         p = addr + 6
         if flags & 0x20:
-            p += 8
+            p += 16  # four 4-byte timestamps: access/mod/change/birth
         if flags & 0x10:
             p += 4
         size0 = self._u(p, 1 << (flags & 0x3))
@@ -681,15 +700,23 @@ class Hdf5File:
                 f"({ds.dtype.kind})"
             )
         dt = ds.dtype.np_dtype
-        if ds.layout_class == 0:
-            return np.frombuffer(ds.compact, dtype=dt).reshape(ds.shape)
-        if ds.layout_class == 1:
-            if ds.data_addr == _UNDEF:  # never written: all fill
-                return np.full(ds.shape, self._fill_value(ds), dtype=dt)
-            raw = self.buf[ds.data_addr : ds.data_addr + ds.data_size]
-            return np.frombuffer(raw, dtype=dt).reshape(ds.shape)
-        if ds.layout_class == 2:
-            return self._read_chunked(ds)
+        try:
+            if ds.layout_class == 0:
+                return np.frombuffer(ds.compact, dtype=dt).reshape(ds.shape)
+            if ds.layout_class == 1:
+                if ds.data_addr == _UNDEF:  # never written: all fill
+                    return np.full(ds.shape, self._fill_value(ds), dtype=dt)
+                raw = self.buf[ds.data_addr : ds.data_addr + ds.data_size]
+                return np.frombuffer(raw, dtype=dt).reshape(ds.shape)
+            if ds.layout_class == 2:
+                return self._read_chunked(ds)
+        except Hdf5FormatError:
+            raise
+        except _PARSE_ERRORS as exc:
+            raise Hdf5FormatError(
+                f"malformed data for dataset {name!r} "
+                f"({type(exc).__name__}: {exc})"
+            ) from exc
         raise Hdf5FormatError(f"dataset {name!r} has no layout")
 
     def _fill_value(self, ds: Dataset):

@@ -35,19 +35,32 @@ from ..functions import text as TX
 
 
 def _sink_exists(spark: SparkSession, path: str) -> bool:
-    """Explicit filesystem check for a sink's existence.
+    """Explicit check that the sink holds COMMITTED data.
 
     The admission gates MUST distinguish "no sink yet" (first batch —
     gate everything through) from a TRANSIENT read failure (permissions,
     corrupt footer). Catching ``Exception`` around the sink read would
     silently disable dedup gating for the batch and admit duplicates;
-    this checks the path itself, so a sink that exists but fails to
-    read raises — the stream retries instead of corrupting the corpus.
+    this inspects the filesystem instead, so a readable-but-broken
+    sink still raises at read time and the stream retries.
+
+    "Exists" means committed part files are present — a bare directory
+    left by a crashed FIRST write (only ``_temporary/``) must count as
+    "no sink yet", or every retry would fail schema inference forever;
+    replay is already duplicate-safe via the fingerprint anti-join.
+    A permissions problem surfaces here as an exception from the
+    listing itself — still a retry, never a silent gate-bypass.
     """
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            return True
+    return False
 
 
 def admit_batch(batch: DataFrame, sink_path: str) -> None:

@@ -681,6 +681,7 @@ def drift_monitor_stream(
     reference_batches: int = 5,
     slack: float = 0.5,
     threshold: float = 5.0,
+    quiet_timeout_ms: int | None = 60_000,
 ) -> DataFrame:
     """Streaming CUSUM drift monitor: per-key event-rate change alarms.
 
@@ -699,6 +700,15 @@ def drift_monitor_stream(
     and survives restarts in the state store like every
     applyInPandasWithState operator here. Emitted in update mode: one
     row per key per batch with the current alarm status.
+
+    Quiet keys: applyInPandasWithState only invokes the function for
+    keys PRESENT in a micro-batch, so a source going fully silent
+    would otherwise freeze its CUSUM and never alarm — exactly the
+    outage this monitor exists for. ``quiet_timeout_ms`` arms a
+    processing-time timeout per key; a timeout tick is handled as an
+    observed batch of 0 events, pushing S⁻ toward the alarm. Pass
+    ``None`` to disable (micro-benchmarks, availableNow replays where
+    wall-clock timeouts are meaningless).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -711,10 +721,16 @@ def drift_monitor_stream(
             nb = ne = rb = re_ = 0
             sp = sn = 0.0
         batch_n = 0
-        for pdf in pdfs:
-            batch_n += len(pdf)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                batch_n += len(pdf)
+        # a timeout tick IS an observation of silence: batch_n stays 0
+        # and the CUSUM update below pushes S⁻ — a source going fully
+        # quiet alarms even though its key appears in no micro-batch.
         nb += 1
         ne += batch_n
+        if quiet_timeout_ms is not None:
+            state.setTimeoutDuration(quiet_timeout_ms)
         if nb <= reference_batches:
             rb += 1
             re_ += batch_n
@@ -741,12 +757,17 @@ def drift_monitor_stream(
             }
         )
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if quiet_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=_DRIFT_SCHEMA,
         stateStructType=_DRIFT_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

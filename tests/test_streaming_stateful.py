@@ -418,8 +418,12 @@ def test_drift_monitor_flags_flood_after_reference(spark, tmp_path):
     stream = sev.read_events_stream(
         spark, str(landing), nanos_ts=False, max_files_per_trigger=1
     )
+    # quiet_timeout disabled: this test replays a fixed batch sequence
+    # and a wall-clock timeout tick would add a 7th, timing-dependent
+    # row; the quiet-key path has its own test below.
     out = sev.drift_monitor_stream(
-        stream, reference_batches=5, slack=0.5, threshold=5.0
+        stream, reference_batches=5, slack=0.5, threshold=5.0,
+        quiet_timeout_ms=None,
     )
     chk = str(tmp_path / "chk")
     q = (
@@ -443,3 +447,94 @@ def test_drift_monitor_flags_flood_after_reference(spark, tmp_path):
     flood = rows[5]
     assert flood["drifted"] and flood["cusum_pos"] == 34.0
     assert flood["n_events"] == 60
+
+
+def test_drift_monitor_alarms_on_fully_quiet_key(spark, tmp_path):
+    """A key absent from every later micro-batch must still alarm: the
+    processing-time timeout ticks it as a batch of 0 events, pushing
+    S⁻ past threshold·μ."""
+    import datetime as dt
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+    t0 = dt.datetime(2024, 8, 1)
+
+    def land(name, typed_counts, base):
+        rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [],
+                "value": [], "props": []}
+        eid = base
+        for etype, n in typed_counts:
+            for i in range(n):
+                rows["event_id"].append(eid)
+                rows["ts"].append(pd.Timestamp(t0 + dt.timedelta(minutes=eid)))
+                rows["user_id"].append(1)
+                rows["event_type"].append(etype)
+                rows["value"].append(1.0)
+                rows["props"].append("{}")
+                eid += 1
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows)).cast(schema),
+            str(landing / name),
+        )
+
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "sink")
+
+    def run():
+        stream = sev.read_events_stream(
+            spark, str(landing), nanos_ts=False, max_files_per_trigger=1
+        )
+        out = sev.drift_monitor_stream(
+            stream, reference_batches=1, slack=0.5, threshold=0.25,
+            quiet_timeout_ms=500,
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land("b0.parquet", [("alive", 4), ("ghost", 4)], 0)
+    run()  # both keys establish reference rate 4/batch
+    time.sleep(1.0)  # let ghost's 500ms quiet timer expire
+    land("b1.parquet", [("alive", 4)], 100)
+    run()  # alive updates normally; ghost ticks via timeout
+
+    rows = spark.read.parquet(sink).collect()
+    ghost_rows = sorted(
+        (r for r in rows if r["event_type"] == "ghost"),
+        key=lambda r: r["n_batches"],
+    )
+    alive_rows = sorted(
+        (r for r in rows if r["event_type"] == "alive"),
+        key=lambda r: r["n_batches"],
+    )
+    # THE contract under test: ghost received ONLY silence ticks after
+    # its reference batch — n_events frozen at 4 — and must alarm:
+    # each tick adds S⁻ += 4 − slack·4 = 2 > threshold·μ = 1. (Without
+    # the processing-time timeout, ghost would never be re-evaluated
+    # at all — zero post-reference rows — and never alarm.)
+    assert all(r["n_events"] == 4 for r in ghost_rows)
+    assert len(ghost_rows) >= 2  # at least one timeout tick happened
+    assert any(r["drifted"] for r in ghost_rows[1:])
+    assert ghost_rows[-1]["cusum_neg"] >= 2.0
+    # alive's real data arrived (both batches counted). Its ALARM state
+    # is timing-dependent here: wall-clock batches can exceed the tiny
+    # 500ms test timer, giving alive legitimate silence ticks too — so
+    # only the event accounting is asserted for it.
+    assert alive_rows[-1]["n_events"] == 8

@@ -286,3 +286,65 @@ class TestSeasonalNaiveBacktest:
         assert r["mae_seasonal"] == 0.0
         assert r["mae_naive"] > 0
         assert r["seasonal_error_ratio"] == 0.0
+
+
+def test_backtest_survives_zero_event_days(spark):
+    """A missing (zero-event) day must NOT shift the seasonal lag off
+    weekly alignment: with densification the weekly pattern still
+    scores zero seasonal error (the hole day is a true 0 on every
+    cycle)."""
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    # weekly pattern with day index 2 of each week having ZERO events
+    pattern = [1, 5, 0, 8, 3, 9, 4]
+    rows, eid = [], 0
+    for d in range(21):
+        for _ in range(pattern[d % 7]):
+            rows.append(
+                (eid, dt.datetime(2024, 5, 1) + dt.timedelta(days=d), 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = seasonal_naive_backtest(ev, season_lag=7).collect()[0]
+    assert r["n_days_scored"] == 14
+    assert r["mae_seasonal"] == 0.0  # would be > 0 without densification
+    assert r["mae_naive"] > 0
+
+
+def test_cusum_mean_includes_zero_days(spark):
+    """μ must average over the calendar span, not only event days: 5
+    events on day 0 and 5 on day 4 with a 3-day hole → μ = 2/day, not
+    5/day, and the drift reflects the quiet stretch."""
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = []
+    eid = 0
+    for d in (0, 4):
+        for _ in range(5):
+            rows.append(
+                (eid, dt.datetime(2024, 6, 1) + dt.timedelta(days=d), 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = cusum_changepoint(ev).collect()[0]
+    assert r["n_days"] == 5  # calendar span, holes included
+    # S: day0 +3, day1 +1, day2 -1, day3 -3, day4 0 → peak |S| = 3
+    assert abs(r["max_drift"] - 3.0) < 1e-6
