@@ -181,6 +181,7 @@ class Hdf5File:
         p += 1 << (flags & 0x3)
         msgs: list[tuple[int, int, int]] = []
         blocks = [(p, p + size0)]
+        visited = {p}  # continuation cycle guard: offsets already queued
         while blocks:
             start, end = blocks.pop(0)
             p = start
@@ -194,6 +195,11 @@ class Hdf5File:
                     c_off, c_len = struct.unpack_from("<QQ", self.buf, p)
                     if self.buf[c_off : c_off + 4] != b"OCHK":
                         raise Hdf5FormatError("bad OCHK continuation")
+                    if c_off in visited or len(visited) > 4096:
+                        raise Hdf5FormatError(
+                            "OCHK continuation cycle or block-count bound hit"
+                        )
+                    visited.add(c_off)
                     blocks.append((c_off + 4, c_off + c_len - 4))
                 else:
                     msgs.append((mtype, p, msize))
@@ -818,6 +824,11 @@ def decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     00:00:00.0'), and UTC designators ('Z', '+00:00', ' UTC') — all
     naive-UTC here, matching the reference's TIMESTAMP-not-TIMESTAMPTZ
     convention. Non-UTC offsets are out of scope and raise.
+
+    Integer counts convert exactly; float counts (e.g. climatology
+    'days since' with fractional days, or unpacked scale_factor time)
+    split into whole + fractional parts so the whole part stays exact
+    and only the sub-unit remainder goes through float maths.
     """
     parts = units.split(" since ")
     if len(parts) != 2 or parts[0].strip().lower() not in _TIME_UNITS:
@@ -830,7 +841,52 @@ def decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     if "+" in epoch or epoch.count("-") > 2:  # a non-UTC offset remains
         raise Hdf5FormatError(f"non-UTC time origin {parts[1]!r}")
     origin = np.datetime64(epoch.replace(" ", "T"), "ns")
+    if np.issubdtype(values.dtype, np.floating):
+        if np.isnan(values).any():
+            raise Hdf5FormatError("NaN in CF time coordinate")
+        whole = np.floor(values)
+        frac = values - whole
+        unit_ns = np.timedelta64(1, unit) // np.timedelta64(1, "ns")
+        deltas = whole.astype(np.int64).astype(
+            f"timedelta64[{unit}]"
+        ).astype("timedelta64[ns]") + np.rint(frac * unit_ns).astype(
+            np.int64
+        ).astype("timedelta64[ns]")
+        return origin + deltas
     return origin + values.astype(f"timedelta64[{unit}]").astype("timedelta64[ns]")
+
+
+def cf_mask_and_scale(arr: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF packed-data decode, the twin of xarray's default
+    ``open_dataset(..., mask_and_scale=True)`` (reference:
+    flows/aggregate_hourly_batch.py xr.open_dataset path).
+
+    Short-packed CDS/ERA5 variants store int16 counts with
+    ``scale_factor``/``add_offset`` and a ``_FillValue`` sentinel
+    (classically -32767). Masking happens on the RAW packed values
+    first (fill → NaN), then ``raw * scale + offset`` unpacks to
+    physical units. Without attrs the array passes through untouched,
+    so the all-float committed CDS files decode bit-identically to
+    before.
+    """
+    scale = attrs.get("scale_factor")
+    offset = attrs.get("add_offset")
+    fills = [
+        attrs[k] for k in ("_FillValue", "missing_value") if k in attrs
+    ]
+    if scale is None and offset is None and not fills:
+        return arr
+    out = arr.astype(np.float64)
+    for fv in fills:
+        for s in np.asarray(fv, dtype=np.float64).ravel():
+            if np.isnan(s):
+                continue  # NaN fills are already NaN after the cast
+            out[out == s] = np.nan  # raw-value compare: out is still packed
+    if scale is not None:
+        out = out * float(np.asarray(scale).ravel()[0])
+    if offset is not None:
+        out = out + float(np.asarray(offset).ravel()[0])
+    return out
 
 
 def era5_frame(nc_bytes: bytes, variables: list[str]):
@@ -858,11 +914,17 @@ def era5_frame(nc_bytes: bytes, variables: list[str]):
         raise Hdf5FormatError(
             f"missing coordinate variables (have {sorted(f.datasets)})"
         )
-    time_raw = f.read(time_name)
+    time_raw = cf_mask_and_scale(
+        f.read(time_name), f.datasets[time_name].attrs
+    )
     units = str(f.datasets[time_name].attrs.get("units", "seconds since 1970-01-01"))
     ts = decode_cf_time(time_raw, units)
-    lat = f.read(lat_name).astype(np.float64)
-    lon = f.read(lon_name).astype(np.float64)
+    lat = cf_mask_and_scale(
+        f.read(lat_name), f.datasets[lat_name].attrs
+    ).astype(np.float64)
+    lon = cf_mask_and_scale(
+        f.read(lon_name), f.datasets[lon_name].attrs
+    ).astype(np.float64)
 
     present = [v for v in variables if v in f.datasets]
     if not present:
@@ -881,7 +943,7 @@ def era5_frame(nc_bytes: bytes, variables: list[str]):
     }
     want_order = [time_name, lat_name, lon_name]
     for v in present:
-        arr = f.read(v)
+        arr = cf_mask_and_scale(f.read(v), f.datasets[v].attrs)
         dims = f.dim_names(v) or want_order[: arr.ndim]
         if sorted(dims) != sorted(want_order):
             raise Hdf5FormatError(

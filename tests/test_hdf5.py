@@ -14,6 +14,7 @@ import pytest
 from big_data_in_agriculture_spark.sources.hdf5 import (
     Hdf5File,
     Hdf5FormatError,
+    cf_mask_and_scale,
     decode_cf_time,
     era5_frame,
 )
@@ -60,6 +61,89 @@ def test_decode_cf_time_units():
         decode_cf_time(vals, "fortnights since 1970-01-01")
     with pytest.raises(Hdf5FormatError, match="non-UTC"):
         decode_cf_time(vals, "seconds since 1970-01-01 00:00:00+05:30")
+
+
+def test_decode_cf_time_float_values():
+    """Float counts (climatology / unpacked time) decode exactly:
+    whole units via the integer path, fractions via ns remainder."""
+    vals = np.array([0.0, 0.5, 1.25], dtype=np.float64)
+    days = decode_cf_time(vals, "days since 2000-01-01")
+    assert str(days[1]) == "2000-01-01T12:00:00.000000000"
+    assert str(days[2]) == "2000-01-02T06:00:00.000000000"
+    # large whole parts stay exact (no float64 ns-product rounding)
+    big = decode_cf_time(
+        np.array([1069680.0]), "hours since 1900-01-01"
+    )
+    assert str(big[0]) == str(
+        decode_cf_time(np.array([1069680]), "hours since 1900-01-01")[0]
+    )
+    with pytest.raises(Hdf5FormatError, match="NaN"):
+        decode_cf_time(np.array([np.nan]), "days since 2000-01-01")
+
+
+def test_cf_mask_and_scale_short_packed():
+    """Classic short-packed ERA5: int16 counts + scale/offset, with
+    -32767 fill → NaN. Mask applies to RAW values, before unpacking."""
+    raw = np.array([100, 200, -32767, 300], dtype=np.int16)
+    attrs = {"scale_factor": 0.1, "add_offset": 5.0, "_FillValue": -32767}
+    out = cf_mask_and_scale(raw, attrs)
+    assert out.dtype == np.float64
+    np.testing.assert_allclose(out[[0, 1, 3]], [15.0, 25.0, 35.0])
+    assert np.isnan(out[2])
+    # missing_value list form + no-scale masking
+    out2 = cf_mask_and_scale(
+        np.array([1.0, 9999.0], dtype=np.float32),
+        {"missing_value": [9999.0]},
+    )
+    assert np.isnan(out2[1]) and out2[0] == 1.0
+    # no attrs → identity passthrough (bit-parity with committed files)
+    same = np.array([1, 2], dtype=np.int32)
+    assert cf_mask_and_scale(same, {}) is same
+
+
+def test_era5_frame_unpacks_short_packed_variables(monkeypatch):
+    """era5_frame applies CF mask_and_scale to data variables, matching
+    the reference's xr.open_dataset default (ADVICE r3 finding)."""
+    import big_data_in_agriculture_spark.sources.hdf5 as mod
+
+    class _FakeDs:
+        def __init__(self, attrs):
+            self.attrs = attrs
+
+    class _FakeH5:
+        def __init__(self, _b):
+            self.datasets = {
+                "valid_time": _FakeDs({"units": "hours since 2022-02-01"}),
+                "latitude": _FakeDs({}),
+                "longitude": _FakeDs({}),
+                "t2m": _FakeDs(
+                    {
+                        "scale_factor": 0.01,
+                        "add_offset": 250.0,
+                        "_FillValue": -32767,
+                    }
+                ),
+            }
+
+        def read(self, name):
+            return {
+                "valid_time": np.array([0, 1], dtype=np.int64),
+                "latitude": np.array([50.0]),
+                "longitude": np.array([30.0, 31.0]),
+                "t2m": np.array(
+                    [[[1000, -32767]], [[2000, 3000]]], dtype=np.int16
+                ),
+            }[name]
+
+        def dim_names(self, name):
+            return ["valid_time", "latitude", "longitude"]
+
+    monkeypatch.setattr(mod, "Hdf5File", _FakeH5)
+    frame = mod.era5_frame(b"irrelevant", ["t2m"])
+    vals = frame["t2m"].tolist()
+    np.testing.assert_allclose(vals[0], 260.0)
+    assert np.isnan(vals[1])
+    np.testing.assert_allclose(vals[2:], [270.0, 280.0])
 
 
 def test_shuffle_deflate_chunk_roundtrip():
