@@ -34,6 +34,7 @@ no seek amplification.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -93,6 +94,9 @@ _PARSE_ERRORS = (
     UnicodeDecodeError,
     OverflowError,
     ValueError,
+    ZeroDivisionError,  # crafted zero record/element sizes
+    RecursionError,  # crafted self-referential B-tree nodes
+    MemoryError,  # belt-and-braces behind the explicit size guard
 )
 
 
@@ -347,6 +351,10 @@ class Hdf5File:
         # in doubling-table order: rows of `table_width` blocks, rows 0
         # and 1 at start_block size, row r doubling thereafter.
         blocks: list[tuple[int, int, int]] = []
+        if cur_rows * table_width > 1 << 20:  # crafted-count walk bound
+            raise Hdf5FormatError(
+                f"implausible fractal heap table {cur_rows}x{table_width}"
+            )
         if cur_rows == 0:  # root IS a single direct block
             blocks.append((0, start_block, root_block))
         else:
@@ -705,6 +713,14 @@ class Hdf5File:
                 f"dataset {name!r} has an unsupported element type "
                 f"({ds.dtype.kind})"
             )
+        # Allocation sanity bound: a decoded dataset can exceed the file
+        # only by filter expansion (deflate tops out near 1032:1); a
+        # crafted dataspace claiming exabytes must raise, not malloc.
+        nbytes = math.prod(ds.shape) * max(ds.dtype.size, 1)
+        if nbytes > max(2048 * len(self.buf), 1 << 27):
+            raise Hdf5FormatError(
+                f"dataset {name!r} claims implausible size {nbytes} bytes"
+            )
         dt = ds.dtype.np_dtype
         try:
             if ds.layout_class == 0:
@@ -775,8 +791,18 @@ class Hdf5File:
     def _apply_filters(self, ds: Dataset, raw: bytes) -> bytes:
         data = raw
         for fid, cvals in reversed(ds.filters):
-            if fid == 1:  # deflate
-                data = zlib.decompress(data)
+            if fid == 1:  # deflate — bound output to the declared chunk
+                # size so a crafted deflate bomb raises instead of
+                # allocating unbounded memory.
+                bound = math.prod(ds.chunk_dims or (1,)) * max(
+                    ds.dtype.size, 1
+                )
+                d = zlib.decompressobj()
+                data = d.decompress(data, bound)
+                if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+                    raise Hdf5FormatError(
+                        "deflate chunk exceeds declared chunk size"
+                    )
             elif fid == 2:  # shuffle
                 (esize,) = cvals[:1] or (ds.dtype.size,)
                 arr = np.frombuffer(data, dtype=np.uint8)

@@ -214,6 +214,123 @@ def test_dimension_list_resolution():
     ]
 
 
+# ---------------------------------------------------------------------------
+# Hostile-bytes fuzz: the parser consumes attacker-shaped input (offsets,
+# counts, heap ids). Property: ANY truncation or bit flip of a real CDS
+# file either decodes successfully or raises Hdf5FormatError — never any
+# other exception, never a hang, never an unbounded allocation. For
+# truncations a successful full decode additionally implies value
+# equality with the unmutated baseline (a prefix cannot change bytes it
+# still contains; it can only make reads fall off the end, which must
+# raise). Bit flips may legitimately land in data payload, so success
+# there asserts shape/dtype stability only.
+# ---------------------------------------------------------------------------
+
+_ALL_RAW = [
+    RAW_NC.replace("bashkortostan", r)
+    for r in ("bashkortostan", "belarus", "moscow_oblast", "krasnodar")
+]
+
+
+def _decode_all(buf: bytes) -> dict[str, np.ndarray]:
+    f = Hdf5File(buf)
+    out = {}
+    for name in f.datasets:
+        try:
+            out[name] = f.read(name)
+        except Hdf5FormatError:
+            pass  # vlen-string datasets (expver) refuse cleanly
+    return out
+
+
+@pytest.fixture(scope="module", params=_ALL_RAW, ids=lambda p: p[-40:])
+def _fuzz_target(request):
+    import os
+
+    if not os.path.exists(request.param):
+        pytest.skip("reference raw bytes not present")
+    from big_data_in_agriculture_spark.sources.netcdf import (
+        sniff_netcdf_bytes,
+    )
+
+    buf = sniff_netcdf_bytes(open(request.param, "rb").read())
+    return buf, _decode_all(buf)
+
+
+def test_fuzz_truncations(_fuzz_target):
+    buf, baseline = _fuzz_target
+    rng = np.random.RandomState(0xC0FFEE)
+    cuts = np.concatenate(
+        [
+            rng.randint(0, len(buf), size=90),
+            rng.randint(0, 4096, size=10),  # dense over the header region
+        ]
+    )
+    for cut in cuts:
+        try:
+            got = _decode_all(bytes(buf[: int(cut)]))
+        except Hdf5FormatError:
+            continue
+        for name, arr in got.items():
+            np.testing.assert_array_equal(
+                arr, baseline[name], err_msg=f"truncate@{cut} {name}"
+            )
+
+
+def test_fuzz_bit_flips(_fuzz_target):
+    buf, baseline = _fuzz_target
+    rng = np.random.RandomState(0xFEED)
+    n = len(buf)
+    offsets = np.concatenate(
+        [rng.randint(0, n, size=60), rng.randint(0, 8192, size=40)]
+    )
+    bits = rng.randint(0, 8, size=len(offsets))
+    for off, bit in zip(offsets, bits):
+        mutated = bytearray(buf)
+        mutated[int(off)] ^= 1 << int(bit)
+        try:
+            got = _decode_all(bytes(mutated))
+        except Hdf5FormatError:
+            continue
+        for name, arr in got.items():
+            if name in baseline:
+                assert arr.shape == baseline[name].shape, (off, bit, name)
+                assert arr.dtype == baseline[name].dtype, (off, bit, name)
+
+
+def test_fuzz_word_stomps(_fuzz_target):
+    """Overwrite aligned 8-byte words with adversarial values: 0,
+    all-ones (UNDEF), small/huge offsets, self-references — the shapes
+    that turn counts into bombs and pointers into cycles."""
+    buf, baseline = _fuzz_target
+    rng = np.random.RandomState(0xBEEF)
+    n = len(buf)
+    words = rng.randint(0, n // 8, size=100) * 8
+    import struct as _s
+
+    patterns = [
+        b"\x00" * 8,
+        b"\xff" * 8,
+        _s.pack("<Q", 0xFFFFFFFFFFFFFFFF - 7),
+        _s.pack("<Q", 1 << 62),
+    ]
+    for i, w in enumerate(words):
+        mutated = bytearray(buf)
+        pat = (
+            patterns[i % len(patterns)]
+            if i % 5
+            else _s.pack("<Q", int(w))  # self-reference
+        )
+        mutated[int(w) : int(w) + 8] = pat
+        try:
+            got = _decode_all(bytes(mutated))
+        except Hdf5FormatError:
+            continue
+        for name, arr in got.items():
+            if name in baseline:
+                assert arr.shape == baseline[name].shape, (int(w), name)
+
+
 def _build_v0_file() -> bytes:
     """Hand-assemble a minimal superblock-v0 HDF5 file: old-style root
     group (symbol-table message → v1 B-tree → SNOD → local heap) with
