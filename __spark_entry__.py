@@ -5623,10 +5623,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "knn_lsh": q_knn_lsh,
         # --- registry-order note: the driver's correctness gate checks
-        # a PREFIX of this dict (50 entries in rounds 1-2), so the most
-        # load-bearing oracle-backed operators sit in the first 50:
-        # the flagship LLM-pipeline ops next, then streaming, then the
-        # long tail. Everything stays registered either way.
+        # a PREFIX of this dict (50 entries). The first 50 are PINNED
+        # as of round 3 (tests/test_registry.py::test_driver_prefix_is_
+        # pinned) — new queries append AFTER the prefix, never inside
+        # it, so gate visibility can't drift by accident. The 8 queries
+        # round 3's reorder displaced out of the prefix keep full
+        # Spark-vs-DuckDB oracle parity in pytest
+        # (test_registry.py::test_displaced_query_oracle_parity), so
+        # they remain externally checked despite driver invisibility.
         "knn_ivf": q_knn_ivf,
         "substring_dedup": q_substring_dedup,
         "pack_chunks": q_pack_chunks,

@@ -174,6 +174,17 @@ def main() -> int:
                 "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
                 "cpus": cpus,
+                # Methodology is pinned since r3 (runs_per_query 1→2 and
+                # warmups 1→4 changed there, so r2→r3 totals are NOT a
+                # same-methodology comparison; r3→r4 onward are).
+                "methodology": {
+                    "runs_per_query": 2,
+                    "estimator": "min",
+                    "warmups": 4,
+                    "sink": "noop",
+                    "note": "r2->r3 changed estimator+warmups; "
+                    "compare r3 onward only",
+                },
             }
         )
     )

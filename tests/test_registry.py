@@ -1,0 +1,150 @@
+"""Registry-order and gate-visibility regression tests.
+
+The external driver's correctness gate checks a PREFIX of ``queries()``
+(50 entries). Two invariants protect it:
+
+1. The first 50 names are PINNED to the set the round-3 gate recorded
+   (CORRECTNESS_r03.json) — an accidental insertion before index 50
+   would silently eject an operator from external verification.
+2. The 8 queries that round 3's reordering displaced out of the prefix
+   (era5_filter_hourly .. multimodal_features) keep full oracle parity
+   here in pytest, so a regression in them cannot hide behind the
+   driver's prefix truncation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: Exactly the keys (and order) of CORRECTNESS_r03.json — the driver's
+#: round-3 gate. Do not edit without deliberately re-deciding gate
+#: visibility; append new queries AFTER index 50 instead.
+DRIVER_PREFIX_50 = [
+    "era5_hourly_spatial_mean",
+    "era5_weighted_mean",
+    "era5_daily_rollup",
+    "era5_chain",
+    "era5_serve_filter_daily",
+    "era5_pivot",
+    "era5_kpis",
+    "era5_verification",
+    "era5_distinct_regions",
+    "era5_convert_units",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "window_running_total",
+    "window_topn",
+    "window_lag",
+    "sessionize",
+    "set_intersect",
+    "set_except",
+    "rollup_acctbal",
+    "top10_orders",
+    "dedup_exact_groups",
+    "dup_cluster_histogram",
+    "dedup_exact_docs",
+    "text_stats",
+    "readability",
+    "corpus_profile",
+    "jaccard_pairs",
+    "containment_pairs",
+    "simhash",
+    "knn_bruteforce",
+    "embedding_norms",
+    "multimodal_meta",
+    "minhash_neardup",
+    "knn_lsh",
+    "knn_ivf",
+    "substring_dedup",
+    "pack_chunks",
+    "gopher_pipeline",
+    "epoch_shuffle",
+    "textrank_keywords",
+    "crosscorpus_dedup",
+    "stream_daily_rollup",
+    "sliding_window_rollup",
+    "trending_items",
+    "asof_attribution",
+]
+
+#: Displaced from the prefix by round 3's reordering; oracle-verified
+#: below so they keep an external check despite driver invisibility.
+DISPLACED = [
+    "era5_filter_hourly",
+    "era5_water_balance",
+    "window_rolling_7d",
+    "tpch_q6",
+    "cube_orders",
+    "union_all_segments",
+    "doc_fingerprints",
+    "multimodal_features",
+]
+
+
+def test_driver_prefix_is_pinned():
+    names = list(entrymod.queries())
+    assert names[:50] == DRIVER_PREFIX_50
+
+
+def test_displaced_queries_stay_registered_with_oracles():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in DISPLACED:
+        assert name in qs, name
+        assert name in oracles, name
+
+
+@pytest.fixture(scope="module")
+def _duck():
+    import duckdb
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    con = duckdb.connect()
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", DISPLACED)
+def test_displaced_query_oracle_parity(spark, _duck, name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_selfcheck", "/root/repo/scripts/selfcheck.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    odf = _duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    sn, scols, shash = mod.canon(sdf)
+    on, ocols, ohash = mod.canon(odf)
+    assert scols == ocols
+    assert sn == on
+    assert shash == ohash
