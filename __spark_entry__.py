@@ -4013,18 +4013,100 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: Lloyd's iterations are a driver-side loop over
-    # assign+partial-agg passes — not expressible as one SQL statement.
-    # Deterministic init (lowest-id vectors) makes the output stable;
-    # correctness is covered by planted-cluster recovery tests.
+    # Hash-checked since round 4: tol=0.0 pins the iteration count
+    # (no data-dependent early stop) and quantize=6 rounds each
+    # centroid update well above float-sum fold-order jitter, so the
+    # DuckDB oracle replays the 5 Lloyd iterations as unrolled CTEs
+    # bit-identically (_kmeans_clusters_sql). Cluster-quality
+    # correctness is still covered by planted-cluster recovery tests.
     emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_fit(emb, k=8, max_iter=5)
+    cents = similarity.kmeans_fit(emb, k=8, max_iter=5, tol=0.0, quantize=6)
     return (
         similarity.kmeans_assign(emb, cents)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster")
     )
+
+
+def _kmeans_cte_chain(
+    iters: int, k: int, dim: int, q: int, source: str = "e"
+) -> str:
+    """Unrolled-Lloyd CTE chain ``c0 .. c{iters}`` over ``source``
+    (a CTE with columns vec_id, v DOUBLE[]).
+
+    Bit-parity contract with ``similarity.kmeans_fit(tol=0.0,
+    quantize=q)``: init = k lowest-id vectors (cid in id order);
+    distance = the same left-to-right float64 fold over dims
+    (list_sum(list_transform) ≡ Spark's aggregate(zip_with)); argmin
+    tie-break by cid; per-cluster per-dim mean ROUNDed to ``q``
+    decimals (both engines round the mean, killing sum-fold-order
+    last-ulp jitter); empty clusters keep their previous centroid.
+    """
+    parts = [
+        f"""c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+           v AS cv
+    FROM (SELECT vec_id, v FROM {source} ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(range(1, {dim + 1}),
+                    j -> (e.v[j]-c.cv[j])*(e.v[j]-c.cv[j]))) AS d
+    FROM {source} e, c{i - 1} c
+),
+a{i} AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d{i}
+    ) WHERE rn = 1
+),
+u{i} AS (
+    SELECT a.cid, t.j AS dim,
+           round(sum(e.v[t.j]) / count(*), {q}) AS val
+    FROM a{i} a JOIN {source} e USING (vec_id), range(1, {dim + 1}) t(j)
+    GROUP BY a.cid, t.j
+),
+c{i} AS (
+    SELECT cid, array_agg(val ORDER BY dim) AS cv FROM u{i} GROUP BY cid
+    UNION ALL
+    SELECT p.cid, p.cv FROM c{i - 1} p
+    WHERE p.cid NOT IN (SELECT cid FROM u{i})
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _kmeans_clusters_sql(
+    iters: int = 5, k: int = 8, dim: int = 64, q: int = 6
+) -> str:
+    """DuckDB replay of q_kmeans_clusters: unrolled Lloyd + final
+    assignment + per-cluster counts."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+{_kmeans_cte_chain(iters, k, dim, q)},
+df AS (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(range(1, {dim + 1}),
+                    j -> (e.v[j]-c.cv[j])*(e.v[j]-c.cv[j]))) AS d
+    FROM e, c{iters} c
+),
+af AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM df
+    ) WHERE rn = 1
+)
+SELECT cluster, count(*) AS n_vectors
+FROM af GROUP BY cluster ORDER BY cluster
+"""
 
 
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4718,10 +4800,12 @@ ORDER BY label_a, label_b
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (k-means is iterative — not one SQL statement), but
-    # deterministic: lowest-id init, fixed iteration count, exact
-    # arithmetic. Copies of every 40th vector are planted under offset
-    # ids; the pytest twin asserts every planted copy is dropped.
+    # Hash-checked since round 4: tol=0.0 + quantize=6 make the
+    # 4-iteration k-means bit-replayable as unrolled CTEs
+    # (_semantic_dedup_sql), and the in-cluster cosine filter uses the
+    # identical left-to-right float64 fold on both engines. Copies of
+    # every 40th vector are planted under offset ids; the pytest twin
+    # asserts every planted copy is dropped.
     from big_data_in_agriculture_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4729,8 +4813,76 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
     return semantic_dedup(
-        emb.unionByName(planted), k=8, threshold=0.999, max_iter=4
+        emb.unionByName(planted),
+        k=8,
+        threshold=0.999,
+        max_iter=4,
+        tol=0.0,
+        quantize=6,
     )
+
+
+def _semantic_dedup_sql(
+    iters: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    q: int = 6,
+    threshold: float = 0.999,
+) -> str:
+    """DuckDB replay of q_semantic_dedup: plant the same copies,
+    unroll the Lloyd iterations, assign, then drop every vector with a
+    cosine-similar (>= threshold) lower-id neighbor in its cluster.
+
+    The cosine is the exact Spark formula — sequential float64 folds
+    for dot and both norms — so the unrounded >= threshold comparison
+    sees bit-identical values (the only pairs near the 0.999 line are
+    planted exact copies, whose arithmetic is symmetric anyway).
+    """
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "j -> x.v[j]*y.v[j]))"
+    )
+    nx = (
+        f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+        "j -> x.v[j]*x.v[j])))"
+    )
+    ny = (
+        f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+        "j -> y.v[j]*y.v[j])))"
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+    WHERE vec_id % 40 = 0
+),
+{_kmeans_cte_chain(iters, k, dim, q)},
+df AS (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(range(1, {dim + 1}),
+                    j -> (e.v[j]-c.cv[j])*(e.v[j]-c.cv[j]))) AS d
+    FROM e, c{iters} c
+),
+af AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM df
+    ) WHERE rn = 1
+),
+withv AS (
+    SELECT a.vec_id, a.cluster, e.v FROM af a JOIN e USING (vec_id)
+),
+dup AS (
+    SELECT DISTINCT y.vec_id
+    FROM withv x JOIN withv y
+      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE {dot} / ({nx} * {ny}) >= {threshold}
+)
+SELECT a.vec_id, a.cluster FROM af a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
+"""
 
 
 def q_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5952,6 +6104,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_neardup_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        # Iterative k-means, replayable since round 4: tol=0.0 pins
+        # the iteration count and quantize=6 rounds each centroid
+        # update above fold-order jitter, so the Lloyd loop unrolls
+        # into exact CTEs (_kmeans_cte_chain):
+        "kmeans_clusters": _kmeans_clusters_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         # ------------------------------------------------------------------
         # Deliberately rows-only — each is non-SQL-expressible for a
         # stated reason (the driver records a weaker rows-only check):
@@ -5960,13 +6118,6 @@ def oracle_sql() -> dict[str, str]:
         #   distinct are different sketch implementations; their
         #   estimates differ by design. Exact twins (profile_events,
         #   ndv_rollup-style exact counts) are oracle-checked above.
-        # * kmeans_clusters / semantic_dedup: Lloyd iterations update
-        #   centroids from DISTRIBUTED float sums whose fold order is
-        #   partition-dependent; the centroid literals baked into each
-        #   subsequent iteration's plan therefore differ from any SQL
-        #   re-derivation in the last ulp, and the iteration count
-        #   (driver-side `moved < tol` early stop) can diverge with
-        #   them. Verified instead by planted-cluster recall tests.
         # * bpe_train / bpe_encode: iterative greedy merge selection —
         #   each round's argmax depends on the previous round's merged
         #   corpus (a loop over data-dependent state, not a fixpoint

@@ -461,6 +461,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     tol: float = 1e-6,
+    quantize: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means on a distributed embedding column.
 
@@ -475,6 +476,15 @@ def kmeans_fit(
 
     Returns the centroid list (the model artifact — bounded, like any
     broadcastable dimension table).
+
+    ``quantize`` rounds every updated centroid coordinate to that many
+    decimals each iteration. The per-cluster mean is a float sum whose
+    fold order differs across partitionings and engines (last-ulp
+    jitter); quantizing well above ulp but well below data scale makes
+    the whole fit bit-reproducible — and lets a SQL oracle replay the
+    unrolled Lloyd iterations exactly (see ``_kmeans_sql`` in
+    ``__spark_entry__.py``). With ``tol=0.0`` the early-stop never
+    fires, so the iteration count is a fixed, replayable constant.
     """
     init = (
         embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
@@ -508,6 +518,8 @@ def kmeans_fit(
         moved = 0.0
         for row in new_rows:
             c = [row[f"s{i}"] / row["n"] for i in range(dim)]
+            if quantize is not None:
+                c = [round(x, quantize) for x in c]
             moved = max(
                 moved,
                 max(abs(a - b) for a, b in zip(c, cents[row["cluster"]])),
@@ -539,6 +551,8 @@ def semantic_dedup(
     max_iter: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    tol: float = 1e-6,
+    quantize: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
@@ -558,7 +572,13 @@ def semantic_dedup(
     scale: raise k, or let AQE skew-split the hot cluster's join.
     """
     cents = kmeans_fit(
-        embeddings, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col
+        embeddings,
+        k=k,
+        max_iter=max_iter,
+        vec_col=vec_col,
+        id_col=id_col,
+        tol=tol,
+        quantize=quantize,
     )
     assigned = kmeans_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
     with_vec = assigned.join(
