@@ -896,10 +896,13 @@ def _knn_lsh_sql(
     The hyperplanes are similarity._hyperplane's deterministic
     constants, emitted as DOUBLE[] literals (Python float repr
     round-trips to the identical IEEE double). Bucket = sum of
-    2^b over planes with ⟨v, r⟩ ≥ 0 — sign decisions are stable
-    across engines because |dot| ~ O(1) while cross-engine fold
-    order differs only in the last ulp. Candidates, exact re-rank
-    (ROUND 6), and the row_number top-k mirror similarity.knn_lsh.
+    2^b over planes with round(⟨v, r⟩, 9) ≥ 0 — BOTH engines round
+    the projection to 9 decimals before taking the sign (same
+    contract as similarity._bucketize/lsh_bucket), so a
+    near-orthogonal pair whose dot differs in the last ulp between
+    numpy's BLAS fold and DuckDB's sequential fold cannot flip a
+    bucket bit. Candidates, exact re-rank (ROUND 6), and the
+    row_number top-k mirror similarity.knn_lsh.
     """
     tbl_structs = []
     for t in range(num_tables):
@@ -908,7 +911,8 @@ def _knn_lsh_sql(
             plane = similarity._hyperplane(42, t, b, dim)
             lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
             bits.append(
-                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {2 ** b} ELSE 0 END)"
+                f"(CASE WHEN round(list_dot_product(v, {lit}), 9) >= 0"
+                f" THEN {2 ** b} ELSE 0 END)"
             )
         tbl_structs.append(
             "{'tbl': %d, 'bucket': (%s)::BIGINT}" % (t, " + ".join(bits))

@@ -154,7 +154,14 @@ def lsh_bucket(
     bucket = F.lit(0).cast("long")
     for b in range(num_bits):
         plane = F.array(*[F.lit(x) for x in _hyperplane(seed, table, b, dim)])
-        bit = F.when(_dot(v, plane) >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        # round-9 before the sign: kills engine fold-order jitter in
+        # the last ulps so a near-orthogonal (vector, plane) pair can't
+        # flip a bucket bit between numpy/Column/SQL evaluations (the
+        # dyadic dot values can never land exactly on a .5e-9 boundary,
+        # so all rounding modes agree)
+        bit = F.when(F.round(_dot(v, plane), 9) >= 0, F.lit(2 ** b)).otherwise(
+            F.lit(0)
+        )
         bucket = bucket + bit.cast("long")
     return bucket
 
@@ -204,7 +211,10 @@ def _bucketize(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        bits = (m @ proj) >= 0.0
+        # round-9 before the sign (same contract as lsh_bucket and the
+        # SQL oracle): BLAS pairwise-fold dots differ from sequential
+        # folds by last-ulp amounts, which must not flip a bucket bit
+        bits = np.round(m @ proj, 9) >= 0.0
         ids = (
             (bits.reshape(len(vecs), n_tables, n_bits) * weights)
             .sum(axis=2)

@@ -244,3 +244,70 @@ class TestLabelCentroids:
             ca, cb = cents[a], cents[b]
             want = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
             assert abs(got - want) < 1e-5
+
+
+def test_lsh_sign_parity_kernel_vs_column_near_orthogonal(spark):
+    """The BLAS kernel (_bucketize), the Column twin (lsh_bucket), and
+    the SQL oracle all round the hyperplane projection to 9 decimals
+    before taking the sign, so a vector nearly orthogonal to a plane
+    (|dot| well below 5e-10) must land in the SAME bucket everywhere —
+    the round-3 advisor's data-dependent flake scenario."""
+    import numpy as np
+
+    from big_data_in_agriculture_spark.operators.similarity import (
+        _bucketize,
+        _hyperplane,
+        lsh_bucket,
+    )
+
+    dim = 8
+    p0 = np.array(_hyperplane(42, 0, 0, dim))
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(6):
+        v = rng.randn(dim)
+        v -= (v @ p0) / (p0 @ p0) * p0  # dot(v, p0) ~ 1e-16
+        v[0] += (i - 2) * 1e-13  # straddle zero either side
+        rows.append((i, [float(x) for x in v]))
+    rows.append((6, [0.0] * dim))  # exactly-zero dots on every plane
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    kernel = {
+        (r["x_id"], r["tbl"]): r["bucket"]
+        for r in _bucketize(
+            df, "x", dim, 2, 4, "embedding", "vec_id"
+        ).collect()
+    }
+    for tbl in (0, 1):
+        col = {
+            r["vec_id"]: r["b"]
+            for r in df.select(
+                "vec_id",
+                lsh_bucket(
+                    similarity.F.col("embedding"), dim, num_bits=4, table=tbl
+                ).alias("b"),
+            ).collect()
+        }
+        for vid, bucket in col.items():
+            assert kernel[(vid, tbl)] == bucket, (vid, tbl)
+
+    # duckdb replays the same sign decisions
+    import duckdb
+
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("vecs", pdf)
+    for tbl in (0, 1):
+        bits = []
+        for b in range(4):
+            plane = _hyperplane(42, tbl, b, dim)
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], {lit}), 9)"
+                f" >= 0 THEN {2 ** b} ELSE 0 END)"
+            )
+        got = con.execute(
+            f"SELECT vec_id, ({' + '.join(bits)})::BIGINT AS b FROM vecs"
+        ).fetchall()
+        for vid, bucket in got:
+            assert kernel[(vid, tbl)] == bucket, (vid, tbl)
