@@ -95,24 +95,42 @@ def write_jdbc_upsert(
     """
     columns = df.columns
     stmt = upsert_statement(table, columns, key)
+    df.foreachPartition(
+        lambda rows: upsert_partition(rows, columns, stmt, connect, page_size)
+    )
 
-    def _write(rows: Iterator[Row]) -> None:
-        conn = connect()
-        try:
-            cur = conn.cursor()
-            batch = []
-            for row in rows:
-                batch.append(tuple(row[c] for c in columns))
-                if len(batch) >= page_size:
-                    cur.executemany(stmt, batch)
-                    batch = []
-            if batch:
+
+def upsert_partition(
+    rows: Iterator[Row],
+    columns: list[str],
+    stmt: str,
+    connect,
+    page_size: int,
+) -> None:
+    """The per-partition DB-API executor behind ``write_jdbc_upsert``.
+
+    Module-level (not a closure) so tests can drive it directly with a
+    fake DB-API connection — the executor protocol is asserted without
+    a server: ``page_size`` batching (executemany pages mirror the
+    reference's ``execute_values(page_size=5000)``), exactly one commit
+    per partition AFTER the last page (D7), rollback-then-reraise on
+    any failure, and close in all paths. Row tuples are built in
+    ``columns`` order, matching the INSERT column list.
+    """
+    conn = connect()
+    try:
+        cur = conn.cursor()
+        batch = []
+        for row in rows:
+            batch.append(tuple(row[c] for c in columns))
+            if len(batch) >= page_size:
                 cur.executemany(stmt, batch)
-            conn.commit()  # D7: one commit per partition
-        except Exception:
-            conn.rollback()
-            raise
-        finally:
-            conn.close()
-
-    df.foreachPartition(_write)
+                batch = []
+        if batch:
+            cur.executemany(stmt, batch)
+        conn.commit()  # D7: one commit per partition
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
