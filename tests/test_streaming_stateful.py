@@ -317,17 +317,24 @@ def test_heavy_hitters_exact_when_under_k(spark, tmp_path):
 
 
 def _protobuf_usable() -> bool:
+    """True when google.protobuf imports AND decodes PySpark's state
+    protocol — either a real install or the conftest _protoshim
+    (App Engine runtime + relaxed gencode gate)."""
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.proto import StateMessage_pb2 as m
 
-        return True
-    except ImportError:
+        req = m.StateRequest(version=1)
+        out = m.StateRequest()
+        out.ParseFromString(req.SerializeToString())
+        return out.version == 1
+    except Exception:
         return False
 
 
 @pytest.mark.skipif(
     not _protobuf_usable(),
-    reason="transformWithState needs google.protobuf (absent in container)",
+    reason="no usable google.protobuf runtime on this machine "
+    "(no pip install, and the Cloud-SDK on-disk runtime is absent)",
 )
 def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
     """Spark 4 transformWithStateInPandas: ValueState survives batches."""
@@ -352,16 +359,32 @@ def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
         spark, str(land) + "/*", nanos_ts=False, max_files_per_trigger=1
     )
     sink = str(tmp_path / "sink")
-    q = (
-        sev.user_value_stats_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", str(tmp_path / "chk"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # transformWithState keeps each state variable in its own column
+    # family — only the RocksDB provider supports that (the default
+    # HDFS-backed store refuses); runtime-settable, restored after.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    q.awaitTermination(240)
+    try:
+        q = (
+            sev.user_value_stats_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
     rows = spark.read.parquet(sink).collect()
     # last emitted row per user reflects the full accumulated state
     final = {}
