@@ -113,6 +113,45 @@ def probe_minhash(spark, docs=50_000):
     return minhash_neardup_pairs(df, threshold=0.2, num_perm=64, bands=16)
 
 
+def _minhash_corpus(spark, docs):
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (
+                F.xxhash64(
+                    F.when(i < 20, F.floor(F.col("id") / 2)).otherwise(F.col("id")), i
+                )
+                % 5000
+            ).cast("string"),
+        ),
+    )
+    return spark.range(docs).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+
+
+def probe_minhash_500k_portable(spark, docs=500_000):
+    """The portable-hash tax, measured: md5-derived shingle/bucket
+    hashing (oracle-replayable in DuckDB) vs the xxhash64 fast path on
+    the identical 500k-doc corpus — see probe_minhash_500k_fast."""
+    from big_data_in_agriculture_spark.operators.llm import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        _minhash_corpus(spark, docs), threshold=0.2, num_perm=64, bands=16,
+        portable=True,
+    )
+
+
+def probe_minhash_500k_fast(spark, docs=500_000):
+    from big_data_in_agriculture_spark.operators.llm import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        _minhash_corpus(spark, docs), threshold=0.2, num_perm=64, bands=16,
+        portable=False,
+    )
+
+
 def probe_asof(spark, left=10_000_000, right=1_000_000, keys=50_000):
     from big_data_in_agriculture_spark.operators.relational import asof_join
 
@@ -137,6 +176,8 @@ PROBES = {
     "sessionize_10m": probe_sessionize,
     "jaccard_50k": probe_jaccard,
     "minhash_50k": probe_minhash,
+    "minhash_500k_portable": probe_minhash_500k_portable,
+    "minhash_500k_fast": probe_minhash_500k_fast,
     "asof_10m": probe_asof,
 }
 
