@@ -92,9 +92,27 @@ DISPLACED = [
 ]
 
 
+#: Doc-drift pins: README.md and COVERAGE.md cite these exact numbers
+#: ("172 of 178 registered queries hash-match ... the remaining 6").
+#: Registering a query or converting a rows-only op MUST update the
+#: docs and these constants together.
+REGISTERED_QUERIES = 178
+ROWS_ONLY = 6
+
+
 def test_driver_prefix_is_pinned():
     names = list(entrymod.queries())
     assert names[:50] == DRIVER_PREFIX_50
+
+
+def test_registry_counts_match_docs():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) == REGISTERED_QUERIES
+    missing = sorted(set(qs) - set(oracles))
+    assert len(missing) == ROWS_ONLY, missing
+    # every oracle key corresponds to a registered query
+    assert not set(oracles) - set(qs)
 
 
 def test_displaced_queries_stay_registered_with_oracles():
