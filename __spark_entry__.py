@@ -5170,14 +5170,16 @@ def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heuristic supervise a distributed logistic regression (one
     # scan + one partial-agg shuffle per iteration, model on the
     # driver), then the learned model scores every doc map-side.
-    # Rows-only: the trained weights depend on float reduction order
-    # at the last ulp, so scores aren't bit-stable enough to hash.
+    # Hash-checked since round 4: quantize=6 rounds every weight/bias
+    # update far above gradient fold-order and libm-exp ulp jitter, so
+    # the 8 descent steps unroll into exact DuckDB CTEs
+    # (_classifier_quality_sql) — same trick as kmeans_clusters.
     docs = _t(spark, sf_dir, "documents")
     from big_data_in_agriculture_spark.functions import text as TXF
 
     weak = TXF.quality_score("text") > 4.0
     w, b = llm.classifier_train(
-        docs, weak, dim=64, iters=8, lr=1.0, l2=1e-4
+        docs, weak, dim=64, iters=8, lr=1.0, l2=1e-4, quantize=6
     )
     scored = llm.classifier_score(docs, w, b, dim=64)
     return (
@@ -5189,6 +5191,90 @@ def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score"), 4).cast("float").alias("score"),
         )
     )
+
+
+def _classifier_quality_sql(
+    dim: int = 64, iters: int = 8, lr: float = 1.0, l2: float = 1e-4, q: int = 6
+) -> str:
+    """DuckDB replay of q_classifier_quality: unrolled gradient descent.
+
+    Bit-parity contract with ``llm.classifier_train(quantize=q)``:
+    identical featurization (space split, md5 hashing-trick buckets,
+    quality-score weak labels), margin = the same left-to-right fold
+    of w[bucket] over the token list / n + b, residual σ(margin)−y,
+    per-bucket gradient Σ r/n (fold-order jitter absorbed by ROUND-q),
+    L2 shrink then step then ROUND-q on every weight and the bias.
+    Buckets with no occurrences only shrink (LEFT JOIN + COALESCE),
+    mirroring the driver loop's untouched entries.
+
+    Every per-iteration CTE is AS MATERIALIZED: each ``w{{i}}`` is
+    referenced more than once downstream, and DuckDB's default CTE
+    inlining would otherwise re-evaluate the whole prefix per
+    reference — exponential (2^iters) work. Materialization makes the
+    unroll linear in ``iters`` (measured: 8 iters in well under a
+    second vs minutes-and-climbing inlined).
+    """
+    shrink = repr(1.0 - lr * l2)
+    bucket = (
+        f"CAST(('0x' || substring(md5(lower(t)), 1, 8))::BIGINT "
+        f"% {dim} AS INT)"
+    )
+    parts = [
+        f"""f AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN ((CAST(length(text) AS DOUBLE)
+                       - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                     * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) > 4.0
+                THEN 1.0 ELSE 0.0 END AS y,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+           list_transform(string_split(text, ' '), t -> {bucket}) AS bk
+    FROM documents
+),
+nd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM f),
+w0 AS MATERIALIZED (SELECT CAST(t.j AS INT) AS j, 0.0 AS wj FROM range(0, {dim}) t(j)),
+b0 AS MATERIALIZED (SELECT 0.0 AS bv)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+    SELECT f.doc_id, f.y, f.n, f.bk,
+           1.0 / (1.0 + exp(-(
+               list_sum(list_transform(f.bk, j -> wl.wv[j + 1])) / f.n
+               + b{i - 1}.bv))) - f.y AS r
+    FROM f
+    CROSS JOIN (SELECT array_agg(wj ORDER BY j) AS wv FROM w{i - 1}) wl
+    CROSS JOIN b{i - 1}
+),
+g{i} AS MATERIALIZED (
+    SELECT u.j AS j, sum(m.r / m.n) AS g
+    FROM m{i} m, unnest(m.bk) u(j)
+    GROUP BY u.j
+),
+w{i} AS MATERIALIZED (
+    SELECT w.j,
+           round(w.wj * {shrink}
+                 - {lr!r} * COALESCE(g.g, 0.0) / nd.n_docs, {q}) AS wj
+    FROM w{i - 1} w LEFT JOIN g{i} g ON w.j = g.j CROSS JOIN nd
+),
+b{i} AS MATERIALIZED (
+    SELECT round(b{i - 1}.bv - {lr!r} * (SELECT sum(r) FROM m{i}) / nd.n_docs,
+                 {q}) AS bv
+    FROM b{i - 1} CROSS JOIN nd
+)"""
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain}
+SELECT f.doc_id, CAST(f.y AS INT) AS weak_label,
+       CAST(round(1.0 / (1.0 + exp(-(
+           list_sum(list_transform(f.bk, j -> wl.wv[j + 1])) / f.n
+           + bf.bv))), 4) AS FLOAT) AS score
+FROM f
+CROSS JOIN (SELECT array_agg(wj ORDER BY j) AS wv FROM w{iters}) wl
+CROSS JOIN b{iters} bf
+"""
 
 
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6114,6 +6200,7 @@ def oracle_sql() -> dict[str, str]:
         # into exact CTEs (_kmeans_cte_chain):
         "kmeans_clusters": _kmeans_clusters_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "classifier_quality": _classifier_quality_sql(),
         # ------------------------------------------------------------------
         # Deliberately rows-only — each is non-SQL-expressible for a
         # stated reason (the driver records a weaker rows-only check):
@@ -6132,8 +6219,4 @@ def oracle_sql() -> dict[str, str]:
         #   sequential heuristic (bin state mutates per item); its
         #   deterministic twin `pack_chunks` (prefix-sum packing) IS
         #   oracle-checked above.
-        # * classifier_quality: logistic-regression weights come from
-        #   gradient descent over distributed float partials (same
-        #   fold-order nondeterminism as kmeans); the SCORING path
-        #   with fixed weights (classifier_score) IS oracle-checked.
     }

@@ -1931,6 +1931,7 @@ def classifier_train(
     lr: float = 1.0,
     l2: float = 1e-4,
     text_col: str = "text",
+    quantize: int | None = None,
 ) -> tuple[list[float], float]:
     """Distributed logistic regression on hashed bag-of-words features.
 
@@ -1952,6 +1953,14 @@ def classifier_train(
     storage; per-iteration cost is then independent of text length.
     Gradient-descent steps, not SGD: deterministic given the input set
     (modulo float reduction order), no RNG, resumable.
+
+    ``quantize`` rounds every weight and the bias to that many decimals
+    after each step — the same bit-reproducibility trick as
+    ``kmeans_fit``: gradient sums fold in partition order (last-ulp
+    jitter) and libm exp() differs across engines by an ulp, both far
+    below a 1e-6 rounding grid, so the whole descent becomes exactly
+    replayable (DuckDB unroll: ``_classifier_quality_sql`` in
+    ``__spark_entry__.py``).
 
     Returns (weights, bias).
     """
@@ -2011,6 +2020,9 @@ def classifier_train(
                 b -= lr * float(row["g"]) / n_docs
             else:
                 new_w[j] -= lr * float(row["g"]) / n_docs
+        if quantize is not None:
+            new_w = [round(x, quantize) for x in new_w]
+            b = round(b, quantize)
         w = new_w
     return w, b
 

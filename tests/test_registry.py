@@ -93,11 +93,11 @@ DISPLACED = [
 
 
 #: Doc-drift pins: README.md and COVERAGE.md cite these exact numbers
-#: ("172 of 178 registered queries hash-match ... the remaining 6").
+#: ("173 of 178 registered queries hash-match ... the remaining 5").
 #: Registering a query or converting a rows-only op MUST update the
 #: docs and these constants together.
 REGISTERED_QUERIES = 178
-ROWS_ONLY = 6
+ROWS_ONLY = 5
 
 
 def test_driver_prefix_is_pinned():
