@@ -4458,11 +4458,69 @@ FROM o
 
 
 def q_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: sharded first-fit-decreasing is iterative per bucket —
-    # not one SQL statement. Its invariants (every doc assigned exactly
-    # once, per-bin fill ≤ capacity, oversize isolation) are pytest-
-    # checked; here the driver sees stable rows/schema.
+    # Hash-checked since round 4: the sharded FFD heuristic is
+    # sequential PER BUCKET, which a recursive CTE expresses exactly —
+    # the bin-fill list is the recursion state, one row per (bucket,
+    # rank) step (_pack_firstfit_sql). Portable md5 doc-buckets make
+    # the sharding itself replayable. Invariants (every doc assigned
+    # once, fill ≤ capacity, oversize isolation) stay pytest-checked.
     return llm.pack_firstfit(_t(spark, sf_dir, "documents"), capacity=512)
+
+
+def _pack_firstfit_sql(cap: int = 512, n_buckets: int = 64) -> str:
+    """DuckDB replay of sharded first-fit-decreasing packing.
+
+    Exactness argument: inside a bucket, FFD is a pure function of the
+    (n_tokens DESC, doc_id) order — integer state only, no floats. The
+    recursive CTE walks that order, carrying the open-bin fill list:
+    each step places the doc in the FIRST bin where fill+n <= cap
+    (list_position over a boolean list_transform — the same scan as
+    the Python loop), else appends a bin; oversize docs (n > cap)
+    always open their own bin. Global ids mirror the operator's
+    bucket*2^32+local encoding. The per-bucket recursions advance in
+    lockstep (one rank per recursion round), terminating at the
+    deepest bucket.
+    """
+    pos = (
+        f"COALESCE(CASE WHEN s.n_tokens <= {cap} THEN "
+        "NULLIF(list_position(list_transform(r.fills, "
+        f"f -> f + s.n_tokens <= {cap}), true), 0) END, len(r.fills) + 1)"
+    )
+    return f"""
+WITH RECURSIVE s AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(('0x' || substring(md5(lower(CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+                % {n_buckets} AS INT) AS b,
+           row_number() OVER (
+               PARTITION BY ('0x' || substring(md5(lower(CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+                            % {n_buckets}
+               ORDER BY CAST(len(string_split(text, ' ')) AS BIGINT) DESC,
+                        doc_id) AS rn
+    FROM documents
+),
+r AS (
+    SELECT b, rn, doc_id, n_tokens,
+           1 AS placed,
+           [n_tokens] AS fills
+    FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.b, s.rn, s.doc_id, s.n_tokens,
+           {pos} AS placed,
+           CASE WHEN {pos} > len(r.fills)
+                THEN list_append(r.fills, s.n_tokens)
+                ELSE list_transform(range(1, len(r.fills) + 1),
+                     i -> CASE WHEN i = {pos}
+                          THEN r.fills[i] + s.n_tokens
+                          ELSE r.fills[i] END)
+           END AS fills
+    FROM r JOIN s ON s.b = r.b AND s.rn = r.rn + 1
+)
+SELECT doc_id, n_tokens,
+       CAST(b AS BIGINT) * 4294967296 + (placed - 1) AS bin_id,
+       n_tokens > {cap} AS oversize
+FROM r
+"""
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6201,6 +6259,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_clusters_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "classifier_quality": _classifier_quality_sql(),
+        "pack_firstfit": _pack_firstfit_sql(),
         # ------------------------------------------------------------------
         # Deliberately rows-only — each is non-SQL-expressible for a
         # stated reason (the driver records a weaker rows-only check):
@@ -6215,8 +6274,4 @@ def oracle_sql() -> dict[str, str]:
         #   SQL can express); encode additionally applies the learned
         #   merge list per token in priority order. Verified by
         #   textbook-sequence tests (known corpora → known merges).
-        # * pack_firstfit: first-fit-decreasing is an inherently
-        #   sequential heuristic (bin state mutates per item); its
-        #   deterministic twin `pack_chunks` (prefix-sum packing) IS
-        #   oracle-checked above.
     }

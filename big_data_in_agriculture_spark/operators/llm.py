@@ -1508,12 +1508,19 @@ def pack_firstfit(
     state is O(open bins), bounded by bucket token volume / capacity.
     Global bin ids are (bucket, local_bin) encoded as
     ``bucket * 2^32 + local``.
+
+    The bucket key is the engine-portable md5 bucket (same fixed point
+    as ``feature_bucket``), not Spark's Murmur3 ``F.hash`` — FFD pack
+    quality is hash-family-agnostic, the cost is one md5 per DOC
+    (noise next to tokenization), and it lets the SQL oracle replay
+    the whole sharded heuristic, in-bucket bin state included, as a
+    recursive CTE (``_pack_firstfit_sql``).
     """
     n_tok = F.size(TX.tokens(text_col)).cast("long")
     slim = docs.select(
         F.col(id_col).alias("doc_id"),
         n_tok.alias("n_tokens"),
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)).alias("_b"),
+        feature_bucket(F.col(id_col).cast("string"), n_buckets).alias("_b"),
     )
 
     cap = int(capacity)

@@ -93,11 +93,11 @@ DISPLACED = [
 
 
 #: Doc-drift pins: README.md and COVERAGE.md cite these exact numbers
-#: ("173 of 178 registered queries hash-match ... the remaining 5").
+#: ("174 of 178 registered queries hash-match ... the remaining 4").
 #: Registering a query or converting a rows-only op MUST update the
 #: docs and these constants together.
 REGISTERED_QUERIES = 178
-ROWS_ONLY = 5
+ROWS_ONLY = 4
 
 
 def test_driver_prefix_is_pinned():
