@@ -4323,15 +4323,95 @@ GROUP BY 1 ORDER BY n DESC, pair LIMIT 10
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: the merge loop is iterative (argmax → rewrite →
-    # recount) — not one SQL statement. Deterministic nonetheless:
-    # integer pair counts, lexicographic tie-break; the single-step
-    # counting core is oracle-checked as bpe_merge_step.
+    # Hash-checked since round 4: the merge loop is pure integer/string
+    # state (pair counts, lexicographic tie-break, greedy left-to-right
+    # rewrite), so the 8 iterations unroll into exact DuckDB CTEs —
+    # the per-word rewrite fold runs as a list_reduce with an encoded
+    # (out, prev) string accumulator (_bpe_train_sql). No floats, no
+    # quantization needed.
     merges = llm.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         ["merge_rank", "left", "right"],
     )
+
+
+def _bpe_apply_merge_expr(syms: str, left: str, right: str) -> str:
+    """DuckDB expression: greedy left-to-right application of one merge
+    (left, right) to a symbol list — the exact twin of bpe_train's
+    aggregate fold. list_reduce has no initial-accumulator form, so the
+    (out, prev) state rides an encoded string: out || chr(2) || prev,
+    with chr(3) as the prev-is-null sentinel and chr(0) separating
+    out's symbols (symbols never contain control chars)."""
+    out = "string_split(acc, chr(2))[1]"
+    prev = "string_split(acc, chr(2))[2]"
+    out_plus_prev = (
+        f"(CASE WHEN {out} = '' THEN {prev} "
+        f"ELSE {out} || chr(0) || {prev} END)"
+    )
+    out_plus_sym = (
+        f"(CASE WHEN {out} = '' THEN {left} || {right} "
+        f"ELSE {out} || chr(0) || {left} || {right} END)"
+    )
+    folded = f"""list_reduce([chr(2) || chr(3)] || {syms},
+        (acc, x) -> CASE
+            WHEN {prev} = chr(3) THEN {out} || chr(2) || x
+            WHEN {prev} = {left} AND x = {right}
+                THEN {out_plus_sym} || chr(2) || chr(3)
+            ELSE {out_plus_prev} || chr(2) || x
+        END)"""
+    finish = (
+        f"string_split(CASE WHEN {prev} = chr(3) THEN {out} "
+        f"ELSE {out_plus_prev} END, chr(0))"
+    )
+    return folded, finish
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of bpe_train: n_merges unrolled argmax+rewrite
+    rounds over the distinct-word frequency table. All state is
+    integers and strings — bit-exact across engines by construction.
+    Every CTE is MATERIALIZED (multiply-referenced; DuckDB's inlining
+    would re-evaluate the prefix exponentially otherwise). An empty
+    round (no pairs left) yields no b{{i}} row and empties the
+    downstream state — the same early-stop shape as the driver loop's
+    break, so the final UNION of best-pair rows matches exactly."""
+    parts = [
+        """w0 AS MATERIALIZED (
+    SELECT count(*) AS cnt, string_split(w, '') AS syms
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        apply_expr = _bpe_apply_merge_expr("w.syms", "b.l", "b.r")
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+    SELECT s.p AS p, sum(s.cnt) AS n FROM (
+        SELECT cnt, unnest([syms[k] || chr(0) || syms[k + 1]
+                            FOR k IN range(1, greatest(len(syms), 1))]) AS p
+        FROM w{i - 1}
+    ) s GROUP BY s.p
+),
+b{i} AS MATERIALIZED (
+    SELECT string_split(p, chr(0))[1] AS l, string_split(p, chr(0))[2] AS r
+    FROM p{i} ORDER BY n DESC, p LIMIT 1
+),
+w{i} AS MATERIALIZED (
+    SELECT w.cnt AS cnt, {apply_expr} AS syms
+    FROM w{i - 1} w CROSS JOIN b{i} b
+)"""
+        )
+    chain = ",\n".join(parts)
+    ranks = "\nUNION ALL\n".join(
+        f'SELECT {i} AS merge_rank, l AS "left", r AS "right" FROM b{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {chain}
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank, "left", "right"
+FROM ({ranks})
+"""
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6260,6 +6340,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "classifier_quality": _classifier_quality_sql(),
         "pack_firstfit": _pack_firstfit_sql(),
+        "bpe_train": _bpe_train_sql(),
         # ------------------------------------------------------------------
         # Deliberately rows-only — each is non-SQL-expressible for a
         # stated reason (the driver records a weaker rows-only check):
