@@ -4342,7 +4342,12 @@ def _bpe_apply_merge_expr(syms: str, left: str, right: str) -> str:
     aggregate fold. list_reduce has no initial-accumulator form, so the
     (out, prev) state rides an encoded string: out || chr(2) || prev,
     with chr(3) as the prev-is-null sentinel and chr(0) separating
-    out's symbols (symbols never contain control chars)."""
+    out's symbols (symbols never contain control chars).
+
+    Returns the complete expression: the fold result is re-bound to
+    ``acc`` via a one-element list_transform so the finishing step
+    (flush the pending ``prev`` and split on chr(0)) can reference it —
+    ``acc`` only exists inside a lambda scope in DuckDB."""
     out = "string_split(acc, chr(2))[1]"
     prev = "string_split(acc, chr(2))[2]"
     out_plus_prev = (
@@ -4364,7 +4369,7 @@ def _bpe_apply_merge_expr(syms: str, left: str, right: str) -> str:
         f"string_split(CASE WHEN {prev} = chr(3) THEN {out} "
         f"ELSE {out_plus_prev} END, chr(0))"
     )
-    return folded, finish
+    return f"list_transform([{folded}], acc -> {finish})[1]"
 
 
 def _bpe_train_sql(n_merges: int = 8) -> str:
@@ -5971,28 +5976,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "era5_pivot": q_era5_pivot,
         "era5_kpis": q_era5_kpis,
         "era5_verification": q_era5_verification,
-        "era5_distinct_regions": q_era5_distinct_regions,
+        "bpe_train": q_bpe_train,
         "era5_convert_units": q_era5_convert_units,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
+        "kmeans_clusters": q_kmeans_clusters,
         "join_broadcast": q_join_broadcast,
         "window_running_total": q_window_running_total,
         "window_topn": q_window_topn,
-        "window_lag": q_window_lag,
+        "semantic_dedup": q_semantic_dedup,
         "sessionize": q_sessionize,
         "set_intersect": q_set_intersect,
-        "set_except": q_set_except,
+        "classifier_quality": q_classifier_quality,
         "rollup_acctbal": q_rollup,
         "top10_orders": q_top10_orders,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
-        "readability": q_readability,
+        "pack_firstfit": q_pack_firstfit,
         "corpus_profile": q_corpus_profile,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment,
@@ -6004,13 +6009,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         # --- registry-order note: the driver's correctness gate checks
         # a PREFIX of this dict (50 entries). The first 50 are PINNED
-        # as of round 3 (tests/test_registry.py::test_driver_prefix_is_
-        # pinned) — new queries append AFTER the prefix, never inside
-        # it, so gate visibility can't drift by accident. The 8 queries
-        # round 3's reorder displaced out of the prefix keep full
-        # Spark-vs-DuckDB oracle parity in pytest
-        # (test_registry.py::test_displaced_query_oracle_parity), so
-        # they remain externally checked despite driver invisibility.
+        # (tests/test_registry.py::test_driver_prefix_is_pinned) — new
+        # queries append AFTER the prefix, never inside it, so gate
+        # visibility can't drift by accident. Round 5 DELIBERATELY
+        # rotated five slots so the round-4/5 oracle conversions
+        # (kmeans_clusters, semantic_dedup, classifier_quality,
+        # pack_firstfit, bpe_train) gain external CORRECTNESS rows;
+        # the displaced queries (era5_distinct_regions, join_anti,
+        # window_lag, set_except, readability — each with a same-family
+        # sibling still in the prefix) join the round-3 displaced set
+        # in test_registry.py::test_displaced_query_oracle_parity with
+        # full Spark-vs-DuckDB hash parity in pytest.
         "knn_ivf": q_knn_ivf,
         "substring_dedup": q_substring_dedup,
         "pack_chunks": q_pack_chunks,
@@ -6022,6 +6031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_rollup": q_sliding_window_rollup,
         "trending_items": q_trending,
         "asof_attribution": q_asof_attribution,
+        "era5_distinct_regions": q_era5_distinct_regions,
+        "join_anti": q_join_anti,
+        "window_lag": q_window_lag,
+        "set_except": q_set_except,
+        "readability": q_readability,
         "era5_filter_hourly": q_era5_filter_hourly,
         "era5_water_balance": q_era5_water_balance,
         "window_rolling_7d": q_window_rolling_7d,
@@ -6113,23 +6127,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": q_cumulative_users,
         "debounce": q_debounce,
         "curation_pipeline": q_curation_pipeline,
-        "kmeans_clusters": q_kmeans_clusters,
         "winsorize": q_winsorize,
         "impute_group_mean": q_impute_group_mean,
         "snapshot_diff": q_snapshot_diff,
         "ab_test": q_ab_test,
         "token_entropy": q_token_entropy,
         "bpe_merge_step": q_bpe_merge_step,
-        "bpe_train": q_bpe_train,
         "lm_perplexity": q_lm_perplexity,
         "line_dedup": q_line_dedup,
         "blocklist_filter": q_blocklist_filter,
-        "pack_firstfit": q_pack_firstfit,
         "bpe_encode": q_bpe_encode,
         "minhash_recall_floor": q_minhash_recall_floor,
         "mixture_sample": q_mixture_sample,
         "temperature_sample": q_temperature_sample,
-        "semantic_dedup": q_semantic_dedup,
         "preprocess_pipeline": q_preprocess_pipeline,
         "chunk_documents": q_chunk_documents,
         "split_sentences": q_split_sentences,
@@ -6144,7 +6154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "interval_overlap": q_interval_overlap,
         "fuzzy_join": q_fuzzy_join,
-        "classifier_quality": q_classifier_quality,
         "cusum_changepoint": q_cusum_changepoint,
         "seasonal_backtest": q_seasonal_backtest,
         "dsir_scores": q_dsir_scores,

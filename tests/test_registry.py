@@ -3,13 +3,12 @@
 The external driver's correctness gate checks a PREFIX of ``queries()``
 (50 entries). Two invariants protect it:
 
-1. The first 50 names are PINNED to the set the round-3 gate recorded
-   (CORRECTNESS_r03.json) — an accidental insertion before index 50
-   would silently eject an operator from external verification.
-2. The 8 queries that round 3's reordering displaced out of the prefix
-   (era5_filter_hourly .. multimodal_features) keep full oracle parity
-   here in pytest, so a regression in them cannot hide behind the
-   driver's prefix truncation.
+1. The first 50 names are PINNED (round-5 rotation of the round-3
+   gate set) — an accidental insertion before index 50 would silently
+   eject an operator from external verification.
+2. The 13 queries the round-3 and round-5 reorderings displaced out of
+   the prefix keep full oracle parity here in pytest, so a regression
+   in them cannot hide behind the driver's prefix truncation.
 """
 
 from __future__ import annotations
@@ -22,9 +21,12 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-#: Exactly the keys (and order) of CORRECTNESS_r03.json — the driver's
-#: round-3 gate. Do not edit without deliberately re-deciding gate
-#: visibility; append new queries AFTER index 50 instead.
+#: The driver-gate prefix as of round 5. Rounds 3-4 pinned the
+#: CORRECTNESS_r03 keys; round 5 DELIBERATELY rotated five slots so the
+#: round-4/5 oracle conversions (kmeans_clusters, semantic_dedup,
+#: classifier_quality, pack_firstfit, bpe_train) gain external
+#: CORRECTNESS rows. Do not edit without re-deciding gate visibility;
+#: append new queries AFTER index 50 instead.
 DRIVER_PREFIX_50 = [
     "era5_hourly_spatial_mean",
     "era5_weighted_mean",
@@ -34,28 +36,28 @@ DRIVER_PREFIX_50 = [
     "era5_pivot",
     "era5_kpis",
     "era5_verification",
-    "era5_distinct_regions",
+    "bpe_train",
     "era5_convert_units",
     "tpch_q1",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
     "join_semi",
-    "join_anti",
+    "kmeans_clusters",
     "join_broadcast",
     "window_running_total",
     "window_topn",
-    "window_lag",
+    "semantic_dedup",
     "sessionize",
     "set_intersect",
-    "set_except",
+    "classifier_quality",
     "rollup_acctbal",
     "top10_orders",
     "dedup_exact_groups",
     "dup_cluster_histogram",
     "dedup_exact_docs",
     "text_stats",
-    "readability",
+    "pack_firstfit",
     "corpus_profile",
     "jaccard_pairs",
     "containment_pairs",
@@ -78,9 +80,15 @@ DRIVER_PREFIX_50 = [
     "asof_attribution",
 ]
 
-#: Displaced from the prefix by round 3's reordering; oracle-verified
-#: below so they keep an external check despite driver invisibility.
+#: Displaced from the prefix by the round-3 and round-5 reorderings;
+#: oracle-verified below so they keep an external check despite driver
+#: invisibility.
 DISPLACED = [
+    "era5_distinct_regions",
+    "join_anti",
+    "window_lag",
+    "set_except",
+    "readability",
     "era5_filter_hourly",
     "era5_water_balance",
     "window_rolling_7d",
@@ -93,11 +101,11 @@ DISPLACED = [
 
 
 #: Doc-drift pins: README.md and COVERAGE.md cite these exact numbers
-#: ("174 of 178 registered queries hash-match ... the remaining 4").
+#: ("175 of 178 registered queries hash-match ... the remaining 3").
 #: Registering a query or converting a rows-only op MUST update the
 #: docs and these constants together.
 REGISTERED_QUERIES = 178
-ROWS_ONLY = 4
+ROWS_ONLY = 3
 
 
 def test_driver_prefix_is_pinned():
