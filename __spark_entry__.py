@@ -4033,6 +4033,25 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantize_sql(expr: str, q: int) -> str:
+    """DuckDB twin of ``operators._util.quantize_half_away``: round
+    half-away-from-zero via explicit IEEE ops (abs, scale, +0.5, floor,
+    unscale, re-sign) instead of the engine's ``round``. Python rounds
+    half-to-even, DuckDB half-away, and exactly-representable decimal
+    ties DO exist (0.0078125 at 6 digits) — so BOTH sides run this
+    identical op sequence, each step a correctly-rounded double
+    primitive, making the quantize bit-identical by construction."""
+    scale = float(10 ** q)
+    # CAST first: a bare decimal literal would otherwise bind as
+    # DECIMAL and overflow the fixed-point multiply; computed doubles
+    # pass through unchanged.
+    x = f"CAST({expr} AS DOUBLE)"
+    return (
+        f"(floor(abs({x}) * {scale!r} + 0.5) / {scale!r}"
+        f" * sign({x}))"
+    )
+
+
 def _kmeans_cte_chain(
     iters: int, k: int, dim: int, q: int, source: str = "e"
 ) -> str:
@@ -4043,9 +4062,11 @@ def _kmeans_cte_chain(
     quantize=q)``: init = k lowest-id vectors (cid in id order);
     distance = the same left-to-right float64 fold over dims
     (list_sum(list_transform) ≡ Spark's aggregate(zip_with)); argmin
-    tie-break by cid; per-cluster per-dim mean ROUNDed to ``q``
-    decimals (both engines round the mean, killing sum-fold-order
-    last-ulp jitter); empty clusters keep their previous centroid.
+    tie-break by cid; per-cluster per-dim mean quantized to ``q``
+    decimals via ``_quantize_sql`` — the op-for-op twin of the Python
+    side's ``quantize_half_away``, killing sum-fold-order last-ulp
+    jitter without the round()-mode mismatch; empty clusters keep
+    their previous centroid.
     """
     parts = [
         f"""c0 AS (
@@ -4071,7 +4092,7 @@ a{i} AS (
 ),
 u{i} AS (
     SELECT a.cid, t.j AS dim,
-           round(sum(e.v[t.j]) / count(*), {q}) AS val
+           {_quantize_sql('sum(e.v[t.j]) / count(*)', q)} AS val
     FROM a{i} a JOIN {source} e USING (vec_id), range(1, {dim + 1}) t(j)
     GROUP BY a.cid, t.j
 ),
@@ -5345,8 +5366,10 @@ def _classifier_quality_sql(
     identical featurization (space split, md5 hashing-trick buckets,
     quality-score weak labels), margin = the same left-to-right fold
     of w[bucket] over the token list / n + b, residual σ(margin)−y,
-    per-bucket gradient Σ r/n (fold-order jitter absorbed by ROUND-q),
-    L2 shrink then step then ROUND-q on every weight and the bias.
+    per-bucket gradient Σ r/n (fold-order jitter absorbed by the
+    ``_quantize_sql`` half-away grid), L2 shrink then step then
+    quantize on every weight and the bias — the exact op sequence of
+    ``quantize_half_away`` on the Python side.
     Buckets with no occurrences only shrink (LEFT JOIN + COALESCE),
     mirroring the driver loop's untouched entries.
 
@@ -5397,13 +5420,11 @@ g{i} AS MATERIALIZED (
 ),
 w{i} AS MATERIALIZED (
     SELECT w.j,
-           round(w.wj * {shrink}
-                 - {lr!r} * COALESCE(g.g, 0.0) / nd.n_docs, {q}) AS wj
+           {_quantize_sql(f'(w.wj * {shrink} - {lr!r} * COALESCE(g.g, 0.0) / nd.n_docs)', q)} AS wj
     FROM w{i - 1} w LEFT JOIN g{i} g ON w.j = g.j CROSS JOIN nd
 ),
 b{i} AS MATERIALIZED (
-    SELECT round(b{i - 1}.bv - {lr!r} * (SELECT sum(r) FROM m{i}) / nd.n_docs,
-                 {q}) AS bv
+    SELECT {_quantize_sql(f'(b{i - 1}.bv - {lr!r} * (SELECT sum(r) FROM m{i}) / nd.n_docs)', q)} AS bv
     FROM b{i - 1} CROSS JOIN nd
 )"""
         )

@@ -2,7 +2,28 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
+
+
+def quantize_half_away(x: float, digits: int) -> float:
+    """Round half-AWAY-from-zero via explicit IEEE ops, not round().
+
+    The bit-replay contract for the iterative trainers (kmeans_fit,
+    classifier_train) needs Python and the DuckDB oracle to quantize
+    identically. Each engine's native ``round`` is out: Python rounds
+    half-to-even while DuckDB rounds half-away, and exactly-
+    representable decimal ties DO exist (round(0.0078125, 6) is
+    0.007812 in Python but 0.007813 in DuckDB). So both sides use this
+    exact op sequence — abs, scale, +0.5, floor, unscale, re-sign —
+    every step an IEEE-double primitive with one correctly-rounded
+    result, hence bit-identical across engines by construction. The
+    SQL twin is ``_quantize_sql`` in ``__spark_entry__.py``.
+    """
+    scale = float(10 ** digits)
+    mag = math.floor(abs(x) * scale + 0.5) / scale
+    return -mag if x < 0 else mag
 
 #: Assumed split size when the session conf is unreadable (Spark default).
 _DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024

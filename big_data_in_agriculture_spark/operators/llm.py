@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ._util import fan_out as _fan_out
+from ._util import quantize_half_away
 
 
 # ---------------------------------------------------------------------------
@@ -1962,11 +1963,14 @@ def classifier_train(
     (modulo float reduction order), no RNG, resumable.
 
     ``quantize`` rounds every weight and the bias to that many decimals
-    after each step — the same bit-reproducibility trick as
-    ``kmeans_fit``: gradient sums fold in partition order (last-ulp
-    jitter) and libm exp() differs across engines by an ulp, both far
-    below a 1e-6 rounding grid, so the whole descent becomes exactly
-    replayable (DuckDB unroll: ``_classifier_quality_sql`` in
+    after each step — half-away-from-zero via the shared
+    ``quantize_half_away`` rule (Python's round() is half-to-even and
+    disagrees with the SQL side on exactly-representable decimal
+    ties), the same bit-reproducibility trick as ``kmeans_fit``:
+    gradient sums fold in partition order (last-ulp jitter) and libm
+    exp() differs across engines by an ulp, both far below a 1e-6
+    rounding grid, so the whole descent becomes exactly replayable
+    (DuckDB unroll: ``_classifier_quality_sql`` + ``_quantize_sql`` in
     ``__spark_entry__.py``).
 
     Returns (weights, bias).
@@ -2028,8 +2032,8 @@ def classifier_train(
             else:
                 new_w[j] -= lr * float(row["g"]) / n_docs
         if quantize is not None:
-            new_w = [round(x, quantize) for x in new_w]
-            b = round(b, quantize)
+            new_w = [quantize_half_away(x, quantize) for x in new_w]
+            b = quantize_half_away(b, quantize)
         w = new_w
     return w, b
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._util import fan_out as _fan_out
+from ._util import quantize_half_away
 
 
 def _dvec(col) -> F.Column:
@@ -156,9 +157,11 @@ def lsh_bucket(
         plane = F.array(*[F.lit(x) for x in _hyperplane(seed, table, b, dim)])
         # round-9 before the sign: kills engine fold-order jitter in
         # the last ulps so a near-orthogonal (vector, plane) pair can't
-        # flip a bucket bit between numpy/Column/SQL evaluations (the
-        # dyadic dot values can never land exactly on a .5e-9 boundary,
-        # so all rounding modes agree)
+        # flip a bucket bit between numpy/Column/SQL evaluations.
+        # Spark's F.round (HALF_UP) and DuckDB's round both round
+        # half-AWAY-from-zero, so a value landing exactly on a .5e-9
+        # tie still buckets identically; only Python's round() differs
+        # (half-to-even) and it is never used on this path.
         bit = F.when(F.round(_dot(v, plane), 9) >= 0, F.lit(2 ** b)).otherwise(
             F.lit(0)
         )
@@ -488,13 +491,18 @@ def kmeans_fit(
     broadcastable dimension table).
 
     ``quantize`` rounds every updated centroid coordinate to that many
-    decimals each iteration. The per-cluster mean is a float sum whose
-    fold order differs across partitionings and engines (last-ulp
-    jitter); quantizing well above ulp but well below data scale makes
-    the whole fit bit-reproducible — and lets a SQL oracle replay the
-    unrolled Lloyd iterations exactly (see ``_kmeans_sql`` in
-    ``__spark_entry__.py``). With ``tol=0.0`` the early-stop never
-    fires, so the iteration count is a fixed, replayable constant.
+    decimals each iteration — half-away-from-zero via the explicit
+    shared rule ``quantize_half_away`` (NOT Python's half-to-even
+    round(): decimal ties like 0.0078125 at 6 digits are exactly
+    representable and the two modes disagree there). The per-cluster
+    mean is a float sum whose fold order differs across partitionings
+    and engines (last-ulp jitter); quantizing well above ulp but well
+    below data scale makes the whole fit bit-reproducible — and lets a
+    SQL oracle replay the unrolled Lloyd iterations exactly (see
+    ``_kmeans_cte_chain`` / ``_quantize_sql`` in ``__spark_entry__.py``,
+    the same op-for-op rule on the DuckDB side). With ``tol=0.0`` the
+    early-stop never fires, so the iteration count is a fixed,
+    replayable constant.
     """
     init = (
         embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
@@ -529,7 +537,7 @@ def kmeans_fit(
         for row in new_rows:
             c = [row[f"s{i}"] / row["n"] for i in range(dim)]
             if quantize is not None:
-                c = [round(x, quantize) for x in c]
+                c = [quantize_half_away(x, quantize) for x in c]
             moved = max(
                 moved,
                 max(abs(a - b) for a, b in zip(c, cents[row["cluster"]])),

@@ -799,9 +799,20 @@ class Hdf5File:
                 )
                 d = zlib.decompressobj()
                 data = d.decompress(data, bound)
-                if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+                # Overflow check must be unconditional: zlib can hold
+                # pending OUTPUT with all input consumed (empty
+                # unconsumed_tail), so probe for buffered bytes either
+                # way; a stream that ends before eof is a truncated or
+                # crafted chunk — fail here with the format error, not
+                # downstream with a shape mismatch.
+                if (
+                    d.unconsumed_tail
+                    or d.decompress(b"", 1)
+                    or not d.eof
+                ):
                     raise Hdf5FormatError(
-                        "deflate chunk exceeds declared chunk size"
+                        "deflate chunk exceeds or undershoots declared "
+                        "chunk size"
                     )
             elif fid == 2:  # shuffle
                 (esize,) = cvals[:1] or (ds.dtype.size,)

@@ -453,3 +453,42 @@ def test_old_style_v0_superblock_and_snod_group():
     assert ds.shape == (4,)
     assert ds.attrs["units"] == "K"
     assert f.read("temp").tolist() == [1.5, 2.5, 3.5, 4.5]
+
+
+def test_deflate_overflow_detected_with_empty_unconsumed_tail():
+    """A deflate chunk whose plaintext exceeds the declared chunk size
+    must raise even when zlib consumed ALL input — pending output can
+    sit in the decompressor with an empty unconsumed_tail, so the
+    overflow probe has to be unconditional. Also: a stream cut short
+    (no deflate EOF marker) raises here, not as a downstream reshape
+    error."""
+    import zlib as _zlib
+
+    from big_data_in_agriculture_spark.sources.hdf5 import (
+        Dataset,
+        Datatype,
+        Hdf5File,
+    )
+
+    ds = Dataset(
+        name="x",
+        shape=(4,),
+        dtype=Datatype("int", 1, signed=False),
+        chunk_dims=(4,),                 # declared bound: 4 bytes
+        filters=[(1, [6])],              # deflate
+    )
+    fake = Hdf5File.__new__(Hdf5File)    # _apply_filters needs no buf
+
+    # 1 MiB of zeros compresses to a tiny input that zlib consumes in
+    # one call — overflow is only visible via buffered pending output.
+    bomb = _zlib.compress(b"\x00" * (1 << 20), 9)
+    with pytest.raises(Hdf5FormatError, match="deflate chunk"):
+        fake._apply_filters(ds, bomb)
+
+    # truncated stream: all input consumed, under bound, but no EOF
+    whole = _zlib.compress(b"\x01\x02\x03\x04", 9)
+    with pytest.raises(Hdf5FormatError, match="deflate chunk"):
+        fake._apply_filters(ds, whole[:-2])
+
+    # exact-size, well-formed chunk still decodes
+    assert fake._apply_filters(ds, whole) == b"\x01\x02\x03\x04"

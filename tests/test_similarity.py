@@ -311,3 +311,39 @@ def test_lsh_sign_parity_kernel_vs_column_near_orthogonal(spark):
         ).fetchall()
         for vid, bucket in got:
             assert kernel[(vid, tbl)] == bucket, (vid, tbl)
+
+
+def test_quantize_half_away_matches_duckdb_on_decimal_ties():
+    """The bit-replay quantize contract (kmeans_fit / classifier_train
+    vs their unrolled-CTE oracles) must not depend on each engine's
+    round(): Python is half-to-even, DuckDB half-away, and exactly-
+    representable decimal ties exist — round(0.0078125, 6) is 0.007812
+    in Python but 0.007813 in DuckDB. Both sides therefore run the
+    explicit abs/scale/+0.5/floor/unscale/re-sign sequence; this pins
+    the Python helper and the generated SQL to identical outputs on
+    the tie cases and a spread of ordinary values."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from big_data_in_agriculture_spark.operators._util import (
+        quantize_half_away,
+    )
+
+    # 0.0078125 = 2^-7: dyadic, exactly representable, a true .5 tie
+    # at 6 decimals. Python's round() gets this "wrong" for our
+    # contract — the helper must NOT agree with it.
+    assert quantize_half_away(0.0078125, 6) == 0.007813
+    assert round(0.0078125, 6) == 0.007812  # the mismatch we bypass
+    assert quantize_half_away(-0.0078125, 6) == -0.007813
+
+    con = duckdb.connect()
+    vals = [
+        0.0078125, -0.0078125, 0.0234375, -0.0234375,  # dyadic ties
+        0.0000005, -0.0000005, 0.0, 1.2345675,
+        3.14159265, -2.718281828e-3, 123.4567894999,
+    ]
+    for digits in (4, 6):
+        for v in vals:
+            sql = entrymod._quantize_sql(repr(v), digits)
+            got = con.execute(f"SELECT {sql}").fetchone()[0]
+            assert got == quantize_half_away(v, digits), (v, digits)
