@@ -4393,15 +4393,16 @@ def _bpe_apply_merge_expr(syms: str, left: str, right: str) -> str:
     return f"list_transform([{folded}], acc -> {finish})[1]"
 
 
-def _bpe_train_sql(n_merges: int = 8) -> str:
-    """DuckDB replay of bpe_train: n_merges unrolled argmax+rewrite
-    rounds over the distinct-word frequency table. All state is
-    integers and strings — bit-exact across engines by construction.
-    Every CTE is MATERIALIZED (multiply-referenced; DuckDB's inlining
-    would re-evaluate the prefix exponentially otherwise). An empty
-    round (no pairs left) yields no b{{i}} row and empties the
-    downstream state — the same early-stop shape as the driver loop's
-    break, so the final UNION of best-pair rows matches exactly."""
+def _bpe_train_cte_chain(n_merges: int) -> str:
+    """The unrolled-training CTE list ``w0, p1, b1, w1 .. w{n}``
+    shared by the bpe_train and bpe_encode oracles: n_merges
+    argmax+rewrite rounds over the distinct-word frequency table. All
+    state is integers and strings — bit-exact across engines by
+    construction. Every CTE is MATERIALIZED (multiply-referenced;
+    DuckDB's inlining would re-evaluate the prefix exponentially
+    otherwise). An empty round (no pairs left) yields no b{i} row and
+    empties the downstream state — the same early-stop shape as the
+    driver loop's break."""
     parts = [
         """w0 AS MATERIALIZED (
     SELECT count(*) AS cnt, string_split(w, '') AS syms
@@ -4428,15 +4429,95 @@ w{i} AS MATERIALIZED (
     FROM w{i - 1} w CROSS JOIN b{i} b
 )"""
         )
-    chain = ",\n".join(parts)
-    ranks = "\nUNION ALL\n".join(
-        f'SELECT {i} AS merge_rank, l AS "left", r AS "right" FROM b{i}'
+    return ",\n".join(parts)
+
+
+def _bpe_merge_table_sql(n_merges: int) -> str:
+    """UNION of the per-round best-pair CTEs as (merge_rank, l, r)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l, r FROM b{i}"
         for i in range(1, n_merges + 1)
     )
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of bpe_train — see ``_bpe_train_cte_chain``."""
+    ranks = _bpe_merge_table_sql(n_merges).replace(
+        " l, r FROM", ' l AS "left", r AS "right" FROM'
+    )
     return f"""
-WITH {chain}
+WITH {_bpe_train_cte_chain(n_merges)}
 SELECT CAST(merge_rank AS BIGINT) AS merge_rank, "left", "right"
 FROM ({ranks})
+"""
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of the train->encode round trip (q_bpe_encode).
+
+    The GPT-2 encode loop looks data-dependent — "repeat until no
+    merge applies" — but each round is exact relational algebra: pick
+    the MINIMUM-rank merge whose (l, r) appears adjacently in the
+    word's symbol list, rewrite greedily left-to-right (the same
+    ``_bpe_apply_merge_expr`` fold the training oracle uses), stop
+    when no merge matches. A recursive CTE replays exactly that loop
+    per DISTINCT word — the same construct that unrolled
+    first-fit-decreasing's bin state: rows that still have an
+    applicable pair recurse, finished words simply drop out, and the
+    per-word final state is the unique accumulated row with no
+    applicable pair. Each step shrinks the symbol list by at least
+    one, so termination is structural. Distinct-word encoding then
+    joins back to per-doc word occurrences — mirroring the Spark
+    kernel's per-batch word cache semantics (same word -> same
+    segmentation, counted per occurrence)."""
+    pair_hit = (
+        "len(list_filter(range(1, greatest(len({syms}), 1)), "
+        "k -> {syms}[k] = {m}.l AND {syms}[k + 1] = {m}.r)) > 0"
+    )
+    step = _bpe_apply_merge_expr("t.syms", "t.l", "t.r")
+    return f"""
+WITH RECURSIVE {_bpe_train_cte_chain(n_merges)},
+m AS MATERIALIZED ({_bpe_merge_table_sql(n_merges)}),
+words AS MATERIALIZED (
+    SELECT DISTINCT w
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> ''
+),
+enc AS (
+    SELECT w, string_split(w, '') AS syms FROM words
+    UNION ALL
+    SELECT t.w, {step} AS syms
+    FROM (
+        SELECT e.w, e.syms, mm.l, mm.r
+        FROM enc e
+        JOIN m mm ON mm.merge_rank = (
+            SELECT min(m2.merge_rank) FROM m m2
+            WHERE {pair_hit.format(syms='e.syms', m='m2')}
+        )
+    ) t
+),
+fin AS MATERIALIZED (
+    SELECT e.w, len(e.syms) AS n_toks
+    FROM enc e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM m m2
+        WHERE {pair_hit.format(syms='e.syms', m='m2')}
+    )
+),
+occ AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+)
+SELECT d.doc_id,
+       CAST(COALESCE(j.total, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (
+    SELECT o.doc_id, sum(f.n_toks) AS total
+    FROM occ o JOIN fin f ON o.w = f.w
+    GROUP BY o.doc_id
+) j ON d.doc_id = j.doc_id
 """
 
 
@@ -4630,11 +4711,12 @@ FROM r
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: train-then-encode round trip (the encode loop is
-    # per-word iterative — not SQL). Deterministic end to end: merges
-    # come from the deterministic trainer, the encoder is rank-greedy
-    # with no RNG. Correctness is pytest-checked against hand-computed
-    # segmentations; the driver sees stable rows/schema.
+    # Hash-checked since round 5: the "data-dependent greedy loop" is
+    # replayed exactly by a DuckDB recursive CTE over distinct words —
+    # each round picks the min-rank merge present in the word and
+    # applies the same greedy-rewrite fold as the training oracle,
+    # recursing until no merge matches (_bpe_encode_sql). Merges come
+    # from the deterministic trainer; no RNG anywhere.
     docs = _t(spark, sf_dir, "documents")
     merges = llm.bpe_train(docs, n_merges=8)
     return llm.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
@@ -6371,6 +6453,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_quality": _classifier_quality_sql(),
         "pack_firstfit": _pack_firstfit_sql(),
         "bpe_train": _bpe_train_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         # ------------------------------------------------------------------
         # Deliberately rows-only — each is non-SQL-expressible for a
         # stated reason (the driver records a weaker rows-only check):

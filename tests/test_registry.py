@@ -101,11 +101,11 @@ DISPLACED = [
 
 
 #: Doc-drift pins: README.md and COVERAGE.md cite these exact numbers
-#: ("175 of 178 registered queries hash-match ... the remaining 3").
+#: ("176 of 178 registered queries hash-match ... the remaining 2").
 #: Registering a query or converting a rows-only op MUST update the
 #: docs and these constants together.
 REGISTERED_QUERIES = 178
-ROWS_ONLY = 3
+ROWS_ONLY = 2
 
 
 def test_driver_prefix_is_pinned():
