@@ -4,7 +4,12 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same sf tables, then compares row count, sorted
 column names, and an order-insensitive value hash (rows rendered to
 canonical strings, sorted, sha256'd) — the same shape of check the
-driver records in CORRECTNESS_r{N}.json.
+driver records in CORRECTNESS_r{N}.json. Queries without an
+``oracle_sql()`` twin but with a ``bounded_oracle()`` spec (the HLL
+sketch queries, whose estimates legitimately differ across engines)
+get a numeric-tolerance check instead: exact counts must match, sketch
+estimates must sit within the published error bound, percentiles
+inside a rank window — reported as PASS(bound)/FAIL(bound).
 
 Usage: python scripts/selfcheck.py [sf_dir] [query ...]
 """
@@ -41,6 +46,34 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(rows), cols, digest
 
 
+def check_bounded(sdf: pd.DataFrame, odf: pd.DataFrame, spec: dict) -> list[str]:
+    """Apply a ``bounded_oracle()`` spec; return failure descriptions."""
+    errs: list[str] = []
+    merged = sdf.merge(odf, on=spec["keys"], how="outer", indicator=True)
+    if (merged["_merge"] != "both").any():
+        missing = merged.loc[merged["_merge"] != "both", spec["keys"]]
+        return [f"key mismatch: {missing.to_dict('records')}"]
+    for scol, ocol in spec.get("exact", []):
+        bad = merged[merged[scol] != merged[ocol]]
+        if len(bad):
+            errs.append(f"{scol} != {ocol} on {len(bad)} rows")
+    for scol, ocol, tol in spec.get("rel", []):
+        rel = (merged[scol] - merged[ocol]).abs() / merged[ocol].clip(lower=1)
+        bad = merged[rel > tol]
+        if len(bad):
+            errs.append(
+                f"{scol} off {ocol} by >{tol:.0%} on {len(bad)} rows "
+                f"(worst {rel.max():.1%})"
+            )
+    for acol, windows in spec.get("array_between", []):
+        for i, (lo, hi) in enumerate(windows):
+            vals = merged[acol].map(lambda a: a[i])
+            bad = merged[(vals < merged[lo]) | (vals > merged[hi])]
+            if len(bad):
+                errs.append(f"{acol}[{i}] outside [{lo},{hi}] on {len(bad)} rows")
+    return errs
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -61,7 +94,8 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_rowsonly = 0
+    bounded = getattr(entrymod, "bounded_oracle", dict)()
+    n_pass = n_fail = n_rowsonly = n_bound = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,8 +109,25 @@ def main() -> int:
             continue
         el = time.time() - t0
         if name not in oracles:
-            print(f"rows-only  {name}: {len(sdf)} rows  ({el:.1f}s)")
-            n_rowsonly += 1
+            spec = bounded.get(name)
+            if spec is None:
+                print(f"rows-only  {name}: {len(sdf)} rows  ({el:.1f}s)")
+                n_rowsonly += 1
+                continue
+            try:
+                odf = con.execute(spec["sql"]).fetchdf()
+                errs = check_bounded(sdf, odf, spec)
+            except Exception:
+                print(f"FAIL(bound)  {name}: bounded oracle raised")
+                traceback.print_exc()
+                n_fail += 1
+                continue
+            if errs:
+                print(f"FAIL(bound)  {name}: " + "; ".join(errs))
+                n_fail += 1
+            else:
+                print(f"PASS(bound)  {name}: {len(sdf)} rows  ({el:.1f}s)")
+                n_bound += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -107,7 +158,8 @@ def main() -> int:
         else:
             print(f"PASS  {name}: {sn} rows  ({el:.1f}s)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    tail = f", {n_bound} bound" if n_bound else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only{tail}")
     return 1 if n_fail else 0
 
 

@@ -174,3 +174,15 @@ def test_displaced_query_oracle_parity(spark, _duck, name):
     assert scols == ocols
     assert sn == on
     assert shash == ohash
+
+
+def test_bounded_oracle_covers_exactly_the_rows_only_set():
+    """Every rows-only query (no oracle_sql twin) must carry a
+    bounded_oracle numeric check instead — no query is unchecked."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    bounded = entrymod.bounded_oracle()
+    assert set(bounded) == set(qs) - set(oracles)
+    for name, spec in bounded.items():
+        assert spec["keys"], name
+        assert spec.get("exact") or spec.get("rel"), name
