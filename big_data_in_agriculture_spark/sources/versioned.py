@@ -38,13 +38,24 @@ def list_versions(root: str) -> list[int]:
 
 
 def latest_version(root: str) -> int | None:
-    """The published version (pointer wins over directory listing)."""
+    """The published version (pointer wins over directory listing).
+
+    The no-pointer fallback only trusts COMPLETE snapshots (Spark's
+    ``_SUCCESS`` marker present): a publisher that crashed mid-write
+    leaves a partial ``v=K`` directory, and before the first pointer
+    exists that partial must not be served as latest. A publisher that
+    crashed AFTER the write but BEFORE the pointer move left a
+    complete, correct snapshot — serving it is safe (and lets the
+    exactly-once foreachBatch replay recognize its own applied batch
+    id inside it)."""
     ptr = os.path.join(root, "_LATEST")
     if os.path.isfile(ptr):
         with open(ptr) as f:
             return int(f.read().strip())
-    versions = list_versions(root)
-    return versions[-1] if versions else None
+    for v in reversed(list_versions(root)):
+        if os.path.isfile(os.path.join(root, f"v={v}", "_SUCCESS")):
+            return v
+    return None
 
 
 def _repoint(root: str, version: int) -> None:

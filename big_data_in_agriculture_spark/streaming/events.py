@@ -779,6 +779,7 @@ def start_incremental_rollup(
     key_cols: list[str] | None = None,
     available_now: bool = True,
     nanos_ts: bool | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Maintain a materialized rollup mart from a stream, EXACTLY-ONCE.
 
@@ -808,7 +809,12 @@ def start_incremental_rollup(
     from ..sources import versioned
 
     keys = key_cols if key_cols is not None else ["event_type"]
-    stream = read_events_stream(spark, source_path, nanos_ts=nanos_ts)
+    stream = read_events_stream(
+        spark,
+        source_path,
+        nanos_ts=nanos_ts,
+        max_files_per_trigger=max_files_per_trigger,
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession

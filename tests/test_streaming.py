@@ -319,3 +319,126 @@ def test_incremental_rollup_stream_exactly_once_and_matches_batch(spark, tmp_pat
     # the invariant: strictly fewer or equal events than final, and
     # replay-consistent totals
     assert sum(by_key.values()) <= 5
+
+
+def test_incremental_rollup_crash_between_snapshot_and_pointer(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the foreachBatch in BOTH exactly-once crash windows and
+    assert the orphan is inert and the restart converges.
+
+    Window 1 — after the snapshot lands, before the pointer moves:
+    the orphan v=K directory is complete but unpointed; the replay
+    re-applies the batch against the OLD pointed state and publishes
+    a fresh version. Window 2 — after the pointer moves, before
+    Spark's checkpoint commit: the replayed batch finds its own
+    _applied_batch_id in the pointed snapshot and skips, so nothing
+    double-counts. Either way the final totals equal the batch rollup
+    over all events."""
+    import datetime as dt
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_in_agriculture_spark.operators import materialized as mv
+    from big_data_in_agriculture_spark.sources import versioned
+    from big_data_in_agriculture_spark.streaming import events as sev
+
+    land = tmp_path / "land"
+    land.mkdir()
+    t0 = dt.datetime(2024, 9, 1)
+
+    def batch(name, rows):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(hours=h), 1, k, v, "{}")
+             for i, (k, h, v) in enumerate(rows)],
+            sev.EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(str(land / name))
+
+    batch("b0", [("click", 0, 1.0), ("click", 1, 3.0), ("view", 0, 2.0)])
+    batch("b1", [("click", 2, 5.0), ("view", 30, 4.0)])
+    state_root = str(tmp_path / "state")
+    chk = str(tmp_path / "chk")
+    real_repoint = versioned._repoint
+
+    def run(timeout=120):
+        return sev.start_incremental_rollup(
+            spark, str(land) + "/*", state_root, chk,
+            nanos_ts=False, max_files_per_trigger=1,
+        ).awaitTermination(timeout)
+
+    # ---- window 1: crash BEFORE the pointer move (first batch) ----
+    def crash_before(root, version):
+        raise RuntimeError("injected crash before pointer move")
+
+    monkeypatch.setattr(versioned, "_repoint", crash_before)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run()
+    # complete-but-unpointed orphan; no partial state is served wrongly
+    orphans_after_first = versioned.list_versions(state_root)
+    assert orphans_after_first  # snapshot landed
+    assert not (tmp_path / "state" / "_LATEST").exists()
+
+    # ---- window 2: pointer moves, THEN the process dies ----
+    armed = {"crash": True}
+
+    def crash_after(root, version):
+        real_repoint(root, version)
+        if armed["crash"]:
+            armed["crash"] = False
+            raise RuntimeError("injected crash after pointer move")
+
+    monkeypatch.setattr(versioned, "_repoint", crash_after)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run()
+    pointed_mid = versioned.latest_version(state_root)
+    applied_mid = (
+        versioned.read_version(spark, state_root)
+        .agg({"_applied_batch_id": "max"}).collect()[0][0]
+    )
+
+    # ---- clean restart: replays both crashed windows, converges ----
+    monkeypatch.setattr(versioned, "_repoint", real_repoint)
+    run()
+
+    final = versioned.read_version(spark, state_root)
+    served = {
+        (r["event_type"], str(r["day"])[:10]): (
+            r["n_events"], r["value_sum"], r["value_min"], r["value_max"]
+        )
+        for r in mv.serve_rollup(final.drop("_applied_batch_id")).collect()
+    }
+    assert served[("click", "2024-09-01")] == (3, 9.0, 1.0, 5.0)
+    assert served[("view", "2024-09-01")] == (1, 2.0, 2.0, 2.0)
+    assert served[("view", "2024-09-02")] == (1, 4.0, 4.0, 4.0)
+
+    # the window-2 batch must NOT have been re-applied on restart:
+    # whatever snapshot its pointer published is still the committed
+    # prefix (its applied id never re-folds into a later state twice)
+    assert versioned.latest_version(state_root) >= pointed_mid
+    final_applied = final.agg({"_applied_batch_id": "max"}).collect()[0][0]
+    assert final_applied >= applied_mid
+
+    # replaying the whole stream once more changes nothing
+    before = versioned.latest_version(state_root)
+    run()
+    assert versioned.latest_version(state_root) == before
+
+
+def test_latest_version_fallback_ignores_partial_snapshots(spark, tmp_path):
+    """A publisher that died MID-WRITE leaves a partial v=K directory
+    with no _SUCCESS marker; before any pointer exists that partial
+    must be invisible to readers, and the next publish must step past
+    its directory name rather than collide with it."""
+    from big_data_in_agriculture_spark.sources import versioned
+
+    root = tmp_path / "vs"
+    partial = root / "v=1"
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"\x00garbage")
+
+    assert versioned.latest_version(str(root)) is None
+    df = spark.range(3).toDF("k")
+    v = versioned.write_version(df, str(root))
+    assert v == 2  # stepped past the orphan directory name
+    assert versioned.latest_version(str(root)) == 2
+    assert versioned.read_version(spark, str(root)).count() == 3
