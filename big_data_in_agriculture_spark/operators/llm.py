@@ -1971,7 +1971,9 @@ def classifier_train(
     exp() differs across engines by an ulp, both far below a 1e-6
     rounding grid, so the whole descent becomes exactly replayable
     (DuckDB unroll: ``_classifier_quality_sql`` + ``_quantize_sql`` in
-    ``__spark_entry__.py``).
+    ``__spark_entry__.py``). Measured cost of the knob (SCALE.md
+    `classifier_500k` vs `_noq`, 500k docs x 8 steps): +0.0% — it
+    rounds dim+1 driver floats per step.
 
     Returns (weights, bias).
     """

@@ -533,5 +533,76 @@ PROBES["textrank_200k"] = probe_textrank
 
 
 
+
+
+def _synth_embeddings(spark, vecs, dim):
+    return spark.range(vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: ((F.col("id") * 37 + j * 11) % 1000 / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+
+
+def probe_kmeans(spark, vecs=100_000, dim=64, quantize=6):
+    """k-means at 20x the bench embedding table (100k x dim 64,
+    5 Lloyd iterations): per iteration one assign-and-partial-agg scan
+    whose shuffle carries k x (dim+1) rows per partition. `quantize`
+    rounds centroid updates driver-side (k x dim Python floats per
+    iteration) — the bit-replay knob must cost ~nothing; run
+    kmeans_100k vs kmeans_100k_noq to confirm."""
+    from big_data_in_agriculture_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit,
+    )
+
+    emb = _synth_embeddings(spark, vecs, dim)
+    cents = kmeans_fit(
+        emb, k=8, max_iter=5, tol=0.0, quantize=quantize
+    )
+    return kmeans_assign(emb, cents).groupBy("cluster").count()
+
+
+def probe_kmeans_noq(spark, vecs=100_000, dim=64):
+    return probe_kmeans(spark, vecs, dim, quantize=None)
+
+
+def probe_classifier_500k(spark, docs=500_000, dim=64, iters=8, quantize=6):
+    """Classifier training at 100x the bench corpus with the oracle's
+    exact hyperparameters (dim 64, 8 steps). The quantize knob rounds
+    dim+1 Python floats per step on the driver — compare against
+    classifier_500k_noq for the (expected ~zero) overhead."""
+    from big_data_in_agriculture_spark.operators.llm import (
+        classifier_score, classifier_train,
+    )
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.concat(
+            F.lit("w"), ((F.col("id") * 41 + i * 7) % 5000).cast("string")
+        ),
+    )
+    docs_df = spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),
+        (F.col("id") % 2).cast("int").alias("y"),
+    )
+    w, b = classifier_train(
+        docs_df, F.col("y"), dim=dim, iters=iters, lr=1.0,
+        quantize=quantize,
+    )
+    return classifier_score(docs_df, w, b, dim=dim)
+
+
+def probe_classifier_500k_noq(spark, docs=500_000, dim=64, iters=8):
+    return probe_classifier_500k(spark, docs, dim, iters, quantize=None)
+
+
+PROBES["kmeans_100k"] = probe_kmeans
+PROBES["kmeans_100k_noq"] = probe_kmeans_noq
+PROBES["classifier_500k"] = probe_classifier_500k
+PROBES["classifier_500k_noq"] = probe_classifier_500k_noq
+
+
 if __name__ == "__main__":
     sys.exit(main())
