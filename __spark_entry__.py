@@ -4872,32 +4872,48 @@ edges AS (
 ),
 outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
 nodes AS (SELECT DISTINCT src AS word FROM edges),
-n AS (SELECT count(*) AS nn FROM nodes),
-r0 AS (SELECT word, 1.0 / nn AS rank FROM nodes, n),
+-- rank mass travels as INTEGER units of 1e-12 (see textrank_keywords:
+-- per-edge floor makes each per-target sum exact int64 addition, so
+-- three iterations of fold-order float jitter can't compound past the
+-- output grid; every float op left is one correctly-rounded step on
+-- bit-identical inputs)
+n AS (SELECT count(*) AS nn,
+             CAST(floor((1.0 - 0.85) / count(*) * 1e12 + 0.5) AS BIGINT)
+                 AS base_u,
+             CAST(floor(1.0 / count(*) * 1e12 + 0.5) AS BIGINT) AS init_u
+      FROM nodes),
+r0 AS (SELECT word, init_u AS rank_u FROM nodes, n),
 r1 AS (
     SELECT e.dst AS word,
-           (1.0 - 0.85) / nn + 0.85 * sum(e.w / o.wout * r.rank) AS rank
+           n.base_u + CAST(floor(0.85 * sum(CAST(floor(
+               e.w / o.wout * CAST(r.rank_u AS DOUBLE)
+           ) AS BIGINT))) AS BIGINT) AS rank_u
     FROM edges e JOIN outw o ON e.src = o.src
                  JOIN r0 r ON e.src = r.word, n
-    GROUP BY e.dst, nn
+    GROUP BY e.dst, n.base_u
 ),
 r2 AS (
     SELECT e.dst AS word,
-           (1.0 - 0.85) / nn + 0.85 * sum(e.w / o.wout * r.rank) AS rank
+           n.base_u + CAST(floor(0.85 * sum(CAST(floor(
+               e.w / o.wout * CAST(r.rank_u AS DOUBLE)
+           ) AS BIGINT))) AS BIGINT) AS rank_u
     FROM edges e JOIN outw o ON e.src = o.src
                  JOIN r1 r ON e.src = r.word, n
-    GROUP BY e.dst, nn
+    GROUP BY e.dst, n.base_u
 ),
 r3 AS (
     SELECT e.dst AS word,
-           (1.0 - 0.85) / nn + 0.85 * sum(e.w / o.wout * r.rank) AS rank
+           n.base_u + CAST(floor(0.85 * sum(CAST(floor(
+               e.w / o.wout * CAST(r.rank_u AS DOUBLE)
+           ) AS BIGINT))) AS BIGINT) AS rank_u
     FROM edges e JOIN outw o ON e.src = o.src
                  JOIN r2 r ON e.src = r.word, n
-    GROUP BY e.dst, nn
+    GROUP BY e.dst, n.base_u
 )
-SELECT word, CAST(round(rank, 8) AS FLOAT) AS rank
+SELECT word,
+       CAST(CAST((rank_u + 5000) // 10000 AS DOUBLE) / 1e8 AS FLOAT) AS rank
 FROM r3
-ORDER BY round(rank, 8) DESC, word
+ORDER BY (rank_u + 5000) // 10000 DESC, word
 LIMIT 20
 """
 

@@ -16,6 +16,8 @@ row-at-a-time.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -2488,9 +2490,19 @@ def textrank_keywords(
     broadcast-sized for real corpora; symmetrization guarantees every
     node has out-weight (no dangling-mass term needed).
 
-    Float contract: per-target sums are order-dependent doubles →
-    rank is ROUNDed to 8 dp (values ~1/N) before the float32 cast.
+    Float contract: per-target sums fold in partition order, and
+    three iterations compound that jitter past any final ROUND grid
+    (observed: 1.5e-8 divergence vs the SQL oracle on a fuzz seed). So
+    rank mass travels as INTEGER units of 1e-12: each edge contributes
+    floor(w/wout * rank_units) — exact int64 — and the per-target sum
+    is integer addition, order-independent and bit-identical across
+    engines by construction. The damping multiply and the final
+    half-away round to 8 dp are the only float ops, each a single
+    correctly-rounded step on bit-identical inputs. Mass lost to the
+    per-edge floor is <= (edges + nodes) x 1e-12 — invisible at the
+    8 dp output grid.
     """
+    unit = 10**12
     bg = bigram_counts(docs, text_col).filter(
         (F.col("c12") >= min_count) & (F.col("w1") != F.lit("<s>"))
     )
@@ -2517,7 +2529,10 @@ def textrank_keywords(
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base_u = int(math.floor(base * unit + 0.5))
+    init_u = int(math.floor(1.0 / n_nodes * unit + 0.5))
+
+    ranks = nodes.withColumn("rank_u", F.lit(init_u).cast("long"))
     contrib_edges = edges.join(outw, "src")
     for _ in range(iterations):
         ranks = (
@@ -2526,16 +2541,24 @@ def textrank_keywords(
             )
             .select(
                 F.col("dst").alias("word"),
-                (F.col("w") / F.col("wout") * F.col("rank")).alias("_c"),
+                F.floor(
+                    F.col("w") / F.col("wout")
+                    * F.col("rank_u").cast("double")
+                ).alias("_c"),
             )
             .groupBy("word")
             .agg(
-                (F.lit(base) + F.lit(damping) * F.sum("_c")).alias("rank")
+                (
+                    F.lit(base_u)
+                    + F.floor(F.lit(damping) * F.sum("_c"))
+                ).alias("rank_u")
             )
         )
+    # half-away round to 8 dp in pure integer math: (u + 5e3) div 1e4
+    r8 = F.expr("(rank_u + 5000) div 10000")
     return (
         ranks.select(
-            "word", F.round(F.col("rank"), 8).cast("float").alias("rank")
+            "word", (r8.cast("double") / F.lit(1e8)).cast("float").alias("rank")
         )
         .orderBy(F.col("rank").desc(), F.col("word"))
         .limit(top_k)
