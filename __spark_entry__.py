@@ -2432,8 +2432,13 @@ WITH stats AS (
     FROM events
 ),
 binned AS (
-    SELECT least(CAST(floor((value - mn) / ((mx - mn) / 20.0)) AS BIGINT),
-                 19) AS bin_id,
+    -- mx = mn (constant / single-value column) collapses to bin 0 on
+    -- both engines; without the guard DuckDB's NULL-ignoring least()
+    -- would silently put the value in the LAST bin
+    SELECT CASE WHEN mx > mn
+                THEN least(CAST(floor((value - mn) / ((mx - mn) / 20.0))
+                           AS BIGINT), 19)
+                ELSE 0 END AS bin_id,
            mn, mx
     FROM events CROSS JOIN stats
 )

@@ -2527,6 +2527,13 @@ def textrank_keywords(
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     nodes = edges.select(F.col("src").alias("word")).distinct()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # every bigram fell under min_count (tiny or degenerate
+        # corpus): no graph, no keywords — mirror the SQL oracle's
+        # empty result instead of dividing by zero below
+        return docs.sparkSession.createDataFrame(
+            [], "word string, rank float"
+        )
     base = (1.0 - damping) / n_nodes
 
     base_u = int(math.floor(base * unit + 0.5))

@@ -109,6 +109,11 @@ def robust_outliers(
     oracle bit-matched.
 
     Emits only the flagged rows, with the score: (key, value, robust_z).
+    A group whose MAD is zero (over half the values equal the median —
+    constant-valued groups, or 1-row groups) flags NOTHING: the
+    modified z-score is undefined there, and the guard keeps ANSI mode
+    from raising DIVIDE_BY_ZERO (the SQL oracle's NULL-on-div-0 drops
+    the same rows, so both engines agree).
     """
     med = df.groupBy(key_col).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
@@ -123,7 +128,10 @@ def robust_outliers(
             ).alias("_mad"),
         )
     )
-    z = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
+    z = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad"),
+    ).otherwise(F.lit(0.0))
     return (
         df.join(F.broadcast(mad), key_col)
         .withColumn("robust_z", z)
@@ -289,17 +297,29 @@ def value_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
     cross join — Catalyst's own plan for an uncorrelated scalar
     subquery), then one hash aggregate on the bin id. The top value
     folds into the last bin (least(floor(...), bins-1)) so max lands
-    in-range. Bin math is plain double IEEE ops — engine-deterministic
-    given identical min/max, which the exact scalar agg guarantees.
+    in-range; a degenerate column (min == max — constant values or a
+    single row) collapses into bin 0 rather than dividing by a zero
+    width (ANSI raise on Spark, NULL-fed last-bin on DuckDB — the
+    explicit guard makes both engines agree). Bin math is plain double
+    IEEE ops — engine-deterministic given identical min/max, which the
+    exact scalar agg guarantees.
     """
     stats = df.agg(
         F.min(col).cast("double").alias("_mn"),
         F.max(col).cast("double").alias("_mx"),
     )
     width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
-    bin_id = F.least(
-        F.floor((F.col(col) - F.col("_mn")) / width), F.lit(bins - 1)
-    ).cast("long")
+    bin_id = (
+        F.when(
+            F.col("_mx") > F.col("_mn"),
+            F.least(
+                F.floor((F.col(col) - F.col("_mn")) / width),
+                F.lit(bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
     return (
         df.crossJoin(F.broadcast(stats))
         .groupBy(bin_id.alias("bin_id"))

@@ -63,7 +63,7 @@ def generate(out: str, seed: int, scale: float = 1.0) -> None:
         "n_regionkey": pa.array((rng.integers(0, 5, 25)).tolist(), pa.int32()),
     })
 
-    n_cust = int(1500 * scale)
+    n_cust = max(int(1500 * scale), 1)
     write("customer", {
         "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
         "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
@@ -72,7 +72,7 @@ def generate(out: str, seed: int, scale: float = 1.0) -> None:
         "c_mktsegment": [SEGMENTS[i] for i in rng.integers(0, 5, n_cust)],
     })
 
-    n_supp = int(100 * scale)
+    n_supp = max(int(100 * scale), 1)
     write("supplier", {
         "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
         "s_name": [f"Supplier#{i:09d}" for i in range(1, n_supp + 1)],
@@ -80,7 +80,7 @@ def generate(out: str, seed: int, scale: float = 1.0) -> None:
         "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
     })
 
-    n_part = int(2000 * scale)
+    n_part = max(int(2000 * scale), 1)
     write("part", {
         "p_partkey": pa.array(range(1, n_part + 1), pa.int64()),
         "p_name": [
@@ -94,7 +94,7 @@ def generate(out: str, seed: int, scale: float = 1.0) -> None:
         "p_retailprice": np.round(rng.uniform(900, 2000, n_part), 2),
     })
 
-    n_ord = int(15000 * scale)
+    n_ord = max(int(15000 * scale), 1)
     odates = _ts(rng, dt.datetime(1995, 1, 1), dt.datetime(2001, 8, 1), n_ord)
     odates = [d.replace(hour=0, minute=0, second=0) for d in odates]
     write("orders", {
@@ -106,7 +106,7 @@ def generate(out: str, seed: int, scale: float = 1.0) -> None:
         "o_orderpriority": [PRIORITIES[i] for i in rng.integers(0, 5, n_ord)],
     })
 
-    n_li = int(60000 * scale)
+    n_li = max(int(60000 * scale), 1)
     okeys = rng.integers(1, n_ord + 1, n_li)
     sdates = _ts(rng, dt.datetime(1995, 1, 2), dt.datetime(2001, 11, 4), n_li)
     sdates = [d.replace(hour=0, minute=0, second=0) for d in sdates]
@@ -124,7 +124,7 @@ def generate(out: str, seed: int, scale: float = 1.0) -> None:
         "l_shipdate": pa.array(sdates, pa.timestamp("us")),
     })
 
-    n_ev = int(10000 * scale)
+    n_ev = max(int(10000 * scale), 1)
     ets = sorted(_ts(rng, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31), n_ev))
     write("events", {
         "event_id": pa.array(range(1, n_ev + 1), pa.int64()),
@@ -135,7 +135,7 @@ def generate(out: str, seed: int, scale: float = 1.0) -> None:
         "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_ev)],
     })
 
-    n_doc = int(500 * scale)
+    n_doc = max(int(500 * scale), 1)
     texts = []
     for _ in range(n_doc):
         n_words = int(rng.integers(10, 100))
@@ -148,7 +148,7 @@ def generate(out: str, seed: int, scale: float = 1.0) -> None:
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
 
-    n_vec = int(500 * scale)
+    n_vec = max(int(500 * scale), 1)
     labels = rng.integers(0, 10, n_vec)
     base = rng.normal(0, 1, (10, 64))
     vecs = (base[labels] + rng.normal(0, 0.8, (n_vec, 64))).astype(np.float32)

@@ -912,3 +912,15 @@ class TestHybridSearchRrf:
         )
         got = llm.hybrid_search_rrf(lex, sem, k=5).collect()
         assert len(got) == 5
+
+
+def test_textrank_empty_graph_returns_empty(spark):
+    """A corpus where no bigram reaches min_count has no graph: the
+    result is empty (word/rank schema preserved), not a division by
+    zero."""
+    docs = spark.createDataFrame(
+        [(1, "each word appears only once here")], ["doc_id", "text"]
+    )
+    out = llm.textrank_keywords(docs, min_count=3)
+    assert out.columns == ["word", "rank"]
+    assert out.count() == 0

@@ -146,3 +146,36 @@ class TestGovernance:
         child = spark.createDataFrame([(1, "x")], ["fk", "v"])
         parent = spark.createDataFrame([(1,), (2,)], ["pk"])
         assert profile.referential_check(child, parent, "fk", "pk").count() == 0
+
+
+def test_robust_outliers_constant_group_flags_nothing(spark):
+    """A group whose MAD is zero (constant values) must yield no rows —
+    not an ANSI DIVIDE_BY_ZERO — matching the SQL oracle's
+    NULL-on-div-0 behavior."""
+    from big_data_in_agriculture_spark.operators.profile import (
+        robust_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("const", 5.0)] * 10 + [("vary", float(v)) for v in
+                                 [1, 2, 3, 2, 1, 2, 3, 2, 1, 400]],
+        ["k", "v"],
+    )
+    out = robust_outliers(df, "k", "v", z_thresh=3.5).collect()
+    assert all(r["k"] == "vary" for r in out)
+    assert len(out) == 1  # the planted 400
+
+
+def test_value_histogram_constant_column_single_bin(spark):
+    """min == max collapses every value into bin 0 on both engines
+    (Spark used to raise; DuckDB's NULL-ignoring least() used to pick
+    the LAST bin)."""
+    from big_data_in_agriculture_spark.operators.profile import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame([(7.0,)] * 5, ["value"])
+    rows = value_histogram(df, "value", bins=20).collect()
+    assert len(rows) == 1
+    assert rows[0]["bin_id"] == 0
+    assert rows[0]["n"] == 5
