@@ -24,7 +24,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
-from selfcheck import canon  # noqa: E402
+from selfcheck import canon, check_bounded  # noqa: E402
 
 
 def main() -> int:
@@ -55,6 +55,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    bounded = getattr(entrymod, 'bounded_oracle', dict)()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -72,8 +73,25 @@ def main() -> int:
             continue
         el = time.time() - t0
         if name not in oracles:
-            print(f"rows-only  {name}: {len(sdf)} rows  ({el:.1f}s)")
-            n_rowsonly += 1
+            spec = bounded.get(name)
+            if spec is None:
+                print(f"rows-only  {name}: {len(sdf)} rows  ({el:.1f}s)")
+                n_rowsonly += 1
+                continue
+            try:
+                odf = con.execute(spec["sql"]).fetchdf()
+                errs = check_bounded(sdf, odf, spec)
+            except Exception:
+                print(f"FAIL(bound)  {name}: bounded oracle raised")
+                traceback.print_exc()
+                n_fail += 1
+                continue
+            if errs:
+                print(f"FAIL(bound)  {name}: " + "; ".join(errs))
+                n_fail += 1
+            else:
+                print(f"PASS(bound)  {name}: {len(sdf)} rows  ({el:.1f}s)")
+                n_pass += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()

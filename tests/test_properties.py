@@ -520,3 +520,39 @@ def test_minhash_kernel_column_parity_on_arbitrary_text(spark, texts):
         for r in docs.select("doc_id", *cols).collect()
     }
     assert kernel == column
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    digits=st.sampled_from([4, 6, 8]),
+)
+def test_quantize_half_away_duckdb_parity(vals, digits):
+    """Property: the Python quantize rule and its generated SQL twin
+    agree bit-for-bit on arbitrary doubles — the contract the
+    iterative-trainer oracles (k-means, classifier) rest on. Includes
+    the dyadic-tie cases hypothesis finds on its own."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from big_data_in_agriculture_spark.operators._util import (
+        quantize_half_away,
+    )
+
+    con = duckdb.connect()
+    exprs = ", ".join(
+        entrymod._quantize_sql(repr(v), digits) for v in vals
+    )
+    got = con.execute(f"SELECT {exprs}").fetchone()
+    for v, g in zip(vals, got):
+        p = quantize_half_away(v, digits)
+        assert g == p or (math.isnan(g) and math.isnan(p)), (v, digits, g, p)
