@@ -21,6 +21,9 @@ PICKS = [
     ("point_in_bbox", "Spatial containment as a lat-banded equi-join with a residual 4-way predicate — the raw containment join would plan a BroadcastNestedLoopJoin. No forced broadcast hint: small config box tables auto-broadcast under the threshold, a large geo grid takes the shuffled path (AQE decides per run)."),
     ("dsir_scores", "DSIR importance scoring: the bucket model (a `buckets`-row aggregate) comes back as a BroadcastHashJoin against the exploded grams — scoring stays map-side + one per-doc partial-aggregated sum; corpus size never inflates the model."),
     ("incremental_rollup", "Materialized-view maintenance: exactly the delta aggregate + the state merge aggregate — no third aggregate over raw history exists in the plan, which is the no-rescan guarantee."),
+    ("semantic_dedup", "SemDeDup (the round-5 gate promotion): after the driver-side Lloyd loop (each iteration one assign+partial-agg scan, shuffle = k x (dim+1) rows/partition — not visible in this final plan), the dedup itself is ONE self-join keyed on cluster id plus a per-pair cosine filter; candidate pairs are confined to clusters, so the quadratic term is (n/k)^2 per cluster, never n^2 global."),
+    ("pack_firstfit", "First-fit-decreasing packing: ONE hash exchange on the md5 doc-bucket, then the per-bucket sequential FFD walk runs inside FlatMapGroupsInPandas (Arrow-batched, O(open bins) state per bucket) — no global sort, no driver loop, bucket count scales with the cluster."),
+    ("bpe_encode", "BPE encode: the trained merge table rides the UDF closure (vocab-sized, broadcast-scale); encoding is a single map-only ArrowEvalPython projection over the corpus scan — zero exchanges at any corpus size."),
 ]
 
 out = ["# PLANS — formatted physical plans of representative queries",
