@@ -282,3 +282,30 @@ def test_rank_suite_single_window_operator(spark, em):
     plan = explain.formatted_plan(df)
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+
+
+def test_semantic_dedup_no_cartesian(spark, em):
+    """SemDeDup's pair generation must stay confined to cluster-keyed
+    equi-joins — a cartesian here is the n^2 plan that dies at scale."""
+    plan = explain.formatted_plan(em.q_semantic_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_firstfit_single_exchange_into_grouped_pandas(spark, em):
+    """Per-bucket FFD: exactly one hash exchange (the md5 doc-bucket)
+    feeds FlatMapGroupsInPandas; a second data exchange would mean the
+    sequential walk stopped being bucket-local."""
+    plan = explain.formatted_plan(em.q_pack_firstfit(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("+- Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_map_only(spark, em):
+    """Encoding is a closure-shipped merge table applied in one
+    ArrowEvalPython projection — zero exchanges at any corpus size."""
+    df = em.queries()["bpe_encode"](spark, SF)
+    plan = explain.formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
