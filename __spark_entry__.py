@@ -743,8 +743,12 @@ c AS (
 ),
 scored AS (
     SELECT query_id, neighbor_id,
-           round(list_dot_product(qv, cv)
-                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+           round(CASE WHEN (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))) > 0
+                      THEN list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)))
+                      ELSE 0.0 END,
                  6) AS cosine_sim
     FROM q, c
     WHERE neighbor_id <> query_id
@@ -931,9 +935,12 @@ bb AS (
 ),
 cand AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           max(round(list_dot_product(q.v, c.v)
-                     / (sqrt(list_dot_product(q.v, q.v))
-                        * sqrt(list_dot_product(c.v, c.v))), 6)) AS cosine_sim
+           max(round(CASE WHEN (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(c.v, c.v))) > 0
+                            THEN list_dot_product(q.v, c.v)
+                                 / (sqrt(list_dot_product(q.v, q.v))
+                                    * sqrt(list_dot_product(c.v, c.v)))
+                            ELSE 0.0 END, 6)) AS cosine_sim
     FROM bb q JOIN bb c ON q.tbl = c.tbl AND q.bucket = c.bucket
     WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
     GROUP BY q.vec_id, c.vec_id
@@ -1353,9 +1360,17 @@ WITH u AS (
 ),
 p AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+           round(CASE WHEN (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                  a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]))) > 0
+                      THEN list_dot_product(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])
+                           / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                    a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[])))
+                      ELSE 0.0 END,
                  6) AS cosine_sim
     FROM u a JOIN u b ON a.vec_id < b.vec_id
 )
@@ -1774,9 +1789,12 @@ probed AS (
 ),
 cand AS (
     SELECT p.query_id, a.neighbor_id,
-           max(round(list_dot_product(q.v, c.v)
-                     / (sqrt(list_dot_product(q.v, q.v))
-                        * sqrt(list_dot_product(c.v, c.v))), 6)) AS cosine_sim
+           max(round(CASE WHEN (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(c.v, c.v))) > 0
+                            THEN list_dot_product(q.v, c.v)
+                                 / (sqrt(list_dot_product(q.v, q.v))
+                                    * sqrt(list_dot_product(c.v, c.v)))
+                            ELSE 0.0 END, 6)) AS cosine_sim
     FROM probed p
     JOIN assigned a ON p.cluster = a.cluster
     JOIN e q ON q.vec_id = p.query_id
@@ -2272,11 +2290,15 @@ LIMIT 20
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plant formatting-variant duplicates: an uppercased copy of every
     # doc shares the normalized fingerprint; quality ties, so the
-    # doc_id tie-break must keep the original
+    # doc_id tie-break must keep the original. ASCII-only translate,
+    # NOT upper(): the engines' unicode case maps disagree (Java
+    # upper('ß') = 'SS', DuckDB keeps 'ß'), so a unicode-planted
+    # variant would round-trip through lower() on one engine and not
+    # the other — found by the adversarial-values fuzz corpus.
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     variants = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.upper(F.col("text")).alias("text"),
+        F.translate(F.col("text"), "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ").alias("text"),
     )
     out = llm.dedup_keep_best(docs.unionByName(variants))
     return out.select("doc_id").orderBy("doc_id")
@@ -2286,7 +2308,9 @@ _KEEP_BEST_SQL = """
 WITH all_docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000, upper(text) FROM documents
+    SELECT doc_id + 1000000,
+           translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
+    FROM documents
 ),
 scored AS (
     SELECT doc_id,
@@ -5056,13 +5080,18 @@ pairs AS (
 )
 SELECT label_a, label_b,
        CAST(round(
-           list_reduce(list_transform(range(len(ca)),
-                                      i -> ca[i + 1] * cb[i + 1]),
-                       (x, y) -> x + y)
-           / (sqrt(list_reduce(list_transform(ca, v -> v * v),
-                               (x, y) -> x + y))
-              * sqrt(list_reduce(list_transform(cb, v -> v * v),
-                                 (x, y) -> x + y))), 6) AS FLOAT)
+           CASE WHEN (sqrt(list_reduce(list_transform(ca, v -> v * v),
+                                       (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(cb, v -> v * v),
+                                         (x, y) -> x + y))) > 0
+                THEN list_reduce(list_transform(range(len(ca)),
+                                                i -> ca[i + 1] * cb[i + 1]),
+                                 (x, y) -> x + y)
+                     / (sqrt(list_reduce(list_transform(ca, v -> v * v),
+                                         (x, y) -> x + y))
+                        * sqrt(list_reduce(list_transform(cb, v -> v * v),
+                                           (x, y) -> x + y)))
+                ELSE 0.0 END, 6) AS FLOAT)
            AS centroid_cosine
 FROM pairs
 ORDER BY label_a, label_b
@@ -5149,7 +5178,9 @@ dup AS (
     SELECT DISTINCT y.vec_id
     FROM withv x JOIN withv y
       ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-    WHERE {dot} / ({nx} * {ny}) >= {threshold}
+    WHERE CASE WHEN ({nx} * {ny}) > 0
+               THEN {dot} / ({nx} * {ny})
+               ELSE 0.0 END >= {threshold}
 )
 SELECT a.vec_id, a.cluster FROM af a
 WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
@@ -6055,10 +6086,14 @@ sem AS (
     SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rs
     FROM (
         SELECT e.vec_id AS doc_id,
-               round(list_dot_product(e.embedding::DOUBLE[], qv.q)
-                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                              e.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(qv.q, qv.q))), 6) AS cos
+               round(CASE WHEN (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                      e.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(qv.q, qv.q))) > 0
+                          THEN list_dot_product(e.embedding::DOUBLE[], qv.q)
+                               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                        e.embedding::DOUBLE[]))
+                                  * sqrt(list_dot_product(qv.q, qv.q)))
+                          ELSE 0.0 END, 6) AS cos
         FROM embeddings e, qv WHERE e.vec_id <> 0
     )
     QUALIFY rs <= 20

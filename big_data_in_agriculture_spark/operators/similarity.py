@@ -58,9 +58,16 @@ def with_l2_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def cosine(a, b) -> F.Column:
-    """Cosine similarity of two array columns, computed in float64."""
+    """Cosine similarity of two array columns, computed in float64.
+
+    A zero-magnitude vector (padding rows, dead embeddings — they DO
+    occur in real corpora) has undefined cosine; the convention here
+    is 0.0, guarded explicitly so ANSI mode doesn't raise
+    DIVIDE_BY_ZERO. Every SQL oracle that divides by norms carries the
+    same CASE so both engines rank such rows identically."""
     da, db = _dvec(a), _dvec(b)
-    return _dot(da, db) / (_norm(da) * _norm(db))
+    denom = _norm(da) * _norm(db)
+    return F.when(denom > 0, _dot(da, db) / denom).otherwise(F.lit(0.0))
 
 
 def knn_bruteforce(

@@ -1,0 +1,89 @@
+"""Adversarial-VALUES clone of a testdata dir (vs fuzzdata's seeds).
+
+fuzzdata.py varies seeds and row counts but keeps the generator's
+benign distributions; this script clones an existing sf dir and
+appends the hostile rows a real 100 TB corpus certainly contains:
+
+- documents: empty text, a single-token doc, an all-same-token doc,
+  a non-ASCII doc (the unicode case-map trap), a one-character doc
+- events: a burst of CONSTANT-value events for one type (zero MAD,
+  zero variance, zero-width histograms) plus a zero-value event
+- embeddings: a zero-magnitude vector and a constant vector (cosine
+  0/0 and norm edge cases)
+
+Round-5 finds from this corpus: ANSI DIVIDE_BY_ZERO in every
+cosine-dividing operator on the zero vector; Java-vs-DuckDB unicode
+case maps disagreeing on 'ss' (upper('ss') = 'SS' only in Java),
+which broke dedup_keep_best's planted-variant parity.
+
+Usage:
+    python scripts/advdata.py /tmp/fuzz_adv [--src /root/testdata/sf0.001]
+    python scripts/selfcheck.py /tmp/fuzz_adv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+PASSTHROUGH = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+]
+
+
+def generate(out: str, src: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in PASSTHROUGH:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/documents.parquet')
+  UNION ALL SELECT 900001, '', 'en', 'adv', 0
+  UNION ALL SELECT 900002, 'solo', 'en', 'adv', 4
+  UNION ALL SELECT 900003,
+      'same same same same same same same same', 'en', 'adv', 39
+  UNION ALL SELECT 900004, 'café naïve über straße élève', 'fr', 'adv', 28
+  UNION ALL SELECT 900005, 'a', 'de', 'adv', 1
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/events.parquet')
+  UNION ALL
+  SELECT 900000 + i,
+         TIMESTAMP '2024-03-01 00:00:00' + INTERVAL (i) MINUTE,
+         424242, 'advtype', 7.0, '{{}}'
+  FROM range(12) t(i)
+  UNION ALL SELECT 910000, TIMESTAMP '2024-03-02 00:00:00',
+                   424243, 'advtype', 0.0, '{{}}'
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+
+    dim = con.execute(
+        f"SELECT len(embedding) FROM read_parquet('{src}/embeddings.parquet')"
+        " LIMIT 1"
+    ).fetchone()[0]
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/embeddings.parquet')
+  UNION ALL SELECT 900001, [0.0::FLOAT FOR i IN range({dim})], 0
+  UNION ALL SELECT 900002, [1.0::FLOAT FOR i IN range({dim})], 1
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out")
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    a = ap.parse_args()
+    generate(a.out, a.src)
+    print(f"wrote adversarial tables to {a.out} (src={a.src})")

@@ -347,3 +347,23 @@ def test_quantize_half_away_matches_duckdb_on_decimal_ties():
             sql = entrymod._quantize_sql(repr(v), digits)
             got = con.execute(f"SELECT {sql}").fetchone()[0]
             assert got == quantize_half_away(v, digits), (v, digits)
+
+
+def test_cosine_zero_vector_is_zero_not_error(spark):
+    """Zero-magnitude vectors (padding rows, dead embeddings) have
+    undefined cosine; the contract is 0.0 on both engines — ANSI mode
+    must not raise, and the DuckDB oracles carry the matching CASE."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, 2.0]), (3, [2.0, 4.0, 4.0])],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.knn_bruteforce(df, df.filter("vec_id = 1"), k=2).collect()
+    assert [(r["neighbor_id"], r["cosine_sim"]) for r in out] == [
+        (2, 0.0), (3, 0.0)
+    ]
+    # nonzero pair still exact
+    sims = {
+        r["neighbor_id"]: r["cosine_sim"]
+        for r in similarity.knn_bruteforce(df, df.filter("vec_id = 2"), k=2).collect()
+    }
+    assert sims[3] == 1.0 and sims[1] == 0.0
