@@ -577,6 +577,11 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
+-- HAVING: on an EMPTY input ANSI grouping sets still emit the ()
+-- grand-total row (count 0) but Spark's rollup/cube/groupingSets emit
+-- nothing; the count guard is a no-op on non-empty inputs (every
+-- grouping row aggregates >= 1 source row) and aligns the engines
+HAVING count(*) > 0
 ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 """
 
@@ -1088,6 +1093,7 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(sum(o_totalprice) AS FLOAT) AS total_price
 FROM orders
 GROUP BY CUBE(o_orderpriority, o_orderstatus)
+HAVING count(*) > 0  -- see _ROLLUP_SQL: Spark emits no rows on empty input
 ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
@@ -1998,6 +2004,7 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(sum(o_totalprice) AS FLOAT) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+HAVING count(*) > 0  -- see _ROLLUP_SQL: Spark emits no rows on empty input
 ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
 """
 
@@ -4380,9 +4387,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (out, prev) string accumulator (_bpe_train_sql). No floats, no
     # quantization needed.
     merges = llm.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+    # explicit schema: an empty corpus trains zero merges, and
+    # createDataFrame cannot infer types from an empty list
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
-        ["merge_rank", "left", "right"],
+        "merge_rank long, left string, right string",
     )
 
 
@@ -5423,6 +5432,7 @@ SELECT lang, source,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+HAVING count(*) > 0  -- see _ROLLUP_SQL: Spark emits no rows on empty input
 ORDER BY gid, lang, source
 """
 

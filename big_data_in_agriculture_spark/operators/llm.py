@@ -1803,6 +1803,8 @@ def quality_floor_filter(
     cutoff = scored.agg(
         F.expr(f"percentile(_q, {float(drop_frac)!r})").alias("c")
     ).first()["c"]
+    if cutoff is None:  # empty corpus: no quantile, nothing to keep
+        return scored.filter(F.lit(False)).drop("_q")
     return scored.filter(F.col("_q") >= float(cutoff)).drop("_q")
 
 
@@ -2691,9 +2693,18 @@ def bm25_search_indexed(
     if not terms:
         raise ValueError("bm25_search_indexed: empty query")
 
-    postings = spark.read.parquet(f"{index_path}/postings")
-    docstats = spark.read.parquet(f"{index_path}/docstats")
-    stats = spark.read.parquet(f"{index_path}/corpusstats")
+    # explicit schemas: the index layout is fixed, so the reader never
+    # samples footers — and an index built from an EMPTY corpus (no
+    # parquet files under the partitioned postings dir) stays readable
+    postings = spark.read.schema(
+        "token string, doc_id long, tf double, tok_prefix string"
+    ).parquet(f"{index_path}/postings")
+    docstats = spark.read.schema("doc_id long, dl double").parquet(
+        f"{index_path}/docstats"
+    )
+    stats = spark.read.schema("n_docs double, total_len double").parquet(
+        f"{index_path}/corpusstats"
+    )
 
     matched = (
         postings.filter(F.col("token").isin(terms))
@@ -2717,7 +2728,15 @@ def bm25_search_indexed(
     )
     df_map = {r["token"]: r["df"] for r in dfreqs.collect()}
     srow = stats.first()
-    n_docs, total_len = srow["n_docs"], srow["total_len"]
+    n_docs = srow["n_docs"] if srow is not None else 0.0
+    total_len = srow["total_len"] if srow is not None else None
+    if not n_docs or total_len is None:
+        # index built from an empty corpus: no stats, no matches
+        return scored.select(
+            "doc_id",
+            F.lit(0.0).cast("float").alias("score"),
+            F.lit(0).cast("int").alias("rank"),
+        ).filter(F.lit(False))
     avgdl = total_len / n_docs
 
     score: Column = F.lit(0.0)

@@ -409,7 +409,9 @@ def hll_rollup(
     )
     union = sketches.agg(
         F.lit("__all__").alias("group"),
-        F.sum("n_rows").alias("n_rows"),
+        # coalesce: SUM over zero groups is NULL, but the union row's
+        # row count over an empty input is 0 (matches count(*))
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
         F.hll_sketch_estimate(
             F.hll_union_agg("_sk", F.lit(False))
         ).alias("approx_distinct"),

@@ -310,6 +310,13 @@ def knn_ivf(
         corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
     )
     cents = [[float(x) for x in row[vec_col]] for row in cent_rows]
+    if not cents:  # empty corpus: no index cells, no neighbors
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).cast("double").alias("cosine_sim"),
+            F.lit(0).cast("int").alias("rank"),
+        ).filter(F.lit(False))
 
     # argmin / top-probe via ONE array_sort over (d, cid) structs from a
     # single nested-array centroid literal (_centroid_dist_pairs): the
@@ -518,6 +525,8 @@ def kmeans_fit(
         embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     cents = [[float(x) for x in r[vec_col]] for r in init]
+    if not cents:  # empty corpus: no centroids, no iterations
+        return []
 
     def dist_pairs(vec, cent_list) -> F.Column:
         return _centroid_dist_pairs(vec, cent_list)
@@ -566,6 +575,10 @@ def kmeans_assign(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid — pure projection."""
+    if not centroids:  # empty model (fit on an empty corpus)
+        return embeddings.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cluster")
+        ).filter(F.lit(False))
     pairs = _centroid_dist_pairs(F.col(vec_col), centroids)
     return embeddings.select(
         F.col(id_col), F.array_sort(pairs)[0]["cid"].alias("cluster")

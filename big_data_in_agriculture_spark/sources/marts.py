@@ -46,6 +46,39 @@ def _with_year_month(df: DataFrame, time_col: str) -> DataFrame:
     )
 
 
+def _write_schema_sidecar(df: DataFrame, root: str) -> None:
+    """Persist the mart schema as ``_schema.json`` next to the data.
+
+    Two reasons: (1) an EMPTY mart write under partitionBy produces no
+    parquet files at all, so a later read has nothing to infer a
+    schema from and fails — the sidecar keeps empty marts readable;
+    (2) at 100 TB the reader skips footer sampling entirely and plans
+    straight from the recorded schema. Atomic via write-temp+rename —
+    the same publish trick the CDS downloads use.
+    """
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, "_schema.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(json.loads(df.schema.json()), f)
+    os.replace(tmp, os.path.join(root, "_schema.json"))
+
+
+def _read_schema_sidecar(root: str):
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    path = os.path.join(root, "_schema.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return StructType.fromJson(json.load(f))
+
+
 def write_hourly_mart(df: DataFrame, root: str, mode: str = "overwrite") -> None:
     """K1: hourly mart partitioned by (region, year, month).
 
@@ -63,6 +96,7 @@ def write_hourly_mart(df: DataFrame, root: str, mode: str = "overwrite") -> None
         .partitionBy(*HOURLY_PARTITIONS)
         .parquet(root)
     )
+    _write_schema_sidecar(out, root)
 
 
 def write_daily_mart(df: DataFrame, root: str, mode: str = "overwrite") -> None:
@@ -76,6 +110,7 @@ def write_daily_mart(df: DataFrame, root: str, mode: str = "overwrite") -> None:
         .partitionBy(*DAILY_PARTITIONS)
         .parquet(root)
     )
+    _write_schema_sidecar(out, root)
 
 
 def refresh_daily_mart(
@@ -118,7 +153,9 @@ def read_mart(
     mart touches only that region's files (verify with
     ``plans.explain.partition_filters``).
     """
-    df = spark.read.parquet(root)
+    schema = _read_schema_sidecar(root)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(root)
     if regions is not None:
         df = df.filter(F.col("region").isin(regions))
     if year is not None:

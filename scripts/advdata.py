@@ -13,11 +13,13 @@ appends the hostile rows a real 100 TB corpus certainly contains:
 
 Round-5 finds from this corpus: ANSI DIVIDE_BY_ZERO in every
 cosine-dividing operator on the zero vector; Java-vs-DuckDB unicode
-case maps disagreeing on 'ss' (upper('ss') = 'SS' only in Java),
+case maps disagreeing on eszett (upper('straße') = 'STRASSE' only in
+Java; DuckDB keeps the sharp s),
 which broke dedup_keep_best's planted-variant parity.
 
 Usage:
     python scripts/advdata.py /tmp/fuzz_adv [--src /root/testdata/sf0.001]
+    python scripts/advdata.py /tmp/fuzz_empty --empty   # all tables empty
     python scripts/selfcheck.py /tmp/fuzz_adv
 """
 
@@ -31,6 +33,23 @@ import duckdb
 PASSTHROUGH = [
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
 ]
+
+
+ALL_TABLES = PASSTHROUGH + ["events", "documents", "embeddings"]
+
+
+def generate_empty(out: str, src: str) -> None:
+    """Schema-preserving EMPTY clones of every table — the
+    empty-partition / filtered-to-nothing axis (round-5 finds: 12
+    operators crashed or diverged; see the degenerate-input commits).
+    """
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0)"
+            f" TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
 
 
 def generate(out: str, src: str) -> None:
@@ -84,6 +103,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
     ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--empty", action="store_true")
     a = ap.parse_args()
-    generate(a.out, a.src)
-    print(f"wrote adversarial tables to {a.out} (src={a.src})")
+    if a.empty:
+        generate_empty(a.out, a.src)
+        print(f"wrote EMPTY tables to {a.out} (src={a.src})")
+    else:
+        generate(a.out, a.src)
+        print(f"wrote adversarial tables to {a.out} (src={a.src})")

@@ -259,3 +259,24 @@ def test_small_file_report_flags_fragmented_partition(spark, tmp_path):
     # worst partition sorts first
     first = marts.small_file_report(spark, root).first()
     assert first["partition"] == "p=frag"
+
+
+def test_empty_mart_roundtrips_via_schema_sidecar(spark, tmp_path):
+    """Writing an EMPTY mart under partitionBy produces zero parquet
+    files; the _schema.json sidecar keeps the mart readable (and lets
+    any reader skip footer sampling)."""
+    import datetime as dt
+
+    from big_data_in_agriculture_spark.sources.marts import (
+        read_mart,
+        write_hourly_mart,
+    )
+
+    df = spark.createDataFrame(
+        [("r1", dt.datetime(2024, 1, 1), 1.0)], ["region", "ts", "t2m"]
+    ).filter("1 = 0")
+    root = str(tmp_path / "hourly")
+    write_hourly_mart(df, root)
+    back = read_mart(spark, root)
+    assert back.count() == 0
+    assert set(back.columns) == {"region", "ts", "t2m", "year", "month"}

@@ -179,3 +179,16 @@ def test_value_histogram_constant_column_single_bin(spark):
     assert len(rows) == 1
     assert rows[0]["bin_id"] == 0
     assert rows[0]["n"] == 5
+
+
+def test_hll_rollup_empty_input_union_row(spark):
+    """The '__all__' union row over an empty input counts 0 rows (not
+    NULL) with a 0 distinct estimate — the shape the bounded oracle
+    checks against count(*)."""
+    from big_data_in_agriculture_spark.operators.profile import hll_rollup
+
+    empty = spark.createDataFrame([], "event_type string, user_id long")
+    rows = hll_rollup(empty, "event_type", "user_id").collect()
+    assert [(r["group"], r["n_rows"], r["approx_distinct"]) for r in rows] == [
+        ("__all__", 0, 0)
+    ]
