@@ -62,12 +62,18 @@ def cosine(a, b) -> F.Column:
 
     A zero-magnitude vector (padding rows, dead embeddings — they DO
     occur in real corpora) has undefined cosine; the convention here
-    is 0.0, guarded explicitly so ANSI mode doesn't raise
-    DIVIDE_BY_ZERO. Every SQL oracle that divides by norms carries the
-    same CASE so both engines rank such rows identically."""
+    is 0.0. try_divide + coalesce, not when(denom > 0, ...): the
+    when() form repeats the norm aggregates in condition and division
+    (structural duplication an optimizer may or may not eliminate —
+    A/B runs at sf0.1 are dominated by JIT drift either way), while
+    try_divide evaluates the denominator exactly once and yields NULL
+    on zero, which coalesce pins to 0.0. Every SQL oracle that
+    divides by norms carries the matching CASE so both engines rank
+    such rows identically."""
     da, db = _dvec(a), _dvec(b)
-    denom = _norm(da) * _norm(db)
-    return F.when(denom > 0, _dot(da, db) / denom).otherwise(F.lit(0.0))
+    return F.coalesce(
+        F.try_divide(_dot(da, db), _norm(da) * _norm(db)), F.lit(0.0)
+    )
 
 
 def knn_bruteforce(
