@@ -740,11 +740,15 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_SQL = """
 WITH q AS (
+    -- NULL embeddings are excluded on both engines (the Spark side
+    -- filters them before the broadcast join; DuckDB's
+    -- list_dot_product would raise on NULL)
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-    FROM embeddings WHERE vec_id < 10
+    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
 ),
 c AS (
-    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 scored AS (
     SELECT query_id, neighbor_id,
@@ -775,7 +779,12 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORMS_SQL = """
 WITH n AS (
-    SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
+    -- NULL embedding -> NULL norm (row still counted), matching the
+    -- Spark side; bare list_dot_product(NULL) raises in DuckDB
+    SELECT label,
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) END AS l2
     FROM embeddings
 )
 SELECT label,
@@ -929,7 +938,9 @@ def _knn_lsh_sql(
     structs = ",\n        ".join(tbl_structs)
     return f"""
 WITH e AS (
+    -- NULL embeddings can't be bucketed; excluded on both engines
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 bb AS (
     SELECT vec_id, v, u.tbl AS tbl, u.bucket AS bucket FROM (
@@ -1187,6 +1198,7 @@ WITH win AS (
                AS window_start,
            event_type, value
     FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+    WHERE ts IS NOT NULL  -- unwindowable; Spark's window() drops them
 )
 SELECT window_start,
        window_start + INTERVAL 1 DAY AS window_end,
@@ -1248,7 +1260,9 @@ SELECT event_type,
        min(value) AS value_min,
        max(value) AS value_max,
        CAST(sum(value) AS FLOAT) AS value_sum
-FROM events GROUP BY 1, 2
+FROM events
+WHERE ts IS NOT NULL  -- unwindowable; Spark's window() drops them
+GROUP BY 1, 2
 """
 
 
@@ -1280,7 +1294,7 @@ SELECT doc_id AS asset_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        sha256(text) AS payload_sha,
        CAST(octet_length(encode(text)) AS INTEGER) AS width,
-       1 AS height
+       CASE WHEN text IS NULL THEN NULL ELSE 1 END AS height
 FROM documents
 """
 
@@ -1544,6 +1558,7 @@ WITH flags AS (
                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
+    WHERE ts IS NOT NULL  -- unwindowable; Spark's session_window drops them
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
@@ -1668,9 +1683,12 @@ def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_CLEANING_SQL = r"""
 WITH raw AS (
+    -- '||', not concat(): DuckDB's concat() SKIPS NULL args while
+    -- Spark's concat yields NULL; || propagates NULL on both engines,
+    -- so a NULL-text doc cleans to NULL everywhere
     SELECT doc_id,
-           concat('<div class=''x''>intro</div> ', text,
-                  ' contact: agent.7@example.com id 1234567 end') AS raw
+           '<div class=''x''>intro</div> ' || text ||
+           ' contact: agent.7@example.com id 1234567 end' AS raw
     FROM documents
 ),
 shingled AS (
@@ -1689,7 +1707,9 @@ SELECT doc_id,
        trim(regexp_replace(regexp_replace(raw, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS stripped,
        regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                       '[0-9]{5,}', '<NUM>', 'g') AS masked,
-       1.0 - CAST(nd AS DOUBLE) / CAST(total AS DOUBLE) AS repetition
+       CASE WHEN raw IS NULL THEN NULL
+            ELSE 1.0 - CAST(nd AS DOUBLE) / CAST(total AS DOUBLE)
+       END AS repetition  -- NULL in -> NULL ratio (repetition_ratio)
 FROM sh
 """
 
@@ -2151,6 +2171,7 @@ WITH m AS (
            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dr
     FROM documents
+    WHERE text IS NOT NULL  -- no content to gate; Spark side filters too
 )
 SELECT doc_id, n_tokens,
        CAST(dr AS FLOAT) AS distinct_ratio,
@@ -2987,7 +3008,8 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SUBSTR_DEDUP_SQL = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE text IS NOT NULL),
 grams AS (
     SELECT doc_id, i + 1 AS pos, md5(array_to_string(t[i+1:i+6], ' ')) AS gh
     FROM toks, unnest(range(CASE WHEN len(t) >= 6 THEN len(t) - 5 ELSE 0 END)) u(i)
@@ -3014,6 +3036,7 @@ LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
            FROM kept GROUP BY doc_id) k USING (doc_id)
 LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
            FROM covered GROUP BY doc_id) c USING (doc_id)
+WHERE d.text IS NOT NULL  -- excluded on both engines (no content)
 """
 
 
@@ -3291,6 +3314,7 @@ WITH win AS (
                            * 7200) * 1000000) AS window_start,
            event_type AS item
     FROM events CROSS JOIN (SELECT unnest(range(3)) AS i)
+    WHERE ts IS NOT NULL  -- unwindowable; Spark's window() drops them
 ),
 counts AS (
     SELECT window_start, item, count(*) AS n_events
@@ -3884,7 +3908,9 @@ _CUMULATIVE_USERS_SQL = """
 WITH first_seen AS (
     SELECT event_type AS segment, user_id,
            date_trunc('day', min(ts)) AS day
-    FROM events GROUP BY 1, 2
+    FROM events
+    WHERE ts IS NOT NULL  -- no day to place the user on; Spark filters too
+    GROUP BY 1, 2
 ),
 per_day AS (
     SELECT segment, day, count(*) AS new_users
@@ -4723,6 +4749,7 @@ WITH RECURSIVE s AS MATERIALIZED (
                ORDER BY CAST(len(string_split(text, ' ')) AS BIGINT) DESC,
                         doc_id) AS rn
     FROM documents
+    WHERE text IS NOT NULL  -- nothing to pack; Spark side filters too
 ),
 r AS (
     SELECT b, rn, doc_id, n_tokens,
@@ -5352,6 +5379,7 @@ WITH fp AS (
     SELECT doc_id, source,
            sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
     FROM documents
+    WHERE text IS NOT NULL  -- no fingerprint; Spark side filters too
 )
 SELECT doc_id, source FROM fp
 WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 3 = 0)
@@ -5482,7 +5510,9 @@ def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update far above gradient fold-order and libm-exp ulp jitter, so
     # the 8 descent steps unroll into exact DuckDB CTEs
     # (_classifier_quality_sql) — same trick as kmeans_clusters.
-    docs = _t(spark, sf_dir, "documents")
+    # NULL-text docs can be neither weakly labeled nor featurized —
+    # excluded on both engines (classifier_train filters too)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     from big_data_in_agriculture_spark.functions import text as TXF
 
     weak = TXF.quality_score("text") > 4.0
@@ -5541,6 +5571,7 @@ def _classifier_quality_sql(
            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
            list_transform(string_split(text, ' '), t -> {bucket}) AS bk
     FROM documents
+    WHERE text IS NOT NULL  -- Spark side filters too
 ),
 nd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM f),
 w0 AS MATERIALIZED (SELECT CAST(t.j AS INT) AS j, 0.0 AS wj FROM range(0, {dim}) t(j)),
@@ -5676,6 +5707,7 @@ WITH o AS (
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND 1 PRECEDING), 0) AS off
     FROM documents
+    WHERE text IS NOT NULL  -- nothing to shard; Spark side filters too
 )
 SELECT CAST(floor(off / 2000) AS BIGINT) AS shard,
        count(*) AS n_docs,
@@ -5717,6 +5749,7 @@ WITH s AS (
            string_split(text, ' ') AS tk,
            CAST(greatest(length(text), 1) AS DOUBLE) AS nc
     FROM documents
+    WHERE text IS NOT NULL  -- no content to gate; Spark side filters too
 ), g AS (
     SELECT doc_id, ls, nc,
            {grams(2)} AS g2, {grams(3)} AS g3, {grams(4)} AS g4

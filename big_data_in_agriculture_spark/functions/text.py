@@ -161,10 +161,15 @@ def repetition_ratio(text: Column | str, k: int = 3) -> Column:
     has a ratio near 0. Uses the total shingle count max(n−k+1, 1) vs
     the distinct set word_shingles produces.
     """
+    c = F.col(text) if isinstance(text, str) else text
     nt = n_tokens(text)
     total = F.greatest(nt - F.lit(k - 1), F.lit(1)).cast("double")
     distinct = F.size(word_shingles(text, k)).cast("double")
-    return F.lit(1.0) - distinct / total
+    # NULL text -> NULL ratio (the unguarded arithmetic produced an
+    # arbitrary engine-dependent value via greatest/size NULL quirks)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+        F.lit(1.0) - distinct / total
+    )
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -178,6 +178,9 @@ def cumulative_unique_users(
 
     Emits (segment, day, new_users, cum_users).
     """
+    # events without a timestamp can't place a user on a day; dropped
+    # (oracle: IS NOT NULL)
+    events = events.filter(F.col(ts_col).isNotNull())
     first_seen = events.groupBy(
         F.col(segment_col).alias("segment"), F.col(user_col)
     ).agg(F.date_trunc("day", F.min(ts_col)).alias("day"))

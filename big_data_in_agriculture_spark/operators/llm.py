@@ -730,6 +730,9 @@ def quality_filter(
     would shuffle). distinct_ratio is an exact integer ratio, so the
     threshold comparison is engine-deterministic.
     """
+    # NULL text carries no content to assess — excluded, mirrored by
+    # IS NOT NULL in the oracle SQL
+    docs = docs.filter(F.col(text_col).isNotNull())
     nt = TX.n_tokens(text_col)
     dr = TX.n_distinct_tokens(text_col).cast("double") / nt.cast("double")
     reason = (
@@ -1520,7 +1523,8 @@ def pack_firstfit(
     recursive CTE (``_pack_firstfit_sql``).
     """
     n_tok = F.size(TX.tokens(text_col)).cast("long")
-    slim = docs.select(
+    # NULL text has no tokens to pack — excluded (oracle: IS NOT NULL)
+    slim = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         n_tok.alias("n_tokens"),
         feature_bucket(F.col(id_col).cast("string"), n_buckets).alias("_b"),
@@ -1772,6 +1776,10 @@ def crosscorpus_dedup(
     a shuffled anti-join on the same uniform key — either way nothing
     quadratic and no skew by construction.
     """
+    # NULL text has no fingerprint; excluded on both sides (the SQL
+    # twin's NOT IN would otherwise NULL-filter it differently)
+    docs = docs.filter(F.col(text_col).isNotNull())
+    reference = reference.filter(F.col(text_col).isNotNull())
     ref_fp = reference.select(TX.fingerprint(text_col).alias("_fp")).distinct()
     return (
         docs.withColumn("_fp", TX.fingerprint(text_col))
@@ -1981,7 +1989,9 @@ def classifier_train(
 
     Returns (weights, bias).
     """
-    feats = docs.select(
+    # NULL text has no features and no assessable label — excluded
+    # (oracle: IS NOT NULL)
+    feats = docs.filter(F.col(text_col).isNotNull()).select(
         label.cast("double").alias("y"),
         TX.n_tokens(text_col).cast("double").alias("n"),
         F.transform(
@@ -2130,7 +2140,8 @@ def repetition_filter(
             idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
         )
 
-    staged = docs.select(
+    # NULL text carries no content to gate — excluded (oracle: IS NOT NULL)
+    staged = docs.filter(F.col(text_col).isNotNull()).select(
         "doc_id",
         F.greatest(F.length(text_col), F.lit(1)).cast("double").alias("_nc"),
         TX.lines(text_col).alias("_ls"),
@@ -2362,7 +2373,11 @@ def substring_dedup(
 
     md5 (not xxhash64) keys keep the SQL oracle bit-identical; a
     deployment chasing the last 2x swaps in xxhash64.
+
+    NULL-text docs carry no spans to dedup and are excluded (the
+    oracle carries the matching IS NOT NULL).
     """
+    docs = docs.filter(F.col(text_col).isNotNull())
     import hashlib
 
     import pandas as pd

@@ -90,6 +90,22 @@ def extract_features(
         for pdf in batches:
             out = []
             for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    # NULL payload (failed fetch/decode upstream): keep
+                    # the asset row visible with NULL features — the
+                    # quarantine-not-crash contract, and what the SQL
+                    # twin's length(NULL)/sha(NULL) produce
+                    out.append(
+                        {
+                            "asset_id": int(aid),
+                            "n_bytes": None,
+                            "payload_sha": None,
+                            "width": None,
+                            "height": None,
+                            "feature": None,
+                        }
+                    )
+                    continue
                 raw = bytes(payload)
                 w, h, feat = kernel(raw)
                 out.append(

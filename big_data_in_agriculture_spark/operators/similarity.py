@@ -91,10 +91,10 @@ def knn_bruteforce(
     BEFORE ranking and tie-broken by neighbor id, so the returned set
     is deterministic across engines and partitionings.
     """
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = _fan_out(corpus).select(
+    c = _fan_out(corpus.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     sim = cosine(F.col("q_vec"), F.col("c_vec"))
@@ -209,6 +209,11 @@ def _bucketize(
     """
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
+
+    # NULL embeddings (padding/failed-encode rows) can't be bucketed —
+    # they'd shear the batch matmul; convention: excluded, mirrored by
+    # IS NOT NULL in the oracle SQL
+    df = df.filter(F.col(vec_col).isNotNull())
 
     planes = np.array(
         [

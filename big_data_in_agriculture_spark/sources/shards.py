@@ -43,6 +43,8 @@ def assign_shards(
     documents straddling a boundary stay whole in their starting shard,
     so shard token counts vary by at most one document from the target.
     """
+    # NULL text has no tokens: nothing to shard (oracle: IS NOT NULL)
+    docs = docs.filter(F.col(text_col).isNotNull())
     offsets = pack_chunks(
         docs, chunk_len=tokens_per_shard, text_col=text_col, id_col=id_col
     ).select(id_col, "n_tokens", F.col("first_chunk").alias("shard"))

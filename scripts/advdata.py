@@ -52,6 +52,43 @@ def generate_empty(out: str, src: str) -> None:
         )
 
 
+def generate_nulls(out: str, src: str) -> None:
+    """Clones with NULL rows planted: a NULL-text document, a NULL-ts
+    and a NULL-value event, a NULL embedding. Round-5 finds: 19
+    operators crashed or diverged; the adopted conventions are
+    NULL-in -> NULL-out for pure column functions and "rows with NULL
+    in the operator's required input are excluded" for content
+    processors (dedup, gates, packing, training) and time windows —
+    each mirrored by IS NOT NULL / CASE in the oracle SQL."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in PASSTHROUGH:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/documents.parquet')
+  UNION ALL SELECT 910001, NULL, 'en', 'adv', 0
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/events.parquet')
+  UNION ALL SELECT 920000, TIMESTAMP '2024-03-01 12:00:00', 424244,
+                   'click', NULL, '{{}}'
+  UNION ALL SELECT 920001, NULL, 424245, 'view', 5.0, '{{}}'
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/embeddings.parquet')
+  UNION ALL SELECT 910001, NULL, 2
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+
 def generate(out: str, src: str) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -104,10 +141,14 @@ if __name__ == "__main__":
     ap.add_argument("out")
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--empty", action="store_true")
+    ap.add_argument("--nulls", action="store_true")
     a = ap.parse_args()
     if a.empty:
         generate_empty(a.out, a.src)
         print(f"wrote EMPTY tables to {a.out} (src={a.src})")
+    elif a.nulls:
+        generate_nulls(a.out, a.src)
+        print(f"wrote NULL-planted tables to {a.out} (src={a.src})")
     else:
         generate(a.out, a.src)
         print(f"wrote adversarial tables to {a.out} (src={a.src})")
