@@ -2285,18 +2285,22 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OUTLIERS_SQL = """
-WITH med AS (
-    SELECT event_type, median(value) AS m FROM events GROUP BY 1
+WITH ev AS (
+    -- NaN measurements excluded like NULL (Spark side filters too)
+    SELECT * FROM events WHERE value IS NULL OR NOT isnan(value)
+),
+med AS (
+    SELECT event_type, median(value) AS m FROM ev GROUP BY 1
 ),
 stats AS (
     SELECT e.event_type, any_value(m) AS m,
            median(abs(value - m)) AS mad
-    FROM events e JOIN med USING (event_type) GROUP BY 1
+    FROM ev e JOIN med USING (event_type) GROUP BY 1
 )
 SELECT event_id, e.event_type,
        CAST(value AS FLOAT) AS value,
        CAST(0.6745 * (value - m) / mad AS FLOAT) AS robust_z
-FROM events e JOIN stats USING (event_type)
+FROM ev e JOIN stats USING (event_type)
 WHERE abs(0.6745 * (value - m) / mad) > 3.5
 ORDER BY event_type, event_id
 """
@@ -2478,10 +2482,16 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HISTOGRAM_SQL = """
-WITH stats AS (
+WITH ev AS (
+    -- neither NULL nor NaN can be binned; excluded (Spark side
+    -- filters too — otherwise NULL-skipping least() put NULLs in the
+    -- LAST bin on both engines)
+    SELECT * FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+stats AS (
     SELECT CAST(min(value) AS DOUBLE) AS mn,
            CAST(max(value) AS DOUBLE) AS mx
-    FROM events
+    FROM ev
 ),
 binned AS (
     -- mx = mn (constant / single-value column) collapses to bin 0 on
@@ -2492,7 +2502,7 @@ binned AS (
                            AS BIGINT), 19)
                 ELSE 0 END AS bin_id,
            mn, mx
-    FROM events CROSS JOIN stats
+    FROM ev CROSS JOIN stats
 )
 SELECT bin_id,
        CAST(any_value(mn) + bin_id * (any_value(mx) - any_value(mn)) / 20.0
@@ -3345,7 +3355,12 @@ SELECT event_type, hour(ts) AS hour_of_day, count(*) AS n_obs,
        CAST(quantile_cont(value, 0.1) AS FLOAT) AS p_lo,
        CAST(quantile_cont(value, 0.5) AS FLOAT) AS p_mid,
        CAST(quantile_cont(value, 0.9) AS FLOAT) AS p_hi
-FROM events GROUP BY 1, 2
+FROM events
+WHERE value IS NULL OR NOT isnan(value)  -- NaN excluded; NULLs keep
+  -- their pre-existing both-engine semantics (Spark isnan(NULL) is
+  -- false, DuckDB's is NULL -- the bare NOT isnan dropped NULLs on
+  -- one engine only)
+GROUP BY 1, 2
 ORDER BY event_type, hour_of_day
 """
 
@@ -4354,6 +4369,7 @@ WITH s AS (
            var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS va,
            var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS vb
     FROM events
+    WHERE value IS NULL OR NOT isnan(value)  -- NaN excluded; NULL kept
 )
 SELECT n_a, n_b,
        CAST(ma AS FLOAT) AS mean_a,

@@ -102,6 +102,9 @@ def ab_test_summary(
     arithmetic on the single stats row. The decision threshold belongs
     to the caller; this emits the evidence.
     """
+    # NaN measurements are excluded like NULL (a single NaN would
+    # poison both arms' means/variances; oracle carries NOT isnan)
+    df = df.filter(~F.isnan(F.col(value_col).cast("double")))
     a_val = F.when(variant, F.col(value_col))
     b_val = F.when(~variant, F.col(value_col))
     row = df.agg(

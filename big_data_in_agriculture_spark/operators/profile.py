@@ -115,6 +115,10 @@ def robust_outliers(
     from raising DIVIDE_BY_ZERO (the SQL oracle's NULL-on-div-0 drops
     the same rows, so both engines agree).
     """
+    # NaN measurements are sensor garbage: excluded like NULL (the
+    # engines' NaN comparison/percentile semantics diverge; the oracle
+    # carries the matching NOT isnan)
+    df = df.filter(~F.isnan(F.col(value_col).cast("double")))
     med = df.groupBy(key_col).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
     )
@@ -304,6 +308,12 @@ def value_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
     IEEE ops — engine-deterministic given identical min/max, which the
     exact scalar agg guarantees.
     """
+    # Neither NULL nor NaN can be binned — without the explicit
+    # exclusion both engines' NULL-skipping least() silently dropped
+    # NULL values into the LAST bin (oracle: IS NOT NULL AND NOT isnan)
+    df = df.filter(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    )
     stats = df.agg(
         F.min(col).cast("double").alias("_mn"),
         F.max(col).cast("double").alias("_mx"),

@@ -349,6 +349,9 @@ def seasonal_envelope(
     """
     lo, mid, hi = percentiles
     hod = F.hour(F.col(ts_col))
+    # NaN measurements are excluded like NULL (engine percentile
+    # semantics diverge on NaN; oracle carries NOT isnan)
+    df = df.filter(~F.isnan(F.col(value_col).cast("double")))
     return (
         df.groupBy(F.col(key_col), hod.alias("hour_of_day"))
         .agg(

@@ -89,6 +89,31 @@ COPY (
 """)
 
 
+def generate_nan(out: str, src: str) -> None:
+    """Clone with a NaN measurement planted in events.value. Round-5
+    finds: the engines' NaN semantics diverge in comparisons,
+    percentiles, and binning (4 operators). Convention: measurement
+    stats treat NaN as missing — excluded like NULL — in outlier
+    gates, histograms, envelopes, and A/B readouts; plain sums/avgs
+    propagate NaN identically on both engines and are left alone.
+    NOTE the oracle filter must be `value IS NULL OR NOT isnan(value)`
+    because Spark's isnan(NULL) is false while DuckDB's is NULL."""
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in [x for x in ALL_TABLES if x != "events"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/events.parquet')
+  UNION ALL SELECT 930000, TIMESTAMP '2024-03-01 06:00:00', 424246,
+                   'click', 'NaN'::DOUBLE, '{{}}'
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+
+
 def generate(out: str, src: str) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -142,6 +167,7 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--empty", action="store_true")
     ap.add_argument("--nulls", action="store_true")
+    ap.add_argument("--nan", action="store_true")
     a = ap.parse_args()
     if a.empty:
         generate_empty(a.out, a.src)
@@ -149,6 +175,9 @@ if __name__ == "__main__":
     elif a.nulls:
         generate_nulls(a.out, a.src)
         print(f"wrote NULL-planted tables to {a.out} (src={a.src})")
+    elif a.nan:
+        generate_nan(a.out, a.src)
+        print(f"wrote NaN-planted tables to {a.out} (src={a.src})")
     else:
         generate(a.out, a.src)
         print(f"wrote adversarial tables to {a.out} (src={a.src})")

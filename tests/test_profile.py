@@ -192,3 +192,25 @@ def test_hll_rollup_empty_input_union_row(spark):
     assert [(r["group"], r["n_rows"], r["approx_distinct"]) for r in rows] == [
         ("__all__", 0, 0)
     ]
+
+
+def test_nan_measurements_excluded_from_gates_and_bins(spark):
+    """NaN values are treated as missing in outlier gates and
+    histograms (engine NaN comparison/binning semantics diverge);
+    NULL values keep their pre-existing behavior."""
+    from big_data_in_agriculture_spark.operators.profile import (
+        robust_outliers,
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in [1, 2, 3, 2, 1, 2, 3, 2, 1, 400]]
+        + [("k", float("nan")), ("k", None)],
+        "k string, v double",
+    )
+    out = robust_outliers(df, "k", "v", z_thresh=3.5).collect()
+    assert [r["v"] for r in out] == [400.0]
+
+    hist = value_histogram(df.select(F.col("v").alias("value")), "value")
+    rows = hist.collect()
+    assert sum(r["n"] for r in rows) == 10  # NaN and NULL not binned
