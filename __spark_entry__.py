@@ -4959,14 +4959,19 @@ nodes AS (SELECT DISTINCT src AS word FROM edges),
 -- output grid; every float op left is one correctly-rounded step on
 -- bit-identical inputs)
 n AS (SELECT count(*) AS nn,
-             CAST(floor((1.0 - 0.85) / count(*) * 1e12 + 0.5) AS BIGINT)
+             -- both constants cast to DOUBLE so DuckDB performs the
+             -- same IEEE subtraction as Python's 1.0 - damping
+             -- (DECIMAL 0.15 vs double 0.15000000000000002 floors to a
+             -- different integer on .5-tie node counts, e.g. n=6144)
+             CAST(floor((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                        / count(*) * 1e12 + 0.5) AS BIGINT)
                  AS base_u,
              CAST(floor(1.0 / count(*) * 1e12 + 0.5) AS BIGINT) AS init_u
       FROM nodes),
 r0 AS (SELECT word, init_u AS rank_u FROM nodes, n),
 r1 AS (
     SELECT e.dst AS word,
-           n.base_u + CAST(floor(0.85 * sum(CAST(floor(
+           n.base_u + CAST(floor(CAST(0.85 AS DOUBLE) * sum(CAST(floor(
                e.w / o.wout * CAST(r.rank_u AS DOUBLE)
            ) AS BIGINT))) AS BIGINT) AS rank_u
     FROM edges e JOIN outw o ON e.src = o.src
@@ -4975,7 +4980,7 @@ r1 AS (
 ),
 r2 AS (
     SELECT e.dst AS word,
-           n.base_u + CAST(floor(0.85 * sum(CAST(floor(
+           n.base_u + CAST(floor(CAST(0.85 AS DOUBLE) * sum(CAST(floor(
                e.w / o.wout * CAST(r.rank_u AS DOUBLE)
            ) AS BIGINT))) AS BIGINT) AS rank_u
     FROM edges e JOIN outw o ON e.src = o.src
@@ -4984,7 +4989,7 @@ r2 AS (
 ),
 r3 AS (
     SELECT e.dst AS word,
-           n.base_u + CAST(floor(0.85 * sum(CAST(floor(
+           n.base_u + CAST(floor(CAST(0.85 AS DOUBLE) * sum(CAST(floor(
                e.w / o.wout * CAST(r.rank_u AS DOUBLE)
            ) AS BIGINT))) AS BIGINT) AS rank_u
     FROM edges e JOIN outw o ON e.src = o.src

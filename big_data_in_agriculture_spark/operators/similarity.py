@@ -69,10 +69,19 @@ def cosine(a, b) -> F.Column:
     try_divide evaluates the denominator exactly once and yields NULL
     on zero, which coalesce pins to 0.0. Every SQL oracle that
     divides by norms carries the matching CASE so both engines rank
-    such rows identically."""
+    such rows identically.
+
+    A NULL input vector, by contrast, follows the repo-wide
+    NULL-in -> NULL-out convention (COVERAGE.md): the coalesce is
+    guarded so only the zero-denominator NULL is pinned to 0.0 —
+    missing embeddings stay NULL rather than masquerading as
+    orthogonal. Registry callers additionally pre-filter NULL
+    embeddings before any kNN/clustering join."""
     da, db = _dvec(a), _dvec(b)
-    return F.coalesce(
-        F.try_divide(_dot(da, db), _norm(da) * _norm(db)), F.lit(0.0)
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.coalesce(
+            F.try_divide(_dot(da, db), _norm(da) * _norm(db)), F.lit(0.0)
+        )
     )
 
 

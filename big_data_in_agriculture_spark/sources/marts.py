@@ -46,37 +46,82 @@ def _with_year_month(df: DataFrame, time_col: str) -> DataFrame:
     )
 
 
+def _hadoop_fs(spark: SparkSession, root: str):
+    """Resolve (FileSystem, Path) for ``root`` via the Hadoop FS API.
+
+    Mart roots are not necessarily local paths — on a cluster they are
+    ``hdfs://`` / ``s3a://`` URIs that Python's ``os``/``open`` cannot
+    touch. ``Path.getFileSystem`` dispatches on the URI scheme (bare
+    paths resolve against ``fs.defaultFS``, which in local mode is the
+    local filesystem), so the sidecar lands next to the data wherever
+    Spark wrote it.
+    """
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
 def _write_schema_sidecar(df: DataFrame, root: str) -> None:
     """Persist the mart schema as ``_schema.json`` next to the data.
 
     Two reasons: (1) an EMPTY mart write under partitionBy produces no
     parquet files at all, so a later read has nothing to infer a
     schema from and fails — the sidecar keeps empty marts readable;
-    (2) at 100 TB the reader skips footer sampling entirely and plans
-    straight from the recorded schema. Atomic via write-temp+rename —
-    the same publish trick the CDS downloads use.
+    (2) with ``trust_sidecar=True`` a 100 TB reader skips footer
+    sampling entirely and plans straight from the recorded schema.
+
+    Publish order is data-then-sidecar: the parquet job commits first,
+    so a crash in the gap leaves an older sidecar next to newer data —
+    never a sidecar describing data that does not exist. ``read_mart``
+    closes the residual staleness window by checking the sidecar
+    against the footer schema (data wins on mismatch). Written via the
+    Hadoop FileSystem API with a temp+rename publish (rename is atomic
+    on HDFS/local; on object stores it degrades to copy+delete, same
+    as every other rename-based committer).
     """
     import json
-    import os
 
-    os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, "_schema.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(json.loads(df.schema.json()), f)
-    os.replace(tmp, os.path.join(root, "_schema.json"))
+    spark = df.sparkSession
+    fs, root_path, jvm = _hadoop_fs(spark, root)
+    fs.mkdirs(root_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(root_path, "_schema.json.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(root_path, "_schema.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(json.loads(df.schema.json())).encode()))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
 
 
-def _read_schema_sidecar(root: str):
+def _read_schema_sidecar(spark: SparkSession, root: str):
     import json
-    import os
 
     from pyspark.sql.types import StructType
 
-    path = os.path.join(root, "_schema.json")
-    if not os.path.isfile(path):
+    fs, root_path, jvm = _hadoop_fs(spark, root)
+    path = jvm.org.apache.hadoop.fs.Path(root_path, "_schema.json")
+    if not fs.exists(path):
         return None
-    with open(path) as f:
-        return StructType.fromJson(json.load(f))
+    stream = fs.open(path)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return StructType.fromJson(json.loads(raw))
+
+
+def _sidecar_compatible(sidecar, inferred) -> bool:
+    """Order-insensitive (name, type) match — partition discovery moves
+    partition columns to the end, so field ORDER legitimately differs
+    between the written frame and the discovered read."""
+    as_set = lambda s: {(f.name, f.dataType.simpleString()) for f in s.fields}
+    return as_set(sidecar) == as_set(inferred)
 
 
 def write_hourly_mart(df: DataFrame, root: str, mode: str = "overwrite") -> None:
@@ -145,6 +190,7 @@ def read_mart(
     regions: list[str] | None = None,
     year: int | None = None,
     month: int | None = None,
+    trust_sidecar: bool = False,
 ) -> DataFrame:
     """S9: partition-discovery read with pruning predicates.
 
@@ -152,8 +198,26 @@ def read_mart(
     directories at planning time — a single-region read of a 100 TB
     mart touches only that region's files (verify with
     ``plans.explain.partition_filters``).
+
+    Sidecar handling: by default the ``_schema.json`` sidecar is
+    cross-checked against the footer-inferred schema (one footer read —
+    Spark infers from a single file with mergeSchema off, so the check
+    is O(1), not O(files)); on mismatch the DATA wins, covering the
+    crash-between-data-and-sidecar staleness window. The sidecar is
+    authoritative only when the mart has no parquet files to infer
+    from (the empty-mart case it exists for). ``trust_sidecar=True``
+    skips the probe and plans straight from the recorded schema — the
+    100 TB fast path for marts published solely by this module's
+    writers, where data+sidecar move together.
     """
-    schema = _read_schema_sidecar(root)
+    schema = _read_schema_sidecar(spark, root)
+    if schema is not None and not trust_sidecar:
+        try:
+            inferred = spark.read.parquet(root).schema
+        except Exception:
+            inferred = None  # no files — empty mart, sidecar authoritative
+        if inferred is not None and not _sidecar_compatible(schema, inferred):
+            schema = None  # stale sidecar: the data's own schema wins
     reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(root)
     if regions is not None:

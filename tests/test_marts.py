@@ -280,3 +280,35 @@ def test_empty_mart_roundtrips_via_schema_sidecar(spark, tmp_path):
     back = read_mart(spark, root)
     assert back.count() == 0
     assert set(back.columns) == {"region", "ts", "t2m", "year", "month"}
+
+
+def test_stale_sidecar_loses_to_data(spark, hourly, tmp_path):
+    """Crash-between-data-and-sidecar window: a sidecar whose schema no
+    longer matches the parquet footers is ignored — the data's own
+    schema wins (trust_sidecar=False default)."""
+    import json
+
+    root = str(tmp_path / "hourly")
+    marts.write_hourly_mart(hourly, root)
+    # plant a stale sidecar: an old schema missing the t2m column
+    stale = {
+        "type": "struct",
+        "fields": [
+            {"name": "region", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+            {"name": "year", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "month", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    }
+    (tmp_path / "hourly" / "_schema.json").write_text(json.dumps(stale))
+    # the Hadoop local FS keeps a checksum sidecar; planting the stale
+    # file out-of-band invalidates it, so drop it like a crash would not
+    crc = tmp_path / "hourly" / "._schema.json.crc"
+    if crc.exists():
+        crc.unlink()
+    back = marts.read_mart(spark, root)
+    assert "t2m" in back.columns          # data wins over the stale sidecar
+    assert back.count() == 9
+    # trust_sidecar=True takes the sidecar verbatim (the 100 TB fast path)
+    trusted = marts.read_mart(spark, root, trust_sidecar=True)
+    assert "t2m" not in trusted.columns

@@ -367,3 +367,24 @@ def test_cosine_zero_vector_is_zero_not_error(spark):
         for r in similarity.knn_bruteforce(df, df.filter("vec_id = 2"), k=2).collect()
     }
     assert sims[3] == 1.0 and sims[1] == 0.0
+
+
+def test_cosine_null_vector_is_null_not_zero(spark):
+    """NULL input vectors follow the repo-wide NULL-in -> NULL-out
+    convention (COVERAGE.md): only the zero-denominator case is pinned
+    to 0.0 — a missing embedding must not masquerade as orthogonal."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None, [1.0, 0.0]), (2, [1.0, 0.0], None),
+         (3, [0.0, 0.0], [1.0, 0.0]), (4, [1.0, 0.0], [1.0, 0.0])],
+        "id INT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    )
+    out = {
+        r["id"]: r["sim"]
+        for r in df.select(
+            "id", similarity.cosine(F.col("a"), F.col("b")).alias("sim")
+        ).collect()
+    }
+    assert out[1] is None and out[2] is None
+    assert out[3] == 0.0 and out[4] == 1.0
