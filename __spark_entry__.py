@@ -828,7 +828,12 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_neardup_sql(
-    threshold: float = 0.5, num_perm: int = 64, bands: int = 16, k: int = 3
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    source: str = "documents",
+    max_bucket_width: int | None = None,
 ) -> str:
     """DuckDB replay of the FULL MinHash-LSH near-dup pipeline.
 
@@ -839,6 +844,13 @@ def _minhash_neardup_sql(
     id_a < id_b, then exact-Jaccard verification on candidates.
     Integer hashing end-to-end; the final jaccard is ONE double
     division of exact integers — bit-identical across engines.
+
+    ``source`` names the (doc_id, text) relation to read — "documents"
+    or a CTE defined by a wrapping query (the collapsed variant feeds
+    "reps"). ``max_bucket_width`` replays llm.lsh_candidate_pairs'
+    bucket-width cap: buckets with more than that many members yield
+    no candidates, on both engines identically (the widths are
+    deterministic integers).
     """
     rows_per_band = num_perm // bands
     mers = (1 << 61) - 1
@@ -857,9 +869,29 @@ def _minhash_neardup_sql(
         )
         for i in range(bands)
     )
+    if max_bucket_width is None:
+        cand_sql = """
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+)"""
+    else:
+        cand_sql = f"""
+ok_buckets AS (
+    SELECT band, bucket FROM banded GROUP BY band, bucket
+    HAVING count(*) <= {max_bucket_width}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN ok_buckets o ON a.band = o.band AND a.bucket = o.bucket
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+)"""
     return f"""
 WITH tok AS (
-    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    SELECT doc_id, string_split(text, ' ') AS toks FROM {source}
 ),
 sh AS (
     SELECT doc_id, list_distinct([
@@ -880,11 +912,7 @@ banded AS (
         ]) AS u FROM sig
     )
 ),
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-    WHERE a.doc_id < b.doc_id
-),
+{cand_sql},
 verified AS (
     SELECT id_a, id_b,
            len(list_intersect(sa.hs, sb.hs)) AS n_common,
@@ -897,6 +925,59 @@ SELECT id_a, id_b,
        n_common::DOUBLE / (na + nb - n_common)::DOUBLE AS jaccard
 FROM verified
 WHERE n_common::DOUBLE / (na + nb - n_common)::DOUBLE >= {threshold}
+"""
+
+
+def q_minhash_neardup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-heavy-corpus mode: exact families collapse to their
+    representative before LSH, families come back as linear star edges,
+    and a bucket-width cap backstops residual near-exact mega-families.
+    Connected components equal the uncollapsed pipeline's (see
+    llm.minhash_neardup_pairs docstring for the spanning-set contract)."""
+    return llm.minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_perm=64,
+        bands=16,
+        collapse_exact=True,
+        max_bucket_width=64,
+    )
+
+
+def _minhash_collapsed_sql(
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    max_bucket_width: int = 64,
+) -> str:
+    """DuckDB replay of minhash_neardup_pairs(collapse_exact=True).
+
+    Exact families group on the raw text (set-identical to the Spark
+    side's sha256 grouping — same texts, same families, and min(doc_id)
+    picks the same representative); the inner pipeline is the SAME
+    generated SQL as the uncollapsed oracle, pointed at the reps CTE
+    with the bucket-width cap applied.
+    """
+    inner = _minhash_neardup_sql(
+        threshold, num_perm, bands, k,
+        source="reps", max_bucket_width=max_bucket_width,
+    )
+    return f"""
+WITH fam AS (
+    SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text
+),
+reps AS (
+    SELECT keep_id AS doc_id, text FROM fam
+),
+star AS (
+    SELECT f.keep_id AS id_a, d.doc_id AS id_b, 1.0::DOUBLE AS jaccard
+    FROM documents d JOIN fam f ON d.text = f.text
+    WHERE d.doc_id <> f.keep_id
+)
+SELECT id_a, id_b, jaccard FROM ({inner})
+UNION ALL
+SELECT id_a, id_b, jaccard FROM star
 """
 
 
@@ -6203,12 +6284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "era5_convert_units": q_era5_convert_units,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
+        "cdc_apply": q_cdc_apply,
         "tpch_q5": q_tpch_q5,
         "join_semi": q_join_semi,
         "kmeans_clusters": q_kmeans_clusters,
-        "join_broadcast": q_join_broadcast,
-        "window_running_total": q_window_running_total,
+        "scd2_history": q_scd2_history,
+        "interval_join": q_interval_join,
         "window_topn": q_window_topn,
         "semantic_dedup": q_semantic_dedup,
         "sessionize": q_sessionize,
@@ -6217,7 +6298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_acctbal": q_rollup,
         "top10_orders": q_top10_orders,
         "dedup_exact_groups": q_dedup_exact_groups,
-        "dup_cluster_histogram": q_dup_cluster_histogram,
+        "incremental_rollup": q_incremental_rollup,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
         "pack_firstfit": q_pack_firstfit,
@@ -6234,16 +6315,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a PREFIX of this dict (50 entries). The first 50 are PINNED
         # (tests/test_registry.py::test_driver_prefix_is_pinned) — new
         # queries append AFTER the prefix, never inside it, so gate
-        # visibility can't drift by accident. Round 5 DELIBERATELY
-        # rotated five slots so the round-4/5 oracle conversions
-        # (kmeans_clusters, semantic_dedup, classifier_quality,
-        # pack_firstfit, bpe_train) gain external CORRECTNESS rows;
-        # the displaced queries (era5_distinct_regions, join_anti,
-        # window_lag, set_except, readability — each with a same-family
-        # sibling still in the prefix) join the round-3 displaced set
-        # in test_registry.py::test_displaced_query_oracle_parity with
-        # full Spark-vs-DuckDB hash parity in pytest.
-        "knn_ivf": q_knn_ivf,
+        # visibility can't drift by accident. Rounds 5 and 6 each
+        # DELIBERATELY rotated five slots so never-externally-verified
+        # queries gain CORRECTNESS rows (r5: kmeans_clusters,
+        # semantic_dedup, classifier_quality, pack_firstfit, bpe_train;
+        # r6: cdc_apply, scd2_history, interval_join, hybrid_search,
+        # incremental_rollup). Displaced queries (r6: tpch_q4,
+        # join_broadcast, window_running_total, dup_cluster_histogram,
+        # knn_ivf — each with a same-family sibling still in the
+        # prefix) join the DISPLACED set in
+        # test_registry.py::test_displaced_query_oracle_parity with
+        # full Spark-vs-DuckDB hash parity in pytest, and their
+        # two-engine hashes are recorded in the committed
+        # DISPLACED_VERIFY.json artifact (scripts/displaced_verify.py).
+        "hybrid_search": q_hybrid_search,
         "substring_dedup": q_substring_dedup,
         "pack_chunks": q_pack_chunks,
         "gopher_pipeline": q_gopher_pipeline,
@@ -6254,6 +6339,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_rollup": q_sliding_window_rollup,
         "trending_items": q_trending,
         "asof_attribution": q_asof_attribution,
+        "minhash_neardup_collapsed": q_minhash_neardup_collapsed,
+        "tpch_q4": q_tpch_q4,
+        "join_broadcast": q_join_broadcast,
+        "window_running_total": q_window_running_total,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
+        "knn_ivf": q_knn_ivf,
         "era5_distinct_regions": q_era5_distinct_regions,
         "join_anti": q_join_anti,
         "window_lag": q_window_lag,
@@ -6320,7 +6411,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_profile_events": q_approx_profile_events,
         "hll_rollup": q_hll_rollup,
         "text_cleaning": q_text_cleaning,
-        "interval_join": q_interval_join,
         "sql_interface": q_sql_interface,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
@@ -6345,8 +6435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_topk_sample": q_weighted_topk,
         "embedding_dim_stats": q_embedding_dim_stats,
         "label_centroids": q_label_centroids,
-        "cdc_apply": q_cdc_apply,
-        "scd2_history": q_scd2_history,
         "cumulative_users": q_cumulative_users,
         "debounce": q_debounce,
         "curation_pipeline": q_curation_pipeline,
@@ -6380,8 +6468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "seasonal_backtest": q_seasonal_backtest,
         "dsir_scores": q_dsir_scores,
-        "incremental_rollup": q_incremental_rollup,
-        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -6562,6 +6648,7 @@ def oracle_sql() -> dict[str, str]:
         # hashing / deterministic constants — DuckDB replays the
         # whole candidate generation bit-identically):
         "minhash_neardup": _minhash_neardup_sql(),
+        "minhash_neardup_collapsed": _minhash_collapsed_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
         # Iterative k-means, replayable since round 4: tol=0.0 pins

@@ -406,13 +406,29 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     portable: bool = True,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Band the signatures and equi-join within band buckets.
 
     Each band's r-row slice hashes to a bucket key; docs sharing ANY
     band bucket become a candidate pair. Collision probability for true
     Jaccard s is 1−(1−s^r)^b — with b=16, r=4 the S-curve knees near
-    s≈0.5. The join key is (band_idx, bucket_hash): uniform, skew-free.
+    s≈0.5. The join key is (band_idx, bucket_hash): uniform, skew-free
+    — EXCEPT on duplicate-heavy corpora, where every member of a
+    duplicate family lands in the same bucket in every band.
+
+    ``max_bucket_width`` is the guard for that case (the ``df_cap``
+    of this operator): buckets wider than the cap are DROPPED before
+    pair expansion, bounding both the ``collect_list`` task memory
+    and the in-bucket quadratic at width². The recall contract is
+    explicit: a family with more than ``max_bucket_width`` members
+    sharing a band slice contributes no candidates from that band —
+    such families are exact or near-exact duplicate clusters that
+    should be collapsed by ``exact_dup_groups``/``collapse_exact``
+    BEFORE LSH (the intended composition; see
+    ``minhash_neardup_pairs(collapse_exact=True)``). The cap is a
+    backstop against residual near-exact mega-families (boilerplate
+    differing in one token), not a substitute for the collapse.
     """
     banded = lsh_band_keys(signatures, bands, rows_per_band, portable=portable)
     # In-bucket expansion instead of a self-join: a self-join would run
@@ -421,13 +437,33 @@ def lsh_candidate_pairs(
     # and expanding pairs with array combinators computes signatures
     # once and shuffles once. Bucket width is bounded by the banding
     # math (an r-row slice only collides for near-identical docs), so
-    # the in-bucket quadratic is confined to true near-dup families.
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.array_sort("ids").alias("ids"))
-    )
+    # the in-bucket quadratic is confined to true near-dup families —
+    # unbounded only for duplicate clusters, which max_bucket_width
+    # caps. With the cap, widths are counted FIRST and oversized
+    # buckets dropped before any collect_list builds — the 100k-member
+    # array never exists in any task. The width agg and the join both
+    # hash-partition `banded` on (band, bucket), so the exchange is
+    # reused, not recomputed.
+    if max_bucket_width is None:
+        buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.array_sort("ids").alias("ids"))
+        )
+    else:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter((F.col("_w") > 1) & (F.col("_w") <= max_bucket_width))
+            .select("band", "bucket")
+        )
+        buckets = (
+            banded.join(ok, ["band", "bucket"])
+            .groupBy("band", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .select(F.array_sort("ids").alias("ids"))
+        )
     n = F.size("ids")
     pair_arrays = F.flatten(
         F.transform(
@@ -454,6 +490,8 @@ def minhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = True,
+    collapse_exact: bool = False,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """LSH candidates → exact Jaccard verification → pairs ≥ threshold.
 
@@ -466,8 +504,61 @@ def minhash_neardup_pairs(
     md5-derived so a DuckDB oracle replays the ENTIRE pipeline —
     signatures, buckets, candidates, verified jaccard — and the
     driver's hash check can go green on an approximate operator.
+
+    ``collapse_exact=True`` is the duplicate-heavy-corpus mode — the
+    shape real web corpora actually have (one boilerplate page ×
+    10k–100k copies). Without it, every member of an exact-duplicate
+    family shares every band bucket, so bucket width equals family
+    size and the in-bucket expansion is width² (~5×10⁹ candidate
+    structs for one 100k-copy family) with the whole family collected
+    into one task. With it:
+
+    1. exact families are collapsed by content hash (one uniform
+       sha-keyed shuffle, ``exact_dup_groups``) and ONLY the
+       representative (min id) enters the LSH pipeline;
+    2. each family contributes LINEAR star edges (rep, member,
+       jaccard 1.0) instead of its quadratic intra-family pairs;
+    3. cross-family near-dups surface as representative-level pairs.
+
+    The output contract therefore changes from "all near-dup pairs"
+    to "a spanning pair set": connected components over the result
+    are IDENTICAL to components over the full quadratic expansion
+    (star edges connect each family; rep pairs connect families), so
+    every downstream dedup decision — who survives, cluster sizes —
+    is unchanged, while the output and the compute stay linear in
+    family size. ``max_bucket_width`` additionally caps residual
+    near-exact mega-families inside LSH (see ``lsh_candidate_pairs``).
     """
     rows_per_band = num_perm // bands
+    if collapse_exact:
+        groups = exact_dup_groups(docs, text_col, id_col)
+        hashed = docs.select(
+            F.sha2(F.col(text_col), 256).alias("text_sha"),
+            F.col(id_col).alias("member_id"),
+        )
+        star = (
+            hashed.join(groups, "text_sha")
+            .filter(F.col("member_id") != F.col("keep_id"))
+            .select(
+                F.col("keep_id").alias("id_a"),        # keep_id = min id < member
+                F.col("member_id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        reps = dedup_exact(docs, text_col, id_col)
+        rep_pairs = minhash_neardup_pairs(
+            reps,
+            threshold,
+            num_perm,
+            bands,
+            k,
+            text_col,
+            id_col,
+            portable=portable,
+            collapse_exact=False,
+            max_bucket_width=max_bucket_width,
+        )
+        return rep_pairs.unionByName(star)
     sigs = minhash_signatures(docs, num_perm, k, text_col, id_col, portable=portable)
     # The candidate list feeds THREE consumers (two id-set branches +
     # the final join); without a cut, the whole signature+banding
@@ -476,7 +567,8 @@ def minhash_neardup_pairs(
     # (near-dup families only), so a lazy localCheckpoint materializes
     # them once; measured ~2× on the full pipeline at sf0.1.
     cands = lsh_candidate_pairs(
-        sigs, bands, rows_per_band, portable=portable
+        sigs, bands, rows_per_band, portable=portable,
+        max_bucket_width=max_bucket_width,
     ).localCheckpoint(eager=False)
     # Verification only needs shingle sets for docs that appear in a
     # candidate pair — a vanishing fraction of the corpus. Semi-join

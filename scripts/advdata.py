@@ -114,6 +114,58 @@ COPY (
 """)
 
 
+def generate_dups(out: str, src: str) -> None:
+    """Duplicate-HEAVY clone — the shape real web corpora actually
+    have and the one axis benign generators never produce: one
+    boilerplate doc × hundreds of exact copies plus a near-dup family
+    (same boilerplate, one distinguishing token per copy).
+
+    This is the corpus where MinHash-LSH's in-bucket expansion is
+    quadratic in family size (every family member shares every band
+    bucket); it gates minhash_neardup_collapsed's spanning-set
+    contract and the max_bucket_width cap, and stresses every dedup
+    operator's hot-key path (one sha digest carrying the whole
+    family). Embeddings get a 20-copy identical vector family for the
+    semantic-dedup / kNN tie-break paths.
+    """
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in [x for x in ALL_TABLES if x not in ("documents", "embeddings")]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    boiler = "all rights reserved terms of service privacy policy contact us"
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/documents.parquet')
+  UNION ALL
+  SELECT 940000 + i, '{boiler}', 'en', 'advdup', len('{boiler}')
+  FROM range(400) t(i)
+  UNION ALL
+  SELECT 945000 + i,
+         '{boiler} ref' || i::VARCHAR,
+         'en', 'advdup', len('{boiler} ref' || i::VARCHAR)
+  FROM range(40) t(i)
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+    dim = con.execute(
+        f"SELECT len(embedding) FROM read_parquet('{src}/embeddings.parquet')"
+        " LIMIT 1"
+    ).fetchone()[0]
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/embeddings.parquet')
+  UNION ALL
+  SELECT 940000 + i,
+         [(CASE WHEN j = 0 THEN 1.0 ELSE 0.25 END)::FLOAT
+          FOR j IN range({dim})],
+         0
+  FROM range(20) t(i)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+
 def generate(out: str, src: str) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -168,8 +220,12 @@ if __name__ == "__main__":
     ap.add_argument("--empty", action="store_true")
     ap.add_argument("--nulls", action="store_true")
     ap.add_argument("--nan", action="store_true")
+    ap.add_argument("--dups", action="store_true")
     a = ap.parse_args()
-    if a.empty:
+    if a.dups:
+        generate_dups(a.out, a.src)
+        print(f"wrote duplicate-heavy tables to {a.out} (src={a.src})")
+    elif a.empty:
         generate_empty(a.out, a.src)
         print(f"wrote EMPTY tables to {a.out} (src={a.src})")
     elif a.nulls:

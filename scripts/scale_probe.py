@@ -152,6 +152,53 @@ def probe_minhash_500k_fast(spark, docs=500_000):
     )
 
 
+def _dupheavy_corpus(spark, docs, exact_copies, near_copies):
+    """Benign base corpus + one exact-duplicate family of
+    ``exact_copies`` members + one near-dup family of ``near_copies``
+    members (same boilerplate, one distinguishing token each) — the
+    duplicate-cluster shape real web corpora have."""
+    base = _minhash_corpus(spark, docs)
+    boiler = "all rights reserved terms of service privacy policy contact us site map"
+    exact = spark.range(exact_copies).select(
+        (F.col("id") + docs).alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    near = spark.range(near_copies).select(
+        (F.col("id") + docs + exact_copies).alias("doc_id"),
+        F.concat(F.lit(boiler + " ref"), F.col("id").cast("string")).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def probe_minhash_dupheavy_100k(spark, docs=100_000):
+    """The duplicate-cluster axis: 100k docs with a 10k-copy exact
+    family and a 1k-member near-dup family. Uncollapsed LSH would put
+    all 10k copies in the same bucket in EVERY band (width² ≈ 5×10⁷
+    in-bucket pairs per band, one 10k-element collect_list per task);
+    collapse_exact runs LSH on representatives only and emits linear
+    star edges, with max_bucket_width capping the residual 1k-member
+    near-exact family. Bounded time here = the round-6 scale fix."""
+    from big_data_in_agriculture_spark.operators.llm import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        _dupheavy_corpus(spark, docs, 10_000, 1_000),
+        threshold=0.2, num_perm=64, bands=16,
+        portable=False, collapse_exact=True, max_bucket_width=64,
+    )
+
+
+def probe_minhash_dupheavy_uncollapsed(spark, docs=50_000):
+    """Contrast row: the SAME shape without the collapse, at a family
+    size small enough to finish (2k copies → 2k²/2 × 16 bands ≈ 3×10⁷
+    in-bucket pair structs before distinct). Extrapolate width² from
+    here: 10k copies is 25× this family's pair volume, 100k is 2500×."""
+    from big_data_in_agriculture_spark.operators.llm import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        _dupheavy_corpus(spark, docs, 2_000, 0),
+        threshold=0.2, num_perm=64, bands=16, portable=False,
+    )
+
+
 def probe_asof(spark, left=10_000_000, right=1_000_000, keys=50_000):
     from big_data_in_agriculture_spark.operators.relational import asof_join
 
@@ -178,6 +225,8 @@ PROBES = {
     "minhash_50k": probe_minhash,
     "minhash_500k_portable": probe_minhash_500k_portable,
     "minhash_500k_fast": probe_minhash_500k_fast,
+    "minhash_dupheavy_100k": probe_minhash_dupheavy_100k,
+    "minhash_dupheavy_uncollapsed_50k": probe_minhash_dupheavy_uncollapsed,
     "asof_10m": probe_asof,
 }
 

@@ -56,6 +56,65 @@ def test_minhash_agrees_with_exact_on_clear_cases(docs):
     assert all(j >= 0.9 for j in out.values())
 
 
+def test_minhash_collapse_exact_spanning_pairs(spark):
+    """collapse_exact emits a LINEAR spanning pair set whose connected
+    components equal the full quadratic expansion's components."""
+    rows = (
+        [(i, "boiler plate legal footer text repeated everywhere") for i in range(100, 140)]
+        + [(1, "the quick brown fox jumps over the lazy dog"),
+           (2, "the quick brown fox jumps over the lazy dog"),
+           (3, "the quick brown fox jumps over the sleepy dog"),
+           (4, "completely different text about spark engines here")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = llm.minhash_neardup_pairs(docs, threshold=0.5, num_perm=64, bands=32)
+    collapsed = llm.minhash_neardup_pairs(
+        docs, threshold=0.5, num_perm=64, bands=32, collapse_exact=True
+    )
+    out = collapsed.collect()
+    # linear, not quadratic: 39 star edges for the 40-copy family,
+    # 1 star edge for {1,2}, plus rep-level near-dup pairs — far below
+    # the 40*39/2 = 780 intra-family pairs of the full expansion
+    assert len(out) < 50 < full.count()
+    star = {(r["id_a"], r["id_b"]) for r in out if r["jaccard"] == 1.0}
+    assert (100, 101) in star and (1, 2) in star
+    # same components either way
+    comp_full = {
+        (r["id"], r["component_id"])
+        for r in llm.neardup_components(full).collect()
+    }
+    comp_collapsed = {
+        (r["id"], r["component_id"])
+        for r in llm.neardup_components(collapsed).collect()
+    }
+    assert comp_full == comp_collapsed
+
+
+def test_lsh_max_bucket_width_drops_mega_family(spark):
+    """Buckets wider than the cap contribute no candidates; narrow
+    families are untouched. The cap also keeps the oversized
+    collect_list from ever building (count-first plan)."""
+    rows = (
+        [(i, "boiler plate legal footer text repeated everywhere") for i in range(100, 130)]
+        + [(1, "the quick brown fox jumps over the lazy dog"),
+           (2, "the quick brown fox jumps over the lazy dog")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = llm.minhash_neardup_pairs(
+        docs, threshold=0.5, num_perm=64, bands=32, max_bucket_width=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1, 2) in pairs                      # narrow family survives
+    assert not any(a >= 100 for a, _ in pairs)  # mega-family capped out
+    # composed with collapse_exact, the mega-family comes back as stars
+    both = llm.minhash_neardup_pairs(
+        docs, threshold=0.5, num_perm=64, bands=32,
+        collapse_exact=True, max_bucket_width=10,
+    ).collect()
+    star = {(r["id_a"], r["id_b"]) for r in both if r["jaccard"] == 1.0}
+    assert {(100, j) for j in range(101, 130)} <= star
+
+
 def test_minhash_signature_shape_and_determinism(docs):
     sigs = llm.minhash_signatures(docs, num_perm=16).collect()
     assert all(len(r["signature"]) == 16 for r in sigs)

@@ -3,12 +3,14 @@
 The external driver's correctness gate checks a PREFIX of ``queries()``
 (50 entries). Two invariants protect it:
 
-1. The first 50 names are PINNED (round-5 rotation of the round-3
+1. The first 50 names are PINNED (round-6 rotation of the round-5
    gate set) — an accidental insertion before index 50 would silently
    eject an operator from external verification.
-2. The 13 queries the round-3 and round-5 reorderings displaced out of
+2. The 18 queries the round-3/5/6 reorderings displaced out of
    the prefix keep full oracle parity here in pytest, so a regression
-   in them cannot hide behind the driver's prefix truncation.
+   in them cannot hide behind the driver's prefix truncation — and
+   scripts/displaced_verify.py snapshots their two-engine hashes into
+   the committed DISPLACED_VERIFY.json for external visibility.
 """
 
 from __future__ import annotations
@@ -21,12 +23,14 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-#: The driver-gate prefix as of round 5. Rounds 3-4 pinned the
-#: CORRECTNESS_r03 keys; round 5 DELIBERATELY rotated five slots so the
-#: round-4/5 oracle conversions (kmeans_clusters, semantic_dedup,
-#: classifier_quality, pack_firstfit, bpe_train) gain external
-#: CORRECTNESS rows. Do not edit without re-deciding gate visibility;
-#: append new queries AFTER index 50 instead.
+#: The driver-gate prefix as of round 6. Rounds 3-4 pinned the
+#: CORRECTNESS_r03 keys; rounds 5 and 6 each DELIBERATELY rotated five
+#: slots so never-externally-verified queries gain CORRECTNESS rows
+#: (r5: kmeans_clusters, semantic_dedup, classifier_quality,
+#: pack_firstfit, bpe_train; r6: cdc_apply, scd2_history,
+#: interval_join, hybrid_search, incremental_rollup). Do not edit
+#: without re-deciding gate visibility; append new queries AFTER
+#: index 50 instead.
 DRIVER_PREFIX_50 = [
     "era5_hourly_spatial_mean",
     "era5_weighted_mean",
@@ -40,12 +44,12 @@ DRIVER_PREFIX_50 = [
     "era5_convert_units",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q4",
+    "cdc_apply",
     "tpch_q5",
     "join_semi",
     "kmeans_clusters",
-    "join_broadcast",
-    "window_running_total",
+    "scd2_history",
+    "interval_join",
     "window_topn",
     "semantic_dedup",
     "sessionize",
@@ -54,7 +58,7 @@ DRIVER_PREFIX_50 = [
     "rollup_acctbal",
     "top10_orders",
     "dedup_exact_groups",
-    "dup_cluster_histogram",
+    "incremental_rollup",
     "dedup_exact_docs",
     "text_stats",
     "pack_firstfit",
@@ -67,7 +71,7 @@ DRIVER_PREFIX_50 = [
     "multimodal_meta",
     "minhash_neardup",
     "knn_lsh",
-    "knn_ivf",
+    "hybrid_search",
     "substring_dedup",
     "pack_chunks",
     "gopher_pipeline",
@@ -80,10 +84,16 @@ DRIVER_PREFIX_50 = [
     "asof_attribution",
 ]
 
-#: Displaced from the prefix by the round-3 and round-5 reorderings;
-#: oracle-verified below so they keep an external check despite driver
-#: invisibility.
+#: Displaced from the prefix by the round-3/5/6 reorderings; oracle-
+#: verified below so they keep an in-repo check despite driver
+#: invisibility, and scripts/displaced_verify.py records their
+#: two-engine hashes in the committed DISPLACED_VERIFY.json artifact.
 DISPLACED = [
+    "tpch_q4",
+    "join_broadcast",
+    "window_running_total",
+    "dup_cluster_histogram",
+    "knn_ivf",
     "era5_distinct_regions",
     "join_anti",
     "window_lag",
@@ -104,7 +114,7 @@ DISPLACED = [
 #: ("176 of 178 registered queries hash-match ... the remaining 2").
 #: Registering a query or converting a rows-only op MUST update the
 #: docs and these constants together.
-REGISTERED_QUERIES = 178
+REGISTERED_QUERIES = 179
 ROWS_ONLY = 2
 
 
