@@ -63,8 +63,33 @@ def _sink_exists(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def _publish_admitted(df: DataFrame, path: str) -> None:
+    """Append one batch's admitted rows — THE publish step of the exact
+    gate. Module-level so crash-injection tests can kill the batch at
+    exactly this boundary (same seam as ``versioned._repoint``)."""
+    df.write.mode("append").parquet(path)
+
+
+def _publish_index(df: DataFrame, path: str) -> None:
+    """Append the admitted docs' LSH band keys (near-dup gate step 1)."""
+    df.write.mode("append").parquet(path)
+
+
+def _publish_docs(df: DataFrame, path: str) -> None:
+    """Append the admitted docs themselves (near-dup gate step 2)."""
+    df.write.mode("append").parquet(path)
+
+
 def admit_batch(batch: DataFrame, sink_path: str) -> None:
-    """Dedup one landed batch against itself and the sink, then append."""
+    """Dedup one landed batch against itself and the sink, then append.
+
+    Crash-safety: the single append either commits (Spark's job-commit
+    protocol — no partial part files) or leaves the sink untouched;
+    either way the foreachBatch replay re-derives admissions from the
+    sink's committed fingerprints, so a crash in ANY window admits
+    nothing twice (tested with injected kills in
+    tests/test_streaming_corpus.py).
+    """
     spark = batch.sparkSession
     fp = batch.withColumn("fingerprint", TX.fingerprint("text"))
     in_batch = (
@@ -82,7 +107,7 @@ def admit_batch(batch: DataFrame, sink_path: str) -> None:
         fresh = in_batch.join(seen, "fingerprint", "left_anti")
     else:  # first batch: no sink yet
         fresh = in_batch
-    fresh.write.mode("append").parquet(sink_path)
+    _publish_admitted(fresh, sink_path)
 
 
 def start_dedup_ingest(
@@ -239,12 +264,15 @@ def admit_batch_neardup(
     # docs, so a bucket hit with no docs row drops out — whereas the
     # reverse order (docs without index) would permanently exempt those
     # documents from future near-dup candidacy.
-    llm.lsh_band_keys(
-        admitted.select(F.col("doc_id").alias("id"), "signature"),
-        bands,
-        rows_per_band,
-    ).write.mode("append").parquet(f"{sink_path}/index")
-    admitted.write.mode("append").parquet(f"{sink_path}/docs")
+    _publish_index(
+        llm.lsh_band_keys(
+            admitted.select(F.col("doc_id").alias("id"), "signature"),
+            bands,
+            rows_per_band,
+        ),
+        f"{sink_path}/index",
+    )
+    _publish_docs(admitted, f"{sink_path}/docs")
 
 
 def start_neardup_ingest(

@@ -110,6 +110,128 @@ def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
     assert {r["id"] for r in idx} == {1, 2}
 
 
+def test_dedup_ingest_crash_after_publish_replays_clean(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the exact-dedup foreachBatch AFTER its append but BEFORE
+    the checkpoint commit: the replay must re-derive admissions from
+    the sink's committed fingerprints and admit nothing twice."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    _land(spark, str(land / "b0"), [(1, "alpha beta"), (2, "gamma delta")])
+
+    real = corpus._publish_admitted
+    armed = {"crash": True}
+
+    def crash_after(df, path):
+        real(df, path)
+        if armed["crash"]:
+            armed["crash"] = False
+            raise RuntimeError("injected crash after admitted publish")
+
+    monkeypatch.setattr(corpus, "_publish_admitted", crash_after)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus.start_dedup_ingest(
+            spark, str(land) + "/*", sink, chk, DOC_SCHEMA
+        ).awaitTermination(120)
+
+    # clean restart, SAME checkpoint: the uncommitted batch replays
+    monkeypatch.setattr(corpus, "_publish_admitted", real)
+    corpus.start_dedup_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA
+    ).awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]  # once each
+
+
+def test_neardup_ingest_crash_in_both_publish_windows(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the near-dup admission in BOTH publish windows:
+
+    window 1 — after the index append, before the docs append (the
+    orphan-index window: replay must not be blinded by the orphan
+    band keys, and duplicate index rows must stay inert);
+    window 2 — after both appends, before the checkpoint commit (the
+    replay-whole-batch window: the fingerprint anti-join must admit
+    nothing twice).
+    """
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    real_docs = corpus._publish_docs
+
+    # ---- window 1: crash BETWEEN index and docs appends (batch b0) ----
+    _land(spark, str(land / "b0"), [
+        (1, _para("alpha")),
+        (2, _para("alpha").replace("carefully", "quickly")),  # near-dup of 1
+        (3, _para("omega")),
+    ])
+
+    def crash_before_docs(df, path):
+        raise RuntimeError("injected crash between index and docs")
+
+    monkeypatch.setattr(corpus, "_publish_docs", crash_before_docs)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus.start_neardup_ingest(
+            spark, str(land) + "/*", sink, chk, DOC_SCHEMA, threshold=0.5
+        ).awaitTermination(180)
+    # index landed, docs did not — the orphan-index state
+    assert corpus._sink_exists(spark, sink + "/index")
+    assert not corpus._sink_exists(spark, sink + "/docs")
+
+    # ---- window 2 armed for the replay: crash AFTER docs append ----
+    armed = {"crash": True}
+
+    def crash_after_docs(df, path):
+        real_docs(df, path)
+        if armed["crash"]:
+            armed["crash"] = False
+            raise RuntimeError("injected crash after docs publish")
+
+    monkeypatch.setattr(corpus, "_publish_docs", crash_after_docs)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus.start_neardup_ingest(
+            spark, str(land) + "/*", sink, chk, DOC_SCHEMA, threshold=0.5
+        ).awaitTermination(180)
+
+    # ---- clean restart: replays the still-uncommitted batch ----
+    monkeypatch.setattr(corpus, "_publish_docs", real_docs)
+    corpus.start_neardup_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, threshold=0.5
+    ).awaitTermination(180)
+
+    docs = spark.read.parquet(sink + "/docs").collect()
+    # no duplicate admissions across all three attempts
+    assert sorted(r["doc_id"] for r in docs) == [1, 3]
+    # no lost history: the index covers exactly the admitted ids (the
+    # window-1 orphan rows are duplicates of real ones, inert by the
+    # inner-join against docs)
+    idx_ids = {r["id"] for r in spark.read.parquet(sink + "/index").collect()}
+    assert idx_ids == {1, 3}
+
+    # ---- the gate still works after the crashes: near-dup of an
+    # admitted doc is rejected, a new topic is admitted ----
+    _land(spark, str(land / "b1"), [
+        (4, _para("alpha").replace("lineage", "history")),
+        (5, _para("sigma")),
+    ])
+    corpus.start_neardup_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, threshold=0.5
+    ).awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 3, 5}
+
+
 def test_quarantine_ingest_dead_letters_bad_rows(spark, tmp_path):
     from pyspark.sql import types as T
 
