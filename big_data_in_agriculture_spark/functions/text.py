@@ -14,6 +14,7 @@ hash-match bit-for-bit across engines.
 
 from __future__ import annotations
 
+import pandas as pd  # only nfc_normalize's Arrow island; hot path stays JVM
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -170,6 +171,36 @@ def repetition_ratio(text: Column | str, k: int = 3) -> Column:
     return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
         F.lit(1.0) - distinct / total
     )
+
+
+def nfc_normalize(text: Column | str) -> Column:
+    """Unicode NFC normalization — the corpus-ENTRY convention.
+
+    The same visible text can arrive composed (é = U+00E9) or
+    decomposed (e + U+0301); every byte-level operator downstream
+    (sha fingerprints, shingle hashes, exact/near dedup) legitimately
+    treats those as distinct. The repo-wide convention is therefore:
+    normalize ONCE at corpus entry with this function when twin
+    collapse is wanted, and keep every downstream operator byte-exact
+    (no hidden normalization inside dedup — it would desync the SQL
+    oracles, which see raw bytes).
+
+    Arrow-batched pandas UDF over Python's unicodedata (no JVM-side
+    normalize exists in Spark SQL's function library); DuckDB's
+    ``nfc_normalize()`` is the oracle twin. NULL in → NULL out.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _nfc(c)
 
 
 def fingerprint(text: Column | str) -> Column:

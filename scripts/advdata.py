@@ -166,6 +166,45 @@ COPY (
 """)
 
 
+def generate_unicode(out: str, src: str) -> None:
+    """Clone with NFC/NFD twin documents planted — the same visible
+    text encoded as composed codepoints (é = U+00E9) in one doc and
+    decomposed base+combining (e + U+0301) in its twin. Byte-level
+    operators (sha fingerprints, shingle hashes, dedup) legitimately
+    see two distinct docs; the planted twins verify both engines make
+    the SAME call everywhere (length/codepoint counts, case folds,
+    tokenization), and the corpus-entry normalization convention
+    (TX.nfc_normalize — apply BEFORE fingerprinting when twin collapse
+    is wanted) is tested separately in tests/test_text_functions.
+    """
+    import unicodedata
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in [x for x in ALL_TABLES if x != "documents"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    nfc = "café résumé naïve déjà vu über straße"
+    nfd = unicodedata.normalize("NFD", nfc)
+    assert nfc != nfd and unicodedata.normalize("NFC", nfd) == nfc
+    mixed = nfc.split(" ")[0] + " " + unicodedata.normalize("NFD", "élève näive")
+    rows = [
+        (950001, nfc), (950002, nfd),
+        (950003, nfc.upper()), (950004, mixed),
+    ]
+    df_sql = " UNION ALL ".join(
+        f"SELECT {i}, '{t}', 'fr', 'advuni', {len(t)}" for i, t in rows
+    )
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/documents.parquet')
+  UNION ALL {df_sql}
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+
+
 def generate(out: str, src: str) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -221,10 +260,14 @@ if __name__ == "__main__":
     ap.add_argument("--nulls", action="store_true")
     ap.add_argument("--nan", action="store_true")
     ap.add_argument("--dups", action="store_true")
+    ap.add_argument("--unicode", action="store_true")
     a = ap.parse_args()
     if a.dups:
         generate_dups(a.out, a.src)
         print(f"wrote duplicate-heavy tables to {a.out} (src={a.src})")
+    elif a.unicode:
+        generate_unicode(a.out, a.src)
+        print(f"wrote NFC/NFD-twin tables to {a.out} (src={a.src})")
     elif a.empty:
         generate_empty(a.out, a.src)
         print(f"wrote EMPTY tables to {a.out} (src={a.src})")

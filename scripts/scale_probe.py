@@ -152,6 +152,37 @@ def probe_minhash_500k_fast(spark, docs=500_000):
     )
 
 
+def probe_text_stats_1m(spark, docs=1_000_000):
+    """Steady-state text_stats throughput (round-6 regression triage).
+
+    BENCH_r05 showed text_stats +20%/46 ms vs r4 and round 5 had
+    touched functions/text.py — but the touched expression
+    (repetition_ratio's NULL branch) is NOT in text_stats' plan
+    (text_stats = n_chars/n_tokens/n_distinct/punct/quality only), so
+    the delta could never have been that change. This probe pins the
+    steady per-row cost at 20× the bench corpus so future deltas have
+    a noise-free reference: pure map-side column math, zero shuffles.
+    """
+    from big_data_in_agriculture_spark.operators.llm import text_stats
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.pmod(F.xxhash64("id"), F.lit(30)) + 10),
+        lambda i: F.concat(
+            F.lit("tok"), (F.xxhash64(F.col("id"), i) % 2000).cast("string")
+        ),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+    )
+    # terminal agg consumes every stat column — a bare .count() would
+    # let Catalyst prune the expressions and measure nothing
+    return text_stats(df).agg(
+        F.sum("n_chars_calc"), F.sum("n_tokens"),
+        F.sum("n_distinct_tokens"), F.sum("n_punct"), F.sum("quality")
+    )
+
+
 def _dupheavy_corpus(spark, docs, exact_copies, near_copies):
     """Benign base corpus + one exact-duplicate family of
     ``exact_copies`` members + one near-dup family of ``near_copies``
@@ -227,6 +258,7 @@ PROBES = {
     "minhash_500k_fast": probe_minhash_500k_fast,
     "minhash_dupheavy_100k": probe_minhash_dupheavy_100k,
     "minhash_dupheavy_uncollapsed_50k": probe_minhash_dupheavy_uncollapsed,
+    "text_stats_1m": probe_text_stats_1m,
     "asof_10m": probe_asof,
 }
 

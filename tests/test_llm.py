@@ -230,6 +230,41 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     assert fps[1] == fps[2] != fps[3]
 
 
+def test_nfc_normalize_collapses_nfd_twins(spark):
+    """NFC/NFD twins of the same visible text fingerprint DIFFERENTLY
+    raw (byte-exact convention) and IDENTICALLY after the corpus-entry
+    nfc_normalize step; the normalization agrees with DuckDB's
+    nfc_normalize (the oracle twin)."""
+    import unicodedata
+
+    import duckdb
+
+    from big_data_in_agriculture_spark.functions import text as TX
+
+    nfc = "café résumé naïve déjà vu"
+    nfd = unicodedata.normalize("NFD", nfc)
+    assert nfc != nfd
+    df = spark.createDataFrame(
+        [(1, nfc), (2, nfd), (3, None)], ["doc_id", "text"]
+    )
+    out = df.select(
+        "doc_id",
+        TX.nfc_normalize("text").alias("norm"),
+        TX.fingerprint("text").alias("fp_raw"),
+        TX.fingerprint(TX.nfc_normalize("text")).alias("fp_norm"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["fp_raw"] != rows[2]["fp_raw"]       # byte-exact raw
+    assert rows[1]["fp_norm"] == rows[2]["fp_norm"]     # twins collapse
+    assert rows[1]["norm"] == rows[2]["norm"] == nfc
+    assert rows[3]["norm"] is None                      # NULL in -> NULL out
+    # engine parity: DuckDB's nfc_normalize produces the same string
+    duck = duckdb.sql(
+        "SELECT nfc_normalize(?)", params=[nfd]
+    ).fetchone()[0]
+    assert duck == nfc
+
+
 def test_text_cleaning_functions(spark):
     from big_data_in_agriculture_spark.functions import text as TX
     from pyspark.sql import functions as F
