@@ -2871,7 +2871,8 @@ def bm25_search_indexed(
 
 
 def epoch_shuffle(
-    docs: DataFrame, seed: int = 0, id_col: str = "doc_id"
+    docs: DataFrame, seed: int = 0, id_col: str = "doc_id",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Deterministic global training-order permutation, no global sort.
 
@@ -2891,6 +2892,18 @@ def epoch_shuffle(
     — verified against the naive OVER(ORDER BY) form by the oracle.
     New seed → new permutation; same seed → identical order on every
     engine and partitioning.
+
+    The keyed frame has two consumers (histogram, ranking). The
+    DEFAULT is to recompute it for each: both passes read ONLY the id
+    column (pruned scan) and the md5 re-derivation is deterministic
+    and cheap, so at 100 TB two narrow scans beat materializing a
+    full keyed copy of the table per epoch by orders of magnitude —
+    rewriting the corpus to executor storage every epoch was exactly
+    the scale hazard flagged in round 5. ``checkpoint=True`` restores
+    the materialized form for callers whose ``docs`` is itself an
+    expensive unmaterialized pipeline (then: cache/checkpoint once and
+    run every epoch against it, or flip this knob). Probe:
+    SCALE.md `epoch_shuffle_10m`.
     """
     key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
@@ -2898,7 +2911,8 @@ def epoch_shuffle(
     keyed = docs.select(F.col(id_col), key.alias("_k")).withColumn(
         "_b", F.conv(F.substring("_k", 1, 2), 16, 10).cast("int")
     )
-    keyed = keyed.localCheckpoint(eager=True)  # two consumers below
+    if checkpoint:
+        keyed = keyed.localCheckpoint(eager=True)
     counts = (
         keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
     )

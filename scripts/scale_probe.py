@@ -183,6 +183,27 @@ def probe_text_stats_1m(spark, docs=1_000_000):
     )
 
 
+def probe_epoch_shuffle(spark, rows=10_000_000):
+    """Recompute-both-consumers epoch_shuffle (the round-6 default):
+    two pruned single-column scans — histogram then rank — instead of
+    materializing a full keyed copy of the corpus per epoch."""
+    from big_data_in_agriculture_spark.operators.llm import epoch_shuffle
+
+    df = spark.range(rows).select(F.col("id").alias("doc_id"))
+    # terminal agg consumes pos so the rank window can't be pruned
+    return epoch_shuffle(df, seed=3).agg(F.sum("pos"), F.max("pos"))
+
+
+def probe_epoch_shuffle_ckpt(spark, rows=10_000_000):
+    """Contrast row: the pre-round-6 localCheckpoint(eager=True) form —
+    pays a full write+read of the keyed table to executor storage."""
+    from big_data_in_agriculture_spark.operators.llm import epoch_shuffle
+
+    df = spark.range(rows).select(F.col("id").alias("doc_id"))
+    return epoch_shuffle(df, seed=3, checkpoint=True).agg(
+        F.sum("pos"), F.max("pos"))
+
+
 def _dupheavy_corpus(spark, docs, exact_copies, near_copies):
     """Benign base corpus + one exact-duplicate family of
     ``exact_copies`` members + one near-dup family of ``near_copies``
@@ -259,6 +280,8 @@ PROBES = {
     "minhash_dupheavy_100k": probe_minhash_dupheavy_100k,
     "minhash_dupheavy_uncollapsed_50k": probe_minhash_dupheavy_uncollapsed,
     "text_stats_1m": probe_text_stats_1m,
+    "epoch_shuffle_10m": probe_epoch_shuffle,
+    "epoch_shuffle_10m_ckpt": probe_epoch_shuffle_ckpt,
     "asof_10m": probe_asof,
 }
 
