@@ -147,9 +147,19 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     # Extended tier (separate section — HEADLINE keys stay stable for
-    # cross-round comparison): streaming and heavy-text operators.
+    # cross-round comparison): streaming and heavy-text operators,
+    # plus (round 6) the five queries the round-5 rotation promoted
+    # into the correctness prefix, so they gain a bench series too.
     extended: dict[str, float] = {}
-    for name in ("substring_dedup", "textrank_keywords"):
+    for name in (
+        "substring_dedup",
+        "textrank_keywords",
+        "kmeans_clusters",
+        "semantic_dedup",
+        "classifier_quality",
+        "pack_firstfit",
+        "bpe_train",
+    ):
         if name not in qs:
             continue
         best = float("inf")
