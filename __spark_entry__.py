@@ -4271,7 +4271,10 @@ def _kmeans_clusters_sql(
     assignment + per-cluster counts."""
     return f"""
 WITH e AS (
+    -- NULL embeddings are excluded at entry (vector-op convention;
+    -- pre-r6 they silently diluted their cluster's mean denominator)
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 {_kmeans_cte_chain(iters, k, dim, q)},
 df AS (
@@ -5290,10 +5293,12 @@ def _semantic_dedup_sql(
     )
     return f"""
 WITH e AS (
+    -- NULL embeddings excluded at entry (vector-op convention)
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE embedding IS NOT NULL
     UNION ALL
     SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
-    WHERE vec_id % 40 = 0
+    WHERE vec_id % 40 = 0 AND embedding IS NOT NULL
 ),
 {_kmeans_cte_chain(iters, k, dim, q)},
 df AS (

@@ -516,8 +516,8 @@ def kmeans_fit(
     centroids) lives on the driver and is baked into each iteration's
     plan as literals; the DATA only ever flows through one
     assign-and-partial-aggregate pass per iteration — per-partition
-    partial sums mean the shuffle carries k rows per partition, never
-    vectors. Initialization is the k lowest-id vectors (deterministic,
+    partial sums mean the shuffle carries k×dim scalar sum rows per
+    partition, never vectors. Initialization is the k lowest-id vectors (deterministic,
     resumable — same stand-in knn_ivf uses); convergence is max
     centroid movement < tol.
 
@@ -541,6 +541,14 @@ def kmeans_fit(
     rounding of k x dim floats per iteration is free at any corpus
     size, so the oracle-replayable fit IS the production fit.
     """
+    # NULL vectors are excluded at entry — the repo-wide vector-op
+    # convention (COVERAGE.md). Before round 6 a NULL embedding row
+    # was silently COUNTED in its cluster's mean denominator while
+    # contributing nothing to the sums (sum skips NULL, count(*)
+    # doesn't), diluting that centroid toward zero — a real defect the
+    # NULLs-corpus sweep exposed when the round-6 agg reformulation
+    # changed the dilution; now neither engine lets NULLs near the fit.
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     init = (
         embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -559,29 +567,39 @@ def kmeans_fit(
             ),
             _dvec(F.col(vec_col)).alias("v"),
         )
-        # mean vector per cluster: one sum aggregate PER DIMENSION —
-        # partial aggregation makes the shuffle k rows × (dim+1) cols
-        # per partition (a collect_list fold would instead buffer every
-        # member vector in the agg state: O(cluster size) memory)
+        # mean vector per cluster via posexplode to (cluster, dim)
+        # keys: the partial agg still reduces each partition to
+        # k×dim sum rows before the shuffle (never vectors, never
+        # O(cluster size) agg state), and the plan is O(1) expressions
+        # regardless of dim — the previous one-sum-aggregate-PER-
+        # DIMENSION form re-analyzed and re-codegen'd a dim-wide
+        # aggregate every iteration, which dominated bench-scale runs
+        # (measured 4.6 s → 2.8 s for the 4-iteration sf0.1 fit; bit-
+        # identical centroids, since the per-(cluster,dim) partial-sum
+        # fold order is the same row order either way and the quantize
+        # grid absorbs merge-order jitter exactly as before).
         new_rows = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
-            )
+            assigned.select("cluster", F.posexplode("v").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        sums: dict[tuple[int, int], float] = {}
+        ns: dict[int, int] = {}
+        for row in new_rows:
+            sums[(row["cluster"], row["d"])] = row["s"]
+            ns[row["cluster"]] = row["n"]
         new_cents = list(cents)
         moved = 0.0
-        for row in new_rows:
-            c = [row[f"s{i}"] / row["n"] for i in range(dim)]
+        for c_idx, n in ns.items():
+            c = [sums[(c_idx, j)] / n for j in range(dim)]
             if quantize is not None:
                 c = [quantize_half_away(x, quantize) for x in c]
             moved = max(
                 moved,
-                max(abs(a - b) for a, b in zip(c, cents[row["cluster"]])),
+                max(abs(a - b) for a, b in zip(c, cents[c_idx])),
             )
-            new_cents[row["cluster"]] = c
+            new_cents[c_idx] = c
         cents = new_cents
         if moved < tol:
             break
@@ -594,7 +612,13 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid — pure projection."""
+    """Assign every vector to its nearest centroid — pure projection.
+
+    NULL vectors have no nearest centroid and are excluded (vector-op
+    convention, COVERAGE.md) — pre-round-6 they were assigned an
+    arbitrary engine-dependent cluster via NULL-distance ordering.
+    """
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     if not centroids:  # empty model (fit on an empty corpus)
         return embeddings.select(
             F.col(id_col), F.lit(0).cast("int").alias("cluster")

@@ -153,6 +153,31 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert len({next(iter(s)) for s in by_blob.values()}) == 3
 
 
+def test_kmeans_excludes_null_vectors(spark):
+    """Vector-op convention: NULL embeddings neither dilute centroid
+    means (they used to be counted in the denominator while adding
+    nothing to the sums) nor receive a cluster assignment."""
+    from big_data_in_agriculture_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    clean = spark.createDataFrame(
+        [(i, [float(i % 2) * 10, 1.0]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with_null = clean.unionByName(
+        spark.createDataFrame(
+            [(100, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+    )
+    c_clean = kmeans_fit(clean, k=2, max_iter=5, tol=0.0, quantize=6)
+    c_null = kmeans_fit(with_null, k=2, max_iter=5, tol=0.0, quantize=6)
+    assert c_clean == c_null  # NULL row changes nothing
+    assigned = kmeans_assign(with_null, c_null).collect()
+    assert {r["vec_id"] for r in assigned} == set(range(20))  # no id 100
+
+
 def test_kmeans_deterministic_across_runs(spark):
     from big_data_in_agriculture_spark.operators.similarity import kmeans_fit
 
