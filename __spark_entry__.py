@@ -738,17 +738,26 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(emb, queries, k=3)
 
 
-_KNN_SQL = """
+#: DuckDB twin of similarity.vec_is_valid — the INVALID-VECTOR
+#: convention (COVERAGE.md): every vector operator excludes, at entry,
+#: NULL vectors AND vectors with any NULL/NaN/±Inf component (failed
+#: encoder output; the --nanvec adversarial corpus plants all four).
+_VALID_VEC = (
+    "(embedding IS NOT NULL AND len(list_filter(embedding,"
+    " x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)"
+)
+
+
+_KNN_SQL = f"""
 WITH q AS (
-    -- NULL embeddings are excluded on both engines (the Spark side
-    -- filters them before the broadcast join; DuckDB's
-    -- list_dot_product would raise on NULL)
+    -- invalid embeddings are excluded on both engines at entry
+    -- (similarity.vec_is_valid / _VALID_VEC)
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
+    FROM embeddings WHERE vec_id < 10 AND {_VALID_VEC}
 ),
 c AS (
     SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
-    FROM embeddings WHERE embedding IS NOT NULL
+    FROM embeddings WHERE {_VALID_VEC}
 ),
 scored AS (
     SELECT query_id, neighbor_id,
@@ -777,15 +786,15 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.norm_stats_by_label(_t(spark, sf_dir, "embeddings"))
 
 
-_NORMS_SQL = """
+_NORMS_SQL = f"""
 WITH n AS (
-    -- NULL embedding -> NULL norm (row still counted), matching the
-    -- Spark side; bare list_dot_product(NULL) raises in DuckDB
+    -- invalid embeddings excluded at entry (vec_is_valid convention;
+    -- round 6: a NULL vector used to be counted with a NULL norm,
+    -- now it does not appear in n_vectors at all)
     SELECT label,
-           CASE WHEN embedding IS NULL THEN NULL
-                ELSE sqrt(list_dot_product(embedding::DOUBLE[],
-                                           embedding::DOUBLE[])) END AS l2
-    FROM embeddings
+           sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[])) AS l2
+    FROM embeddings WHERE {_VALID_VEC}
 )
 SELECT label,
        count(*) AS n_vectors,
@@ -1019,9 +1028,10 @@ def _knn_lsh_sql(
     structs = ",\n        ".join(tbl_structs)
     return f"""
 WITH e AS (
-    -- NULL embeddings can't be bucketed; excluded on both engines
+    -- invalid embeddings can't be bucketed; excluded on both engines
+    -- (vec_is_valid / _VALID_VEC)
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    WHERE embedding IS NOT NULL
+    WHERE {_VALID_VEC}
 ),
 bb AS (
     SELECT vec_id, v, u.tbl AS tbl, u.bucket AS bucket FROM (
@@ -1453,11 +1463,13 @@ FROM documents
 """
 
 
-_EMB_NEARDUP_SQL = """
+_EMB_NEARDUP_SQL = f"""
 WITH u AS (
-    SELECT vec_id, embedding FROM embeddings
+    -- invalid embeddings excluded at entry (vec_is_valid convention)
+    SELECT vec_id, embedding FROM embeddings WHERE {_VALID_VEC}
     UNION ALL
-    SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 5
+    SELECT vec_id + 1000000, embedding FROM embeddings
+    WHERE vec_id < 5 AND {_VALID_VEC}
 ),
 p AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1868,7 +1880,9 @@ def _knn_ivf_sql(
     """
     return f"""
 WITH e AS (
+    -- invalid embeddings excluded at entry (vec_is_valid / _VALID_VEC)
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {_VALID_VEC}
 ),
 cent AS (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv
@@ -3925,7 +3939,7 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
 
 
-_EMBEDDING_DIM_STATS_SQL = """
+_EMBEDDING_DIM_STATS_SQL = f"""
 SELECT i AS dim,
        CAST(avg(v) AS FLOAT) AS mean,
        CAST(stddev_samp(v) AS FLOAT) AS std,
@@ -3933,7 +3947,9 @@ SELECT i AS dim,
        CAST(max(v) AS FLOAT) AS vmax
 FROM (SELECT generate_subscripts(embedding, 1) AS i,
              unnest(embedding) AS v
-      FROM embeddings)
+      -- invalid embeddings excluded (vec_is_valid convention): one
+      -- NaN component would poison its dimension's mean/std
+      FROM embeddings WHERE {_VALID_VEC})
 GROUP BY 1 ORDER BY 1
 """
 
@@ -4271,10 +4287,12 @@ def _kmeans_clusters_sql(
     assignment + per-cluster counts."""
     return f"""
 WITH e AS (
-    -- NULL embeddings are excluded at entry (vector-op convention;
-    -- pre-r6 they silently diluted their cluster's mean denominator)
+    -- invalid embeddings are excluded at entry (vec_is_valid
+    -- convention; pre-r6 a NULL vector silently diluted its
+    -- cluster's mean denominator, and one NaN/Inf component would
+    -- poison the whole centroid)
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    WHERE embedding IS NOT NULL
+    WHERE {_VALID_VEC}
 ),
 {_kmeans_cte_chain(iters, k, dim, q)},
 df AS (
@@ -5203,10 +5221,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LABEL_CENTROID_SQL = """
+_LABEL_CENTROID_SQL = f"""
 WITH dims AS (
+    -- invalid embeddings excluded (vec_is_valid convention)
     SELECT label, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS val
     FROM embeddings, unnest(range(len(embedding))) u(i)
+    WHERE {_VALID_VEC}
 ),
 cent AS (
     SELECT label, dim, avg(val) AS mean FROM dims GROUP BY 1, 2
@@ -5293,12 +5313,12 @@ def _semantic_dedup_sql(
     )
     return f"""
 WITH e AS (
-    -- NULL embeddings excluded at entry (vector-op convention)
+    -- invalid embeddings excluded at entry (vec_is_valid convention)
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    WHERE embedding IS NOT NULL
+    WHERE {_VALID_VEC}
     UNION ALL
     SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
-    WHERE vec_id % 40 = 0 AND embedding IS NOT NULL
+    WHERE vec_id % 40 = 0 AND {_VALID_VEC}
 ),
 {_kmeans_cte_chain(iters, k, dim, q)},
 df AS (
@@ -6204,6 +6224,8 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     lexical = llm.bm25_search(docs, "hash join filter", top_k=20)
+    # invalid embeddings excluded at entry (vec_is_valid convention)
+    emb = emb.filter(similarity.vec_is_valid(F.col("embedding")))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_vec")
     )
@@ -6230,7 +6252,9 @@ WITH lex AS (
     SELECT doc_id, rank AS rl FROM ({_BM25_SQL.replace("LIMIT 10", "LIMIT 20")})
 ),
 qv AS (
-    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+    -- invalid embeddings excluded (vec_is_valid convention)
+    SELECT embedding::DOUBLE[] AS q FROM embeddings
+    WHERE vec_id = 0 AND {_VALID_VEC}
 ),
 sem AS (
     SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rs
@@ -6244,7 +6268,7 @@ sem AS (
                                                         e.embedding::DOUBLE[]))
                                   * sqrt(list_dot_product(qv.q, qv.q)))
                           ELSE 0.0 END, 6) AS cos
-        FROM embeddings e, qv WHERE e.vec_id <> 0
+        FROM embeddings e, qv WHERE e.vec_id <> 0 AND {_VALID_VEC}
     )
     QUALIFY rs <= 20
 ),

@@ -52,6 +52,33 @@ def _norm(a) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def vec_is_valid(col) -> F.Column:
+    """True iff ``col`` is a usable embedding: non-NULL, with every
+    component non-NULL and finite.
+
+    The repo-wide INVALID-VECTOR convention (COVERAGE.md): failed or
+    truncated encoder output in a real corpus shows up as NULL rows,
+    NULL components, NaNs, and ±Inf — and each of those poisons a
+    different stage differently (NaN distances make argmin ordering
+    engine-dependent, Inf norms zero every cosine, one NaN component
+    poisons a whole dimension's mean). Rather than per-stage patches,
+    every vector operator excludes invalid vectors AT ENTRY, mirrored
+    in oracle SQL by ``len(list_filter(embedding, x -> x IS NULL OR
+    isnan(x) OR isinf(x))) = 0``. (The NaN-vector adversarial corpus —
+    scripts/advdata.py --nanvec — sweeps this.)
+
+    forall() on an empty array is true: a zero-dim vector is "valid"
+    and left for downstream zero-norm handling (cosine → 0.0).
+    """
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return c.isNotNull() & F.forall(
+        c,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) != F.lit(float("inf"))),
+    )
+
+
 def with_l2_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Attach the L2 norm (float64) of an array<float> column."""
     return df.withColumn("l2_norm", _norm(_dvec(F.col(vec_col))))
@@ -100,10 +127,10 @@ def knn_bruteforce(
     BEFORE ranking and tie-broken by neighbor id, so the returned set
     is deterministic across engines and partitionings.
     """
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = queries.filter(vec_is_valid(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = _fan_out(corpus.filter(F.col(vec_col).isNotNull())).select(
+    c = _fan_out(corpus.filter(vec_is_valid(F.col(vec_col)))).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     sim = cosine(F.col("q_vec"), F.col("c_vec"))
@@ -219,10 +246,12 @@ def _bucketize(
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    # NULL embeddings (padding/failed-encode rows) can't be bucketed —
-    # they'd shear the batch matmul; convention: excluded, mirrored by
-    # IS NOT NULL in the oracle SQL
-    df = df.filter(F.col(vec_col).isNotNull())
+    # invalid embeddings (NULL / NaN / Inf / NULL-component rows —
+    # padding or failed encodes) can't be bucketed: NULLs shear the
+    # batch matmul and a NaN projection makes the sign bit arbitrary;
+    # convention: excluded at entry (vec_is_valid), mirrored in the
+    # oracle SQL
+    df = df.filter(vec_is_valid(F.col(vec_col)))
 
     planes = np.array(
         [
@@ -326,6 +355,12 @@ def knn_ivf(
     — a bounded model artifact (like broadcasting a k-means model),
     never a data collect.
     """
+    # invalid vectors excluded at entry (vec_is_valid): before round 6
+    # they were only excluded IMPLICITLY (NULL cluster keys drop out of
+    # the equi-join), and a NaN vector's all-NaN distance list made the
+    # argmin cid engine-dependent.
+    corpus = corpus.filter(vec_is_valid(F.col(vec_col)))
+    queries = queries.filter(vec_is_valid(F.col(vec_col)))
     cent_rows = (
         corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
     )
@@ -421,7 +456,15 @@ def embedding_neardup_pairs(
 def norm_stats_by_label(
     embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Per-label embedding diagnostics: count, mean/min/max L2 norm."""
+    """Per-label embedding diagnostics: count, mean/min/max L2 norm.
+
+    Invalid vectors are excluded at entry (vec_is_valid): the stats
+    describe the USABLE embedding space, and one NaN/Inf component
+    would otherwise poison its label's entire norm row. (Round 6
+    semantics change: a NULL embedding used to be counted in
+    n_vectors with a NULL norm; it no longer appears at all.)
+    """
+    embeddings = embeddings.filter(vec_is_valid(F.col(vec_col)))
     with_norm = embeddings.select(
         F.col(label_col), _norm(_dvec(F.col(vec_col))).alias("l2")
     )
@@ -449,8 +492,11 @@ def embedding_dim_stats(
     — a FIXED tiny key space, so map-side partial aggregation reduces
     the shuffle to (#partitions × dim) rows no matter the corpus size
     (the few hot keys are exactly what partial agg exists for).
-    Dims are 1-based to match SQL generate_subscripts.
+    Dims are 1-based to match SQL generate_subscripts. Invalid
+    vectors are excluded at entry (vec_is_valid) — one NaN component
+    would poison its dimension's mean/std for the whole corpus.
     """
+    embeddings = embeddings.filter(vec_is_valid(F.col(vec_col)))
     ex = embeddings.select(F.posexplode(F.col(vec_col)).alias("dim0", "v"))
     return (
         ex.groupBy((F.col("dim0") + 1).alias("dim"))
@@ -474,7 +520,11 @@ def standardize_embeddings(
     zip_with passes over each vector. The corpus is scanned twice
     (stats + transform) and never shuffled; the transform itself is
     map-only. Zero-variance dimensions pass through unscaled (std→1).
+    Invalid vectors are dropped at entry (vec_is_valid): z-scoring a
+    NaN/Inf vector yields garbage rows AND would poison the per-dim
+    stats every valid row is scaled by.
     """
+    embeddings = embeddings.filter(vec_is_valid(F.col(vec_col)))
     ex = embeddings.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
     per_dim = ex.groupBy("dim").agg(
         F.avg("v").alias("m"),
@@ -541,14 +591,16 @@ def kmeans_fit(
     rounding of k x dim floats per iteration is free at any corpus
     size, so the oracle-replayable fit IS the production fit.
     """
-    # NULL vectors are excluded at entry — the repo-wide vector-op
-    # convention (COVERAGE.md). Before round 6 a NULL embedding row
-    # was silently COUNTED in its cluster's mean denominator while
-    # contributing nothing to the sums (sum skips NULL, count(*)
-    # doesn't), diluting that centroid toward zero — a real defect the
-    # NULLs-corpus sweep exposed when the round-6 agg reformulation
-    # changed the dilution; now neither engine lets NULLs near the fit.
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    # invalid vectors are excluded at entry — the repo-wide vector-op
+    # convention (vec_is_valid, COVERAGE.md). Before round 6 a NULL
+    # embedding row was silently COUNTED in its cluster's mean
+    # denominator while contributing nothing to the sums (sum skips
+    # NULL, count(*) doesn't), diluting that centroid toward zero — a
+    # real defect the NULLs-corpus sweep exposed; a NaN/Inf component
+    # is worse still (one poisoned vector turns its whole centroid
+    # NaN, which then absorbs nothing or everything depending on the
+    # engine's NaN ordering). Neither engine lets either near the fit.
+    embeddings = embeddings.filter(vec_is_valid(F.col(vec_col)))
     init = (
         embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -614,11 +666,12 @@ def kmeans_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid — pure projection.
 
-    NULL vectors have no nearest centroid and are excluded (vector-op
-    convention, COVERAGE.md) — pre-round-6 they were assigned an
-    arbitrary engine-dependent cluster via NULL-distance ordering.
+    Invalid vectors (NULL, or any NaN/Inf/NULL component) have no
+    nearest centroid and are excluded (vec_is_valid, COVERAGE.md) —
+    pre-round-6 they were assigned an arbitrary engine-dependent
+    cluster via NULL/NaN-distance ordering.
     """
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    embeddings = embeddings.filter(vec_is_valid(F.col(vec_col)))
     if not centroids:  # empty model (fit on an empty corpus)
         return embeddings.select(
             F.col(id_col), F.lit(0).cast("int").alias("cluster")
@@ -708,7 +761,10 @@ def label_centroid_similarity(
 
     Output: one row per unordered label pair (a < b) with the cosine
     of their centroids (float64 math, ROUND 6 + float32 at the end).
+    Invalid vectors are excluded at entry (vec_is_valid) — one NaN
+    component would turn its label's centroid NaN.
     """
+    embeddings = embeddings.filter(vec_is_valid(F.col(vec_col)))
     dims = embeddings.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("dim", "val"),

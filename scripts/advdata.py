@@ -166,6 +166,47 @@ COPY (
 """)
 
 
+def generate_nanvec(out: str, src: str) -> None:
+    """Clone with POISONED embedding vectors planted — the four shapes
+    a failed/truncated encoder actually emits: a NaN component, a +Inf
+    component, a -Inf component, and a NULL component (NULL whole
+    vectors are the --nulls axis). Each poisons a different stage
+    differently — NaN distances make k-means/IVF argmin ordering
+    engine-dependent, an Inf norm zeroes every cosine it touches, one
+    NaN component poisons its whole dimension's mean/std — so the
+    convention is uniform: vector operators exclude INVALID vectors at
+    entry (similarity.vec_is_valid ↔ the oracle's _VALID_VEC filter).
+    """
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in [x for x in ALL_TABLES if x != "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    dim = con.execute(
+        f"SELECT len(embedding) FROM read_parquet('{src}/embeddings.parquet')"
+        " LIMIT 1"
+    ).fetchone()[0]
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/embeddings.parquet')
+  UNION ALL SELECT 960001,
+      [(CASE WHEN j = 3 THEN 'NaN'::FLOAT ELSE 0.1::FLOAT END)
+       FOR j IN range({dim})], 1
+  UNION ALL SELECT 960002,
+      [(CASE WHEN j = 0 THEN 'Infinity'::FLOAT ELSE 0.1::FLOAT END)
+       FOR j IN range({dim})], 2
+  UNION ALL SELECT 960003,
+      [(CASE WHEN j = {dim - 1} THEN '-Infinity'::FLOAT
+             ELSE 0.1::FLOAT END) FOR j IN range({dim})], 3
+  UNION ALL SELECT 960004,
+      [(CASE WHEN j = 7 THEN NULL ELSE 0.1::FLOAT END)
+       FOR j IN range({dim})], 4
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+
 def generate_unicode(out: str, src: str) -> None:
     """Clone with NFC/NFD twin documents planted — the same visible
     text encoded as composed codepoints (é = U+00E9) in one doc and
@@ -261,8 +302,12 @@ if __name__ == "__main__":
     ap.add_argument("--nan", action="store_true")
     ap.add_argument("--dups", action="store_true")
     ap.add_argument("--unicode", action="store_true")
+    ap.add_argument("--nanvec", action="store_true")
     a = ap.parse_args()
-    if a.dups:
+    if a.nanvec:
+        generate_nanvec(a.out, a.src)
+        print(f"wrote NaN/Inf-vector tables to {a.out} (src={a.src})")
+    elif a.dups:
         generate_dups(a.out, a.src)
         print(f"wrote duplicate-heavy tables to {a.out} (src={a.src})")
     elif a.unicode:

@@ -153,6 +153,54 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert len({next(iter(s)) for s in by_blob.values()}) == 3
 
 
+def test_vec_is_valid_predicate(spark):
+    """The INVALID-VECTOR convention's predicate: NULL vector, NULL
+    component, NaN, and ±Inf are invalid; empty and clean vectors are
+    valid (empty defers to downstream zero-norm handling)."""
+    import pyspark.sql.functions as F
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, nan]), (3, [inf, 1.0]),
+         (4, [1.0, -inf]), (5, [1.0, None]), (6, None), (7, [])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    valid = {
+        r["vec_id"]
+        for r in df.filter(
+            similarity.vec_is_valid(F.col("embedding"))
+        ).collect()
+    }
+    assert valid == {1, 7}
+
+
+def test_operators_exclude_poisoned_vectors(spark):
+    """A NaN/Inf-component vector must change NOTHING: kNN results,
+    k-means centroids, dim stats, and norm stats all match the clean
+    corpus with the poisoned rows planted."""
+    import pyspark.sql.functions as F
+
+    clean = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    nan, inf = float("nan"), float("inf")
+    poisoned = clean.unionByName(
+        spark.createDataFrame(
+            [(100, [nan, 0.0, 0.0, 0.0]), (101, [0.0, inf, 0.0, 0.0]),
+             (102, [0.0, 0.0, None, 0.0])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+    )
+    q = clean.filter("vec_id = 0")
+    knn_c = similarity.knn_bruteforce(clean, q, k=3).collect()
+    knn_p = similarity.knn_bruteforce(poisoned, q, k=3).collect()
+    assert knn_c == knn_p
+    cents_c = similarity.kmeans_fit(clean, k=2, max_iter=3, quantize=6)
+    cents_p = similarity.kmeans_fit(poisoned, k=2, max_iter=3, quantize=6)
+    assert cents_c == cents_p
+    stats_c = similarity.embedding_dim_stats(clean).collect()
+    stats_p = similarity.embedding_dim_stats(poisoned).collect()
+    assert stats_c == stats_p
+
+
 def test_kmeans_excludes_null_vectors(spark):
     """Vector-op convention: NULL embeddings neither dilute centroid
     means (they used to be counted in the denominator while adding
