@@ -166,6 +166,83 @@ COPY (
 """)
 
 
+def generate_skew(out: str, src: str) -> None:
+    """Clone with HOT KEYS planted — the distribution shape that
+    actually breaks 100 TB jobs: a few keys carrying orders of
+    magnitude more rows than the median.
+
+    - events: user 9_900_000 gets a 600-event burst in one day
+      (sessionize / per-user windows / debounce get one giant
+      partition), including 50 events sharing the EXACT same
+      timestamp — any window ordered by ts alone (no id tie-break)
+      produces engine-dependent row_numbers, which is precisely what
+      this corpus exists to catch.
+    - orders: customer 7 gets 400 extra orders (join fan-out and
+      groupBy hot-key stress for every o_custkey query).
+    - lineitem: 2 lines per planted order, ~all on partkey 1 with
+      suppkey cycling — a hot item for copurchase / association-rule
+      pairing and a hot build side for part joins.
+
+    All planted values are deterministic expressions (no RNG), and
+    totalprices are offset to avoid colliding with organic top-N
+    boundaries non-deterministically.
+    """
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in [x for x in ALL_TABLES if x not in ("events", "orders",
+                                                 "lineitem")]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/events.parquet')
+  UNION ALL
+  SELECT 970000 + i,
+         TIMESTAMP '2024-01-15 08:00:00'
+           + INTERVAL (CASE WHEN i < 50 THEN 3600
+                            ELSE i * 13 END) SECOND,
+         9900000,
+         ['click','view','purchase','signup','error'][(i % 5) + 1],
+         (i % 97) * 1.5,
+         '{{"k": ' || (i % 9)::VARCHAR || '}}'
+  FROM range(600) t(i)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/orders.parquet')
+  UNION ALL
+  SELECT 800000 + i, 7,
+         CASE WHEN i % 3 = 0 THEN 'F' ELSE 'O' END,
+         900000.01 + i * 1.37,
+         TIMESTAMP '1995-01-01' + INTERVAL ((i * 5) % 2400) DAY,
+         ['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']
+           [(i % 5) + 1]
+  FROM range(400) t(i)
+) TO '{out}/orders.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/lineitem.parquet')
+  UNION ALL
+  SELECT 800000 + i // 2,
+         CASE WHEN i % 11 = 0 THEN (i % 190) + 1 ELSE 1 END,
+         (i % 10),
+         (i % 2) + 1,
+         (i % 49) + 1.0,
+         1000.0 + (i % 500) * 2.25,
+         (i % 10) / 100.0,
+         (i % 8) / 100.0,
+         CASE WHEN i % 3 = 0 THEN 'R' ELSE 'N' END,
+         CASE WHEN i % 3 = 0 THEN 'F' ELSE 'O' END,
+         TIMESTAMP '1995-01-01' + INTERVAL (((i // 2) * 5) % 2400 + 30) DAY
+  FROM range(800) t(i)
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+""")
+
+
 def generate_nanvec(out: str, src: str) -> None:
     """Clone with POISONED embedding vectors planted — the four shapes
     a failed/truncated encoder actually emits: a NaN component, a +Inf
@@ -303,8 +380,12 @@ if __name__ == "__main__":
     ap.add_argument("--dups", action="store_true")
     ap.add_argument("--unicode", action="store_true")
     ap.add_argument("--nanvec", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     a = ap.parse_args()
-    if a.nanvec:
+    if a.skew:
+        generate_skew(a.out, a.src)
+        print(f"wrote hot-key-skew tables to {a.out} (src={a.src})")
+    elif a.nanvec:
         generate_nanvec(a.out, a.src)
         print(f"wrote NaN/Inf-vector tables to {a.out} (src={a.src})")
     elif a.dups:

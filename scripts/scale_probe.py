@@ -708,5 +708,31 @@ PROBES["classifier_500k"] = probe_classifier_500k
 PROBES["classifier_500k_noq"] = probe_classifier_500k_noq
 
 
+def probe_sessionize_hotuser(spark, rows=10_000_000, users=100_000):
+    """Gap sessionization with ONE user holding 20% of all events —
+    the hot-key window shape (one 2M-row partition sorted in a single
+    task) that the --skew adversarial corpus checks for correctness
+    and this probe checks for bounded time. Contrast with
+    sessionize_10m (uniform keys): the delta IS the skew tax, since a
+    per-user window cannot be split without changing semantics —
+    at a worse ratio the answer is pre-aggregating sessions in
+    event-time chunks, not a different window."""
+    from big_data_in_agriculture_spark.operators.relational import sessionize
+
+    df = spark.range(rows).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("id") % users)
+        .alias("user_id"),
+        F.timestamp_micros(
+            (F.col("id") * 7_919_000 % (86_400_000_000 * 30)).cast("long")
+        ).alias("ts"),
+    )
+    return sessionize(df, gap_minutes=30)
+
+
+PROBES["sessionize_hotuser_10m"] = probe_sessionize_hotuser
+
+
 if __name__ == "__main__":
     sys.exit(main())
