@@ -32,6 +32,26 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _let_array(bound: Column, fn) -> Column:
+    """Let-bind an array expression as a lambda variable: evaluate
+    ``bound`` ONCE, then build ``fn(var)`` over the bound value.
+
+    ``transform(array(bound), v -> fn(v))[0]`` — higher-order
+    functions run interpreted with no common-subexpression
+    elimination, so any lambda body referencing an expression tree
+    (not a lambda variable) re-evaluates that tree per element. For a
+    per-position transform over ``tokens(text)`` that means one full
+    re-split of the document per token: O(n²) in document length,
+    found by the --longdoc adversarial corpus. Binding through a
+    lambda variable makes the reference a value lookup.
+
+    NULL-safe: ``array(NULL_value)`` is ``[NULL]``, the lambda sees
+    NULL, and ``[result][0]`` unwraps — NULL propagation matches the
+    unbound expression exactly.
+    """
+    return F.transform(F.array(bound), fn)[0]
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens (single-space split — matches the SQL twin)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -278,15 +298,26 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     Built with transform over a sequence — JVM-side, no UDF. Documents
     shorter than k tokens yield their whole token string as the single
     shingle, so every doc has ≥1 shingle.
+
+    The token array is LET-BOUND as a lambda variable
+    (``transform(array(toks), t -> ...)[0]``) before the per-position
+    transform: higher-order functions evaluate INTERPRETED with no
+    common-subexpression elimination, so a lambda body that references
+    the ``split(text)`` expression tree re-tokenizes the whole
+    document once PER POSITION — O(n_tokens × doc_len), which turned
+    a 20k-token document (advdata --longdoc) into minutes of work.
+    A lambda variable is evaluated once and referenced by value.
     """
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
+    return _let_array(
+        tokens(text),
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(t) - k, F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+            )
+        ),
     )
 
 
@@ -354,19 +385,24 @@ def dup_line_char_fraction(text: Column | str) -> Column:
     bounded and map-only; no explode, no shuffle.
     """
     c = F.col(text) if isinstance(text, str) else text
-    ls = lines(text)
-    dup_chars = F.aggregate(
-        F.transform(
-            F.array_distinct(ls),
-            lambda l: F.when(
-                F.size(F.filter(ls, lambda x: x == l)) >= 2,
-                (F.size(F.filter(ls, lambda x: x == l)) * F.length(l)).cast(
-                    "long"
-                ),
-            ).otherwise(F.lit(0).cast("long")),
+    # lines let-bound (_let_array): referencing the split expression
+    # inside the per-distinct-line lambda re-splits the document per
+    # line — O(n²·len) on long documents (--longdoc corpus find)
+    dup_chars = _let_array(
+        lines(text),
+        lambda ls: F.aggregate(
+            F.transform(
+                F.array_distinct(ls),
+                lambda l: F.when(
+                    F.size(F.filter(ls, lambda x: x == l)) >= 2,
+                    (
+                        F.size(F.filter(ls, lambda x: x == l)) * F.length(l)
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
         ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
     )
     return dup_chars.cast("double") / F.greatest(
         F.length(c), F.lit(1)
@@ -385,19 +421,29 @@ def top_ngram_char_fraction(text: Column | str, n: int = 2) -> Column:
     O(grams²) map-only shape as the duplicate-line signal.
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(text)
-    nt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(nt - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.when(
-                F.size(F.filter(grams, lambda x: x == g)) >= 2,
-                (
-                    F.size(F.filter(grams, lambda x: x == g)) * F.length(g)
-                ).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
+    # both the token array AND the gram array are let-bound
+    # (_let_array): unbound, the gram lambda re-tokenized per position
+    # and the per-distinct-gram lambda re-built the gram array per
+    # gram — O(n³) in document length (--longdoc corpus find)
+    top = _let_array(
+        tokens(text),
+        lambda t: _let_array(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+            lambda grams: F.array_max(
+                F.transform(
+                    F.array_distinct(grams),
+                    lambda g: F.when(
+                        F.size(F.filter(grams, lambda x: x == g)) >= 2,
+                        (
+                            F.size(F.filter(grams, lambda x: x == g))
+                            * F.length(g)
+                        ).cast("long"),
+                    ).otherwise(F.lit(0).cast("long")),
+                )
+            ),
+        ),
     )
     return top.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")

@@ -2110,15 +2110,29 @@ def classifier_train(
         )
         resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) - F.col("y")
         # one row per (doc, bucket-occurrence) + one sentinel per doc;
-        # partial aggregation folds them map-side to dim+1 rows/partition
+        # partial aggregation folds them map-side to dim+1 rows/partition.
+        #
+        # The residual projection MUST be its own select BELOW the
+        # explode: expressions sharing a select with a generator are
+        # planned in a Project ABOVE the Generate (ExtractGenerator),
+        # which (a) recomputes the O(n_tokens) margin fold once PER
+        # EXPLODED TOKEN and (b) carries the full buckets array in
+        # every generated row's UnsafeRow copy — O(n_tokens²) compute
+        # and allocation per doc. Invisible on ~50-token docs; on the
+        # giant-doc corpus (advdata --longdoc, 20k-token docs) it was
+        # 4×10⁸ lambda evals + 1.6 GB of row copies per doc per
+        # iteration → OOM. Two selects pin the plan to
+        # Generate(Project): r computed once per doc, generated rows
+        # carry only (r, n, j).
+        pre = feats.select(
+            resid.alias("r"),
+            F.col("n"),
+            F.concat(
+                F.col("buckets"), F.array(F.lit(-1).cast("int"))
+            ).alias("_jarr"),
+        )
         grads = (
-            feats.select(
-                resid.alias("r"),
-                F.col("n"),
-                F.explode(
-                    F.concat(F.col("buckets"), F.array(F.lit(-1).cast("int")))
-                ).alias("j"),
-            )
+            pre.select("r", "n", F.explode("_jarr").alias("j"))
             .groupBy("j")
             .agg(
                 F.sum(
@@ -2224,12 +2238,23 @@ def repetition_filter(
     same data (interpreted HOFs don't share subexpressions).
     """
     toks = TX.tokens(text_col)
-    nt = F.size(toks)
 
     def grams(n: int) -> Column:
-        idx = F.sequence(F.lit(0), F.greatest(nt - n, F.lit(0)))
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        # the token array is LET-BOUND (TX._let_array) before the
+        # per-position transform: a lambda body referencing the
+        # split(text) expression tree re-tokenizes the whole document
+        # once PER POSITION (interpreted HOFs share nothing) — O(n²)
+        # in document length, 170 s on the --longdoc corpus's
+        # 20k-token docs vs <1 s let-bound. Unlike staging the array
+        # as a projection column, the binding survives CollapseProject.
+        return TX._let_array(
+            toks,
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(t) - n, F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
         )
 
     # NULL text carries no content to gate — excluded (oracle: IS NOT NULL)
@@ -3072,16 +3097,21 @@ def _dsir_grams(text: Column, buckets: int) -> Column:
     feature_bucket fixed-point (md5). Duplicates KEPT — DSIR models
     bag-of-ngrams counts, not sets.
     """
-    toks = F.split(text, " ")
-    unigrams = F.transform(toks, lambda t: feature_bucket(t, buckets))
-    n = F.size(toks)
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        lambda t, i: feature_bucket(
-            F.concat_ws(" ", t, F.element_at(toks, i + 2)), buckets
+    # let-bound (TX._let_array): the bigram lambda's element_at(toks)
+    # reference would otherwise re-split the document once per bigram
+    # — O(n²) in document length (121 s on the --longdoc corpus)
+    return TX._let_array(
+        F.split(text, " "),
+        lambda toks: F.concat(
+            F.transform(toks, lambda t: feature_bucket(t, buckets)),
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda t, i: feature_bucket(
+                    F.concat_ws(" ", t, F.element_at(toks, i + 2)), buckets
+                ),
+            ),
         ),
     )
-    return F.concat(unigrams, bigrams)
 
 
 def dsir_scores(

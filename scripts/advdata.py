@@ -166,6 +166,52 @@ COPY (
 """)
 
 
+def generate_longdoc(out: str, src: str) -> None:
+    """Clone with GIANT documents planted — organic synthetic docs top
+    out at ~560 chars, but a real web corpus has multi-hundred-KB
+    pages, and "long" breaks different things than "hostile":
+
+    - 980001: a 100 kB doc (2000 copies of a 50-char sentence) —
+      shingle/minhash/substring-dedup per-doc work is O(len), and the
+      signature fold walks a ~20k-element array in ONE row
+    - 980002: a 2 kB SINGLE token (no whitespace) — tokenizers emit
+      one monster word; BPE encode's per-word merge loop and the
+      oracle's recursive CTE walk a 2k-symbol word
+    - 980003: one word repeated 20k times — extreme repetition ratios
+      (Gopher gates), a single hot shingle, top-token mass
+    - 980004: a 1000-line doc (line_dedup per-doc reassembly, line
+      inverted index fan-out)
+
+    All byte-deterministic (repeat()), so every oracle replays
+    identically; the axis exists to prove per-doc O(len) paths stay
+    linear and nothing imposes a hidden length cap on one engine only.
+    """
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in [x for x in ALL_TABLES if x != "documents"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    sent = "the quick brown fox jumps over the lazy dog again today "
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/documents.parquet')
+  UNION ALL SELECT 980001, rtrim(repeat('{sent}', 2000)), 'en',
+                   'advlong', len(rtrim(repeat('{sent}', 2000)))
+  UNION ALL SELECT 980002, repeat('x', 2000), 'en', 'advlong', 2000
+  UNION ALL SELECT 980003, rtrim(repeat('spam ', 20000)), 'en',
+                   'advlong', len(rtrim(repeat('spam ', 20000)))
+  UNION ALL SELECT 980004,
+      rtrim(repeat('shared boilerplate line for dedup testing' || chr(10),
+                   1000), chr(10)),
+      'en', 'advlong',
+      len(rtrim(repeat('shared boilerplate line for dedup testing'
+                       || chr(10), 1000), chr(10)))
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+
+
 def generate_skew(out: str, src: str) -> None:
     """Clone with HOT KEYS planted — the distribution shape that
     actually breaks 100 TB jobs: a few keys carrying orders of
@@ -381,8 +427,12 @@ if __name__ == "__main__":
     ap.add_argument("--unicode", action="store_true")
     ap.add_argument("--nanvec", action="store_true")
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--longdoc", action="store_true")
     a = ap.parse_args()
-    if a.skew:
+    if a.longdoc:
+        generate_longdoc(a.out, a.src)
+        print(f"wrote giant-document tables to {a.out} (src={a.src})")
+    elif a.skew:
         generate_skew(a.out, a.src)
         print(f"wrote hot-key-skew tables to {a.out} (src={a.src})")
     elif a.nanvec:

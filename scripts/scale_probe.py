@@ -734,5 +734,33 @@ def probe_sessionize_hotuser(spark, rows=10_000_000, users=100_000):
 PROBES["sessionize_hotuser_10m"] = probe_sessionize_hotuser
 
 
+def probe_classifier_longdoc(spark, docs=10_000, toks=2_000, iters=3):
+    """Logistic-regression training on LONG documents — 10k docs of
+    2k tokens each (20M exploded gradient rows per iteration). Guards
+    the round-6 ExtractGenerator fix: the residual projection must sit
+    BELOW the gradient explode, or per-doc cost goes O(n_tokens²)
+    (recomputed margin fold + full-width row copies per token) — the
+    shape that OOM'd the 1 GB selfcheck heap on 20k-token docs."""
+    from big_data_in_agriculture_spark.operators.llm import classifier_train
+
+    word = F.transform(
+        F.sequence(F.lit(0), F.lit(toks - 1)),
+        lambda i: F.concat(F.lit("w"), ((F.col("id") * 31 + i) % 5000)),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(word, " ").alias("text"),
+    )
+    w, b = classifier_train(
+        df, (F.col("doc_id") % 2 == 0), dim=64, iters=iters, quantize=6
+    )
+    # return a frame so the shared runner can count() it; the train
+    # itself (above) is the measured work
+    return spark.range(1).select(F.lit(float(b)).alias("bias"))
+
+
+PROBES["classifier_longdoc_10k"] = probe_classifier_longdoc
+
+
 if __name__ == "__main__":
     sys.exit(main())
