@@ -1827,26 +1827,50 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = TX.tokens(text_col)
-    n = F.size(toks)
-    # start offsets 0, stride, 2*stride, … that begin a NEW chunk: a
-    # start is real while start < max(n - overlap, 1) (the final chunk
-    # may be short but never a pure-overlap tail duplicate)
-    starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
-        lambda s: s < F.greatest(n - F.lit(overlap), F.lit(1)),
-    )
-    exploded = docs.select(
+
+    # The whole chunking runs inside ONE let-bound expression
+    # (TX._let_array) that yields the array of finished chunk structs,
+    # and THAT array is what posexplode fans out. Two long-doc
+    # hazards in the previous formulation (--longdoc corpus): the
+    # start-filter lambda referenced size(split(text)) — re-splitting
+    # the document per candidate start — and the token array rode
+    # along as a projection sibling of the posexplode, so
+    # ExtractGenerator re-evaluated the split per CHUNK row and
+    # copied the full array into every generated row. Let-bound, the
+    # document splits once and each generated row carries only its
+    # own chunk.
+    def _chunks(t: Column) -> Column:
+        # start offsets 0, stride, 2*stride, … that begin a NEW
+        # chunk: a start is real while start < max(n - overlap, 1)
+        # (the final chunk may be short but never a pure-overlap tail
+        # duplicate)
+        starts = F.filter(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride)
+            ),
+            lambda s: s < F.greatest(F.size(t) - F.lit(overlap), F.lit(1)),
+        )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                F.array_join(F.slice(t, s + 1, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
+                F.size(F.slice(t, s + 1, chunk_tokens))
+                .cast("long")
+                .alias("n_chunk_tokens"),
+            ),
+        )
+
+    chunks_arr = TX._let_array(TX.tokens(text_col), _chunks)
+    return docs.select(
         F.col(id_col),
-        toks.alias("_toks"),
-        F.posexplode(starts).alias("chunk_idx", "_start"),
-    )
-    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
-    return exploded.select(
+        F.posexplode(chunks_arr).alias("chunk_idx", "_c"),
+    ).select(
         id_col,
         "chunk_idx",
-        F.array_join(chunk, " ").alias("chunk_text"),
-        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
 
 
