@@ -5513,6 +5513,56 @@ WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 3 = 0)
 """
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the memory-bounded sibling of crosscorpus_dedup: history (every
+    # 3rd doc) is compressed to a 4032-bit Bloom filter; the WHOLE
+    # corpus is screened against it, so history members exercise the
+    # guaranteed-hit path (maybe_dup=true — a Bloom filter has no
+    # false negatives, in either direction of that guarantee) and the
+    # rest the proof-of-novelty path. Positions derive from two slices
+    # of the sha256 fingerprint, so DuckDB replays every bit.
+    from big_data_in_agriculture_spark.operators.profile import bloom_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 == 0)
+    return bloom_dedup(docs, history).select("doc_id", "maybe_dup")
+
+
+# Bloom-filter replay: h1/h2 are the engines' shared md5/sha-substring
+# fixed point (conv(substr(fp,...),16,10) == ('0x'||substr(fp,...))::
+# BIGINT); positions are Kirsch-Mitzenmacher (h1 + i*h2) mod m with 63
+# usable bits per BIGINT word — bit 63 never set, so `1 << bit` is
+# in-range on both engines (DuckDB raises on 1::BIGINT << 63).
+_BLOOM_DEDUP_SQL = """
+WITH fp AS (
+    SELECT doc_id,
+           sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    WHERE text IS NOT NULL  -- no fingerprint; Spark side filters too
+),
+pos AS (
+    SELECT doc_id,
+           ((('0x' || substr(fp, 1, 15))::BIGINT
+             + i.i * (('0x' || substr(fp, 17, 8))::BIGINT * 2 + 1))
+            % 4032) AS pos
+    FROM fp CROSS JOIN (SELECT unnest(range(5)) AS i) i
+),
+words AS (
+    SELECT pos // 63 AS word_idx,
+           bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+    FROM pos WHERE doc_id % 3 = 0
+    GROUP BY 1
+)
+SELECT p.doc_id,
+       bool_and(coalesce(
+           (w.bits & (1::BIGINT << (p.pos % 63)::INT)) <> 0, FALSE
+       )) AS maybe_dup
+FROM pos p
+LEFT JOIN words w ON p.pos // 63 = w.word_idx
+GROUP BY p.doc_id
+"""
+
+
 def q_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop the worst 20% by score; both engines compute the identical
     # linear-interpolation percentile over the identical double scores
@@ -6505,6 +6555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "seasonal_backtest": q_seasonal_backtest,
         "dsir_scores": q_dsir_scores,
+        "bloom_dedup": q_bloom_dedup,
     }
 
 
@@ -6679,6 +6730,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": _CUSUM_SQL,
         "seasonal_backtest": _SEASONAL_BACKTEST_SQL,
         "dsir_scores": _dsir_sql(),
+        "bloom_dedup": _BLOOM_DEDUP_SQL,
         "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
         "hybrid_search": _HYBRID_SQL,
         # Approximate ops with FULL pipeline twins (portable md5

@@ -480,3 +480,155 @@ def referential_check(
         .join(orphans, "orphan_key", "left_semi")
         .orderBy("orphan_key")
     )
+
+
+# --- Bloom-filter membership (incremental dedup vs history) -----------------
+#
+# The mergeable-sketch answer to "have we seen this document before?"
+# when the history is too large to join against: an m-bit Bloom filter
+# over normalized content fingerprints, stored as (word_idx, bits)
+# BIGINT rows. 63 usable bits per word — bit index 63 is never set, so
+# `1::BIGINT << bit` stays in signed-64 range on BOTH engines (DuckDB
+# raises on `1 << 63`; Spark would wrap to the sign bit).
+#
+# Hash family: Kirsch-Mitzenmacher double hashing — position_i =
+# (h1 + i*h2) mod m from TWO independent slices of the sha256 content
+# fingerprint (hex chars 1-15 -> h1 < 2^60; 17-24 -> h2, forced odd,
+# < 2^33). i < 64 keeps h1 + i*h2 < 2^61: no overflow under ANSI
+# arithmetic, and DuckDB replays every position bit-identically via
+# ('0x' || substr(fp, ...))::BIGINT.
+
+#: usable bits per BIGINT word (see module comment above)
+_BLOOM_WORD_BITS = 63
+
+
+def _bloom_hashes(fp: Column) -> tuple[Column, Column]:
+    """(h1, h2-odd) position-hash pair from a sha256 hex fingerprint."""
+    h1 = F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
+    h2 = (
+        F.conv(F.substring(fp, 17, 8), 16, 10).cast("long") * F.lit(2)
+        + F.lit(1)
+    )
+    return h1, h2
+
+
+def _bloom_positions(fp: Column, m_bits: int, k_hashes: int) -> Column:
+    """array<long> of the k_hashes bit positions for one fingerprint."""
+    h1, h2 = _bloom_hashes(fp)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % F.lit(m_bits),
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "fp",
+    m_bits: int = 4032,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Build the (word_idx, bits) Bloom bitmap over a key column.
+
+    Scale shape: one explode of k positions per key plus ONE hash
+    aggregate keyed on word_idx — at most ceil(m_bits/63) output rows
+    no matter how large the history is, and the positions are
+    md5/sha-uniform so the aggregate is skew-free by construction.
+    The bitmap MERGES associatively (bit_or over word_idx), so daily
+    batches can each build their own words and fold into the running
+    filter without rescanning history — the same mergeability contract
+    as the HLL rollup (`hll_rollup`).
+    """
+    if not 1 <= k_hashes <= 64:
+        raise ValueError("k_hashes must be in [1, 64]")
+    pos = keys.select(
+        F.explode(
+            _bloom_positions(F.col(key_col), m_bits, k_hashes)
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % _BLOOM_WORD_BITS).cast("int"),
+            ).alias("bitval"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bitval").alias("bits"))
+    )
+
+
+def bloom_probe(
+    keys: DataFrame,
+    words: DataFrame,
+    key_col: str = "fp",
+    id_col: str = "doc_id",
+    m_bits: int = 4032,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Per key: maybe_dup = every one of its k filter bits is set.
+
+    False positives at the standard (1 - e^(-k*n/m))^k rate; NO false
+    negatives — "maybe_dup = false" is a proof the key is new. Scale
+    shape: k rows per probe key equi-joined on uniform word_idx (the
+    filter side is <= ceil(m_bits/63) rows — broadcast), then one
+    group-agg back to per-key. The history itself is never touched.
+    """
+    pos = keys.select(
+        F.col(id_col),
+        F.posexplode(
+            _bloom_positions(F.col(key_col), m_bits, k_hashes)
+        ).alias("_i", "pos"),
+    ).select(
+        id_col,
+        F.floor(F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (F.col("pos") % _BLOOM_WORD_BITS).cast("int"),
+        ).alias("bitval"),
+    )
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(F.col("bitval")) != F.lit(0), F.lit(False)
+    )
+    return (
+        pos.join(F.broadcast(words), "word_idx", "left")
+        .select(id_col, hit.alias("_hit"))
+        .groupBy(id_col)
+        .agg(F.bool_and("_hit").alias("maybe_dup"))
+    )
+
+
+def bloom_dedup(
+    docs: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 4032,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Screen new documents against a Bloom filter of history content.
+
+    The memory-bounded sibling of `llm.crosscorpus_dedup`: that
+    operator anti-joins against the history's exact fingerprint set
+    (precise, but the set grows with history); this one compresses
+    history to m_bits once and screens any number of future batches
+    against it. maybe_dup=false rows are PROVABLY new (no false
+    negatives) and can skip the exact check entirely; at the standard
+    sizing (m/n = 10 bits/key, k = 7) only ~1% of genuinely-new docs
+    pay the precise path. Identity = TX.fingerprint (whitespace/case-
+    normalized sha256), the repo-wide exact-dedup convention. NULL
+    text has no fingerprint: excluded on both sides.
+    """
+    from ..functions import text as TX
+
+    hist_fp = (
+        history.filter(F.col(text_col).isNotNull())
+        .select(TX.fingerprint(text_col).alias("fp"))
+    )
+    words = bloom_build(hist_fp, "fp", m_bits, k_hashes)
+    probe = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, TX.fingerprint(text_col).alias("fp")
+    )
+    return bloom_probe(probe, words, "fp", id_col, m_bits, k_hashes)

@@ -214,3 +214,91 @@ def test_nan_measurements_excluded_from_gates_and_bins(spark):
     hist = value_histogram(df.select(F.col("v").alias("value")), "value")
     rows = hist.collect()
     assert sum(r["n"] for r in rows) == 10  # NaN and NULL not binned
+
+
+class TestBloom:
+    """Bloom-filter membership: build/probe/merge contracts."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_no_false_negatives(self, spark):
+        """Every history fingerprint MUST probe as maybe_dup=true —
+        the defining Bloom guarantee, independent of sizing."""
+        hist = self._docs(
+            spark, [(i, f"history document number {i}") for i in range(40)]
+        )
+        out = profile.bloom_dedup(hist, hist).collect()
+        assert len(out) == 40
+        assert all(r["maybe_dup"] for r in out)
+
+    def test_formatting_variants_hit(self, spark):
+        """Identity is the normalized fingerprint: case/whitespace
+        variants of a history doc are caught, genuinely-new text
+        (at this sizing) is proven novel."""
+        hist = self._docs(spark, [(0, "The Quick Brown Fox")])
+        probe = self._docs(
+            spark,
+            [(1, "the   quick  brown fox"), (2, "an entirely different doc")],
+        )
+        out = {r["doc_id"]: r["maybe_dup"] for r in
+               profile.bloom_dedup(probe, hist).collect()}
+        assert out[1] is True
+        assert out[2] is False
+
+    def test_merge_is_bit_or(self, spark):
+        """Two per-batch filters OR'd word-wise == the filter built
+        over the union — the incremental-maintenance contract."""
+        a = self._docs(spark, [(i, f"batch a doc {i}") for i in range(20)])
+        b = self._docs(spark, [(i, f"batch b doc {i}") for i in range(20)])
+        from big_data_in_agriculture_spark.functions import text as TX
+
+        def words(df):
+            keys = df.select(TX.fingerprint("text").alias("fp"))
+            return profile.bloom_build(keys, "fp")
+
+        merged = (
+            words(a).unionAll(words(b))
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        direct = words(a.unionAll(b))
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_empty_history_proves_everything_novel(self, spark):
+        hist = self._docs(spark, []).filter(F.lit(False))
+        probe = self._docs(spark, [(1, "anything"), (2, "at all")])
+        out = profile.bloom_dedup(probe, hist).collect()
+        assert len(out) == 2
+        assert not any(r["maybe_dup"] for r in out)
+
+    def test_null_text_excluded(self, spark):
+        hist = self._docs(spark, [(0, "seen")])
+        probe = self._docs(spark, [(1, None), (2, "seen")])
+        out = {r["doc_id"]: r["maybe_dup"] for r in
+               profile.bloom_dedup(probe, hist).collect()}
+        assert out == {2: True}
+
+    def test_positions_match_python_reference(self, spark):
+        """The (h1 + i*h2) mod m positions Spark computes equal a
+        from-scratch hashlib replay — the same fixed point the DuckDB
+        oracle uses, asserted here without an engine in the loop."""
+        import hashlib
+
+        text = "reference probe doc"
+        norm = " ".join(text.lower().split())
+        fp = hashlib.sha256(norm.encode()).hexdigest()
+        h1 = int(fp[0:15], 16)
+        h2 = int(fp[16:24], 16) * 2 + 1
+        expect = sorted({(h1 + i * h2) % 4032 for i in range(5)})
+
+        keys = spark.createDataFrame([(fp,)], "fp string")
+        bits = set()
+        for r in profile.bloom_build(keys, "fp").collect():
+            w, bs = r["word_idx"], r["bits"]
+            for j in range(63):
+                if bs & (1 << j):
+                    bits.add(w * 63 + j)
+        assert sorted(bits) == expect
