@@ -5528,6 +5528,70 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_dedup(docs, history).select("doc_id", "maybe_dup")
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the pre-release PII scrub: the synthetic corpus carries no real
+    # PII, so every 7th doc gets a deterministic contact block planted
+    # (one match per class, derived from doc_id — both engines build
+    # the identical bytes) and the scanner must count and mask exactly
+    # those; the other docs prove the no-false-positive side.
+    from big_data_in_agriculture_spark.operators.llm import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 7 == 0) & F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(" tel 555-123-4567 acct 123456789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = pii_scan(planted)
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("n_emails", "n_ipv4", "n_phones", "n_digit_runs")],
+        F.sha2(F.col("masked"), 256).alias("masked_fp"),
+    )
+
+
+# PII replay: patterns are the Java∩RE2 shared subset (explicit ASCII
+# classes, \b, non-backtracking) — see functions/text.py PII_PATTERNS;
+# DuckDB regexp_extract_all counts and chained regexp_replace('g')
+# masks byte-identically, fingerprinted via sha256.
+_PII_SCAN_SQL = r"""
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL
+                THEN text || ' contact user' || doc_id
+                     || '@example.com ip 10.0.0.' || (doc_id % 256)
+                     || ' tel 555-123-4567 acct 123456789'
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text,
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text,
+           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones,
+       len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS n_digit_runs,
+       sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+           '\b[0-9]{9,}\b', '<NUM>', 'g')) AS masked_fp
+FROM planted
+"""
+
+
 # Bloom-filter replay: h1/h2 are the engines' shared md5/sha-substring
 # fixed point (conv(substr(fp,...),16,10) == ('0x'||substr(fp,...))::
 # BIGINT); positions are Kirsch-Mitzenmacher (h1 + i*h2) mod m with 63
@@ -6556,6 +6620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_backtest": q_seasonal_backtest,
         "dsir_scores": q_dsir_scores,
         "bloom_dedup": q_bloom_dedup,
+        "pii_scan": q_pii_scan,
     }
 
 
@@ -6731,6 +6796,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_backtest": _SEASONAL_BACKTEST_SQL,
         "dsir_scores": _dsir_sql(),
         "bloom_dedup": _BLOOM_DEDUP_SQL,
+        "pii_scan": _PII_SCAN_SQL,
         "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
         "hybrid_search": _HYBRID_SQL,
         # Approximate ops with FULL pipeline twins (portable md5

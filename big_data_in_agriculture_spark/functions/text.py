@@ -457,3 +457,48 @@ def top_ngram_char_fraction(text: Column | str, n: int = 2) -> Column:
         ),
     )
     return top.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+# --- PII detection / masking ------------------------------------------------
+#
+# Heuristic scanners for the PII classes a training-data pipeline
+# scrubs before release (the CCNet/Dolma-style email/IP/phone/ID-number
+# pass). Patterns deliberately use only the Java-regex ∩ RE2 shared
+# subset — explicit ASCII classes (never \w/\d shorthands whose unicode
+# behavior could drift), non-backtracking constructs, \b word
+# boundaries (ASCII-word-based on both engines) — so DuckDB's
+# regexp_extract_all/regexp_replace('g') replay counts and masked text
+# byte-identically (parity asserted across hostile/unicode corpora).
+# Heuristic by design: IPv4 accepts out-of-range octets, the digit run
+# catches SSN/account-number shapes — scanners, not validators.
+
+#: match order is the masking order: emails first (an email can
+#: contain a phone-shaped local part), then IPs, phones, digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phones", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    ("digit_runs", r"\b[0-9]{9,}\b", "<NUM>"),
+]
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """One count column per PII class (aliased n_<class>), evaluated
+    on the ORIGINAL text — classes overlap by design (a phone-shaped
+    email local part counts as both) so each counter is independently
+    meaningful. NULL text -> NULL counts (NULL-in -> NULL-out)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def mask_pii(text: Column | str) -> Column:
+    """Text with every PII match replaced by its class token, applied
+    in PII_PATTERNS order (each pass runs on the previous pass's
+    output, so an emailed phone number masks once, as <EMAIL>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c

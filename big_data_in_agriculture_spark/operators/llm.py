@@ -3259,3 +3259,30 @@ def hybrid_search_rrf(
         F.col("rrf_score").cast("float").alias("rrf_score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document PII exposure: one count per class + masked text.
+
+    The pre-release scrub pass of a training-data pipeline (the
+    email/IP/phone/ID-number sweep of CCNet/Dolma-style curation):
+    counts tell the curator how much PII each document carries (gate
+    or sort on them); ``masked`` is the releasable text with every
+    match replaced by its class token.
+
+    Scale shape: map-only — four codegen'd regexp_count's plus a
+    four-pass regexp_replace chain per row, zero shuffles, pure scan
+    parallelism; at 100 TB this pipelines with any other per-doc
+    gate in the same stage. Patterns live in TX.PII_PATTERNS (the
+    Java∩RE2 shared subset — the DuckDB oracle replays counts and
+    masked bytes exactly). NULL text -> NULL counts and NULL masked.
+    """
+    return docs.select(
+        id_col,
+        *TX.pii_counts(text_col),
+        TX.mask_pii(text_col).alias("masked"),
+    )

@@ -1018,3 +1018,42 @@ def test_textrank_empty_graph_returns_empty(spark):
     out = llm.textrank_keywords(docs, min_count=3)
     assert out.columns == ["word", "rank"]
     assert out.count() == 0
+
+
+class TestPiiScan:
+    """PII scanner: per-class detection, masking order, NULL convention."""
+
+    def _scan(self, spark, rows):
+        from big_data_in_agriculture_spark.operators.llm import pii_scan
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in pii_scan(df).collect()}
+
+    def test_each_class_detected_and_masked(self, spark):
+        out = self._scan(spark, [
+            (0, "mail a@b.cc and c.d+x@e.org here"),
+            (1, "hosts 10.0.0.1 999.1.2.3"),
+            (2, "call 555-123-4567 or 555 987 6543"),
+            (3, "acct 123456789 id 12345678901"),
+            (4, "clean document, v1.2.3.4 is a version not an ip"),
+        ])
+        assert out[0]["n_emails"] == 2 and out[0]["masked"] == "mail <EMAIL> and <EMAIL> here"
+        assert out[1]["n_ipv4"] == 2 and out[1]["masked"] == "hosts <IP> <IP>"
+        assert out[2]["n_phones"] == 2 and out[2]["masked"] == "call <PHONE> or <PHONE>"
+        assert out[3]["n_digit_runs"] == 2 and out[3]["masked"] == "acct <NUM> id <NUM>"
+        r4 = out[4]
+        assert (r4["n_emails"], r4["n_ipv4"], r4["n_phones"], r4["n_digit_runs"]) == (0, 0, 0, 0)
+        assert r4["masked"] == "clean document, v1.2.3.4 is a version not an ip"
+
+    def test_masking_order_email_wins(self, spark):
+        # a phone-shaped local part: counters fire independently on the
+        # original text, but the mask applies email first -> ONE token
+        out = self._scan(spark, [(0, "reach 555-123-4567@ex.com today")])
+        r = out[0]
+        assert r["n_emails"] == 1 and r["n_phones"] == 1
+        assert r["masked"] == "reach <EMAIL> today"
+
+    def test_null_text_null_out(self, spark):
+        r = self._scan(spark, [(0, None)])[0]
+        assert r["n_emails"] is None and r["n_digit_runs"] is None
+        assert r["masked"] is None
