@@ -269,6 +269,67 @@ def probe_asof(spark, left=10_000_000, right=1_000_000, keys=50_000):
     )
 
 
+def probe_bloom_10m(spark, docs=10_000_000):
+    """Bloom screening at 10M keys: history (1/3 of the corpus) folds
+    into a 1M-bit bitmap — the build agg emits <= ceil(m/63) ≈ 16k
+    rows NO MATTER the history size (the whole point: membership vs
+    history without carrying history) — and the probe is k=7 exploded
+    rows/key joined broadcast against those words. One shuffle each
+    side, both bounded; zero history rescan."""
+    from big_data_in_agriculture_spark.functions import text as TX
+    from big_data_in_agriculture_spark.operators.profile import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m_bits, k = 1_008_000, 7
+    keys = spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.concat(F.lit("doc"), F.col("id").cast("string")), 256).alias("fp"),
+    )
+    words = bloom_build(keys.filter(F.col("doc_id") % 3 == 0), "fp", m_bits, k)
+    out = bloom_probe(keys, words, "fp", "doc_id", m_bits, k)
+    # terminal agg consumes maybe_dup — a bare .count() would let
+    # Catalyst prune the bit math and eliminate the provably-unique
+    # left join entirely
+    return out.agg(
+        F.sum(F.col("maybe_dup").cast("long")).alias("n_dup"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def probe_pii_1m(spark, docs=1_000_000):
+    """PII scan throughput at 20x the bench corpus: four regexp_count
+    passes + the masking chain, map-only, zero shuffles — the regex
+    engine cost per row IS the whole cost, so this row pins it."""
+    from big_data_in_agriculture_spark.operators.llm import pii_scan
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.pmod(F.xxhash64("id"), F.lit(30)) + 10),
+        lambda i: F.concat(
+            F.lit("tok"), (F.xxhash64(F.col("id"), i) % 2000).cast("string")
+        ),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 7 == 0,
+            F.concat(
+                F.array_join(words, " "),
+                F.lit(" contact user"), F.col("id").cast("string"),
+                F.lit("@example.com ip 10.0.0."),
+                (F.col("id") % 256).cast("string"),
+                F.lit(" tel 555-123-4567 acct 123456789"),
+            ),
+        ).otherwise(F.array_join(words, " ")).alias("text"),
+    )
+    out = pii_scan(df)
+    return out.agg(
+        F.sum("n_emails"), F.sum("n_ipv4"), F.sum("n_phones"),
+        F.sum("n_digit_runs"), F.sum(F.length("masked")),
+    )
+
+
 PROBES = {
     "q1_agg_60m": probe_q1_agg,
     "window_20m": probe_window,
@@ -283,6 +344,8 @@ PROBES = {
     "epoch_shuffle_10m": probe_epoch_shuffle,
     "epoch_shuffle_10m_ckpt": probe_epoch_shuffle_ckpt,
     "asof_10m": probe_asof,
+    "bloom_10m": probe_bloom_10m,
+    "pii_1m": probe_pii_1m,
 }
 
 
