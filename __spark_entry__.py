@@ -5528,6 +5528,38 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_dedup(docs, history).select("doc_id", "maybe_dup")
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leakage-free train/test split: the split key is the near-dup
+    # COMPONENT (jaccard graph, threshold 0.5 — same edges as
+    # neardup_clusters), so a whole duplicate family lands on one side.
+    pairs = llm.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, k=3)
+    return llm.leakage_safe_split(
+        _t(spark, sf_dir, "documents"), pairs, n_buckets=10, test_buckets=2
+    )
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE edges AS (
+    SELECT id_a AS src, id_b AS dst FROM ({_JACCARD_SQL}) jp
+    UNION
+    SELECT id_b, id_a FROM ({_JACCARD_SQL}) jp2
+),
+reach(id, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.component_id, d.doc_id) AS split_key,
+       CASE WHEN ('0x' || substr(md5(CAST(coalesce(c.component_id, d.doc_id)
+                                          AS VARCHAR)), 1, 15))::BIGINT
+                 % 10 < 2
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pre-release PII scrub: the synthetic corpus carries no real
     # PII, so every 7th doc gets a deterministic contact block planted
@@ -6621,6 +6653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "bloom_dedup": q_bloom_dedup,
         "pii_scan": q_pii_scan,
+        "leakage_split": q_leakage_split,
     }
 
 
@@ -6797,6 +6830,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": _dsir_sql(),
         "bloom_dedup": _BLOOM_DEDUP_SQL,
         "pii_scan": _PII_SCAN_SQL,
+        "leakage_split": _LEAKAGE_SPLIT_SQL,
         "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
         "hybrid_search": _HYBRID_SQL,
         # Approximate ops with FULL pipeline twins (portable md5

@@ -3286,3 +3286,47 @@ def pii_scan(
         *TX.pii_counts(text_col),
         TX.mask_pii(text_col).alias("masked"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    test_buckets: int = 1,
+) -> DataFrame:
+    """Train/test split where near-duplicate docs NEVER straddle it.
+
+    `hash_split` is reproducible but leaks: a near-duplicate of a
+    training doc landing in test inflates eval (the classic benchmark-
+    contamination failure, this time self-inflicted). Here the split
+    key is the doc's near-dup COMPONENT id (from any pair generator —
+    jaccard/minhash/simhash — via `neardup_components`), so an entire
+    duplicate family lands atomically on one side; singleton docs key
+    on their own id. The bucket is an md5-derived hash of the key —
+    component ids are min-ids (structured, low-biased), so a raw
+    modulo would skew; the hash is the portable fixed point both
+    engines share, keeping the split auditable cross-engine.
+
+    Scale shape: components is pair-graph-sized (not corpus-sized);
+    one left join keyed on uniform doc ids attaches it, everything
+    else is scan-side column math. Returns (id, split_key, split).
+    """
+    comps = neardup_components(pairs).withColumnRenamed("id", id_col)
+    key = F.coalesce(F.col("component_id"), F.col(id_col))
+    bucket = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    return (
+        docs.select(id_col)
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            key.alias("split_key"),
+            F.when(bucket < test_buckets, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

@@ -1057,3 +1057,43 @@ class TestPiiScan:
         r = self._scan(spark, [(0, None)])[0]
         assert r["n_emails"] is None and r["n_digit_runs"] is None
         assert r["masked"] is None
+
+
+class TestLeakageSafeSplit:
+    def test_components_never_straddle(self, spark):
+        from big_data_in_agriculture_spark.operators.llm import (
+            leakage_safe_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+        )
+        # two components: {0,1,2} (chained) and {10, 11}; rest singletons
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+        )
+        out = leakage_safe_split(docs, pairs, n_buckets=4, test_buckets=1)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert len(rows) == 30
+        # whole component shares key and split
+        assert {rows[i]["split_key"] for i in (0, 1, 2)} == {0}
+        assert len({rows[i]["split"] for i in (0, 1, 2)}) == 1
+        assert {rows[i]["split_key"] for i in (10, 11)} == {10}
+        assert len({rows[i]["split"] for i in (10, 11)}) == 1
+        # singletons key on themselves
+        assert rows[5]["split_key"] == 5
+        # both labels appear at this sizing
+        assert {r["split"] for r in rows.values()} == {"train", "test"}
+
+    def test_no_pairs_degenerates_to_hash_split(self, spark):
+        from big_data_in_agriculture_spark.operators.llm import (
+            leakage_safe_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "d") for i in range(20)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        out = leakage_safe_split(docs, pairs).collect()
+        assert len(out) == 20
+        assert all(r["split_key"] == r["doc_id"] for r in out)
