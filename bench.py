@@ -149,7 +149,8 @@ def main() -> int:
     # Extended tier (separate section — HEADLINE keys stay stable for
     # cross-round comparison): streaming and heavy-text operators,
     # plus (round 6) the five queries the round-5 rotation promoted
-    # into the correctness prefix, so they gain a bench series too.
+    # into the correctness prefix, and the three round-6 pipeline ops
+    # (bloom / PII / leakage-safe split), so they gain a bench series.
     extended: dict[str, float] = {}
     for name in (
         "substring_dedup",
@@ -159,6 +160,9 @@ def main() -> int:
         "classifier_quality",
         "pack_firstfit",
         "bpe_train",
+        "bloom_dedup",
+        "pii_scan",
+        "leakage_split",
     ):
         if name not in qs:
             continue

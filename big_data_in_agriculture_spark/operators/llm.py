@@ -645,12 +645,20 @@ def neardup_components(
     tiny; each iteration is one equi-join + one hash aggregate, fully
     distributed (the driver only checks the convergence counter).
     """
+    # materialize the edge list ONCE: every iteration's join consumes
+    # it, and without this each of the up-to-max_iter rounds re-ran the
+    # entire upstream pair GENERATOR (shingling, the inverted-index
+    # shuffle, verification) from scratch — measured 14.5 s → 4.5 s for
+    # the sf0.1 jaccard-graph split at identical output. The edge list
+    # is pair-graph-sized (near-dup mass, not corpus-sized), exactly
+    # what you'd land to storage before clustering at 100 TB.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -663,26 +671,21 @@ def neardup_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
+        updated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("_old"),
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        # localCheckpoint truncates the lineage: labels feeds TWO joins
-        # per round, so without it the plan (and recompute work) doubles
-        # every iteration — the label table is tiny (one row per node),
-        # the upstream pair computation is not.
-        labels = updated.localCheckpoint(eager=True)
+        # ONE action per round: checkpoint the (tiny, one row per node)
+        # label table with the previous label alongside, then read the
+        # convergence counter off the materialized result — the old
+        # shape ran the propagation join TWICE per round (once for the
+        # changed-count, once for the checkpoint).
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("label") != F.col("_old")).count()
+        labels = updated.drop("_old")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component_id"))

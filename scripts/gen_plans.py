@@ -24,6 +24,8 @@ PICKS = [
     ("semantic_dedup", "SemDeDup (the round-5 gate promotion): after the driver-side Lloyd loop (each iteration one assign+partial-agg scan, shuffle = k x (dim+1) rows/partition — not visible in this final plan), the dedup itself is ONE self-join keyed on cluster id plus a per-pair cosine filter; candidate pairs are confined to clusters, so the quadratic term is (n/k)^2 per cluster, never n^2 global."),
     ("pack_firstfit", "First-fit-decreasing packing: ONE hash exchange on the md5 doc-bucket, then the per-bucket sequential FFD walk runs inside FlatMapGroupsInPandas (Arrow-batched, O(open bins) state per bucket) — no global sort, no driver loop, bucket count scales with the cluster."),
     ("bpe_encode", "BPE encode: the trained merge table rides the UDF closure (vocab-sized, broadcast-scale); encoding is a single map-only ArrowEvalPython projection over the corpus scan — zero exchanges at any corpus size."),
+    ("bloom_dedup", "Bloom membership (round-6 op): the history side collapses to <= ceil(m/63) bitmap words via one partial-aggregated bit_or exchange and comes back as a BroadcastHashJoin against the probe's k exploded positions; history is never rescanned, and the probe-side aggregate (bool_and compiles to min) is partial-aggregated too."),
+    ("pii_scan", "PII scan+mask (round-6 op): four regexp_counts plus the masking chain in ONE WholeStageCodegen projection over the scan — zero exchanges at any corpus size."),
 ]
 
 out = ["# PLANS — formatted physical plans of representative queries",
