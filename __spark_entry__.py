@@ -1763,7 +1763,10 @@ def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("<div class='x'>intro</div> "),
             F.col("text"),
-            F.lit(" contact: agent.7@example.com id 1234567 end"),
+            F.lit(
+                " contact: agent.7@example.com ip 10.1.2.3"
+                " tel 555-123-4567 id 123456789 end"
+            ),
         ).alias("raw"),
     )
     return docs.select(
@@ -1774,14 +1777,18 @@ def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEXT_CLEANING_SQL = r"""
+def _text_cleaning_sql() -> str:
+    # masking replays TX.mask_pii via the shared _pii_mask_sql chain
+    # (defined below with the pii_scan oracle — evaluated at
+    # oracle_sql() call time, after the module finishes loading)
+    return rf"""
 WITH raw AS (
     -- '||', not concat(): DuckDB's concat() SKIPS NULL args while
     -- Spark's concat yields NULL; || propagates NULL on both engines,
     -- so a NULL-text doc cleans to NULL everywhere
     SELECT doc_id,
            '<div class=''x''>intro</div> ' || text ||
-           ' contact: agent.7@example.com id 1234567 end' AS raw
+           ' contact: agent.7@example.com ip 10.1.2.3 tel 555-123-4567 id 123456789 end' AS raw
     FROM documents
 ),
 shingled AS (
@@ -1798,8 +1805,7 @@ sh AS (
 )
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(raw, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS stripped,
-       regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                      '[0-9]{5,}', '<NUM>', 'g') AS masked,
+       {_pii_mask_sql("raw")} AS masked,
        CASE WHEN raw IS NULL THEN NULL
             ELSE 1.0 - CAST(nd AS DOUBLE) / CAST(total AS DOUBLE)
        END AS repetition  -- NULL in -> NULL ratio (repetition_ratio)
@@ -2521,17 +2527,17 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LLM_PIPELINE_SQL = """
+def _llm_pipeline_sql() -> str:
+    # cleaning replays TX.mask_pii(TX.strip_html(...)) via the shared
+    # _pii_mask_sql chain (defined with the pii_scan oracle)
+    stripped = (
+        "trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    return f"""
 WITH cleaned AS (
     SELECT doc_id, lang,
-           regexp_replace(
-               regexp_replace(
-                   trim(regexp_replace(
-                       regexp_replace(text, '<[^>]+>', ' ', 'g'),
-                       '\\s+', ' ', 'g')),
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-               '[0-9]{5,}', '<NUM>', 'g') AS text
+           {_pii_mask_sql(stripped)} AS text
     FROM documents
 ),
 gated AS (
@@ -5593,10 +5599,31 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # PII replay: patterns are the Java∩RE2 shared subset (explicit ASCII
-# classes, \b, non-backtracking) — see functions/text.py PII_PATTERNS;
+# classes, \b, non-backtracking) and are read STRAIGHT from
+# TX.PII_PATTERNS — one source of truth for the Spark scanner and
+# every oracle that masks (pii_scan, text_cleaning, llm_pipeline).
 # DuckDB regexp_extract_all counts and chained regexp_replace('g')
-# masks byte-identically, fingerprinted via sha256.
-_PII_SCAN_SQL = r"""
+# masks byte-identically, fingerprinted via sha256. DuckDB standard
+# strings don't process backslashes, so '\b' reaches RE2 verbatim.
+
+def _pii_mask_sql(expr: str) -> str:
+    """Nested regexp_replace chain replaying TX.mask_pii over expr."""
+    from big_data_in_agriculture_spark.functions.text import PII_PATTERNS
+
+    out = expr
+    for _, pat, rep in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+def _pii_scan_sql() -> str:
+    from big_data_in_agriculture_spark.functions.text import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
 WITH planted AS (
     SELECT doc_id,
            CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL
@@ -5607,21 +5634,13 @@ WITH planted AS (
     FROM documents
 )
 SELECT doc_id,
-       len(regexp_extract_all(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-       len(regexp_extract_all(text,
-           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
-       len(regexp_extract_all(text,
-           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones,
-       len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS n_digit_runs,
-       sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
-           '\b[0-9]{9,}\b', '<NUM>', 'g')) AS masked_fp
+       {counts},
+       sha256({_pii_mask_sql("text")}) AS masked_fp
 FROM planted
 """
+
+
+_PII_SCAN_SQL = _pii_scan_sql()
 
 
 # Bloom-filter replay: h1/h2 are the engines' shared md5/sha-substring
@@ -6483,7 +6502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "incremental_rollup": q_incremental_rollup,
         "dedup_exact_docs": q_dedup_exact_docs,
-        "text_stats": q_text_stats,
+        "pii_scan": q_pii_scan,
         "pack_firstfit": q_pack_firstfit,
         "corpus_profile": q_corpus_profile,
         "jaccard_pairs": q_jaccard_pairs,
@@ -6513,11 +6532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DISPLACED_VERIFY.json artifact (scripts/displaced_verify.py).
         "hybrid_search": q_hybrid_search,
         "substring_dedup": q_substring_dedup,
-        "pack_chunks": q_pack_chunks,
+        "leakage_split": q_leakage_split,
         "gopher_pipeline": q_gopher_pipeline,
         "epoch_shuffle": q_epoch_shuffle,
         "textrank_keywords": q_textrank,
-        "crosscorpus_dedup": q_crosscorpus_dedup,
+        "bloom_dedup": q_bloom_dedup,
         "stream_daily_rollup": q_stream_daily_rollup,
         "sliding_window_rollup": q_sliding_window_rollup,
         "trending_items": q_trending,
@@ -6651,9 +6670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "seasonal_backtest": q_seasonal_backtest,
         "dsir_scores": q_dsir_scores,
-        "bloom_dedup": q_bloom_dedup,
-        "pii_scan": q_pii_scan,
-        "leakage_split": q_leakage_split,
+        "text_stats": q_text_stats,
+        "pack_chunks": q_pack_chunks,
+        "crosscorpus_dedup": q_crosscorpus_dedup,
     }
 
 
@@ -6753,7 +6772,7 @@ def oracle_sql() -> dict[str, str]:
         "hapax_rate": _HAPAX_SQL,
         "dedup_keep_best": _KEEP_BEST_SQL,
         "json_props": _JSON_PROPS_SQL,
-        "llm_pipeline": _LLM_PIPELINE_SQL,
+        "llm_pipeline": _llm_pipeline_sql(),
         "value_histogram": _HISTOGRAM_SQL,
         "hash_split": _HASH_SPLIT_SQL,
         "epoch_shuffle": _EPOCH_SHUFFLE_SQL,
@@ -6763,7 +6782,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _COMPONENTS_SQL,
         "mart_roundtrip": _MART_ROUNDTRIP_SQL,
         "profile_lineitem": _profile_sql(),
-        "text_cleaning": _TEXT_CLEANING_SQL,
+        "text_cleaning": _text_cleaning_sql(),
         "interval_join": _INTERVAL_JOIN_SQL,
         "sql_interface": _NATION_RANK_SQL,
         "tfidf_top_terms": _TFIDF_SQL,

@@ -152,8 +152,6 @@ def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Co
 #: Cleaning regexes — shared verbatim with SQL oracles (Java regex and
 #: RE2 agree on these constructs: classes, +, {m,}, alternation).
 HTML_TAG_PATTERN = r"<[^>]+>"
-EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-LONG_DIGITS_PATTERN = r"[0-9]{5,}"
 
 
 def strip_html(text: Column | str) -> Column:
@@ -162,17 +160,6 @@ def strip_html(text: Column | str) -> Column:
     return F.trim(
         F.regexp_replace(F.regexp_replace(c, HTML_TAG_PATTERN, " "), r"\s+", " ")
     )
-
-
-def mask_pii(text: Column | str) -> Column:
-    """Mask emails and long digit runs — the cheap pre-training scrub.
-
-    Order matters: emails first (their local parts may contain digit
-    runs), then digit sequences of 5+ (phone/account-number shaped).
-    """
-    c = F.col(text) if isinstance(text, str) else text
-    masked = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
-    return F.regexp_replace(masked, LONG_DIGITS_PATTERN, "<NUM>")
 
 
 def repetition_ratio(text: Column | str, k: int = 3) -> Column:

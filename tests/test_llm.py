@@ -270,15 +270,16 @@ def test_text_cleaning_functions(spark):
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
-        [(1, "<b>hi</b>  there mail bob.x@test.org num 123456 ok 1234")],
+        [(1, "<b>hi</b>  there mail bob.x@test.org num 123456789 ok 1234")],
         ["doc_id", "text"],
     )
     r = df.select(
         TX.strip_html("text").alias("s"),
         TX.mask_pii("text").alias("m"),
     ).collect()[0]
-    assert r["s"] == "hi there mail bob.x@test.org num 123456 ok 1234"
-    # email masked; 6-digit run masked; 4-digit run kept (threshold 5)
+    assert r["s"] == "hi there mail bob.x@test.org num 123456789 ok 1234"
+    # email masked; 9-digit run masked; 4-digit run kept (PII_PATTERNS
+    # digit-run threshold is 9 — account/SSN shaped, not zip codes)
     assert r["m"] == "<b>hi</b>  there mail <EMAIL> num <NUM> ok 1234"
 
     rep = spark.createDataFrame(

@@ -60,7 +60,7 @@ DRIVER_PREFIX_50 = [
     "dedup_exact_groups",
     "incremental_rollup",
     "dedup_exact_docs",
-    "text_stats",
+    "pii_scan",
     "pack_firstfit",
     "corpus_profile",
     "jaccard_pairs",
@@ -73,22 +73,29 @@ DRIVER_PREFIX_50 = [
     "knn_lsh",
     "hybrid_search",
     "substring_dedup",
-    "pack_chunks",
+    "leakage_split",
     "gopher_pipeline",
     "epoch_shuffle",
     "textrank_keywords",
-    "crosscorpus_dedup",
+    "bloom_dedup",
     "stream_daily_rollup",
     "sliding_window_rollup",
     "trending_items",
     "asof_attribution",
 ]
 
-#: Displaced from the prefix by the round-3/5/6 reorderings; oracle-
-#: verified below so they keep an in-repo check despite driver
+#: Displaced from the prefix by the round-3/5/6 reorderings (round 6
+#: twice: five never-externally-verified conversions early, then the
+#: three new round-6 ops — bloom_dedup / pii_scan / leakage_split —
+#: swapped in for same-family siblings text_stats / pack_chunks /
+#: crosscorpus_dedup, so genuinely NEW code gets the external gate);
+#: oracle-verified below so they keep an in-repo check despite driver
 #: invisibility, and scripts/displaced_verify.py records their
 #: two-engine hashes in the committed DISPLACED_VERIFY.json artifact.
 DISPLACED = [
+    "text_stats",
+    "pack_chunks",
+    "crosscorpus_dedup",
     "tpch_q4",
     "join_broadcast",
     "window_running_total",
