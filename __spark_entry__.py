@@ -1804,7 +1804,7 @@ sh AS (
     FROM shingled
 )
 SELECT doc_id,
-       trim(regexp_replace(regexp_replace(raw, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS stripped,
+       trim(regexp_replace(regexp_replace(raw, '<[^>]{{1,512}}>', ' ', 'g'), '\s+', ' ', 'g')) AS stripped,
        {_pii_mask_sql("raw")} AS masked,
        CASE WHEN raw IS NULL THEN NULL
             ELSE 1.0 - CAST(nd AS DOUBLE) / CAST(total AS DOUBLE)
@@ -2530,9 +2530,11 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _llm_pipeline_sql() -> str:
     # cleaning replays TX.mask_pii(TX.strip_html(...)) via the shared
     # _pii_mask_sql chain (defined with the pii_scan oracle)
+    from big_data_in_agriculture_spark.functions.text import HTML_TAG_PATTERN
+
     stripped = (
-        "trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'),"
-        " '\\s+', ' ', 'g'))"
+        f"trim(regexp_replace(regexp_replace(text, '{HTML_TAG_PATTERN}',"
+        " ' ', 'g'), '\\s+', ' ', 'g'))"
     )
     return f"""
 WITH cleaned AS (

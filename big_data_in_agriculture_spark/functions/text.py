@@ -151,7 +151,15 @@ def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Co
 
 #: Cleaning regexes — shared verbatim with SQL oracles (Java regex and
 #: RE2 agree on these constructs: classes, +, {m,}, alternation).
-HTML_TAG_PATTERN = r"<[^>]+>"
+#: Bounded for the same backtracking-linearity reason as PII_PATTERNS:
+#: `<[^>]+>` costs O(run²) on Java for '<'-dense garbage with no '>'
+#: (measured 3.8 s on a 100 kB '<' run; bounded: 0.08 s). Tags longer
+#: than 512 chars are left unstripped — real markup stays far under
+#: that. The bound must also stay ≤ 1000: RE2 (DuckDB) has a hard
+#: 1000-max-repeat COMPILE limit, and an over-limit pattern fails
+#: silently (regexp_replace returns its input unchanged) — {1,1024}
+#: would diverge the engines without any error.
+HTML_TAG_PATTERN = r"<[^>]{1,512}>"
 
 
 def strip_html(text: Column | str) -> Column:
@@ -461,8 +469,23 @@ def top_ngram_char_fraction(text: Column | str, n: int = 2) -> Column:
 
 #: match order is the masking order: emails first (an email can
 #: contain a phone-shaped local part), then IPs, phones, digit runs.
+#:
+#: Every pattern must stay LINEAR on a backtracking engine (Java) for
+#: pathological inputs: web garbage contains megabyte-long unbroken
+#: base64/hex runs, and an UNBOUNDED `[...]+@` email local part costs
+#: O(run²) there — measured 39 s for ONE 200 kB token (a 1 MB token
+#: would be ~16 min/doc); RE2 is linear, so the hang would also be
+#: engine-asymmetric. The email quantifiers are therefore bounded to
+#: RFC 5321's 64-char local / 255-char domain limits (O(64)/position;
+#: >64-char local parts match their last 64 chars — parity-tested),
+#: and the numeric patterns are \b-anchored, which rejects every
+#: inside-the-run start position in O(1).
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "emails",
+        r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
     ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     ("phones", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
     ("digit_runs", r"\b[0-9]{9,}\b", "<NUM>"),

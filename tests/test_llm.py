@@ -1098,3 +1098,53 @@ class TestLeakageSafeSplit:
         out = leakage_safe_split(docs, pairs).collect()
         assert len(out) == 20
         assert all(r["split_key"] == r["doc_id"] for r in out)
+
+
+class TestRegexLinearity:
+    """Pathological-input guards: every scanner regex must stay linear
+    on a backtracking engine. Web garbage contains megabyte unbroken
+    base64/hex runs and '<'-floods; the unbounded forms of the email
+    and HTML-tag patterns cost O(run^2) on Java (39 s for ONE 200 kB
+    token pre-fix). Bounds must also stay <= 1000: RE2's max-repeat
+    COMPILE limit, past which DuckDB regexp_replace silently returns
+    its input (engine-asymmetric divergence with no error)."""
+
+    def test_monster_token_and_tag_flood_stay_fast(self, spark):
+        import time
+
+        from big_data_in_agriculture_spark.functions import text as TX
+
+        df = spark.createDataFrame(
+            [
+                (1, "Zx9" * 130_000),          # 390 kB unbroken alnum run
+                (2, "<" * 200_000),            # tag-open flood, no '>'
+                (3, "9" * 200_000),            # digit run (\b-anchored)
+            ],
+            "doc_id long, text string",
+        )
+        t0 = time.time()
+        rows = {r["doc_id"]: r for r in df.select(
+            "doc_id",
+            *TX.pii_counts("text"),
+            F.length(TX.mask_pii("text")).alias("mlen"),
+            F.length(TX.strip_html("text")).alias("slen"),
+        ).collect()}
+        elapsed = time.time() - t0
+        # pre-fix the alnum run ALONE cost ~160 s; the whole batch must
+        # clear in a small fraction of that even on a contended box
+        assert elapsed < 30, f"regex pass took {elapsed:.1f}s — quadratic?"
+        assert rows[1]["n_emails"] == 0 and rows[1]["mlen"] == 390_000
+        assert rows[2]["slen"] == 200_000      # nothing stripped, nothing hangs
+        # one \b-anchored digit run: a single match, O(n)
+        assert rows[3]["n_digit_runs"] == 1 and rows[3]["mlen"] == 5
+
+    def test_oversize_tag_left_unstripped(self, spark):
+        from big_data_in_agriculture_spark.functions import text as TX
+
+        df = spark.createDataFrame(
+            [(1, "<" + "a" * 600 + "> kept <b>x</b>")],
+            "doc_id long, text string",
+        )
+        out = df.select(TX.strip_html("text").alias("s")).collect()[0]["s"]
+        # >512-char tag survives (documented bound); real tag stripped
+        assert "aaa" in out and "<b>" not in out
