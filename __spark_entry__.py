@@ -5568,6 +5568,51 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def q_bloom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # filter-health diagnostics over the same history filter
+    # bloom_dedup builds: exact popcounts, one float div + pow at the
+    # end (cast to float on both sides per the determinism contract).
+    from big_data_in_agriculture_spark.functions import text as TX
+    from big_data_in_agriculture_spark.operators.profile import (
+        bloom_build,
+        bloom_stats,
+    )
+
+    hist = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3 == 0) & F.col("text").isNotNull())
+        .select(TX.fingerprint("text").alias("fp"))
+    )
+    return bloom_stats(bloom_build(hist, "fp"))
+
+
+_BLOOM_STATS_SQL = """
+WITH fp AS (
+    SELECT sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    WHERE doc_id % 3 = 0 AND text IS NOT NULL
+),
+pos AS (
+    SELECT ((('0x' || substr(fp, 1, 15))::BIGINT
+             + i.i * (('0x' || substr(fp, 17, 8))::BIGINT * 2 + 1))
+            % 4032) AS pos
+    FROM fp CROSS JOIN (SELECT unnest(range(5)) AS i) i
+),
+words AS (
+    SELECT pos // 63 AS word_idx,
+           bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+    FROM pos GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_words,
+       coalesce(sum(bit_count(bits)), 0)::BIGINT AS n_set_bits,
+       CAST(coalesce(sum(bit_count(bits)), 0)::DOUBLE / 4032.0 AS FLOAT)
+           AS fill_frac,
+       CAST(pow(coalesce(sum(bit_count(bits)), 0)::DOUBLE / 4032.0, 5.0)
+            AS FLOAT) AS expected_fpr
+FROM words
+"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pre-release PII scrub: the synthetic corpus carries no real
     # PII, so every 7th doc gets a deterministic contact block planted
@@ -6675,6 +6720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pack_chunks": q_pack_chunks,
         "crosscorpus_dedup": q_crosscorpus_dedup,
+        "bloom_stats": q_bloom_stats,
     }
 
 
@@ -6851,6 +6897,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": _dsir_sql(),
         "bloom_dedup": _BLOOM_DEDUP_SQL,
         "pii_scan": _PII_SCAN_SQL,
+        "bloom_stats": _BLOOM_STATS_SQL,
         "leakage_split": _LEAKAGE_SPLIT_SQL,
         "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
         "hybrid_search": _HYBRID_SQL,

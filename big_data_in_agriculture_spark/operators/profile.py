@@ -632,3 +632,30 @@ def bloom_dedup(
         id_col, TX.fingerprint(text_col).alias("fp")
     )
     return bloom_probe(probe, words, "fp", id_col, m_bits, k_hashes)
+
+
+def bloom_stats(
+    words: DataFrame,
+    m_bits: int = 4032,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Filter-health diagnostics: fill fraction and expected FPR.
+
+    The operational companion to `bloom_build`: a Bloom filter's
+    false-positive rate is fill_frac^k where fill_frac is the share of
+    set bits, so this one-row aggregate over the (tiny) words table
+    tells the pipeline when the filter is saturating and needs a
+    bigger m (the curator's resize trigger — at fill ≥ 0.5 the filter
+    is past its design point). Exact popcounts via bit_count; the only
+    float math is the final division and power, one correctly-rounded
+    step each on identical integer inputs, cast to float at the end on
+    both engines per the repo's determinism contract.
+    """
+    n_set = F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).cast("long")
+    fill = n_set.cast("double") / F.lit(float(m_bits))
+    return words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        n_set.alias("n_set_bits"),
+        fill.cast("float").alias("fill_frac"),
+        F.pow(fill, F.lit(float(k_hashes))).cast("float").alias("expected_fpr"),
+    )
