@@ -571,9 +571,14 @@ def bloom_probe(
 
     False positives at the standard (1 - e^(-k*n/m))^k rate; NO false
     negatives — "maybe_dup = false" is a proof the key is new. Scale
-    shape: k rows per probe key equi-joined on uniform word_idx (the
-    filter side is <= ceil(m_bits/63) rows — broadcast), then one
-    group-agg back to per-key. The history itself is never touched.
+    shape: k rows per probe key equi-joined on uniform word_idx, then
+    one group-agg back to per-key. The history itself is never
+    touched. The filter side is <= ceil(m_bits/63) rows; it gets an
+    explicit broadcast hint only while that is broadcast-SAFE (a
+    filter sized for a 10-bits/key 10B-doc history is ~190M words /
+    1.5 GB — a FORCED broadcast there would OOM the executors, so past
+    the threshold the hint is dropped and the planner takes a shuffled
+    join on the same uniform key, which AQE may still convert).
     """
     pos = keys.select(
         F.col(id_col),
@@ -592,8 +597,11 @@ def bloom_probe(
     hit = F.coalesce(
         F.col("bits").bitwiseAND(F.col("bitval")) != F.lit(0), F.lit(False)
     )
+    # ~16 bytes/word row; 64 MB of words ≈ 2^22 words ≈ 2^28 bits
+    if m_bits <= (1 << 28):
+        words = F.broadcast(words)
     return (
-        pos.join(F.broadcast(words), "word_idx", "left")
+        pos.join(words, "word_idx", "left")
         .select(id_col, hit.alias("_hit"))
         .groupBy(id_col)
         .agg(F.bool_and("_hit").alias("maybe_dup"))
