@@ -309,3 +309,28 @@ def test_bpe_encode_map_only(spark, em):
     plan = explain.formatted_plan(df)
     assert "ArrowEvalPython" in plan
     assert "Exchange" not in plan
+
+
+def test_pii_scan_map_only(spark, em):
+    """PII scan+mask is one codegen'd projection over the scan — zero
+    exchanges at any corpus size (the whole point of a per-doc gate)."""
+    plan = explain.formatted_plan(em.q_pii_scan(spark, SF))
+    assert "Exchange" not in plan
+    # '*' node prefix == inside WholeStageCodegen in formatted mode
+    assert "* Project" in plan
+
+
+def test_bloom_dedup_broadcast_words_no_cartesian(spark, em):
+    """The filter side collapses to <= ceil(m/63) bitmap words and
+    comes back broadcast; the probe side never joins history rows."""
+    df = em.q_bloom_dedup(spark, SF)
+    plan = explain.formatted_plan(df)
+    explain.assert_broadcast_join(df)
+    explain.assert_no_cartesian(df)
+    # both aggregates (bit_or build, bool_and probe) partial-aggregate
+    # map-side: partial markers appear in the plan detail
+    assert "partial_bit_or" in plan and "partial_min" in plan
+
+
+def test_leakage_split_no_cartesian(spark, em):
+    explain.assert_no_cartesian(em.q_leakage_split(spark, SF))
