@@ -330,6 +330,32 @@ def probe_pii_1m(spark, docs=1_000_000):
     )
 
 
+def probe_components_2m(spark, nodes=1_000_000):
+    """Connected components at ~2M directed edges / 1M nodes: 10-node
+    chains (diameter 9 — the worst realistic near-dup family shape;
+    real clusters are near-cliques with diameter 2-3, so this over-
+    stresses the iteration count). Guards the round-6 materialization
+    fix: edges localCheckpoint once, so each of the ~10 label rounds
+    re-reads a materialized pair list instead of re-running the pair
+    GENERATOR per round — and one action per round, not two."""
+    from big_data_in_agriculture_spark.operators.llm import (
+        neardup_components,
+    )
+
+    base = spark.range(nodes).select(
+        (F.col("id") - F.col("id") % 10).alias("head"), F.col("id").alias("n")
+    )
+    pairs = base.filter(F.col("n") % 10 != 0).select(
+        (F.col("n") - 1).alias("id_a"), F.col("n").alias("id_b")
+    )
+    out = neardup_components(pairs)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component_id").alias("n_comp"),
+        F.sum("component_id").alias("chk"),
+    )
+
+
 PROBES = {
     "q1_agg_60m": probe_q1_agg,
     "window_20m": probe_window,
@@ -346,6 +372,7 @@ PROBES = {
     "asof_10m": probe_asof,
     "bloom_10m": probe_bloom_10m,
     "pii_1m": probe_pii_1m,
+    "components_2m": probe_components_2m,
 }
 
 
