@@ -358,3 +358,182 @@ def start_quarantine_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated admission (memory-bounded cross-batch dedup)
+# ---------------------------------------------------------------------------
+
+def _publish_bloom_words(df: DataFrame, path: str, epoch_id: int) -> None:
+    """Publish one batch's (word_idx, bits) Bloom delta into its OWN
+    ``_batch_id`` partition (dynamic overwrite — replay rewrites the
+    same partition instead of appending a duplicate delta).
+    Module-level crash-injection seam."""
+    (
+        df.withColumn("_batch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(path)
+    )
+
+
+def _publish_bloom_docs(df: DataFrame, path: str, epoch_id: int) -> None:
+    """Publish one batch's admitted docs into its own ``_batch_id``
+    partition (dynamic overwrite). Module-level crash-injection seam."""
+    (
+        df.withColumn("_batch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(path)
+    )
+
+
+def _bloom_history(
+    spark: SparkSession, path: str, epoch_id: int
+) -> DataFrame | None:
+    """All committed partitions of a bloom-gate sink EXCEPT the current
+    epoch's. Excluding our own partition makes replay EXACTLY re-derive
+    the first attempt: a crashed attempt's half-published partition is
+    invisible to the gate and simply overwritten. Returns None when no
+    prior-epoch partition exists (first batch)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    prior = [
+        status.getPath().getName()
+        for status in fs.listStatus(hpath)
+        if status.isDirectory()
+        and status.getPath().getName().startswith("_batch_id=")
+        and status.getPath().getName() != f"_batch_id={epoch_id}"
+    ]
+    if not prior:
+        return None
+    return spark.read.parquet(path).filter(F.col("_batch_id") != epoch_id)
+
+
+def admit_batch_bloom(
+    batch: DataFrame,
+    sink_path: str,
+    epoch_id: int,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+    strict: bool = True,
+) -> None:
+    """Admit one landed batch with a Bloom filter gating history reads.
+
+    The memory-bounded evolution of ``admit_batch``: that gate re-reads
+    the ENTIRE sink fingerprint column every micro-batch (pruned, but
+    O(admitted history) per batch — at 100 TB, billions of rows scanned
+    to admit thousands). Here history is compressed into an m-bit Bloom
+    filter kept as per-batch (word_idx, bits) delta partitions next to
+    the sink, folded by ONE words-sized bit_or aggregate per batch:
+
+    * ``maybe_dup = false`` docs are PROVABLY new (a Bloom filter has
+      no false negatives) — admitted with zero history I/O;
+    * ``maybe_dup = true`` docs take the precise path: ``strict=True``
+      (default) anti-joins just those rows against the sink
+      fingerprints — the full exactly-once guarantee, with the
+      expensive scan amortized to (true re-arrivals + FPR·batch) rows;
+      ``strict=False`` rejects them outright — ZERO history reads
+      ever, trading a bounded false-rejection rate (fill_frac^k, see
+      ``profile.bloom_stats``) for throughput, the web-crawl mode
+      where a lost near-miss costs nothing.
+
+    Replay model (tested with injected kills in both publish windows):
+    both sinks are ``_batch_id``-partitioned dynamic overwrites, and
+    every gating read EXCLUDES the current epoch's partitions — so a
+    replayed batch sees exactly the history the first attempt saw,
+    re-derives the identical admission set (every step deterministic),
+    and REWRITES its own partitions instead of appending duplicates.
+    That makes the gate exactly-once in BOTH modes with no publish-
+    order subtleties: an alternative append-based delta design is
+    replay-UNSAFE in ``strict=False`` (the crashed attempt's bits flag
+    the replayed batch as dup and the whole batch is silently dropped).
+    One checkpoint lineage per sink — epoch ids restart at 0 with a
+    fresh checkpoint, which would overwrite live partitions.
+    """
+    from ..operators.profile import bloom_build, bloom_probe
+
+    spark = batch.sparkSession
+    fp = batch.withColumn("fingerprint", TX.fingerprint("text"))
+    in_batch = (
+        fp.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    bloom_path = f"{sink_path}/_bloom"
+    docs_path = f"{sink_path}/docs"
+    deltas = _bloom_history(spark, bloom_path, epoch_id)
+    if deltas is not None:
+        words = deltas.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+        flags = bloom_probe(
+            in_batch.select("doc_id", F.col("fingerprint").alias("fp")),
+            words,
+            "fp",
+            "doc_id",
+            m_bits,
+            k_hashes,
+        )
+        in_batch = in_batch.join(flags, "doc_id")
+        novel = in_batch.filter(~F.col("maybe_dup")).drop("maybe_dup")
+        flagged = in_batch.filter(F.col("maybe_dup")).drop("maybe_dup")
+        if strict:
+            seen = _bloom_history(spark, docs_path, epoch_id)
+            assert seen is not None  # bloom deltas exist => docs exist
+            flagged = flagged.join(
+                seen.select("fingerprint"), "fingerprint", "left_anti"
+            )
+        else:  # throughput mode: every flagged doc is rejected
+            flagged = flagged.filter(F.lit(False))
+        fresh = novel.unionByName(flagged)
+    else:  # first batch: no filter yet
+        fresh = in_batch
+    # two consumers (delta build + docs write) — materialize once
+    fresh = fresh.localCheckpoint(eager=True)
+    _publish_bloom_words(
+        bloom_build(
+            fresh.select(F.col("fingerprint").alias("fp")),
+            "fp",
+            m_bits,
+            k_hashes,
+        ),
+        bloom_path,
+        epoch_id,
+    )
+    _publish_bloom_docs(fresh, docs_path, epoch_id)
+
+
+def start_bloom_ingest(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    schema,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+    strict: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-stream the landing dir through the Bloom admission gate."""
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, epoch: admit_batch_bloom(
+                b, sink_path, epoch,
+                m_bits=m_bits, k_hashes=k_hashes, strict=strict,
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

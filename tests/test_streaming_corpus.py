@@ -265,3 +265,134 @@ def test_quarantine_ingest_dead_letters_bad_rows(spark, tmp_path):
     assert len(dlq) == 1
     assert "NOT_A_NUMBER" in dlq[0]["_corrupt_record"]
     assert dlq[0]["id"] == 2  # partial parse preserved for replay
+
+
+def test_bloom_ingest_admits_each_fingerprint_once(spark, tmp_path):
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    _land(spark, str(land / "b0"), [(1, "alpha beta"), (2, "gamma delta"),
+                                    (3, "GAMMA\tDELTA")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA
+    ).awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 2}
+
+    # batch 1: doc 4 re-sends batch-0 content — flagged by the filter,
+    # rejected by the precise path; doc 5 is provably new (no history
+    # read for it) and admitted
+    _land(spark, str(land / "b1"), [(4, "alpha beta"), (5, "epsilon zeta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA
+    ).awaitTermination(120)
+    rows = spark.read.parquet(sink + "/docs").collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 5}
+    # the bloom sink folds to a filter covering exactly the admitted fps
+    words = corpus._bloom_history(spark, sink + "/_bloom", epoch_id=-1)
+    assert words is not None
+    from pyspark.sql import functions as F
+
+    n_deltas = words.select("_batch_id").distinct().count()
+    assert n_deltas == 2  # one delta partition per non-empty batch
+
+
+def test_bloom_ingest_nonstrict_rejects_flagged_outright(spark, tmp_path):
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    _land(spark, str(land / "b0"), [(1, "alpha beta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+    ).awaitTermination(120)
+    # batch 1: true re-arrival rejected with ZERO history reads; novel
+    # doc admitted (provably new — bloom-negative)
+    _land(spark, str(land / "b1"), [(2, "alpha beta"), (3, "epsilon zeta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+    ).awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 3}
+
+
+def test_bloom_ingest_crash_in_both_publish_windows(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the bloom admission in BOTH publish windows:
+
+    window 1 — after the bloom-delta write, before the docs write (the
+    over-set-bits window: the crashed attempt's partition must be
+    INVISIBLE to the replay's gate — excluded by epoch — and then
+    overwritten, not appended);
+    window 2 — after both writes, before the checkpoint commit (whole-
+    batch replay: dynamic overwrite must rewrite the same partitions,
+    admitting nothing twice).
+
+    Run in strict=False — the mode where a naive append-based delta
+    design LOSES the whole batch in window 1 (its own crashed bits
+    flag every doc and non-strict rejects them outright).
+    """
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    real_docs = corpus._publish_bloom_docs
+
+    _land(spark, str(land / "b0"), [(1, "alpha beta"), (2, "gamma delta")])
+
+    # ---- window 1: crash BETWEEN the delta write and the docs write ----
+    def crash_before_docs(df, path, epoch_id):
+        raise RuntimeError("injected crash between bloom delta and docs")
+
+    monkeypatch.setattr(corpus, "_publish_bloom_docs", crash_before_docs)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus.start_bloom_ingest(
+            spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+        ).awaitTermination(120)
+    # delta landed, docs did not
+    assert corpus._bloom_history(spark, sink + "/_bloom", -1) is not None
+    assert corpus._bloom_history(spark, sink + "/docs", -1) is None
+
+    # ---- window 2 armed for the replay: crash AFTER the docs write ----
+    armed = {"crash": True}
+
+    def crash_after_docs(df, path, epoch_id):
+        real_docs(df, path, epoch_id)
+        if armed["crash"]:
+            armed["crash"] = False
+            raise RuntimeError("injected crash after bloom docs publish")
+
+    monkeypatch.setattr(corpus, "_publish_bloom_docs", crash_after_docs)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus.start_bloom_ingest(
+            spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+        ).awaitTermination(120)
+
+    # ---- clean restart: replays the still-uncommitted batch ----
+    monkeypatch.setattr(corpus, "_publish_bloom_docs", real_docs)
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+    ).awaitTermination(120)
+
+    docs = spark.read.parquet(sink + "/docs").collect()
+    # nothing lost (the window-1 hazard) and nothing admitted twice
+    # (the window-2 hazard) across all three attempts
+    assert sorted(r["doc_id"] for r in docs) == [1, 2]
+    # exactly one delta partition — replays overwrote, never appended
+    deltas = corpus._bloom_history(spark, sink + "/_bloom", -1)
+    assert deltas.select("_batch_id").distinct().count() == 1
+
+    # ---- the gate still works after the crashes ----
+    _land(spark, str(land / "b1"), [(3, "alpha beta"), (4, "theta iota")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+    ).awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 2, 4}
