@@ -5568,6 +5568,74 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min sketch vs exact truth on the corpus's top-20 tokens:
+    # with the fixed md5 double-hash family the whole sketch is
+    # deterministic, so unlike the HLL queries this sketch needs no
+    # bounded oracle — DuckDB replays build AND probe bit-exactly.
+    # width=16 against the corpus's ~31-token vocabulary FORCES cell
+    # collisions so the min-over-rows estimation (and its never-
+    # underestimate guarantee) is actually exercised — at a production
+    # width the tiny vocab would be collision-free and the estimate
+    # degenerate-exact.
+    from big_data_in_agriculture_spark.functions import text as TX
+    from big_data_in_agriculture_spark.operators.profile import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(TX.tokens("text")).alias("token"))
+    )
+    sketch = cms_build(toks, "token", depth=4, width=16)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), "token").limit(20)
+    est = cms_estimate(top.select("token"), sketch, "token", 4, 16)
+    return (
+        top.join(est, "token")
+        .select("token", "exact_count", "cms_estimate")
+        .orderBy(F.col("exact_count").desc(), "token")
+    )
+
+
+_CMS_SQL = """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE text IS NOT NULL
+),
+cells AS (
+    SELECT i.i AS row_idx,
+           ((('0x' || substr(md5(token), 1, 15))::BIGINT
+             + i.i * (('0x' || substr(md5(token), 17, 8))::BIGINT * 2 + 1))
+            % 16) AS col_idx
+    FROM toks CROSS JOIN (SELECT unnest(range(4)) AS i) i
+),
+sketch AS (
+    SELECT row_idx, col_idx, count(*) AS cnt FROM cells GROUP BY 1, 2
+),
+top AS (
+    SELECT token, count(*) AS exact_count FROM toks
+    GROUP BY 1 ORDER BY exact_count DESC, token LIMIT 20
+),
+qpos AS (
+    SELECT t.token, t.exact_count, i.i AS row_idx,
+           ((('0x' || substr(md5(t.token), 1, 15))::BIGINT
+             + i.i * (('0x' || substr(md5(t.token), 17, 8))::BIGINT * 2 + 1))
+            % 16) AS col_idx
+    FROM top t CROSS JOIN (SELECT unnest(range(4)) AS i) i
+)
+SELECT q.token,
+       q.exact_count,
+       min(coalesce(s.cnt, 0)) AS cms_estimate
+FROM qpos q
+LEFT JOIN sketch s ON s.row_idx = q.row_idx AND s.col_idx = q.col_idx
+GROUP BY q.token, q.exact_count
+ORDER BY q.exact_count DESC, q.token
+"""
+
+
 def q_bloom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter-health diagnostics over the same history filter
     # bloom_dedup builds: exact popcounts, one float div + pow at the
@@ -6721,6 +6789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "crosscorpus_dedup": q_crosscorpus_dedup,
         "bloom_stats": q_bloom_stats,
+        "cms_frequencies": q_cms_frequencies,
     }
 
 
@@ -6898,6 +6967,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": _BLOOM_DEDUP_SQL,
         "pii_scan": _PII_SCAN_SQL,
         "bloom_stats": _BLOOM_STATS_SQL,
+        "cms_frequencies": _CMS_SQL,
         "leakage_split": _LEAKAGE_SPLIT_SQL,
         "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
         "hybrid_search": _HYBRID_SQL,

@@ -667,3 +667,90 @@ def bloom_stats(
         fill.cast("float").alias("fill_frac"),
         F.pow(fill, F.lit(float(k_hashes))).cast("float").alias("expected_fpr"),
     )
+
+
+# --- Count-Min sketch (approximate frequencies, mergeable) -------------------
+#
+# The third of the classic mergeable sketches next to the HLL rollup
+# (distinct counts) and the Bloom filter (membership): approximate
+# FREQUENCIES in depth×width integer cells. est(key) = min over the
+# depth rows of its counter — never an underestimate, overestimates by
+# at most ε·N (ε = e/width) with probability 1−δ (δ = e^−depth).
+# Positions reuse the Bloom module's Kirsch-Mitzenmacher double
+# hashing over md5 (col_i = (h1 + i·h2) mod width), so with a fixed
+# hash family the whole sketch — build AND probe — is deterministic
+# and the DuckDB oracle replays it bit-exactly. Sketches MERGE by
+# cell-wise addition (sum over (row_idx, col_idx)): daily sketches
+# fold into monthly ones without rescanning rows, exactly like
+# hll_rollup's union re-aggregation.
+
+def _cms_cols(key: Column, depth: int, width: int) -> Column:
+    """array<long> of the depth column indices for one key."""
+    fp = F.md5(key)
+    h1 = F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
+    h2 = (
+        F.conv(F.substring(fp, 17, 8), 16, 10).cast("long") * F.lit(2)
+        + F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % F.lit(width),
+    )
+
+
+def cms_build(
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(row_idx, col_idx, cnt) cells of a Count-Min sketch.
+
+    ONE explode of depth cells per occurrence + ONE hash aggregate
+    bounded at depth×width output rows regardless of input size; the
+    partial agg collapses each partition to its touched cells before
+    the shuffle. NULL keys carry no frequency information — excluded,
+    matching the profile family's NULL conventions.
+    """
+    if not 1 <= depth <= 64:
+        raise ValueError("depth must be in [1, 64]")
+    return (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(
+            F.posexplode(_cms_cols(F.col(key_col), depth, width)).alias(
+                "row_idx", "col_idx"
+            )
+        )
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    queries: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per query key: the CMS frequency estimate (min over depth rows).
+
+    depth rows per query key equi-joined against the sketch cells
+    (≤ depth×width rows — broadcast), then one min-agg back to
+    per-key. A missing cell means no occurrence hashed there: counts
+    as 0, so keys never seen estimate 0 (the CMS never underestimates,
+    and 0 is exact for them).
+    """
+    pos = queries.select(
+        key_col,
+        F.posexplode(_cms_cols(F.col(key_col), depth, width)).alias(
+            "row_idx", "col_idx"
+        ),
+    )
+    return (
+        pos.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+        )
+    )

@@ -302,3 +302,50 @@ class TestBloom:
                 if bs & (1 << j):
                     bits.add(w * 63 + j)
         assert sorted(bits) == expect
+
+
+class TestCountMin:
+    """Count-Min sketch: estimation guarantee + mergeability."""
+
+    def _keys(self, spark, occurrences):
+        rows = [(k,) for k, n in occurrences.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "k string")
+
+    def test_never_underestimates_and_unseen_is_zero(self, spark):
+        occ = {f"key{i}": (i % 7) + 1 for i in range(40)}
+        df = self._keys(spark, occ)
+        # width 8 forces heavy collisions — the interesting regime
+        sk = profile.cms_build(df, "k", depth=4, width=8)
+        q = spark.createDataFrame(
+            [(k,) for k in list(occ) + ["never-seen"]], "k string"
+        )
+        est = {r["k"]: r["cms_estimate"] for r in
+               profile.cms_estimate(q, sk, "k", depth=4, width=8).collect()}
+        assert all(est[k] >= n for k, n in occ.items())
+        assert any(est[k] > n for k, n in occ.items())  # collisions real
+        assert est["never-seen"] >= 0  # never negative; typically 0 at
+        # sane widths — at width 8 every cell is occupied, so only the
+        # structural guarantee (>= true count of 0) holds
+
+    def test_merge_is_cellwise_sum(self, spark):
+        a = self._keys(spark, {"x": 3, "y": 2})
+        b = self._keys(spark, {"x": 1, "z": 5})
+        both = a.unionAll(b)
+
+        def cells(df):
+            return {
+                (r["row_idx"], r["col_idx"]): r["cnt"]
+                for r in profile.cms_build(df, "k", 4, 32).collect()
+            }
+
+        merged: dict = {}
+        for part in (cells(a), cells(b)):
+            for cell, n in part.items():
+                merged[cell] = merged.get(cell, 0) + n
+        assert merged == cells(both)
+
+    def test_null_keys_excluded(self, spark):
+        df = spark.createDataFrame([("x",), (None,), ("x",)], "k string")
+        sk = profile.cms_build(df, "k", 4, 32)
+        total = sum(r["cnt"] for r in sk.collect())
+        assert total == 2 * 4  # two occurrences x depth rows, no NULL
