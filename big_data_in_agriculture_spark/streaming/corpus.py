@@ -537,3 +537,57 @@ def start_bloom_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_bloom(spark: SparkSession, sink_path: str) -> None:
+    """Fold committed Bloom delta partitions into one reserved partition.
+
+    The per-batch delta layout keeps every gating read a words-sized
+    fold, but at high batch counts the fold input grows as
+    O(batches × words). Compaction bit_or-folds the current partitions
+    into ``_batch_id = -1`` (stream epochs are non-negative — no live
+    batch collides) and THEN deletes exactly the partitions it folded.
+
+    Crash-safe at every boundary because bit_or is idempotent: after
+    the fold lands, every not-yet-deleted delta is a SUBSET of the
+    compacted bits, so the folded filter is bit-identical no matter
+    where a crash stops the deletes — there is no swap window in which
+    the filter is missing or weaker (an earlier delete-then-rename
+    design had exactly that window: a crash between the two would
+    blind the gate entirely and re-admit history). Deltas published
+    by a concurrently running stream AFTER the fold's snapshot are
+    not in the captured list and survive untouched.
+    """
+    bloom_path = f"{sink_path}/_bloom"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(bloom_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    folded = [
+        status.getPath().getName()
+        for status in fs.listStatus(hpath)
+        if status.isDirectory()
+        and status.getPath().getName().startswith("_batch_id=")
+        and status.getPath().getName() != "_batch_id=-1"
+    ]
+    if not folded:
+        return
+    words = (
+        spark.read.parquet(bloom_path)  # includes any prior -1 partition
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+        .withColumn("_batch_id", F.lit(-1))
+    )
+    # materialize BEFORE writing into the path being read — overwriting
+    # a partition while a lazy plan still scans it is undefined; the
+    # fold is words-sized, so the checkpoint is trivially cheap
+    words = words.localCheckpoint(eager=True)
+    (
+        words.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(bloom_path)
+    )
+    for name in folded:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{bloom_path}/{name}"), True)

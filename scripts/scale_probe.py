@@ -356,6 +356,33 @@ def probe_components_2m(spark, nodes=1_000_000):
     )
 
 
+def probe_cms_20m(spark, rows=20_000_000):
+    """Count-Min build+probe at 20M occurrences over a 100k-key vocab:
+    the build explodes depth cells per occurrence into ONE hash
+    aggregate bounded at depth*width output rows regardless of input
+    size — the sketch, not the corpus, is the working set (the
+    per-occurrence md5 is the dominant cost, partial aggs collapse
+    everything else map-side)."""
+    from big_data_in_agriculture_spark.operators.profile import (
+        cms_build,
+        cms_estimate,
+    )
+
+    keys = spark.range(rows).select(
+        F.concat(
+            F.lit("k"), F.pmod(F.xxhash64("id"), F.lit(100_000)).cast("string")
+        ).alias("k")
+    )
+    sk = cms_build(keys, "k", depth=4, width=65536)
+    q = spark.range(64).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k")
+    )
+    out = cms_estimate(q, sk, "k", depth=4, width=65536)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cms_estimate").alias("mass")
+    )
+
+
 PROBES = {
     "q1_agg_60m": probe_q1_agg,
     "window_20m": probe_window,
@@ -373,6 +400,7 @@ PROBES = {
     "bloom_10m": probe_bloom_10m,
     "pii_1m": probe_pii_1m,
     "components_2m": probe_components_2m,
+    "cms_20m": probe_cms_20m,
 }
 
 

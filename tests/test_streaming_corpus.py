@@ -396,3 +396,46 @@ def test_bloom_ingest_crash_in_both_publish_windows(
     ).awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
     assert got == {1, 2, 4}
+
+
+def test_bloom_compaction_preserves_the_gate(spark, tmp_path):
+    """compact_bloom folds the delta partitions into the reserved
+    ``_batch_id=-1`` partition without weakening the filter: after
+    compaction a re-arrival is still rejected and a novel doc is still
+    admitted, and the fold input is one partition instead of many."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    _land(spark, str(land / "b0"), [(1, "alpha beta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA
+    ).awaitTermination(120)
+    _land(spark, str(land / "b1"), [(2, "gamma delta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA
+    ).awaitTermination(120)
+
+    deltas = corpus._bloom_history(spark, sink + "/_bloom", -999)
+    pre = {
+        (r["word_idx"],): None
+        for r in deltas.groupBy("word_idx").count().collect()
+    }
+    assert deltas.select("_batch_id").distinct().count() == 2
+
+    corpus.compact_bloom(spark, sink)
+    after = corpus._bloom_history(spark, sink + "/_bloom", -999)
+    assert {r["_batch_id"] for r in after.select("_batch_id").distinct().collect()} == {-1}
+    assert {(r["word_idx"],) for r in after.collect()} == set(pre)
+
+    # idempotent: a second compaction is a no-op
+    corpus.compact_bloom(spark, sink)
+
+    # the gate still works on the compacted filter
+    _land(spark, str(land / "b2"), [(3, "alpha beta"), (4, "epsilon zeta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA
+    ).awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 2, 4}
