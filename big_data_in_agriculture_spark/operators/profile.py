@@ -747,8 +747,14 @@ def cms_estimate(
             "row_idx", "col_idx"
         ),
     )
+    # broadcast only while the sketch is broadcast-safe (~24 B/cell;
+    # a width sized for tiny ε can reach hundreds of millions of cells
+    # — same rule as bloom_probe's words side); past the threshold the
+    # planner takes a shuffled join on the uniform cell key
+    if depth * width <= (1 << 22):
+        sketch = F.broadcast(sketch)
     return (
-        pos.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
+        pos.join(sketch, ["row_idx", "col_idx"], "left")
         .groupBy(key_col)
         .agg(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
