@@ -591,3 +591,29 @@ def compact_bloom(spark: SparkSession, sink_path: str) -> None:
     )
     for name in folded:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{bloom_path}/{name}"), True)
+
+
+def bloom_sink_stats(
+    spark: SparkSession,
+    sink_path: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Filter-health of a bloom-gate sink: fill fraction + expected FPR.
+
+    The operator's resize trigger (`profile.bloom_stats` over the
+    folded delta partitions): in strict mode rising fill means a
+    growing share of each batch pays the precise path; in non-strict
+    mode it IS the false-rejection rate — at fill ≥ 0.5 the filter is
+    past its design point and the stream should be re-based onto a
+    bigger m (admit history into a fresh wider filter — one
+    words-sized rebuild from the docs sink's fingerprints).
+    """
+    from ..operators.profile import bloom_stats
+
+    words = _bloom_history(spark, f"{sink_path}/_bloom", epoch_id=-999)
+    if words is None:
+        empty = spark.createDataFrame([], "word_idx long, bits long")
+        return bloom_stats(empty, m_bits, k_hashes)
+    folded = words.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    return bloom_stats(folded, m_bits, k_hashes)

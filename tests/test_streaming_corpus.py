@@ -439,3 +439,29 @@ def test_bloom_compaction_preserves_the_gate(spark, tmp_path):
     ).awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
     assert got == {1, 2, 4}
+
+
+def test_bloom_sink_stats_tracks_fill(spark, tmp_path):
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    # empty sink: zero fill, zero expected FPR
+    r0 = corpus.bloom_sink_stats(spark, sink).collect()[0]
+    assert r0["n_set_bits"] == 0 and r0["fill_frac"] == 0.0
+
+    _land(spark, str(land / "b0"), [(i, f"doc number {i}") for i in range(50)])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA
+    ).awaitTermination(120)
+    r1 = corpus.bloom_sink_stats(spark, sink).collect()[0]
+    # 50 keys x 7 hashes into 2^20 bits: ~350 set bits, tiny fill
+    assert 0 < r1["n_set_bits"] <= 350
+    assert 0.0 < r1["fill_frac"] < 0.001
+    assert r1["expected_fpr"] < 1e-20
+
+    # compaction must not change the stats (same folded bits)
+    corpus.compact_bloom(spark, sink)
+    r2 = corpus.bloom_sink_stats(spark, sink).collect()[0]
+    assert (r2["n_set_bits"], r2["fill_frac"]) == (r1["n_set_bits"], r1["fill_frac"])
