@@ -632,18 +632,35 @@ def neardup_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iter: int = 10,
+    max_iter: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, component_id).
 
     The clustering step of a dedup pipeline — pair lists from
     jaccard/minhash/simhash become groups, one survivor kept per group.
-    Iterative min-label propagation: every node repeatedly adopts the
-    smallest label among itself and its neighbors until fixpoint (or
-    ``max_iter``). Near-dup graphs are unions of near-cliques from the
-    verification step, so the diameter — and the iteration count — is
-    tiny; each iteration is one equi-join + one hash aggregate, fully
-    distributed (the driver only checks the convergence counter).
+    Min-label propagation WITH pointer jumping: each round every node
+    adopts the smallest label among itself and its neighbors, then
+    additionally adopts its label's OWN label (path compression). The
+    jump makes the distance the minimum travels roughly double per
+    round, so convergence is O(log diameter) rounds rather than
+    O(diameter) — a transitive near-dup drift chain of length 2^50
+    would still converge inside the default ``max_iter``. Labels stay
+    node ids of the same component throughout, so the fixpoint is the
+    exact per-component minimum id — identical to plain propagation
+    and to the recursive SQL oracle.
+
+    Convergence is VERIFIED, not assumed: if the last round still
+    changed labels, ``strict=True`` (default) raises rather than
+    silently returning an under-merged labelling — downstream
+    consumers (``dedup_near``, ``leakage_safe_split``) promise whole
+    families move atomically, which a non-converged result breaks
+    without any visible error. ``strict=False`` keeps the old
+    best-effort behavior for exploratory use.
+
+    Each round is one pair-graph-sized equi-join + hash aggregate plus
+    one self-join of the (one row per node) label table — fully
+    distributed; the driver only reads the convergence counter.
     """
     # materialize the edge list ONCE: every iteration's join consumes
     # it, and without this each of the up-to-max_iter rounds re-ran the
@@ -665,29 +682,57 @@ def neardup_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
-            F.col("label").alias("_old"),
+        # checkpoint the (tiny, one row per node) half-step so the
+        # pointer-jump self-join below reads a materialized table
+        # instead of re-running the edge join twice in one plan
+        half = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint(eager=True)
         )
-        # ONE action per round: checkpoint the (tiny, one row per node)
-        # label table with the previous label alongside, then read the
-        # convergence counter off the materialized result — the old
-        # shape ran the propagation join TWICE per round (once for the
-        # changed-count, once for the checkpoint).
-        updated = updated.localCheckpoint(eager=True)
+        # pointer jump: adopt label(label(id)). label(x) <= x is an
+        # invariant (labels start at id and only decrease via mins of
+        # node ids in the same component), so the looked-up row always
+        # exists and the least() is defensive only.
+        lk = half.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        updated = (
+            half.join(lk, F.col("label") == F.col("_lid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_llabel"), F.col("label")),
+                ).alias("label"),
+                "_old",
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = updated.filter(F.col("label") != F.col("_old")).count()
         labels = updated.drop("_old")
         if changed == 0:
             break
+    if changed != 0 and strict:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the labelling is "
+            "under-merged and unsafe for dedup/split consumers; raise "
+            "max_iter or pass strict=False for a best-effort result"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component_id"))
 
 

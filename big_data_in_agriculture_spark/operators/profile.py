@@ -739,8 +739,12 @@ def cms_estimate(
     (≤ depth×width rows — broadcast), then one min-agg back to
     per-key. A missing cell means no occurrence hashed there: counts
     as 0, so keys never seen estimate 0 (the CMS never underestimates,
-    and 0 is exact for them).
+    and 0 is exact for them). NULL query keys are excluded at entry,
+    mirroring ``cms_build``'s NULL-carries-no-frequency convention —
+    md5(NULL) would otherwise produce all-NULL cell indices and a
+    spurious estimate of 0 indistinguishable from a never-seen key.
     """
+    queries = queries.filter(F.col(key_col).isNotNull())
     pos = queries.select(
         key_col,
         F.posexplode(_cms_cols(F.col(key_col), depth, width)).alias(

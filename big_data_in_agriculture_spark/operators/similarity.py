@@ -103,7 +103,13 @@ def cosine(a, b) -> F.Column:
     guarded so only the zero-denominator NULL is pinned to 0.0 —
     missing embeddings stay NULL rather than masquerading as
     orthogonal. Registry callers additionally pre-filter NULL
-    embeddings before any kNN/clustering join."""
+    embeddings before any kNN/clustering join.
+
+    Accepts Column or column-name str for either argument (the
+    Column|str convention used across functions/text.py) -- the
+    NULL guard calls .isNull(), which a bare str lacks."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     da, db = _dvec(a), _dvec(b)
     return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
         F.coalesce(

@@ -1148,3 +1148,47 @@ class TestRegexLinearity:
         out = df.select(TX.strip_html("text").alias("s")).collect()[0]["s"]
         # >512-char tag survives (documented bound); real tag stripped
         assert "aaa" in out and "<b>" not in out
+
+
+def test_neardup_components_deep_chain_pointer_jump(spark):
+    """A diameter-60 chain converges well inside max_iter=50: pointer
+    jumping makes the min's reach roughly double per round (plain
+    propagation would need 60 rounds and, pre-round-7, silently
+    returned an under-merged labelling at the old max_iter=10 — the
+    leakage_safe_split contamination hazard)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 61)], ["id_a", "id_b"]
+    )
+    comps = {
+        r["id"]: r["component_id"]
+        for r in llm.neardup_components(pairs).collect()
+    }
+    assert comps == {i: 1 for i in range(1, 62)}
+
+
+def test_neardup_components_nonconvergence_raises(spark):
+    """strict=True (default) raises instead of returning an
+    under-merged labelling; strict=False keeps best-effort."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        llm.neardup_components(pairs, max_iter=2)
+    out = llm.neardup_components(pairs, max_iter=2, strict=False)
+    assert out.count() == 30  # best-effort still returns every node
+
+
+def test_leakage_safe_split_deep_chain_is_atomic(spark):
+    """The exact ADVICE scenario: a transitive near-dup drift chain
+    deeper than the old iteration bound must still land on ONE side
+    of the split — every member shares the component split_key."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 41)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"]
+    )
+    rows = llm.leakage_safe_split(docs, pairs).collect()
+    keys = {r["split_key"] for r in rows}
+    sides = {r["split"] for r in rows}
+    assert keys == {1} and len(sides) == 1

@@ -349,3 +349,17 @@ class TestCountMin:
         sk = profile.cms_build(df, "k", 4, 32)
         total = sum(r["cnt"] for r in sk.collect())
         assert total == 2 * 4  # two occurrences x depth rows, no NULL
+
+
+def test_cms_estimate_excludes_null_keys(spark):
+    """NULL query keys are excluded at entry (mirroring cms_build's
+    NULL-carries-no-frequency convention) rather than coming back with
+    a spurious estimate of 0 via all-NULL md5 cell indices."""
+    sk = profile.cms_build(
+        spark.createDataFrame([("a",), ("a",), ("b",)], ["k"]),
+        "k", depth=4, width=8,
+    )
+    q = spark.createDataFrame([("a",), (None,)], "k string")
+    rows = profile.cms_estimate(q, sk, "k", depth=4, width=8).collect()
+    assert {r["k"] for r in rows} == {"a"}
+    assert rows[0]["cms_estimate"] >= 2

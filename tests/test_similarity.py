@@ -461,3 +461,17 @@ def test_cosine_null_vector_is_null_not_zero(spark):
     }
     assert out[1] is None and out[2] is None
     assert out[3] == 0.0 and out[4] == 1.0
+
+
+def test_cosine_accepts_column_name_strings(spark):
+    """cosine("a", "b") — the pre-round-6 str convention — must keep
+    working after the NULL guard (Column|str normalization)."""
+    from big_data_in_agriculture_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], None)],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine("a", "b").alias("c")).collect()
+    assert got[0]["c"] == pytest.approx(1.0)
+    assert got[1]["c"] is None
