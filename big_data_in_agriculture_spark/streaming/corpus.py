@@ -364,6 +364,16 @@ def start_quarantine_ingest(
 # Bloom-gated admission (memory-bounded cross-batch dedup)
 # ---------------------------------------------------------------------------
 
+def _bloom_dir(sink_path: str, m_bits: int) -> str:
+    """The filter directory for one m. Versioning the directory by m
+    is what makes resize (``rebuild_bloom``) safe: word indices from
+    different m values are incompatible bit spaces — folding them
+    together would set wrong bits (false rejections in strict=False)
+    — so each m gets its own delta lineage and a rebuild SWITCHES
+    directories rather than mixing them."""
+    return f"{sink_path}/_bloom/m={m_bits}"
+
+
 def _publish_bloom_words(df: DataFrame, path: str, epoch_id: int) -> None:
     """Publish one batch's (word_idx, bits) Bloom delta into its OWN
     ``_batch_id`` partition (dynamic overwrite — replay rewrites the
@@ -470,7 +480,7 @@ def admit_batch_bloom(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    bloom_path = f"{sink_path}/_bloom"
+    bloom_path = _bloom_dir(sink_path, m_bits)
     docs_path = f"{sink_path}/docs"
     deltas = _bloom_history(spark, bloom_path, epoch_id)
     if deltas is not None:
@@ -488,7 +498,18 @@ def admit_batch_bloom(
         flagged = in_batch.filter(F.col("maybe_dup")).drop("maybe_dup")
         if strict:
             seen = _bloom_history(spark, docs_path, epoch_id)
-            assert seen is not None  # bloom deltas exist => docs exist
+            if seen is None:
+                # bloom deltas exist but no committed docs partition:
+                # the sink is corrupt (or a foreign filter was dropped
+                # in) — admitting on it could re-admit history. An
+                # explicit raise, not an assert: asserts vanish under
+                # python -O and this is a data-integrity guard.
+                raise RuntimeError(
+                    f"bloom gate sink {sink_path!r} has delta "
+                    "partitions but no prior docs partition — "
+                    "refusing to run the strict precise path against "
+                    "a missing history"
+                )
             flagged = flagged.join(
                 seen.select("fingerprint"), "fingerprint", "left_anti"
             )
@@ -539,7 +560,34 @@ def start_bloom_ingest(
     return writer.start()
 
 
-def compact_bloom(spark: SparkSession, sink_path: str) -> None:
+def _last_committed_batch(
+    spark: SparkSession, checkpoint_path: str
+) -> int | None:
+    """Largest batch id with a commit entry in a Structured Streaming
+    checkpoint (``<checkpoint>/commits/<batchId>``). ``None`` when no
+    batch has committed yet. The commit log may purge OLD entries
+    (``minBatchesToRetain``), so membership of an id is not testable —
+    but the MAX survives purging, and any id ≤ max is committed
+    (commits are sequential)."""
+    jvm = spark._jvm
+    cpath = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_path}/commits")
+    fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(cpath):
+        return None
+    ids = [
+        int(status.getPath().getName())
+        for status in fs.listStatus(cpath)
+        if status.getPath().getName().isdigit()
+    ]
+    return max(ids) if ids else None
+
+
+def compact_bloom(
+    spark: SparkSession,
+    sink_path: str,
+    checkpoint_path: str | None = None,
+    m_bits: int = 1 << 20,
+) -> None:
     """Fold committed Bloom delta partitions into one reserved partition.
 
     The per-batch delta layout keeps every gating read a words-sized
@@ -557,25 +605,49 @@ def compact_bloom(spark: SparkSession, sink_path: str) -> None:
     blind the gate entirely and re-admit history). Deltas published
     by a concurrently running stream AFTER the fold's snapshot are
     not in the captured list and survive untouched.
+
+    **Which partitions are safe to fold.** A delta published by a
+    CRASHED, not-yet-checkpoint-committed epoch must NOT be folded:
+    once its bits live in ``_batch_id=-1`` the replay's gate can no
+    longer exclude them by epoch, so in ``strict=False`` the replayed
+    batch is flagged dup and silently dropped — exactly the data loss
+    the replay model exists to prevent. Pass ``checkpoint_path`` (the
+    stream's checkpoint location) and the fold is bounded to
+    ``_batch_id ≤`` the last COMMITTED batch id — committed epochs
+    never replay, so folding them is always safe, even concurrently
+    with a live or crashed stream. Without ``checkpoint_path`` the
+    fold takes every partition, which is safe ONLY when the stream is
+    quiesced with no failed-uncommitted attempt pending — a hard
+    precondition on the caller.
     """
-    bloom_path = f"{sink_path}/_bloom"
+    bloom_path = _bloom_dir(sink_path, m_bits)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(bloom_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return
+    fold_below = None  # fold everything (quiesced-stream mode)
+    if checkpoint_path is not None:
+        last = _last_committed_batch(spark, checkpoint_path)
+        if last is None:
+            return  # nothing committed yet — nothing safe to fold
+        fold_below = last
     folded = [
-        status.getPath().getName()
+        name
         for status in fs.listStatus(hpath)
-        if status.isDirectory()
-        and status.getPath().getName().startswith("_batch_id=")
-        and status.getPath().getName() != "_batch_id=-1"
+        if (name := status.getPath().getName()).startswith("_batch_id=")
+        and name != "_batch_id=-1"
+        and (fold_below is None or int(name.split("=", 1)[1]) <= fold_below)
     ]
     if not folded:
         return
+    src = spark.read.parquet(bloom_path)  # includes any prior -1 partition
+    if fold_below is not None:
+        # -1 ≤ any committed id, so the prior compacted partition
+        # always folds; uncommitted (> last committed) deltas do not
+        src = src.filter(F.col("_batch_id") <= fold_below)
     words = (
-        spark.read.parquet(bloom_path)  # includes any prior -1 partition
-        .groupBy("word_idx")
+        src.groupBy("word_idx")
         .agg(F.bit_or("bits").alias("bits"))
         .withColumn("_batch_id", F.lit(-1))
     )
@@ -611,9 +683,107 @@ def bloom_sink_stats(
     """
     from ..operators.profile import bloom_stats
 
-    words = _bloom_history(spark, f"{sink_path}/_bloom", epoch_id=-999)
+    words = _bloom_history(spark, _bloom_dir(sink_path, m_bits), epoch_id=-999)
     if words is None:
         empty = spark.createDataFrame([], "word_idx long, bits long")
         return bloom_stats(empty, m_bits, k_hashes)
     folded = words.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
     return bloom_stats(folded, m_bits, k_hashes)
+
+
+def _publish_rebuilt_bloom(words: DataFrame, new_dir: str) -> None:
+    """Publish a rebuilt filter's folded words into the new m's
+    directory as the reserved ``_batch_id=-1`` partition (dynamic
+    overwrite: deltas a post-rebuild stream already published into
+    the new directory survive — their bits are a subset of any later
+    rebuild from the same docs). Module-level crash-injection seam."""
+    (
+        words.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(new_dir)
+    )
+
+
+def rebuild_bloom(
+    spark: SparkSession,
+    sink_path: str,
+    m_bits_old: int,
+    m_bits_new: int,
+    k_hashes: int = 7,
+    checkpoint_path: str | None = None,
+) -> None:
+    """Re-base a bloom-gate sink onto a differently-sized filter.
+
+    The lifecycle step ``bloom_sink_stats`` exists to trigger: when
+    fill_frac passes the design point (≥ 0.5), non-strict mode's
+    false-rejection rate degrades and strict mode pays the precise
+    path for a growing share of each batch. The fix is a larger m —
+    but word indices from different m values are incompatible bit
+    spaces, so the new filter must be REBUILT from the ground truth
+    (the docs sink's fingerprints), never converted from the old bits.
+
+    Protocol (each step idempotent, any crash point recoverable by
+    re-running):
+
+    1. bloom_build over the docs sink's committed fingerprints at
+       ``m_bits_new`` — one words-sized aggregate, output bounded at
+       ceil(m_new/63) rows regardless of history size;
+    2. publish into ``_bloom/m=<m_new>/`` as ``_batch_id=-1`` (the
+       crash-injection seam);
+    3. only after that write completes, delete ``_bloom/m=<m_old>/``.
+
+    There is NO window with a missing or weaker filter: the gate's
+    directory choice is parameter-driven (``start_bloom_ingest``'s
+    ``m_bits``), and the caller switches to ``m_bits_new`` only after
+    this function returns. A crash before step 3 leaves the old
+    directory intact — the stream can keep running at ``m_bits_old``
+    and the rebuild be re-run.
+
+    Replay safety across the resize: with ``checkpoint_path`` given,
+    only docs partitions with ``_batch_id`` ≤ the last COMMITTED batch
+    feed the new filter. A crashed epoch's published-but-uncommitted
+    docs are excluded, so its replay under the new m re-derives the
+    original admission decision instead of finding its own
+    fingerprints pre-baked into the filter and (in strict=False)
+    silently dropping the whole batch — the same bound
+    ``compact_bloom`` applies to deltas. Without ``checkpoint_path``
+    the docs read is unbounded, which is safe only for a quiesced
+    stream with no failed attempt pending.
+    """
+    from ..operators.profile import bloom_build
+
+    if m_bits_new == m_bits_old:
+        raise ValueError(
+            "rebuild_bloom needs a different m — same-m maintenance is "
+            "compact_bloom's job"
+        )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    docs_path = f"{sink_path}/docs"
+    dpath = jvm.org.apache.hadoop.fs.Path(docs_path)
+    fs = dpath.getFileSystem(conf)
+    old_dir = _bloom_dir(sink_path, m_bits_old)
+    if not fs.exists(dpath):
+        # nothing ever admitted: an empty filter is the correct rebuild
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old_dir), True)
+        return
+    src = spark.read.parquet(docs_path)
+    if checkpoint_path is not None:
+        last = _last_committed_batch(spark, checkpoint_path)
+        if last is None:
+            raise RuntimeError(
+                "docs partitions exist but the checkpoint has no "
+                "committed batch — refusing to bake uncommitted docs "
+                "into the rebuilt filter"
+            )
+        src = src.filter(F.col("_batch_id") <= last)
+    words = bloom_build(
+        src.select(F.col("fingerprint").alias("fp")),
+        "fp",
+        m_bits_new,
+        k_hashes,
+    ).withColumn("_batch_id", F.lit(-1))
+    _publish_rebuilt_bloom(words, _bloom_dir(sink_path, m_bits_new))
+    # retire the old filter only after the new one is fully published
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old_dir), True)

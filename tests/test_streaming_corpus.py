@@ -291,7 +291,7 @@ def test_bloom_ingest_admits_each_fingerprint_once(spark, tmp_path):
     rows = spark.read.parquet(sink + "/docs").collect()
     assert {r["doc_id"] for r in rows} == {1, 2, 5}
     # the bloom sink folds to a filter covering exactly the admitted fps
-    words = corpus._bloom_history(spark, sink + "/_bloom", epoch_id=-1)
+    words = corpus._bloom_history(spark, corpus._bloom_dir(sink, 1 << 20), epoch_id=-1)
     assert words is not None
     from pyspark.sql import functions as F
 
@@ -357,7 +357,7 @@ def test_bloom_ingest_crash_in_both_publish_windows(
             spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
         ).awaitTermination(120)
     # delta landed, docs did not
-    assert corpus._bloom_history(spark, sink + "/_bloom", -1) is not None
+    assert corpus._bloom_history(spark, corpus._bloom_dir(sink, 1 << 20), -1) is not None
     assert corpus._bloom_history(spark, sink + "/docs", -1) is None
 
     # ---- window 2 armed for the replay: crash AFTER the docs write ----
@@ -386,7 +386,7 @@ def test_bloom_ingest_crash_in_both_publish_windows(
     # (the window-2 hazard) across all three attempts
     assert sorted(r["doc_id"] for r in docs) == [1, 2]
     # exactly one delta partition — replays overwrote, never appended
-    deltas = corpus._bloom_history(spark, sink + "/_bloom", -1)
+    deltas = corpus._bloom_history(spark, corpus._bloom_dir(sink, 1 << 20), -1)
     assert deltas.select("_batch_id").distinct().count() == 1
 
     # ---- the gate still works after the crashes ----
@@ -417,7 +417,7 @@ def test_bloom_compaction_preserves_the_gate(spark, tmp_path):
         spark, str(land) + "/*", sink, chk, DOC_SCHEMA
     ).awaitTermination(120)
 
-    deltas = corpus._bloom_history(spark, sink + "/_bloom", -999)
+    deltas = corpus._bloom_history(spark, corpus._bloom_dir(sink, 1 << 20), -999)
     pre = {
         (r["word_idx"],): None
         for r in deltas.groupBy("word_idx").count().collect()
@@ -425,7 +425,7 @@ def test_bloom_compaction_preserves_the_gate(spark, tmp_path):
     assert deltas.select("_batch_id").distinct().count() == 2
 
     corpus.compact_bloom(spark, sink)
-    after = corpus._bloom_history(spark, sink + "/_bloom", -999)
+    after = corpus._bloom_history(spark, corpus._bloom_dir(sink, 1 << 20), -999)
     assert {r["_batch_id"] for r in after.select("_batch_id").distinct().collect()} == {-1}
     assert {(r["word_idx"],) for r in after.collect()} == set(pre)
 
@@ -465,3 +465,234 @@ def test_bloom_sink_stats_tracks_fill(spark, tmp_path):
     corpus.compact_bloom(spark, sink)
     r2 = corpus.bloom_sink_stats(spark, sink).collect()[0]
     assert (r2["n_set_bits"], r2["fill_frac"]) == (r1["n_set_bits"], r1["fill_frac"])
+
+
+def test_bloom_compaction_between_crash_and_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction running BETWEEN a crashed epoch and its replay must
+    not fold the crashed epoch's delta: folded into ``_batch_id=-1``,
+    its bits become invisible to the replay's epoch-exclusion and the
+    replayed batch would be flagged dup and silently dropped in
+    strict=False — the exact loss the replay model prevents. Bounding
+    the fold by the checkpoint's last COMMITTED batch id makes
+    compaction safe to run concurrently with a crashed/live stream."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    real_docs = corpus._publish_bloom_docs
+
+    # nothing committed yet: checkpoint-bounded compaction is a no-op
+    corpus.compact_bloom(spark, sink, checkpoint_path=chk)
+
+    # batch 0 commits normally
+    _land(spark, str(land / "b0"), [(1, "alpha beta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+    ).awaitTermination(120)
+
+    # batch 1 crashes AFTER both publishes, BEFORE the checkpoint commit
+    armed = {"crash": True}
+
+    def crash_after_docs(df, path, epoch_id):
+        real_docs(df, path, epoch_id)
+        if armed["crash"]:
+            armed["crash"] = False
+            raise RuntimeError("injected crash after bloom docs publish")
+
+    monkeypatch.setattr(corpus, "_publish_bloom_docs", crash_after_docs)
+    _land(spark, str(land / "b1"), [(2, "gamma delta"), (3, "epsilon zeta")])
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus.start_bloom_ingest(
+            spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+        ).awaitTermination(120)
+
+    # compaction between the crash and the replay: only batch 0 (the
+    # last committed epoch) folds; the crashed batch 1 delta survives
+    # as its own partition, still excludable by epoch on replay
+    corpus.compact_bloom(spark, sink, checkpoint_path=chk)
+    mid = corpus._bloom_history(spark, corpus._bloom_dir(sink, 1 << 20), -999)
+    ids = {r["_batch_id"] for r in mid.select("_batch_id").distinct().collect()}
+    assert ids == {-1, 1}
+
+    # clean restart: the replay must re-admit the crashed batch whole
+    monkeypatch.setattr(corpus, "_publish_bloom_docs", real_docs)
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+    ).awaitTermination(120)
+    docs = spark.read.parquet(sink + "/docs").collect()
+    assert sorted(r["doc_id"] for r in docs) == [1, 2, 3]
+
+    # once batch 1 has committed, the bounded fold takes it too
+    corpus.compact_bloom(spark, sink, checkpoint_path=chk)
+    after = corpus._bloom_history(spark, corpus._bloom_dir(sink, 1 << 20), -999)
+    ids = {r["_batch_id"] for r in after.select("_batch_id").distinct().collect()}
+    assert ids == {-1}
+
+    # and the gate still rejects re-arrivals / admits novels
+    _land(spark, str(land / "b2"), [(4, "alpha beta"), (5, "theta iota")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, strict=False
+    ).awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 2, 3, 5}
+
+
+def test_bloom_rebuild_restores_fpr_and_keeps_exactly_once(spark, tmp_path):
+    """The resize lifecycle bloom_sink_stats exists to trigger: run the
+    gate at a deliberately tiny m until fill is past the design point,
+    rebuild at a larger m from the docs sink, restart at the new m —
+    admissions stay exactly-once across the resize (re-arrivals of
+    pre-resize docs still rejected, novels admitted) and the stats
+    show the FPR restored."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    m_small, m_big = 64, 1 << 16
+
+    # 30 docs x 7 hashes into 64 bits: saturated filter
+    _land(spark, str(land / "b0"),
+          [(i, f"document number {i}") for i in range(30)])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, m_bits=m_small
+    ).awaitTermination(120)
+    r_sat = corpus.bloom_sink_stats(spark, sink, m_bits=m_small).collect()[0]
+    assert r_sat["fill_frac"] > 0.5  # past the design point
+
+    corpus.rebuild_bloom(
+        spark, sink, m_small, m_big, checkpoint_path=chk
+    )
+    # old directory retired, new one holds the reserved partition
+    assert corpus._bloom_history(
+        spark, corpus._bloom_dir(sink, m_small), -999
+    ) is None
+    new = corpus._bloom_history(spark, corpus._bloom_dir(sink, m_big), -999)
+    ids = {r["_batch_id"] for r in new.select("_batch_id").distinct().collect()}
+    assert ids == {-1}
+    r_new = corpus.bloom_sink_stats(spark, sink, m_bits=m_big).collect()[0]
+    assert r_new["fill_frac"] < 0.01
+    assert r_new["expected_fpr"] < 1e-6
+
+    # resumed stream at the new m: strict=False so the decisions come
+    # purely from the rebuilt filter — re-arrivals rejected, novel in
+    _land(spark, str(land / "b1"),
+          [(100, "document number 3"), (101, "a genuinely novel doc")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA,
+        m_bits=m_big, strict=False,
+    ).awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == set(range(30)) | {101}
+
+
+def test_bloom_rebuild_crash_before_retire_is_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the rebuild in its one risky-looking window — after the new
+    filter publishes, before the old directory is retired. The gate's
+    directory choice is parameter-driven, so the old filter keeps
+    working at m_old; re-running the rebuild completes the swap."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    m_small, m_big = 64, 1 << 16
+    real = corpus._publish_rebuilt_bloom
+
+    _land(spark, str(land / "b0"), [(1, "alpha beta"), (2, "gamma delta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, m_bits=m_small
+    ).awaitTermination(120)
+
+    def crash_after_publish(words, new_dir):
+        real(words, new_dir)
+        raise RuntimeError("injected crash after rebuilt-filter publish")
+
+    monkeypatch.setattr(corpus, "_publish_rebuilt_bloom", crash_after_publish)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        corpus.rebuild_bloom(spark, sink, m_small, m_big, checkpoint_path=chk)
+    # both directories exist; the gate still works at the OLD m
+    assert corpus._bloom_history(
+        spark, corpus._bloom_dir(sink, m_small), -999
+    ) is not None
+    _land(spark, str(land / "b1"), [(3, "alpha beta"), (4, "epsilon zeta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA,
+        m_bits=m_small, strict=False,
+    ).awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 2, 4}
+
+    # re-run completes the swap; the new filter includes batch b1's doc
+    monkeypatch.setattr(corpus, "_publish_rebuilt_bloom", real)
+    corpus.rebuild_bloom(spark, sink, m_small, m_big, checkpoint_path=chk)
+    assert corpus._bloom_history(
+        spark, corpus._bloom_dir(sink, m_small), -999
+    ) is None
+    _land(spark, str(land / "b2"), [(5, "epsilon zeta"), (6, "theta iota")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA,
+        m_bits=m_big, strict=False,
+    ).awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 2, 4, 6}
+
+
+def test_bloom_rebuild_excludes_uncommitted_docs(
+    spark, tmp_path, monkeypatch
+):
+    """A crashed epoch's published-but-uncommitted docs must NOT be
+    baked into the rebuilt filter: on replay under the new m the batch
+    would find its own fingerprints in the filter and (strict=False)
+    be silently dropped. checkpoint-bounded rebuild excludes them, so
+    the replay re-admits the batch whole."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    m_small, m_big = 1 << 10, 1 << 16
+    real_docs = corpus._publish_bloom_docs
+
+    _land(spark, str(land / "b0"), [(1, "alpha beta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA,
+        m_bits=m_small, strict=False,
+    ).awaitTermination(120)
+
+    armed = {"crash": True}
+
+    def crash_after_docs(df, path, epoch_id):
+        real_docs(df, path, epoch_id)
+        if armed["crash"]:
+            armed["crash"] = False
+            raise RuntimeError("injected crash after bloom docs publish")
+
+    monkeypatch.setattr(corpus, "_publish_bloom_docs", crash_after_docs)
+    _land(spark, str(land / "b1"), [(2, "gamma delta"), (3, "epsilon zeta")])
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus.start_bloom_ingest(
+            spark, str(land) + "/*", sink, chk, DOC_SCHEMA,
+            m_bits=m_small, strict=False,
+        ).awaitTermination(120)
+
+    # rebuild between the crash and the replay — bounded by the last
+    # COMMITTED batch, so docs 2 and 3 are not in the new filter
+    monkeypatch.setattr(corpus, "_publish_bloom_docs", real_docs)
+    corpus.rebuild_bloom(spark, sink, m_small, m_big, checkpoint_path=chk)
+
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA,
+        m_bits=m_big, strict=False,
+    ).awaitTermination(120)
+    docs = spark.read.parquet(sink + "/docs").collect()
+    assert sorted(r["doc_id"] for r in docs) == [1, 2, 3]  # nothing lost
