@@ -6602,7 +6602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "cdc_apply": q_cdc_apply,
-        "tpch_q5": q_tpch_q5,
+        "bm25_search": q_bm25_search,
         "join_semi": q_join_semi,
         "kmeans_clusters": q_kmeans_clusters,
         "scd2_history": q_scd2_history,
@@ -6614,17 +6614,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_quality": q_classifier_quality,
         "rollup_acctbal": q_rollup,
         "top10_orders": q_top10_orders,
-        "dedup_exact_groups": q_dedup_exact_groups,
+        "cms_frequencies": q_cms_frequencies,
         "incremental_rollup": q_incremental_rollup,
         "dedup_exact_docs": q_dedup_exact_docs,
         "pii_scan": q_pii_scan,
         "pack_firstfit": q_pack_firstfit,
         "corpus_profile": q_corpus_profile,
         "jaccard_pairs": q_jaccard_pairs,
-        "containment_pairs": q_containment,
+        "line_dedup": q_line_dedup,
         "simhash": q_simhash,
-        "knn_bruteforce": q_knn_bruteforce,
-        "embedding_norms": q_embedding_norms,
+        "bpe_encode": q_bpe_encode,
+        "retention_cohorts": q_retention_cohorts,
         "multimodal_meta": q_multimodal_meta,
         "minhash_neardup": q_minhash_neardup,
         "knn_lsh": q_knn_lsh,
@@ -6632,15 +6632,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a PREFIX of this dict (50 entries). The first 50 are PINNED
         # (tests/test_registry.py::test_driver_prefix_is_pinned) — new
         # queries append AFTER the prefix, never inside it, so gate
-        # visibility can't drift by accident. Rounds 5 and 6 each
+        # visibility can't drift by accident. Rounds 5, 6 and 7 each
         # DELIBERATELY rotated five slots so never-externally-verified
         # queries gain CORRECTNESS rows (r5: kmeans_clusters,
         # semantic_dedup, classifier_quality, pack_firstfit, bpe_train;
         # r6: cdc_apply, scd2_history, interval_join, hybrid_search,
-        # incremental_rollup). Displaced queries (r6: tpch_q4,
-        # join_broadcast, window_running_total, dup_cluster_histogram,
-        # knn_ivf — each with a same-family sibling still in the
-        # prefix) join the DISPLACED set in
+        # incremental_rollup; r7: bm25_search, cms_frequencies,
+        # line_dedup, bpe_encode, retention_cohorts). Displaced queries
+        # (r7: tpch_q5, dedup_exact_groups, containment_pairs,
+        # knn_bruteforce, embedding_norms — each with a same-family
+        # sibling still in the prefix) join the DISPLACED set in
         # test_registry.py::test_displaced_query_oracle_parity with
         # full Spark-vs-DuckDB hash parity in pytest, and their
         # two-engine hashes are recorded in the committed
@@ -6675,6 +6676,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_segments": q_union_all_segments,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "tpch_q5": q_tpch_q5,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "containment_pairs": q_containment,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_norms": q_embedding_norms,
         "salted_join": q_salted_join,
         "copurchase_pairs": q_copurchase,
         "triangle_participation": q_triangles,
@@ -6720,7 +6726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "hash_split": q_hash_split,
         "ema": q_ema,
-        "retention_cohorts": q_retention_cohorts,
         "funnel": q_funnel,
         "neardup_clusters": q_neardup_clusters,
         "mart_roundtrip": q_mart_roundtrip,
@@ -6730,7 +6735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cleaning": q_text_cleaning,
         "sql_interface": q_sql_interface,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_search": q_bm25_search,
         "bm25_indexed": q_bm25_indexed,
         "stratified_sample": q_stratified_sample,
         "group_sample": q_group_sample,
@@ -6762,9 +6766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "bpe_merge_step": q_bpe_merge_step,
         "lm_perplexity": q_lm_perplexity,
-        "line_dedup": q_line_dedup,
         "blocklist_filter": q_blocklist_filter,
-        "bpe_encode": q_bpe_encode,
         "minhash_recall_floor": q_minhash_recall_floor,
         "mixture_sample": q_mixture_sample,
         "temperature_sample": q_temperature_sample,
@@ -6789,7 +6791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "crosscorpus_dedup": q_crosscorpus_dedup,
         "bloom_stats": q_bloom_stats,
-        "cms_frequencies": q_cms_frequencies,
     }
 
 

@@ -3,10 +3,10 @@
 The external driver's correctness gate checks a PREFIX of ``queries()``
 (50 entries). Two invariants protect it:
 
-1. The first 50 names are PINNED (round-6 rotation of the round-5
+1. The first 50 names are PINNED (round-7 rotation of the round-6
    gate set) — an accidental insertion before index 50 would silently
    eject an operator from external verification.
-2. The 18 queries the round-3/5/6 reorderings displaced out of
+2. The 26 queries the round-3/5/6/7 reorderings displaced out of
    the prefix keep full oracle parity here in pytest, so a regression
    in them cannot hide behind the driver's prefix truncation — and
    scripts/displaced_verify.py snapshots their two-engine hashes into
@@ -23,12 +23,16 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-#: The driver-gate prefix as of round 6. Rounds 3-4 pinned the
-#: CORRECTNESS_r03 keys; rounds 5 and 6 each DELIBERATELY rotated five
-#: slots so never-externally-verified queries gain CORRECTNESS rows
-#: (r5: kmeans_clusters, semantic_dedup, classifier_quality,
+#: The driver-gate prefix as of round 7. Rounds 3-4 pinned the
+#: CORRECTNESS_r03 keys; rounds 5, 6 and 7 each DELIBERATELY rotated
+#: five slots so never-externally-verified queries gain CORRECTNESS
+#: rows (r5: kmeans_clusters, semantic_dedup, classifier_quality,
 #: pack_firstfit, bpe_train; r6: cdc_apply, scd2_history,
-#: interval_join, hybrid_search, incremental_rollup). Do not edit
+#: interval_join, hybrid_search, incremental_rollup; r7: bm25_search,
+#: cms_frequencies, line_dedup, bpe_encode, retention_cohorts — each
+#: displacing a query with a same-family prefix sibling: tpch_q5,
+#: dedup_exact_groups, containment_pairs, knn_bruteforce,
+#: embedding_norms). Do not edit
 #: without re-deciding gate visibility; append new queries AFTER
 #: index 50 instead.
 DRIVER_PREFIX_50 = [
@@ -45,7 +49,7 @@ DRIVER_PREFIX_50 = [
     "tpch_q1",
     "tpch_q3",
     "cdc_apply",
-    "tpch_q5",
+    "bm25_search",
     "join_semi",
     "kmeans_clusters",
     "scd2_history",
@@ -57,17 +61,17 @@ DRIVER_PREFIX_50 = [
     "classifier_quality",
     "rollup_acctbal",
     "top10_orders",
-    "dedup_exact_groups",
+    "cms_frequencies",
     "incremental_rollup",
     "dedup_exact_docs",
     "pii_scan",
     "pack_firstfit",
     "corpus_profile",
     "jaccard_pairs",
-    "containment_pairs",
+    "line_dedup",
     "simhash",
-    "knn_bruteforce",
-    "embedding_norms",
+    "bpe_encode",
+    "retention_cohorts",
     "multimodal_meta",
     "minhash_neardup",
     "knn_lsh",
@@ -84,7 +88,7 @@ DRIVER_PREFIX_50 = [
     "asof_attribution",
 ]
 
-#: Displaced from the prefix by the round-3/5/6 reorderings (round 6
+#: Displaced from the prefix by the round-3/5/6/7 reorderings (round 6
 #: twice: five never-externally-verified conversions early, then the
 #: three new round-6 ops — bloom_dedup / pii_scan / leakage_split —
 #: swapped in for same-family siblings text_stats / pack_chunks /
@@ -114,6 +118,11 @@ DISPLACED = [
     "union_all_segments",
     "doc_fingerprints",
     "multimodal_features",
+    "tpch_q5",
+    "dedup_exact_groups",
+    "containment_pairs",
+    "knn_bruteforce",
+    "embedding_norms",
 ]
 
 
