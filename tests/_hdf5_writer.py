@@ -125,6 +125,7 @@ def write_hdf5(
     deflate_level: int | None = 6,
     shuffle: bool = False,
     btree_fanout: int = 8,
+    superblock_version: int = 0,
 ) -> bytes:
     """Serialize arrays to HDF5 bytes the in-repo reader can decode.
 
@@ -132,10 +133,22 @@ def write_hdf5(
     the shuffle/deflate pipeline as configured; others are contiguous
     and unfiltered (the filter pipeline applies to chunked layout only,
     as in real HDF5).
+
+    ``superblock_version`` exercises all four prefixes the reader
+    parses (sources/hdf5.py:_parse_superblock): v0 (default, 96 B with
+    a root SYMBOL-TABLE ENTRY), v1 (v0 plus the indexed-storage K +
+    reserved word — 4 extra bytes shift every later field), and v2/v3
+    (48 B, a DIRECT root object-header address, no symbol entry —
+    the modern prefix real CDS ERA5 downloads ship with).
     """
+    if superblock_version not in (0, 1, 2, 3):
+        raise ValueError(f"superblock v{superblock_version} unsupported")
     chunk_dims = chunk_dims or {}
     buf = _Buf()
-    buf.put(b"\x00" * 96)  # superblock placeholder, patched last
+    # reserve the largest prefix any version needs; versions with a
+    # shorter superblock leave dead space before the first object,
+    # which is legal (all file addresses are absolute)
+    buf.put(b"\x00" * 104)  # superblock placeholder, patched last
 
     # local heap: empty string at offset 0, then link names
     heap_data = bytearray(b"\x00")
@@ -243,13 +256,22 @@ def write_hdf5(
         _messages_to_header([(17, struct.pack("<QQ", gbt_addr, heap_addr))])
     )
 
-    # superblock v0 (patched into the reserved prefix)
+    # superblock (patched into the reserved prefix)
     sb = bytearray(_SIG)
-    sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])      # versions + sizes
-    sb += struct.pack("<HHI", 4, 16, 0)        # group leaf/internal K, flags
-    sb += struct.pack("<QQQQ", 0, _UNDEF, len(buf.b), _UNDEF)
-    sb += struct.pack("<QQI4x16x", 0, root_oh, 0)  # root symbol entry
-    assert len(sb) == 96
+    if superblock_version in (2, 3):
+        # ver(1) so(1) sl(1) flags(1) base(8) sbext(8) eof(8) root(8) csum(4)
+        sb += bytes([superblock_version, 8, 8, 0])
+        sb += struct.pack("<QQQQ", 0, _UNDEF, len(buf.b), root_oh)
+        sb += struct.pack("<I", 0)  # checksum slot (reader does not verify)
+        assert len(sb) == 48
+    else:
+        sb += bytes([superblock_version, 0, 0, 0, 0, 8, 8, 0])  # vers + sizes
+        sb += struct.pack("<HHI", 4, 16, 0)    # group leaf/internal K, flags
+        if superblock_version == 1:
+            sb += struct.pack("<HH", 32, 0)    # indexed-storage K + reserved
+        sb += struct.pack("<QQQQ", 0, _UNDEF, len(buf.b), _UNDEF)
+        sb += struct.pack("<QQI4x16x", 0, root_oh, 0)  # root symbol entry
+        assert len(sb) == 96 + (4 if superblock_version == 1 else 0)
     buf.patch(0, bytes(sb))
     return bytes(buf.b)
 

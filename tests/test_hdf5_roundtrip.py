@@ -65,18 +65,20 @@ def _layout(draw):
         )
     shuffle = chunked and draw(st.booleans())
     deflate = draw(st.sampled_from([None, 1, 6, 9])) if chunked else None
-    return arr, cdims, shuffle, deflate
+    sbver = draw(st.sampled_from([0, 1, 2, 3]))
+    return arr, cdims, shuffle, deflate, sbver
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=150, deadline=None)
 @given(_layout())
 def test_roundtrip_random_layouts(layout):
-    arr, cdims, shuffle, deflate = layout
+    arr, cdims, shuffle, deflate, sbver = layout
     blob = write_hdf5(
         {"x": arr},
         chunk_dims={"x": cdims} if cdims else None,
         deflate_level=deflate,
         shuffle=shuffle,
+        superblock_version=sbver,
     )
     f = Hdf5File(blob)
     got = f.read("x")
@@ -118,4 +120,19 @@ def test_roundtrip_deflate_levels(level):
     arr = np.zeros((4, 4, 4), dtype="<i8")  # max-compressible
     blob = write_hdf5({"x": arr}, chunk_dims={"x": (4, 4, 4)},
                       deflate_level=level)
+    np.testing.assert_array_equal(Hdf5File(blob).read("x"), arr)
+
+
+@pytest.mark.parametrize("sbver", [0, 1, 2, 3])
+def test_roundtrip_superblock_versions(sbver):
+    """All four superblock prefixes the reader parses: v0/v1 carry a
+    root symbol-table entry (v1 shifts every field by the 4-byte
+    indexed-storage K), v2/v3 a direct root object-header address —
+    previously exercised only by the six committed CDS files."""
+    arr = np.arange(24, dtype="<i4").reshape(4, 6)
+    blob = write_hdf5(
+        {"x": arr}, chunk_dims={"x": (2, 3)}, deflate_level=6,
+        shuffle=True, superblock_version=sbver,
+    )
+    assert blob[8] == sbver
     np.testing.assert_array_equal(Hdf5File(blob).read("x"), arr)
