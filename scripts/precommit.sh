@@ -23,6 +23,8 @@ if [ "$#" -gt 0 ]; then
     python scripts/selfcheck.py /root/testdata/sf0.001 "$@"
     echo "== selfcheck (named queries) sf0.01 =="
     python scripts/selfcheck.py /root/testdata/sf0.01 "$@"
+    echo "== registry snapshot refresh (named queries) =="
+    python scripts/registry_verify.py /root/testdata/sf0.01 "$@"
 else
     echo "== selfcheck (full registry) sf0.001 =="
     python scripts/selfcheck.py /root/testdata/sf0.001

@@ -212,3 +212,24 @@ def test_bounded_oracle_covers_exactly_the_rows_only_set():
     for name, spec in bounded.items():
         assert spec["keys"], name
         assert spec.get("exact") or spec.get("rel"), name
+
+
+def test_registry_verify_covers_every_query():
+    """The committed REGISTRY_VERIFY.json (scripts/registry_verify.py)
+    must carry a two-engine row for EVERY registry key — the artifact
+    that makes queries outside the driver's 50-slot prefix externally
+    diffable — and every row must be green. Registering a query
+    without regenerating the snapshot fails here."""
+    import json
+
+    with open("/root/repo/REGISTRY_VERIFY.json") as f:
+        payload = json.load(f)
+    rows = payload["queries"]
+    qs = entrymod.queries()
+    assert set(rows) == set(qs)
+    for name, row in rows.items():
+        assert row["kind"] in ("oracle", "bounded"), (name, row)
+        if row["kind"] == "oracle":
+            assert row["hash_match"], name
+        else:
+            assert row["bounded_pass"], name
