@@ -1623,6 +1623,90 @@ def association_rules(
     ).limit(top_k)
 
 
+def _range_ntile(
+    df: DataFrame,
+    sort_exprs: list,
+    n_tiles: int,
+    alias: str,
+    id_col: str,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exact ntile without a single global window partition.
+
+    ``F.ntile(t).over(Window.orderBy(...))`` moves the ENTIRE table
+    through one task — the repo's last unbounded-frame global window
+    and a hard ceiling at billions of rows. This decomposition keeps
+    the identical bucket assignment fully distributed:
+
+    1. ``repartitionByRange`` on the (total-order, tie-broken) sort
+       key — Spark's range exchange samples boundaries, so partition
+       ids come out range-ordered;
+    2. rank WITHIN each partition (``partitionBy(_pid)`` — parallel,
+       no global sort);
+    3. prefix-sum the per-partition counts (a P-row window — bounded
+       by the partition count, not the data) and broadcast-join the
+       offsets back: global rank = local rank + offset;
+    4. map rank to bucket with ntile's exact fill rule — with
+       q, rem = divmod(n, t), the first ``rem`` buckets take q+1 rows:
+       bucket(r) = ceil(r/(q+1))                    for r ≤ (q+1)·rem
+                 = rem + ceil((r - (q+1)·rem)/q)    otherwise
+
+    Every step lives in one lazy plan (the range exchange feeding
+    both the rank and the count branches is reused by Catalyst), so
+    there is no cross-action boundary-sampling consistency hazard.
+    The sort key must be a total order (tie-break on the id) — that
+    is already required for cross-engine determinism.
+    """
+    spark = df.sparkSession
+    P = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = (
+        df.repartitionByRange(P, *sort_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrank",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(*sort_exprs)
+            ),
+        )
+    )
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    wp = Window.orderBy("_pid")
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                wp.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_cnt")
+        .over(
+            wp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_n"),
+    )
+    r = (F.col("_lrank") + F.col("_off")).cast("long")
+    n = F.col("_n").cast("long")
+    t = F.lit(n_tiles).cast("long")
+    q = F.floor(n / t).cast("long")
+    rem = n % t
+    thr = (q + F.lit(1)) * rem
+    bucket = (
+        F.when(r <= thr, F.floor((r - F.lit(1)) / (q + F.lit(1))) + F.lit(1))
+        .otherwise(
+            rem
+            + F.floor((r - thr - F.lit(1)) / F.greatest(q, F.lit(1)))
+            + F.lit(1)
+        )
+        .cast("int")
+    )
+    return ranked.join(F.broadcast(offsets), "_pid").select(
+        id_col, bucket.alias(alias)
+    )
+
+
 def rfm_segments(
     orders: DataFrame,
     n_tiles: int = 4,
@@ -1632,12 +1716,14 @@ def rfm_segments(
 
     The marketing-analytics staple: per customer, days since last
     order (R), order count (F), total spend (M); each scored into
-    n_tiles by ntile windows ordered with custkey tie-breaks so the
-    segmentation is deterministic across engines and partitionings.
-    One aggregate + three global ntile windows — the windows order a
-    CUSTOMER-grain table (already aggregated), which is the part a
-    100 TB deployment would range-partition; the fact scan happens
-    once.
+    n_tiles with custkey tie-breaks so the segmentation is
+    deterministic across engines and partitionings. Scoring uses
+    ``_range_ntile`` — the range-partitioned exact decomposition —
+    not a global ntile window, so no step funnels the customer-grain
+    table through one task; the three score tables equi-join back on
+    custkey (uniform key). The customer aggregate feeds four branches
+    of one lazy plan — at warehouse scale, land it (or ``.cache()``)
+    first so the fact scan runs once.
     """
     cut = F.to_timestamp(F.lit(asof))
     per_cust = orders.groupBy("o_custkey").agg(
@@ -1645,22 +1731,38 @@ def rfm_segments(
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
     # order monetary by EXACT integer cents: the raw double sum is
     # order-dependent in its last ulp, and two equal-cent customers
     # could swap sides of the ntile boundary across engines
     cents = F.round(F.col("monetary") * 100).cast("long")
-    w_m = Window.orderBy(cents.desc(), F.col("o_custkey"))
-    return per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        F.col("monetary").cast("float").alias("monetary"),
-        F.ntile(n_tiles).over(w_r).alias("r_score"),
-        F.ntile(n_tiles).over(w_f).alias("f_score"),
-        F.ntile(n_tiles).over(w_m).alias("m_score"),
-    ).orderBy("o_custkey")
+    ck = F.col("o_custkey")
+    r_sc = _range_ntile(
+        per_cust, [F.col("recency_days").asc(), ck.asc()],
+        n_tiles, "r_score", "o_custkey",
+    )
+    f_sc = _range_ntile(
+        per_cust, [F.col("frequency").desc(), ck.asc()],
+        n_tiles, "f_score", "o_custkey",
+    )
+    m_sc = _range_ntile(
+        per_cust, [cents.desc(), ck.asc()],
+        n_tiles, "m_score", "o_custkey",
+    )
+    return (
+        per_cust.join(r_sc, "o_custkey")
+        .join(f_sc, "o_custkey")
+        .join(m_sc, "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            F.col("monetary").cast("float").alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+        )
+        .orderBy("o_custkey")
+    )
 
 
 def triangle_participation(

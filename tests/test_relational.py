@@ -453,3 +453,56 @@ class TestTriangles:
             [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
         )
         assert relational.triangle_participation(edges).count() == 0
+
+
+def test_range_ntile_matches_global_ntile(spark):
+    """The distributed decomposition must reproduce F.ntile exactly —
+    including the ceil/floor fill rule when n % t != 0, n < t, and
+    descending sort keys — across partition counts that leave some
+    ranges empty."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(17)
+    for n, t, P in [(97, 4, 8), (10, 4, 3), (3, 5, 4), (64, 8, 16), (51, 7, 64)]:
+        rows = [(i, rng.randint(0, 19)) for i in range(n)]
+        df = spark.createDataFrame(rows, ["id", "v"])
+        for exprs in (
+            [F.col("v").asc(), F.col("id").asc()],
+            [F.col("v").desc(), F.col("id").asc()],
+        ):
+            want = {
+                r["id"]: r["nt"]
+                for r in df.select(
+                    "id", F.ntile(t).over(Window.orderBy(*exprs)).alias("nt")
+                ).collect()
+            }
+            got = {
+                r["id"]: r["nt"]
+                for r in relational._range_ntile(
+                    df, exprs, t, "nt", "id", num_ranges=P
+                ).collect()
+            }
+            assert got == want, (n, t, P)
+
+
+def test_rfm_has_no_global_window(spark):
+    """The customer-grain table must never funnel through a
+    single-partition window: every WindowExec in the plan is
+    partitioned (the only unpartitioned window is the P-row
+    partition-count prefix sum, which Catalyst keeps tiny)."""
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [(c, dt.datetime(1998, 12, 1), 10.0) for c in range(20)],
+        ["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    plan = relational.rfm_segments(orders)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # row_number windows over the data are all partitioned by _pid
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1), m.group(0)
+    assert "ntile" not in plan  # the global-window form is gone
