@@ -5700,15 +5700,24 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").cast("string"),
                 F.lit("@example.com ip 10.0.0."),
                 (F.col("doc_id") % 256).cast("string"),
-                F.lit(" tel 555-123-4567 acct 123456789"),
+                F.lit(" tel 555-123-4567 acct 123456789"
+                      " card 4012 8888 8888 1881 or 4111111111111111"
+                      " bad 1234567812345678"
+                      " iban DE89370400440532013000"
+                      " not DE00123456781234567890"),
             ),
         ).otherwise(F.col("text")),
     )
     out = pii_scan(planted)
+    # two Luhn-valid cards (grouped + bare) and one valid IBAN per
+    # planted doc; the Luhn-failing bare run and the bad-check IBAN
+    # prove the checksum gates reject (the bad run still counts as a
+    # digit run and masks as <NUM>; the bad IBAN stays untouched)
     return out.select(
         "doc_id",
         *[F.col(c).cast("long").alias(c)
-          for c in ("n_emails", "n_ipv4", "n_phones", "n_digit_runs")],
+          for c in ("n_emails", "n_ipv4", "n_phones", "n_digit_runs",
+                    "n_cards", "n_ibans")],
         F.sha2(F.col("masked"), 256).alias("masked_fp"),
     )
 
@@ -5721,12 +5730,73 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # masks byte-identically, fingerprinted via sha256. DuckDB standard
 # strings don't process backslashes, so '\b' reaches RE2 verbatim.
 
+def _luhn_sql(digits: str) -> str:
+    """Luhn mod-10 over a pure-digit string — TX.luhn_valid's twin.
+
+    Same parity-packed fold (acc = sum*2 + position_parity) so a
+    plain (acc, element) list_reduce needs no index; list_prepend
+    supplies the initial accumulator (DuckDB's list_reduce otherwise
+    seeds from the first element)."""
+    return (
+        "((list_reduce(list_prepend(0, list_transform(string_split("
+        f"reverse({digits}), ''), c -> ascii(c) - 48)), "
+        "(acc, d) -> ((acc >> 1) + CASE WHEN (acc & 1) = 0 THEN d "
+        "WHEN d > 4 THEN 2*d - 9 ELSE 2*d END) * 2 + (1 - (acc & 1))"
+        ") >> 1) % 10 = 0)"
+    )
+
+
+def _iban_sql(e: str) -> str:
+    """ISO 7064 mod-97 — TX.iban_valid's twin (rotate first four
+    chars to the end, letters map to 10..35, fold mod 97 == 1)."""
+    r = f"(substr({e}, 5) || substr({e}, 1, 4))"
+    return (
+        "(list_reduce(list_prepend(0, list_transform(string_split("
+        f"{r}, ''), c -> ascii(c))), "
+        "(acc, v) -> CASE WHEN v >= 65 THEN (acc*100 + v - 55) % 97 "
+        "ELSE (acc*10 + v - 48) % 97 END) = 1)"
+    )
+
+
+def _card_cands_sql(e: str) -> str:
+    from big_data_in_agriculture_spark.functions.text import CARD_PATTERN
+
+    stripped = "replace(replace(x, '-', ''), ' ', '')"
+    return (
+        f"list_filter(regexp_extract_all({e}, '{CARD_PATTERN}'), "
+        f"x -> {_luhn_sql(stripped)})"
+    )
+
+
+def _iban_cands_sql(e: str) -> str:
+    from big_data_in_agriculture_spark.functions.text import IBAN_PATTERN
+
+    return (
+        f"list_filter(regexp_extract_all({e}, '{IBAN_PATTERN}'), "
+        f"x -> {_iban_sql('x')})"
+    )
+
+
 def _pii_mask_sql(expr: str) -> str:
-    """Nested regexp_replace chain replaying TX.mask_pii over expr."""
+    """Replay of TX.mask_pii over expr, in its exact pass order:
+    emails, ipv4, then the checksum classes (IBANs, cards) folded
+    over the text with literal replace() in positional match order —
+    identical in Java regex and RE2, so the fold is deterministic
+    cross-engine — then phones and digit runs."""
     from big_data_in_agriculture_spark.functions.text import PII_PATTERNS
 
     out = expr
-    for _, pat, rep in PII_PATTERNS:
+    for _, pat, rep in PII_PATTERNS[:2]:  # emails, ipv4
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    out = (
+        f"list_reduce(list_prepend({out}, {_iban_cands_sql(out)}), "
+        "(acc, x) -> replace(acc, x, '<IBAN>'))"
+    )
+    out = (
+        f"list_reduce(list_prepend({out}, {_card_cands_sql(out)}), "
+        "(acc, x) -> replace(acc, x, '<CARD>'))"
+    )
+    for _, pat, rep in PII_PATTERNS[2:]:  # phones, digit_runs
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return out
 
@@ -5738,6 +5808,10 @@ def _pii_scan_sql() -> str:
         f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
         for name, pat, _ in PII_PATTERNS
     )
+    checksum_counts = (
+        f"len({_card_cands_sql('text')}) AS n_cards,\n       "
+        f"len({_iban_cands_sql('text')}) AS n_ibans"
+    )
     return f"""
 WITH planted AS (
     SELECT doc_id,
@@ -5745,11 +5819,16 @@ WITH planted AS (
                 THEN text || ' contact user' || doc_id
                      || '@example.com ip 10.0.0.' || (doc_id % 256)
                      || ' tel 555-123-4567 acct 123456789'
+                     || ' card 4012 8888 8888 1881 or 4111111111111111'
+                     || ' bad 1234567812345678'
+                     || ' iban DE89370400440532013000'
+                     || ' not DE00123456781234567890'
                 ELSE text END AS text
     FROM documents
 )
 SELECT doc_id,
        {counts},
+       {checksum_counts},
        sha256({_pii_mask_sql("text")}) AS masked_fp
 FROM planted
 """

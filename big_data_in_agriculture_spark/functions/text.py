@@ -491,24 +491,140 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("digit_runs", r"\b[0-9]{9,}\b", "<NUM>"),
 ]
 
+#: Checksum-gated classes (cards, IBANs): a digit-run regex alone
+#: drowns in false positives — real pre-release scrubs validate the
+#: checksum, which no regex can express. Each class pairs a bounded,
+#: \b-anchored candidate pattern (linear on a backtracking engine:
+#: in-run start positions reject in O(1), per-candidate work is
+#: constant-bounded ≤ 34 chars) with a checksum fold over the match's
+#: characters — Luhn mod-10 for cards, ISO 7064 mod-97 for IBANs —
+#: expressed as an aggregate Column so the JVM evaluates it without
+#: any UDF, and replayed in DuckDB via list_reduce over the same
+#: per-character steps (the BPE recursive-replay trick applied to
+#: checksums). Grouped 4-4-4-4 and bare 13-19-digit card shapes are
+#: both candidates; only Luhn-valid ones count/mask.
+CARD_PATTERN = r"\b[0-9]{4}([- ][0-9]{4}){3}\b|\b[0-9]{13,19}\b"
+IBAN_PATTERN = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True iff a pure-digit string passes the Luhn mod-10 check.
+
+    One fold over the reversed digits. The accumulator packs
+    (running_sum, position_parity) into one int — ``acc = sum<<1 | p``
+    — so a plain (acc, element) reduce needs no index argument and
+    the identical step replays as a DuckDB list_reduce. Odd reversed
+    positions double (9-subtracting two-digit results), even add
+    as-is; valid means sum % 10 == 0.
+    """
+    acc = F.aggregate(
+        F.transform(
+            F.split(F.reverse(digits), ""), lambda c: F.ascii(c) - F.lit(48)
+        ),
+        F.lit(0),
+        lambda acc, d: F.shiftleft(
+            F.shiftright(acc, 1)
+            + F.when(
+                acc.bitwiseAND(F.lit(1)) == 0, d
+            ).otherwise(
+                F.when(d > 4, d * 2 - 9).otherwise(d * 2)
+            ),
+            1,
+        ).bitwiseOR(F.lit(1) - acc.bitwiseAND(F.lit(1))),
+    )
+    return F.shiftright(acc, 1) % 10 == 0
+
+
+def iban_valid(s: Column) -> Column:
+    """True iff an IBAN-shaped string passes the ISO 7064 mod-97 check:
+    move the first four chars to the end, map letters to 10..35, and
+    fold the resulting digit stream mod 97 — valid means remainder 1.
+    The fold keeps the accumulator < 9700, so plain int arithmetic
+    replays exactly in DuckDB's list_reduce."""
+    rearranged = F.concat(F.substring(s, 5, 34), F.substring(s, 1, 4))
+    acc = F.aggregate(
+        F.transform(F.split(rearranged, ""), F.ascii),
+        F.lit(0),
+        lambda acc, v: F.when(
+            v >= 65, (acc * 100 + v - 55) % 97
+        ).otherwise((acc * 10 + v - 48) % 97),
+    )
+    return acc == 1
+
+
+def _card_candidates(c: Column) -> Column:
+    """Luhn-valid card matches in the text (separator-stripped form is
+    validated; the literal match is what masking removes). Kept in
+    positional match order — identical in Java regex and RE2 — so the
+    masking fold is deterministic cross-engine; duplicate values fold
+    as no-ops (the literal is already replaced), so no distinct step
+    (whose ordering guarantees differ between engines) is needed."""
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(CARD_PATTERN), 0),
+        lambda x: luhn_valid(F.regexp_replace(x, r"[- ]", "")),
+    )
+
+
+def _iban_candidates(c: Column) -> Column:
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(IBAN_PATTERN), 0), iban_valid
+    )
+
 
 def pii_counts(text: Column | str) -> list[Column]:
     """One count column per PII class (aliased n_<class>), evaluated
     on the ORIGINAL text — classes overlap by design (a phone-shaped
     email local part counts as both) so each counter is independently
-    meaningful. NULL text -> NULL counts (NULL-in -> NULL-out)."""
+    meaningful. NULL text -> NULL counts (NULL-in -> NULL-out; the
+    checksum classes inherit it because size(filter(NULL)) is NULL).
+    Cards and IBANs count only CHECKSUM-VALID candidates."""
     c = F.col(text) if isinstance(text, str) else text
     return [
         F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
+    ] + [
+        F.size(_card_candidates(c)).alias("n_cards"),
+        F.size(_iban_candidates(c)).alias("n_ibans"),
     ]
 
 
 def mask_pii(text: Column | str) -> Column:
-    """Text with every PII match replaced by its class token, applied
-    in PII_PATTERNS order (each pass runs on the previous pass's
-    output, so an emailed phone number masks once, as <EMAIL>)."""
+    """Text with every PII match replaced by its class token.
+
+    Order is load-bearing: emails first (an email can contain a
+    phone-shaped local part), then IPs, then the checksum classes
+    (IBANs, cards) BEFORE the plain digit patterns — a bare 16-digit
+    card is also a ``digit_runs`` match, and masking it as <NUM>
+    first would hide it from the Luhn gate. Checksum masking folds
+    the validated candidate list over the text with literal
+    ``replace`` (candidates are digit/separator literals — no regex
+    metacharacters), which replays in DuckDB as a list_reduce;
+    checksum-INVALID candidates are deliberately left for the later
+    generic patterns (an invalid bare run still masks as <NUM>; an
+    invalid grouped run stays, as a scanner should leave non-PII).
+    """
     c = F.col(text) if isinstance(text, str) else text
-    for _, pat, rep in PII_PATTERNS:
+    chain = list(PII_PATTERNS)
+    regex_head, regex_tail = chain[:2], chain[2:]
+    for _, pat, rep in regex_head:  # emails, ipv4
+        c = F.regexp_replace(c, pat, rep)
+    # let-bind the partially-masked text: the candidate extraction and
+    # the fold's init both reference it, and HOFs have no CSE — unbound
+    # it would re-run the upstream regexp chain per reference
+    c = _let_array(
+        c,
+        lambda t: F.aggregate(
+            _iban_candidates(t), t,
+            lambda acc, x: F.replace(acc, x, F.lit("<IBAN>")),
+        ),
+    )
+    c = _let_array(
+        c,
+        lambda t: F.aggregate(
+            _card_candidates(t), t,
+            lambda acc, x: F.replace(acc, x, F.lit("<CARD>")),
+        ),
+    )
+    for _, pat, rep in regex_tail:  # phones, digit_runs
         c = F.regexp_replace(c, pat, rep)
     return c

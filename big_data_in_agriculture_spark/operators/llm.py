@@ -3322,12 +3322,16 @@ def pii_scan(
     or sort on them); ``masked`` is the releasable text with every
     match replaced by its class token.
 
-    Scale shape: map-only — four codegen'd regexp_count's plus a
-    four-pass regexp_replace chain per row, zero shuffles, pure scan
-    parallelism; at 100 TB this pipelines with any other per-doc
-    gate in the same stage. Patterns live in TX.PII_PATTERNS (the
-    Java∩RE2 shared subset — the DuckDB oracle replays counts and
-    masked bytes exactly). NULL text -> NULL counts and NULL masked.
+    Scale shape: map-only — four codegen'd regexp_count's, two
+    checksum-gated candidate filters (credit cards via Luhn mod-10,
+    IBANs via ISO 7064 mod-97 — aggregate Column folds over the
+    match's characters, no UDF), and a masking chain that interleaves
+    regexp passes with literal-replace folds; zero shuffles, pure
+    scan parallelism — at 100 TB this pipelines with any other
+    per-doc gate in the same stage. Patterns live in TX.PII_PATTERNS
+    / TX.CARD_PATTERN / TX.IBAN_PATTERN (the Java∩RE2 shared subset
+    — the DuckDB oracle replays counts and masked bytes exactly,
+    checksums via list_reduce). NULL text -> NULL counts and masked.
     """
     return docs.select(
         id_col,

@@ -1059,6 +1059,38 @@ class TestPiiScan:
         assert r["n_emails"] is None and r["n_digit_runs"] is None
         assert r["masked"] is None
 
+    def test_cards_luhn_gated(self, spark):
+        # grouped and bare Luhn-VALID cards count and mask as <CARD>;
+        # a Luhn-failing bare run is NOT a card — it falls through to
+        # the generic digit-run pass and masks as <NUM>
+        out = self._scan(spark, [
+            (0, "pay 4012 8888 8888 1881 or 4111111111111111 now"),
+            (1, "ref 1234567812345678 is not a card"),
+            (2, "amex 371449635398431 ok"),
+        ])
+        assert out[0]["n_cards"] == 2
+        assert out[0]["masked"] == "pay <CARD> or <CARD> now"
+        assert out[1]["n_cards"] == 0 and out[1]["n_digit_runs"] == 1
+        assert out[1]["masked"] == "ref <NUM> is not a card"
+        assert out[2]["n_cards"] == 1  # 15-digit amex, bare form
+        assert out[2]["masked"] == "amex <CARD> ok"
+
+    def test_ibans_mod97_gated(self, spark):
+        out = self._scan(spark, [
+            (0, "send to DE89370400440532013000 or GB82WEST12345698765432"),
+            (1, "bogus DE00123456781234567890 stays"),
+        ])
+        assert out[0]["n_ibans"] == 2
+        assert out[0]["masked"] == "send to <IBAN> or <IBAN>"
+        # failed checksum: not PII, left untouched (letters block the
+        # digit-run \b so the generic pass cannot reach inside it)
+        assert out[1]["n_ibans"] == 0
+        assert out[1]["masked"] == "bogus DE00123456781234567890 stays"
+
+    def test_checksum_classes_null_convention(self, spark):
+        r = self._scan(spark, [(0, None)])[0]
+        assert r["n_cards"] is None and r["n_ibans"] is None
+
 
 class TestLeakageSafeSplit:
     def test_components_never_straddle(self, spark):
@@ -1119,6 +1151,7 @@ class TestRegexLinearity:
                 (1, "Zx9" * 130_000),          # 390 kB unbroken alnum run
                 (2, "<" * 200_000),            # tag-open flood, no '>'
                 (3, "9" * 200_000),            # digit run (\b-anchored)
+                (4, "AB12" * 50_000),          # IBAN-shaped flood, one start
             ],
             "doc_id long, text string",
         )
@@ -1137,6 +1170,10 @@ class TestRegexLinearity:
         assert rows[2]["slen"] == 200_000      # nothing stripped, nothing hangs
         # one \b-anchored digit run: a single match, O(n)
         assert rows[3]["n_digit_runs"] == 1 and rows[3]["mlen"] == 5
+        # card candidates on the digit run reject at the trailing \b in
+        # O(1); the IBAN flood has a single viable start position
+        assert rows[3]["n_cards"] == 0
+        assert rows[4]["n_ibans"] == 0 and rows[4]["mlen"] == 200_000
 
     def test_oversize_tag_left_unstripped(self, spark):
         from big_data_in_agriculture_spark.functions import text as TX
