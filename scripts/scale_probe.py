@@ -880,5 +880,97 @@ def probe_classifier_longdoc(spark, docs=10_000, toks=2_000, iters=3):
 PROBES["classifier_longdoc_10k"] = probe_classifier_longdoc
 
 
+
+
+def probe_rfm_10m(spark, customers=10_000_000):
+    """rfm_segments at 10M customers — the operator that used to run
+    three GLOBAL single-partition ntile windows (the repo's last
+    unbounded-frame global window; a hard ceiling at this scale).
+    The round-7 _range_ntile decomposition keeps every step
+    partitioned: range exchange + per-partition rank + a P-row prefix
+    sum. One synthetic order per customer isolates the scoring from
+    the fact-table aggregate."""
+    from big_data_in_agriculture_spark.operators.relational import (
+        rfm_segments,
+    )
+
+    orders = spark.range(customers).select(
+        F.col("id").alias("o_custkey"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("1998-"),
+                F.lpad(((F.col("id") % 12) + 1).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("id") % 28) + 1).cast("string"), 2, "0"),
+            )
+        ).alias("o_orderdate"),
+        ((F.col("id") % 9973).cast("double") + 0.5).alias("o_totalprice"),
+    )
+    out = rfm_segments(orders)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r_score") + F.col("f_score") + F.col("m_score")).alias(
+            "chk"
+        ),
+        F.countDistinct("m_score").alias("tiles"),
+    )
+
+
+PROBES["rfm_10m"] = probe_rfm_10m
+
+
+def probe_neardup_gate_history(spark, history_batches=4, batch_docs=250_000):
+    """Streaming MinHash admission gate: per-batch cost as history
+    grows. Feeds equal-size batches of all-novel docs through
+    admit_batch_neardup directly (same code path the foreachBatch
+    stream drives) and prints each batch's wall time while the
+    admitted history grows 0 -> (batches-1)*batch_docs docs.
+
+    The claim under test: per-batch work is batch-sized (signatures,
+    map-only) plus ONE equi-join of the batch's band keys against the
+    sink's (band, bucket, id) index — a pruned three-column read that
+    grows with history but stays I/O-thin, never re-reading document
+    bodies. Flat-ish batch times = the gate holds at crawl scale;
+    the printed series IS the measurement (the returned row carries
+    the final sink size as the probe checksum)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from big_data_in_agriculture_spark.streaming import corpus as SC
+
+    sink = tempfile.mkdtemp(prefix="gate_probe_")
+    shutil.rmtree(sink)
+    try:
+        for b in range(history_batches):
+            batch = spark.range(batch_docs).select(
+                (F.col("id") + b * batch_docs).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        (
+                            (F.col("id") + b * batch_docs) * 31
+                            + F.lit(i * 7919)
+                        ).cast("string")
+                        for i in range(12)
+                    ],
+                ).alias("text"),
+            )
+            t0 = _time.perf_counter()
+            SC.admit_batch_neardup(batch, sink)
+            print(
+                f"  gate batch {b}: {_time.perf_counter() - t0:.1f}s "
+                f"(history {b * batch_docs} docs)",
+                flush=True,
+            )
+        return spark.read.parquet(f"{sink}/docs").agg(
+            F.count(F.lit(1)).alias("n_admitted")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+PROBES["neardup_gate_history_1m"] = probe_neardup_gate_history
+
 if __name__ == "__main__":
     sys.exit(main())
