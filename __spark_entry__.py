@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from big_data_in_agriculture_spark.operators import daily as daily_ops
 from big_data_in_agriculture_spark.operators import hourly as hourly_ops
 from big_data_in_agriculture_spark.operators import llm, relational, serve, similarity
+from big_data_in_agriculture_spark.operators import web as web_ops
+from big_data_in_agriculture_spark.functions import web as WEB
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -6658,6 +6660,240 @@ ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# Round-7 widening: web-crawl curation (URL canonicalization + skew-safe
+# per-domain caps) and random-projection (JL) similarity search.
+# ---------------------------------------------------------------------------
+
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URL corpus derived from documents (the driver
+    testdata has no URL column, same trick as the CDC/SCD2 streams
+    synthesized from orders). Ten templates exercise every
+    canonicalization rule — mixed-case scheme/host, default (80/443)
+    and explicit ports, tracking params, unsorted params, fragments,
+    multi-label public suffixes (co.uk/ac.uk), sub-subdomains, a
+    pathless URL, and exact-duplicate URLs — and make registered
+    domain example.com hot (~60% of rows) so the per-domain cap has
+    real skew to cut. SQL twin: _URL_SYNTH_SQL."""
+    d = F.col("doc_id")
+
+    def s(e) -> F.Column:
+        return e.cast("string")
+
+    m = d % 10
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://Crawl.Example.COM:80/p/"), s(d % 97),
+            F.lit("?utm_source=rss&z=9&a=1")))
+        .when(m == 1, F.concat(
+            F.lit("https://news.example.co.uk/art-"), s(d),
+            F.lit("?fbclid=abc123#top")))
+        .when(m == 2, F.concat(
+            F.lit("https://Blog.Example.com:443/post/"), s(d % 31)))
+        .when(m == 3, F.concat(
+            F.lit("http://shop.example.com:8080/item?b=2&a=1&utm_campaign=x&i="),
+            s(d % 53)))
+        .when(m == 4, F.concat(
+            F.lit("https://crawl.example.com/q/"), s(d % 13), F.lit("#frag")))
+        .when(m == 5, F.concat(
+            F.lit("http://www.site"), s(d % 37), F.lit(".org/m/"), s(d)))
+        .when(m == 6, F.concat(
+            F.lit("https://docs.uni"), s(d % 11), F.lit(".ac.uk/d/"),
+            s(d % 7), F.lit("?q="), s(d % 5)))
+        .when(m == 7, F.concat(
+            F.lit("https://crawl.example.com/c?utm_medium=feed&gclid=1&x="),
+            s(d % 3)))
+        .when(m == 8, F.lit("http://example.io?ref=home"))
+        .otherwise(F.concat(
+            F.lit("https://a.b.example.com/deep/"), s(d % 11)))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_SYNTH_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 10
+             WHEN 0 THEN 'HTTP://Crawl.Example.COM:80/p/'
+                         || (doc_id % 97)::VARCHAR || '?utm_source=rss&z=9&a=1'
+             WHEN 1 THEN 'https://news.example.co.uk/art-'
+                         || doc_id::VARCHAR || '?fbclid=abc123#top'
+             WHEN 2 THEN 'https://Blog.Example.com:443/post/'
+                         || (doc_id % 31)::VARCHAR
+             WHEN 3 THEN 'http://shop.example.com:8080/item?b=2&a=1&utm_campaign=x&i='
+                         || (doc_id % 53)::VARCHAR
+             WHEN 4 THEN 'https://crawl.example.com/q/'
+                         || (doc_id % 13)::VARCHAR || '#frag'
+             WHEN 5 THEN 'http://www.site' || (doc_id % 37)::VARCHAR
+                         || '.org/m/' || doc_id::VARCHAR
+             WHEN 6 THEN 'https://docs.uni' || (doc_id % 11)::VARCHAR
+                         || '.ac.uk/d/' || (doc_id % 7)::VARCHAR
+                         || '?q=' || (doc_id % 5)::VARCHAR
+             WHEN 7 THEN 'https://crawl.example.com/c?utm_medium=feed&gclid=1&x='
+                         || (doc_id % 3)::VARCHAR
+             WHEN 8 THEN 'http://example.io?ref=home'
+             ELSE 'https://a.b.example.com/deep/' || (doc_id % 11)::VARCHAR
+           END AS url
+    FROM documents
+"""
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonical dedup key + registered domain for every synthesized URL;
+    # map-only (operators/web.py:with_url_keys).
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = web_ops.with_url_keys(_synth_urls(docs))
+    return out.select("doc_id", "url", "canon_url", "domain").orderBy("doc_id")
+
+
+def _host_of_canon_sql(canon_expr: str) -> str:
+    return (
+        f"lower(regexp_extract(regexp_extract({canon_expr}, "
+        f"'{WEB._sql_quote(WEB._HOSTPORT_RE)}', 1), '^([^:]{{1,255}})', 1))"
+    )
+
+
+def _url_canonical_sql() -> str:
+    canon = WEB.canonicalize_url_sql("url")
+    dom = WEB.registered_domain_sql(_host_of_canon_sql("canon_url"))
+    return f"""
+WITH urls AS ({_URL_SYNTH_SQL}),
+c AS (SELECT doc_id, url, {canon} AS canon_url FROM urls)
+SELECT doc_id, url, canon_url, {dom} AS domain
+FROM c ORDER BY doc_id
+"""
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keep 5 docs per registered domain, selected by the deterministic
+    # (md5(canon_url), doc_id) priority; the two-level salted plan is
+    # exactly equivalent to the oracle's single window (containment).
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = web_ops.domain_cap(
+        _synth_urls(docs), cap=5, salt_buckets=8
+    )
+    return out.select("doc_id", "domain", "domain_rank").orderBy(
+        "domain", "domain_rank"
+    )
+
+
+def _domain_cap_sql(cap: int = 5) -> str:
+    canon = WEB.canonicalize_url_sql("url")
+    dom = WEB.registered_domain_sql(_host_of_canon_sql("canon_url"))
+    return f"""
+WITH urls AS ({_URL_SYNTH_SQL}),
+c AS (SELECT doc_id, url, {canon} AS canon_url FROM urls),
+k AS (SELECT doc_id, canon_url, {dom} AS domain, md5(canon_url) AS prio FROM c),
+r AS (
+    SELECT doc_id, domain,
+           CAST(row_number() OVER (PARTITION BY domain
+                                   ORDER BY prio, doc_id) AS INTEGER)
+               AS domain_rank
+    FROM k
+)
+SELECT doc_id, domain, domain_rank FROM r
+WHERE domain_rank <= {cap}
+ORDER BY domain, domain_rank
+"""
+
+
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JL random projection 64 -> 16, long form (vec_id, j, comp); the
+    # literal sign matrix is similarity._rp_signs — both engines
+    # multiply the identical constants. comp re-rounded to 6 for the
+    # value hash (the operator keeps 9 internally for downstream use).
+    emb = _t(spark, sf_dir, "embeddings")
+    p = similarity.random_project(emb, in_dim=64, out_dim=16)
+    return (
+        p.select("vec_id", F.posexplode("proj").alias("j", "comp"))
+        .select("vec_id", "j", F.round("comp", 6).alias("comp"))
+        .orderBy("vec_id", "j")
+    )
+
+
+def _rp_proj_list_sql(seed: int, out_dim: int, in_dim: int,
+                      round_digits: int = 9) -> str:
+    """DuckDB list expression: the JL projection of DOUBLE[] column v
+    (mirrors similarity.random_project: per-row dots against the same
+    literal matrix, each component rounded BEFORE downstream use)."""
+    rows = similarity._rp_signs(seed, out_dim, in_dim)
+    entries = ",\n      ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in row)
+        + f"]::DOUBLE[]), {round_digits})"
+        for row in rows
+    )
+    return "[\n      " + entries + "\n    ]"
+
+
+def _rp_project_sql(out_dim: int = 16) -> str:
+    proj = _rp_proj_list_sql(42, out_dim, 64)
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {_VALID_VEC}
+),
+p AS (SELECT vec_id, {proj} AS proj FROM e)
+SELECT vec_id, j::INTEGER AS j, round(proj[j + 1], 6) AS comp
+FROM p, range({out_dim}) t(j)
+ORDER BY vec_id, j
+"""
+
+
+def q_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # third ANN path (beside sign-LSH and IVF): project 64 -> 32,
+    # screen to 50 candidates per query in projected space, exact
+    # re-rank to top 3. Same output schema as knn_bruteforce.
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_rp(
+        emb, queries, dim=64, k=3, out_dim=32, n_candidates=50
+    )
+
+
+def _knn_rp_sql(k: int = 3, out_dim: int = 32, n_candidates: int = 50) -> str:
+    proj = _rp_proj_list_sql(42, out_dim, 64)
+    cos = (
+        "round(CASE WHEN (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))) > 0"
+        " THEN list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+        " ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {_VALID_VEC}
+),
+p AS (SELECT vec_id, v, {proj} AS pv FROM e),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           q.v AS qv, c.v AS cv,
+           {cos.format(a="q.pv", b="c.pv")} AS proj_sim
+    FROM p q, p c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+cand AS (
+    SELECT query_id, neighbor_id, qv, cv
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY proj_sim DESC, neighbor_id)
+            <= {n_candidates}
+),
+exact AS (
+    SELECT query_id, neighbor_id,
+           {cos.format(a="qv", b="cv")} AS cosine_sim
+    FROM cand
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM exact
+QUALIFY rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -6870,6 +7106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "crosscorpus_dedup": q_crosscorpus_dedup,
         "bloom_stats": q_bloom_stats,
+        "url_canonical": q_url_canonical,
+        "domain_cap_sample": q_domain_cap_sample,
+        "rp_project": q_rp_project,
+        "knn_rp": q_knn_rp,
     }
 
 
@@ -7058,6 +7298,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_collapsed": _minhash_collapsed_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        "knn_rp": _knn_rp_sql(),
+        "rp_project": _rp_project_sql(),
+        "url_canonical": _url_canonical_sql(),
+        "domain_cap_sample": _domain_cap_sql(),
         # Iterative k-means, replayable since round 4: tol=0.0 pins
         # the iteration count and quantize=6 rounds each centroid
         # update above fold-order jitter, so the Lloyd loop unrolls

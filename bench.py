@@ -150,7 +150,8 @@ def main() -> int:
     # cross-round comparison): streaming and heavy-text operators,
     # plus (round 6) the five queries the round-5 rotation promoted
     # into the correctness prefix, and the three round-6 pipeline ops
-    # (bloom / PII / leakage-safe split), so they gain a bench series.
+    # (bloom / PII / leakage-safe split), and the round-7 web/RP ops,
+    # so they gain a bench series.
     extended: dict[str, float] = {}
     for name in (
         "substring_dedup",
@@ -163,6 +164,10 @@ def main() -> int:
         "bloom_dedup",
         "pii_scan",
         "leakage_split",
+        # round 7: web-crawl curation + random-projection ANN
+        "url_canonical",
+        "domain_cap_sample",
+        "knn_rp",
     ):
         if name not in qs:
             continue

@@ -1,0 +1,253 @@
+"""URL canonicalization and domain extraction for web-crawl corpora.
+
+A crawl-scale training-data pipeline (the CommonCrawl shape) dedups
+and caps documents by URL and by registered domain BEFORE any content
+processing — it is the cheapest, highest-leverage filter in the whole
+pipeline. These are the Column-expression building blocks:
+
+- :func:`canonicalize_url` — scheme/host lowercasing, default-port and
+  fragment stripping, tracking-parameter removal, query-parameter
+  sorting. Two syntactically different URLs that fetch the same
+  resource collapse to one canonical string (exact-dedup key).
+- :func:`url_host` / :func:`registered_domain` — host extraction and a
+  public-suffix-list-subset heuristic mapping hosts to the registrable
+  domain (the grain real pipelines cap at).
+
+Everything is pure ``pyspark.sql.functions`` composition — JVM-side,
+whole-stage-codegen'd, map-only. Determinism contract: every
+expression has an exact ANSI-SQL twin used by the DuckDB oracles
+(:data:`_CANON_SQL_STEPS` below builds it), same as functions/text.py.
+
+Regex rules (COVERAGE.md cross-engine contract): Java∩RE2 shared
+subset only, every quantifier bounded ≤ 1000 (RE2 silently fails to
+compile repeats > 1000), no backreferences, no lookaround. All
+patterns here are anchored or run on short extracted substrings, so
+they are linear on Java's backtracking engine too (TestRegexLinearity
+covers the module).
+
+The reference has no web-ingest stage (its sources are CDS NetCDF +
+parquet marts); this module is part of the LLM-pipeline extension
+surface, same tier as functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# -- shared pattern fragments (verbatim in the SQL twins) -------------------
+
+#: scheme prefix: RFC 3986 scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.\\-]{0,15})://"
+
+#: authority (host[:port]) — everything between :// and the first /?#
+_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.\\-]{0,15}://([^/?#]{1,255})"
+
+#: path — a /-rooted run up to the first ? or #
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.\\-]{0,15}://[^/?#]{1,255}(/[^?#]{0,1000})"
+
+#: query — the run between the FIRST ? that precedes any # and that #
+#: (the {0,1000} prefix bound keeps RE2 compilable and Java linear)
+_QUERY_RE = "^[^#?]{0,1000}\\?([^#]{0,1000})"
+
+#: tracking parameters dropped during canonicalization — the
+#: click-/campaign-id families every public canonicalizer strips
+#: (utm_* per Google's own docs, fbclid/gclid/msclkid click ids).
+#: Matched case-sensitively against the raw parameter string.
+TRACKING_PARAM_RE = (
+    "^(utm_[A-Za-z0-9_]{0,30}|fbclid|gclid|msclkid|mc_eid|ref|igshid|icid)="
+)
+
+#: Multi-label public suffixes recognized by :func:`registered_domain`.
+#: A documented SUBSET of the public suffix list (publicsuffix.org) —
+#: the common ccTLD second-level registries; single-label suffixes
+#: (com, org, io, ...) need no table. Extend per deployment.
+MULTI_LABEL_SUFFIXES: list[str] = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in",
+    "co.kr", "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.sg", "com.tr", "com.tw",
+    "co.za", "com.ar", "com.hk",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_scheme(url: Column | str) -> Column:
+    """Lowercased scheme of an absolute URL ('' when unparseable)."""
+    return F.lower(F.regexp_extract(F.trim(_c(url)), _SCHEME_RE, 1))
+
+
+def url_hostport(url: Column | str) -> Column:
+    """Raw authority (host[:port]) substring ('' when unparseable)."""
+    return F.regexp_extract(F.trim(_c(url)), _HOSTPORT_RE, 1)
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host with any :port suffix removed."""
+    return F.lower(F.regexp_extract(url_hostport(url), "^([^:]{1,255})", 1))
+
+
+def url_port(url: Column | str) -> Column:
+    """Explicit port as a string ('' when the URL carries none)."""
+    return F.regexp_extract(url_hostport(url), ":([0-9]{1,5})$", 1)
+
+
+def url_path(url: Column | str) -> Column:
+    """Path component (starts with '/'); '' when the URL has none."""
+    return F.regexp_extract(F.trim(_c(url)), _PATH_RE, 1)
+
+
+def url_query(url: Column | str) -> Column:
+    """Raw query string (no '?'); '' when absent. A '?' appearing only
+    inside the fragment does NOT start a query."""
+    return F.regexp_extract(F.trim(_c(url)), _QUERY_RE, 1)
+
+
+def canonical_query(url: Column | str) -> Column:
+    """Tracking-stripped, lexicographically sorted query string.
+
+    Parameters are compared as raw ``k=v`` strings (binary sort order —
+    identical in Spark's array_sort and DuckDB's list_sort for the
+    ASCII strings query params are). '' when nothing survives.
+    """
+    params = F.filter(
+        F.split(url_query(url), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.array_join(F.array_sort(params), "&")
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an absolute URL (the exact-dedup key).
+
+    Steps, in order: trim; lowercase scheme and host (path and query
+    stay case-sensitive per RFC 3986); drop the port when it is the
+    scheme default (http:80, https:443); normalize an empty path to
+    '/'; drop the fragment; drop tracking parameters
+    (:data:`TRACKING_PARAM_RE`) and sort the survivors. Unparseable
+    rows (no scheme://host) pass through trimmed and unchanged, so the
+    expression is total and NULL-in -> NULL-out.
+    """
+    u = F.trim(_c(url))
+    scheme = url_scheme(u)
+    host = url_host(u)
+    port = url_port(u)
+    port_part = (
+        F.when(port == "", F.lit(""))
+        .when((scheme == "http") & (port == "80"), F.lit(""))
+        .when((scheme == "https") & (port == "443"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    path = url_path(u)
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    cq = canonical_query(u)
+    query_part = F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq))
+    return F.when(
+        (scheme == "") | (host == ""), u
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+    )
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Registrable domain of a lowercased host.
+
+    ``a.b.example.com -> example.com``; ``news.example.co.uk ->
+    example.co.uk`` (the last THREE labels when the last two are a
+    known multi-label public suffix, :data:`MULTI_LABEL_SUFFIXES`).
+    Hosts with one label (or that ARE a suffix) return unchanged.
+    """
+    labels = F.split(_c(host), "\\.")
+    n = F.size(labels)
+    last2 = F.concat(
+        F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
+    )
+    last3 = F.concat(F.element_at(labels, -3), F.lit("."), last2)
+    is_multi = F.array_contains(
+        F.array(*[F.lit(s) for s in MULTI_LABEL_SUFFIXES]), last2
+    )
+    return (
+        F.when(n <= 1, _c(host))
+        .when((n >= 3) & is_multi, last3)
+        .otherwise(last2)
+    )
+
+
+# -- SQL twins ---------------------------------------------------------------
+
+def _sql_quote(pattern: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal.
+
+    Standard SQL strings don't process backslashes, so only the quote
+    needs doubling — the regex text passes through verbatim."""
+    return pattern.replace("'", "''")
+
+
+def url_parts_sql(u: str) -> dict[str, str]:
+    """DuckDB expressions for each URL component of expression ``u``.
+
+    Mirrors the Column functions above verbatim (same regexes, same
+    fallbacks) so oracle queries replay canonicalization bit-for-bit.
+    """
+    t = f"trim({u})"
+    hostport = f"regexp_extract({t}, '{_sql_quote(_HOSTPORT_RE)}', 1)"
+    return {
+        "trimmed": t,
+        "scheme": f"lower(regexp_extract({t}, '{_sql_quote(_SCHEME_RE)}', 1))",
+        "hostport": hostport,
+        "host": f"lower(regexp_extract({hostport}, '^([^:]{{1,255}})', 1))",
+        "port": f"regexp_extract({hostport}, ':([0-9]{{1,5}})$', 1)",
+        "path": f"regexp_extract({t}, '{_sql_quote(_PATH_RE)}', 1)",
+        "query": f"regexp_extract({t}, '{_sql_quote(_QUERY_RE)}', 1)",
+    }
+
+
+def canonicalize_url_sql(u: str) -> str:
+    """One DuckDB expression: canonical URL of expression ``u``.
+
+    Kept as a single nested expression (not a CTE) so callers can drop
+    it into any SELECT; the component extractions are cheap short-
+    string regexes, same as the Spark side.
+    """
+    p = url_parts_sql(u)
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — pin the empty-list case to ''.
+    cq = (
+        "coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({p['query']}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, "
+        f"'{_sql_quote(TRACKING_PARAM_RE)}'))), '&'), '')"
+    )
+    port_part = (
+        f"CASE WHEN {p['port']} = '' THEN '' "
+        f"WHEN {p['scheme']} = 'http' AND {p['port']} = '80' THEN '' "
+        f"WHEN {p['scheme']} = 'https' AND {p['port']} = '443' THEN '' "
+        f"ELSE ':' || {p['port']} END"
+    )
+    path_part = f"CASE WHEN {p['path']} = '' THEN '/' ELSE {p['path']} END"
+    query_part = f"CASE WHEN {cq} = '' THEN '' ELSE '?' || {cq} END"
+    return (
+        f"CASE WHEN {p['scheme']} = '' OR {p['host']} = '' THEN {p['trimmed']} "
+        f"ELSE {p['scheme']} || '://' || {p['host']} || {port_part} "
+        f"|| {path_part} || {query_part} END"
+    )
+
+
+def registered_domain_sql(host: str) -> str:
+    """DuckDB expression: registrable domain of host expression ``host``."""
+    labels = f"string_split({host}, '.')"
+    last2 = f"({labels})[-2] || '.' || ({labels})[-1]"
+    last3 = f"({labels})[-3] || '.' || {last2}"
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return (
+        f"CASE WHEN len({labels}) <= 1 THEN {host} "
+        f"WHEN len({labels}) >= 3 AND list_contains([{suffixes}], {last2}) "
+        f"THEN {last3} ELSE {last2} END"
+    )

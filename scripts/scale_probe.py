@@ -972,5 +972,124 @@ def probe_neardup_gate_history(spark, history_batches=4, batch_docs=250_000):
 
 PROBES["neardup_gate_history_1m"] = probe_neardup_gate_history
 
+
+def _probe_urls(spark, n):
+    """Skewed synthetic crawl: registered domain hot.example.com holds
+    30% of pages; the rest spread over ~100k long-tail domains."""
+    d = F.col("id")
+    return spark.range(n).select(
+        d.alias("doc_id"),
+        F.when(
+            d % 10 < 3,
+            F.concat(
+                F.lit("https://WWW.Hot.Example.COM:443/p/"),
+                d.cast("string"),
+                F.lit("?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://site"),
+                (d % 100_000).cast("string"),
+                F.lit(".example.org/x/"),
+                d.cast("string"),
+                F.lit("#frag"),
+            )
+        )
+        .alias("url"),
+    )
+
+
+def probe_domain_cap(spark, n=10_000_000, cap=100):
+    """domain_cap at 10M pages with a 3M-page hot domain (the
+    CommonCrawl shape): the salted local pass bounds the hot domain's
+    window partition at 1/salt_buckets of its pages and kills
+    everything past the cap before the global pass, whose input is
+    <= salt_buckets*cap rows per domain. Canonicalization itself is
+    map-only string work. Contrast row: probe_domain_cap_naive runs
+    the semantically identical single global window."""
+    from big_data_in_agriculture_spark.operators.web import domain_cap
+
+    out = domain_cap(_probe_urls(spark, n), cap=cap, salt_buckets=32)
+    return out.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.countDistinct("domain").alias("domains"),
+        F.sum("domain_rank").alias("chk"),
+    )
+
+
+def probe_domain_cap_naive(spark, n=10_000_000, cap=100):
+    """The one-level form of probe_domain_cap: a single row_number
+    window partitioned by domain — the 3M-page hot domain funnels
+    through ONE task. Kept as the measured contrast, not a code path
+    (domain_cap always salts)."""
+    from pyspark.sql import Window
+
+    from big_data_in_agriculture_spark.operators.web import with_url_keys
+
+    keyed = with_url_keys(_probe_urls(spark, n)).withColumn(
+        "_prio", F.md5(F.col("canon_url"))
+    )
+    w = Window.partitionBy("domain").orderBy("_prio", "doc_id")
+    out = (
+        keyed.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("domain_rank") <= cap)
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.countDistinct("domain").alias("domains"),
+        F.sum("domain_rank").alias("chk"),
+    )
+
+
+PROBES["domain_cap_10m"] = probe_domain_cap
+PROBES["domain_cap_10m_naive"] = probe_domain_cap_naive
+
+
+def probe_knn_rp(spark, n=300_000, queries=10):
+    """knn_rp at 300k corpus vectors (60x the bench embedding table):
+    the projected screen does the Q x N work at out_dim=32 instead of
+    dim=64 dots, and the exact re-rank touches only Q x 50 pairs.
+    Contrast: probe_knn_brute_300k runs knn_bruteforce on the same
+    corpus — the delta is the screening win at identical semantics
+    (both end map-side; the top-k windows see Q-bounded rows)."""
+    from big_data_in_agriculture_spark.operators.similarity import knn_rp
+
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.sin(F.col("id") * (j + 1) * 0.7919),
+        ).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < queries)
+    out = knn_rp(emb, q, dim=64, k=3, out_dim=32, n_candidates=50)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cosine_sim").alias("chk")
+    )
+
+
+def probe_knn_brute(spark, n=300_000, queries=10):
+    from big_data_in_agriculture_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.sin(F.col("id") * (j + 1) * 0.7919),
+        ).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < queries)
+    out = knn_bruteforce(emb, q, k=3)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cosine_sim").alias("chk")
+    )
+
+
+PROBES["knn_rp_300k"] = probe_knn_rp
+PROBES["knn_brute_300k"] = probe_knn_brute
+
 if __name__ == "__main__":
     sys.exit(main())

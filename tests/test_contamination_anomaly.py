@@ -90,6 +90,7 @@ def test_ann_recall_on_planted_neighbors(spark):
         knn_bruteforce,
         knn_ivf,
         knn_lsh,
+        knn_rp,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -124,6 +125,10 @@ def test_ann_recall_on_planted_neighbors(spark):
     for approx_df, floor in [
         (knn_lsh(corpus, queries, dim=64, k=k, num_tables=8, num_bits=8), 0.8),
         (knn_ivf(corpus, queries, k=k, n_centroids=8, n_probe=3), 0.6),
+        # planted cos≈0.999 neighbors survive any JL projection — the
+        # projected cosine of near-identical vectors stays near 1
+        (knn_rp(corpus, queries, dim=64, k=k, out_dim=32,
+                n_candidates=50), 0.9),
     ]:
         got = found(approx_df)
         recalls = [

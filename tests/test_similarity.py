@@ -475,3 +475,66 @@ def test_cosine_accepts_column_name_strings(spark):
     got = df.select(cosine("a", "b").alias("c")).collect()
     assert got[0]["c"] == pytest.approx(1.0)
     assert got[1]["c"] is None
+
+
+class TestRandomProjection:
+    def test_signs_balanced_and_rows_decorrelated(self):
+        # the md5 sign matrix must be (a) near-balanced and (b) have
+        # near-orthogonal rows — the zig-zag-hash variant failed (b)
+        # with Gram off-diagonals at 94% of the diagonal, which froze
+        # projected-cosine fidelity regardless of out_dim
+        import numpy as np
+
+        M = np.array(similarity._rp_signs(42, 16, 64))
+        pos = (M > 0).mean()
+        assert 0.42 <= pos <= 0.58
+        G = M @ M.T
+        off = np.abs(G - np.diag(np.diag(G))).max()
+        assert off <= 0.5 * G[0, 0]
+
+    def test_projection_matches_numpy(self, spark):
+        import numpy as np
+
+        vecs = [(i, [float(j % 5 - 2) + 0.1 * i for j in range(8)])
+                for i in range(6)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r["proj"] for r in similarity.random_project(
+            df, in_dim=8, out_dim=4).collect()}
+        M = np.array(similarity._rp_signs(42, 4, 8))
+        for vid, v in vecs:
+            want = np.round(M @ np.array(v), 9)
+            assert np.allclose(out[vid], want, atol=1e-9), vid
+
+    def test_projection_is_map_only(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0] * 8)], "vec_id long, embedding array<double>"
+        )
+        plan = (
+            similarity.random_project(df, in_dim=8, out_dim=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_invalid_vectors_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None), (3, [float("nan"), 1.0]),
+             (4, [float("inf"), 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        ids = [r["vec_id"] for r in
+               similarity.random_project(df, in_dim=2, out_dim=2).collect()]
+        assert ids == [1]
+
+    def test_knn_rp_exact_when_candidates_cover_corpus(self, spark):
+        # with n_candidates >= corpus size the screen is a no-op and
+        # knn_rp must return exactly knn_bruteforce's answer
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        brute = sorted(map(tuple, similarity.knn_bruteforce(
+            emb, q, k=3).collect()))
+        rp = sorted(map(tuple, similarity.knn_rp(
+            emb, q, dim=64, k=3, out_dim=16,
+            n_candidates=10_000).collect()))
+        assert rp == brute
