@@ -6764,12 +6764,10 @@ FROM c ORDER BY doc_id
 
 def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep 5 docs per registered domain, selected by the deterministic
-    # (md5(canon_url), doc_id) priority; the two-level salted plan is
-    # exactly equivalent to the oracle's single window (containment).
+    # (md5(canon_url), doc_id) priority; Catalyst's WindowGroupLimit
+    # bounds the hot domain map-side (plan pinned in tests/test_web.py).
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    out = web_ops.domain_cap(
-        _synth_urls(docs), cap=5, salt_buckets=8
-    )
+    out = web_ops.domain_cap(_synth_urls(docs), cap=5)
     return out.select("doc_id", "domain", "domain_rank").orderBy(
         "domain", "domain_rank"
     )

@@ -52,6 +52,33 @@ def _norm(a) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _prenorm_sim(va, vb, na, nb) -> F.Column:
+    """Pair cosine from pre-computed (float64 vector, norm) columns.
+
+    ``cosine(a, b)`` evaluates ``_dvec`` twice and ``_norm`` twice PER
+    PAIR — under a candidate join that is 2 casts + 2 norm folds ×
+    |pairs| instead of × |rows| (measured: the Q=200 × 300k-corpus
+    brute-force probe spends ~2/3 of its time re-folding norms).
+    Callers hoist the cast and the norm to ONE map-side projection per
+    side (below the join, so Catalyst cannot inline them back into the
+    per-pair expression) and pass the columns here. Float-identical to
+    ``cosine``'s non-NULL branch: same sub-expressions, same fold
+    order, same try_divide/coalesce zero-norm pin — every oracle hash
+    is unchanged. Both sides must already be vec_is_valid-filtered
+    (the NULL-in→NULL-out branch is unreachable and omitted).
+    """
+    return F.coalesce(F.try_divide(_dot(va, vb), na * nb), F.lit(0.0))
+
+
+def _dnormed(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """(id, float64 vector, norm) projection for one join side —
+    filters invalid vectors and computes cast + norm once per row."""
+    return df.filter(vec_is_valid(F.col(vec_col))).select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        _dvec(F.col(vec_col)).alias(f"{prefix}_vec"),
+    ).withColumn(f"{prefix}_norm", _norm(F.col(f"{prefix}_vec")))
+
+
 def vec_is_valid(col) -> F.Column:
     """True iff ``col`` is a usable embedding: non-NULL, with every
     component non-NULL and finite.
@@ -131,21 +158,26 @@ def knn_bruteforce(
     ``queries`` is broadcast (must be small); the corpus is scanned
     once. Self-matches (same id) are excluded. Similarity is rounded
     BEFORE ranking and tie-broken by neighbor id, so the returned set
-    is deterministic across engines and partitionings.
+    is deterministic across engines and partitionings. The float64
+    cast and L2 norm of each side are hoisted to one map-side
+    projection per ROW (``_dnormed``); the per-pair work is the dot
+    alone — ~3× less array folding under the Q×N join, value- and
+    hash-identical to the inline form (``_prenorm_sim``).
     """
-    q = queries.filter(vec_is_valid(F.col(vec_col))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = _dnormed(queries, id_col, vec_col, "query")
+    c = _dnormed(_fan_out(corpus), id_col, vec_col, "neighbor")
+    sim = _prenorm_sim(
+        F.col("query_vec"), F.col("neighbor_vec"),
+        F.col("query_norm"), F.col("neighbor_norm"),
     )
-    c = _fan_out(corpus.filter(vec_is_valid(F.col(vec_col)))).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .select(
+            "query_id", "neighbor_id", sim.alias("cosine_sim")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -314,15 +346,28 @@ def knn_lsh(
     """
     qb = _bucketize(queries, "query", dim, num_tables, num_bits, vec_col, id_col)
     cb = _bucketize(corpus, "neighbor", dim, num_tables, num_bits, vec_col, id_col)
+    # hoist cast + norm below the bucket join: once per (vector,
+    # table) row instead of once per candidate pair — float-identical
+    # to the inline cosine (see _prenorm_sim)
+    qb = qb.withColumn("query_vec", _dvec(F.col("query_vec"))).withColumn(
+        "query_norm", _norm(F.col("query_vec"))
+    )
+    cb = cb.withColumn(
+        "neighbor_vec", _dvec(F.col("neighbor_vec"))
+    ).withColumn("neighbor_norm", _norm(F.col("neighbor_vec")))
     cand = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _prenorm_sim(
+                    F.col("query_vec"), F.col("neighbor_vec"),
+                    F.col("query_norm"), F.col("neighbor_norm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine_sim").alias("cosine_sim"))
@@ -443,15 +488,29 @@ def embedding_neardup_pairs(
     cosine verifies. Never an all-pairs product.
     """
     banded = _bucketize(corpus, "x", dim, num_tables, num_bits, vec_col, id_col)
-    a = banded.select(F.col("x_id").alias("id_a"), F.col("x_vec").alias("va"), "tbl", "bucket")
-    b = banded.select(F.col("x_id").alias("id_b"), F.col("x_vec").alias("vb"), "tbl", "bucket")
+    # cast + norm hoisted below the bucket self-join (see _prenorm_sim)
+    banded = banded.withColumn("x_vec", _dvec(F.col("x_vec"))).withColumn(
+        "x_norm", _norm(F.col("x_vec"))
+    )
+    a = banded.select(
+        F.col("x_id").alias("id_a"), F.col("x_vec").alias("va"),
+        F.col("x_norm").alias("na"), "tbl", "bucket",
+    )
+    b = banded.select(
+        F.col("x_id").alias("id_b"), F.col("x_vec").alias("vb"),
+        F.col("x_norm").alias("nb"), "tbl", "bucket",
+    )
     return (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                _prenorm_sim(F.col("va"), F.col("vb"),
+                             F.col("na"), F.col("nb")),
+                6,
+            ).alias("cosine_sim"),
         )
         .groupBy("id_a", "id_b")
         .agg(F.max("cosine_sim").alias("cosine_sim"))
@@ -907,45 +966,76 @@ def knn_rp(
     floor 1/√out_dim vs a ~0.2 cosine margin, not an implementation
     artifact. Defaults are chosen for that measured knee.
     """
-    q = random_project(
-        queries, dim, out_dim, vec_col=vec_col, seed=seed
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("proj").alias("q_proj"),
-    )
-    c = random_project(
-        _fan_out(corpus), dim, out_dim, vec_col=vec_col, seed=seed
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("proj").alias("c_proj"),
-    )
+    def _side(df, prefix):
+        # cast, projection, and BOTH norms (full-dim + projected)
+        # hoisted to one map-side projection per row — the Q×N screen
+        # pays only the out_dim dot per pair (see _prenorm_sim)
+        return (
+            random_project(df, dim, out_dim, vec_col=vec_col, seed=seed)
+            .select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                _dvec(F.col(vec_col)).alias(f"{prefix}_vec"),
+                F.col("proj").alias(f"{prefix}_proj"),
+            )
+            .withColumn(f"{prefix}_norm", _norm(F.col(f"{prefix}_vec")))
+            .withColumn(f"{prefix}_pnorm", _norm(F.col(f"{prefix}_proj")))
+        )
+
+    q = _side(queries, "query")
+    c = _side(_fan_out(corpus), "neighbor")
+    # The screen emits THIN rows — (query_id, neighbor_id, proj_sim)
+    # only. Carrying the full-dim vectors through the top-C window was
+    # measured 1.6× SLOWER than brute force at Q=200 × 300k corpus:
+    # the rank-limit pushdown has to sort every scored pair map-side,
+    # and each wide row hauled two 64-dim arrays through that sort.
+    # Thin rows keep the sort payload ~24 bytes; the exact re-rank
+    # fetches vectors back by id for only the Q × n_candidates
+    # survivors (broadcast of the candidate ids, corpus scanned, then
+    # a broadcast join for the query side).
     scored = (
-        c.join(F.broadcast(q))
+        c.select("neighbor_id", "neighbor_proj", "neighbor_pnorm")
+        .join(F.broadcast(
+            q.select("query_id", "query_proj", "query_pnorm")
+        ))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            "q_vec",
-            "c_vec",
-            F.round(cosine(F.col("q_proj"), F.col("c_proj")), 6).alias(
-                "proj_sim"
-            ),
+            F.round(
+                _prenorm_sim(
+                    F.col("query_proj"), F.col("neighbor_proj"),
+                    F.col("query_pnorm"), F.col("neighbor_pnorm"),
+                ),
+                6,
+            ).alias("proj_sim"),
         )
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("proj_sim").desc(), F.col("neighbor_id")
     )
-    cands = scored.withColumn("_crank", F.row_number().over(wc)).filter(
-        F.col("_crank") <= n_candidates
+    cands = (
+        scored.withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
     )
-    exact = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
-            "cosine_sim"
-        ),
+    exact = (
+        c.select("neighbor_id", "neighbor_vec", "neighbor_norm")
+        .join(F.broadcast(cands), "neighbor_id")
+        .join(
+            F.broadcast(q.select("query_id", "query_vec", "query_norm")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _prenorm_sim(
+                    F.col("query_vec"), F.col("neighbor_vec"),
+                    F.col("query_norm"), F.col("neighbor_norm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

@@ -8,13 +8,13 @@ or downweight dominant sources), and it is exactly the shape that
 breaks a naive Spark plan: ``row_number() OVER (PARTITION BY domain)``
 puts the hottest domain's entire page set through ONE task.
 
-:func:`domain_cap` keeps the semantics and fixes the plan with a
-two-level top-N: a salted local pass bounds every window partition at
-``1/salt_buckets`` of the hottest domain, then a global pass ranks only
-the ≤ ``salt_buckets × cap`` survivors per domain. The containment
-argument is the standard one — the true top-``cap`` rows of a domain
-are each in the top-``cap`` of whatever salt bucket they landed in, so
-pass 1 never discards a final survivor.
+:func:`domain_cap` expresses the cap as the single declarative window
+and leans on Catalyst's rank-limit pushdown (``WindowGroupLimit``) to
+bound the hot domain map-side — measured indistinguishable from a
+hand-salted two-level top-N, which pays an extra exchange+sort for
+the identical per-domain bound (see the docstring and SCALE.md
+``domain_cap_10m``). The plan shape is test-pinned so an optimizer
+regression is caught.
 
 The reference has no web stage; this extends the LLM-pipeline surface
 (SURVEY.md §2 extension tier) next to dedup and quality gates.
@@ -44,7 +44,6 @@ def domain_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     cap: int = 100,
-    salt_buckets: int = 16,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per registered domain.
 
@@ -55,41 +54,33 @@ def domain_cap(
     partitioning. Output = input columns + ``canon_url``, ``domain``,
     ``domain_rank`` (1..cap), filtered to the kept rows.
 
-    Scale shape: TWO window passes instead of one.
-
-    1. local: ``row_number`` over ``(domain, salt)`` where salt =
-       md5-derived from the priority key, ``salt_buckets`` values —
-       the hottest domain's window partition shrinks by the bucket
-       count, and every discarded row dies before the second shuffle;
-    2. global: ``row_number`` over ``domain`` on the survivors —
-       ≤ ``salt_buckets × cap`` rows per domain by construction,
-       bounded work no matter how hot the domain.
-
-    The oracle form is the naive single window; results are identical
-    (containment: each true top-``cap`` row is in its bucket's local
-    top-``cap``), which ``tests/test_web.py`` property-checks.
+    Scale shape: ONE window — deliberately. The hot-domain hazard
+    (``row_number OVER (PARTITION BY domain)`` funneling a 30%-hot
+    domain's every page through one task) is already fixed by
+    Catalyst's rank-limit pushdown: because the ``<= cap`` filter sits
+    directly on the row_number, Spark plans a partial
+    ``WindowGroupLimit`` BELOW the exchange, keeping at most ``cap``
+    rows per (input-partition, domain) map-side — the post-shuffle
+    window sees ≤ P×cap rows per domain no matter how hot it is,
+    which is the identical bound a hand-salted two-level top-N gives.
+    A manual (domain, salt) pre-pass was implemented and MEASURED
+    against this form at 10M pages / 3M-page hot domain across three
+    sessions: 5.9/7.3/7.1 s single-window vs 7.8/6.2/7.1 s salted —
+    statistically indistinguishable, because WindowGroupLimit already
+    provides map-side the exact bound the salt pass buys with an extra
+    exchange+sort. The single window wins on plan simplicity and one
+    fewer shuffle — see SCALE.md ``domain_cap_10m`` and the rejected
+    contrast probe. The plan shape is pinned by ``tests/test_web.py``
+    (WindowGroupLimit below the exchange), so an engine regression
+    would be caught, and the DuckDB oracle is literally this same
+    single window.
     """
     keyed = with_url_keys(df, url_col).withColumn(
         "_prio", F.md5(F.col("canon_url"))
     )
-    salt = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % salt_buckets
-    )
-    order = [F.col("_prio"), F.col(id_col)]
-    local = Window.partitionBy("domain", "_salt").orderBy(*order)
-    survivors = (
-        keyed.withColumn("_salt", salt)
-        .withColumn("_lrank", F.row_number().over(local))
-        .filter(F.col("_lrank") <= cap)
-        .drop("_lrank", "_salt")
-    )
-    final = Window.partitionBy("domain").orderBy(*order)
+    w = Window.partitionBy("domain").orderBy(F.col("_prio"), F.col(id_col))
     return (
-        survivors.withColumn(
-            "domain_rank", F.row_number().over(final).cast("int")
-        )
+        keyed.withColumn("domain_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("domain_rank") <= cap)
         .drop("_prio")
     )

@@ -1002,15 +1002,15 @@ def _probe_urls(spark, n):
 
 def probe_domain_cap(spark, n=10_000_000, cap=100):
     """domain_cap at 10M pages with a 3M-page hot domain (the
-    CommonCrawl shape): the salted local pass bounds the hot domain's
-    window partition at 1/salt_buckets of its pages and kills
-    everything past the cap before the global pass, whose input is
-    <= salt_buckets*cap rows per domain. Canonicalization itself is
-    map-only string work. Contrast row: probe_domain_cap_naive runs
-    the semantically identical single global window."""
+    CommonCrawl shape). The operator is ONE declarative window;
+    Catalyst's rank-limit pushdown inserts a partial WindowGroupLimit
+    below the exchange, so each map partition ships at most cap rows
+    per domain — the post-shuffle window sees <= P*cap rows for the
+    hot domain, never its 3M pages. Canonicalization itself is
+    map-only string work. Contrast: probe_domain_cap_salted."""
     from big_data_in_agriculture_spark.operators.web import domain_cap
 
-    out = domain_cap(_probe_urls(spark, n), cap=cap, salt_buckets=32)
+    out = domain_cap(_probe_urls(spark, n), cap=cap)
     return out.agg(
         F.count(F.lit(1)).alias("kept"),
         F.countDistinct("domain").alias("domains"),
@@ -1018,11 +1018,16 @@ def probe_domain_cap(spark, n=10_000_000, cap=100):
     )
 
 
-def probe_domain_cap_naive(spark, n=10_000_000, cap=100):
-    """The one-level form of probe_domain_cap: a single row_number
-    window partitioned by domain — the 3M-page hot domain funnels
-    through ONE task. Kept as the measured contrast, not a code path
-    (domain_cap always salts)."""
+def probe_domain_cap_salted(spark, n=10_000_000, cap=100, salts=32):
+    """The REJECTED hand-salted two-level form, kept as the measured
+    contrast (it is not a code path): a (domain, salt) local top-cap
+    pass, then the global per-domain window over <= salts*cap
+    survivors. Same results by containment; measured across three
+    sessions at 10M/3M-hot: 7.8/6.2/7.1 s vs the single window's
+    5.9/7.3/7.1 s — indistinguishable, because the salt pass pays one
+    extra exchange+sort for a map-side bound WindowGroupLimit already
+    provides. If a Spark version ever drops the pushdown
+    (tests/test_web.py pins it), this is the fallback."""
     from pyspark.sql import Window
 
     from big_data_in_agriculture_spark.operators.web import with_url_keys
@@ -1030,9 +1035,20 @@ def probe_domain_cap_naive(spark, n=10_000_000, cap=100):
     keyed = with_url_keys(_probe_urls(spark, n)).withColumn(
         "_prio", F.md5(F.col("canon_url"))
     )
+    salt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % salts
+    )
+    local = Window.partitionBy("domain", "_salt").orderBy("_prio", "doc_id")
+    survivors = (
+        keyed.withColumn("_salt", salt)
+        .withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= cap)
+        .drop("_lrank", "_salt")
+    )
     w = Window.partitionBy("domain").orderBy("_prio", "doc_id")
     out = (
-        keyed.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        survivors.withColumn("domain_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("domain_rank") <= cap)
     )
     return out.agg(
@@ -1043,16 +1059,19 @@ def probe_domain_cap_naive(spark, n=10_000_000, cap=100):
 
 
 PROBES["domain_cap_10m"] = probe_domain_cap
-PROBES["domain_cap_10m_naive"] = probe_domain_cap_naive
+PROBES["domain_cap_10m_salted"] = probe_domain_cap_salted
 
 
-def probe_knn_rp(spark, n=300_000, queries=10):
-    """knn_rp at 300k corpus vectors (60x the bench embedding table):
-    the projected screen does the Q x N work at out_dim=32 instead of
-    dim=64 dots, and the exact re-rank touches only Q x 50 pairs.
-    Contrast: probe_knn_brute_300k runs knn_bruteforce on the same
-    corpus — the delta is the screening win at identical semantics
-    (both end map-side; the top-k windows see Q-bounded rows)."""
+def probe_knn_rp(spark, n=300_000, queries=200):
+    """knn_rp at 300k corpus vectors / 200 queries (60x the bench
+    corpus, 20x its query count). The projection costs out_dim*dim
+    mults per CORPUS row once; the screen costs Q*out_dim per row vs
+    brute's Q*dim — so RP amortizes only when Q exceeds roughly
+    out_dim*dim/(dim-out_dim) ~ 64 queries at 64->32. An earlier
+    Q=10 run measured RP 2.7x SLOWER than brute (8.1 s vs 3.0 s) for
+    exactly this reason: below the break-even the projection IS the
+    cost — recorded so nobody "optimizes" a small-Q path with it.
+    Contrast: probe_knn_brute at the same (n, Q)."""
     from big_data_in_agriculture_spark.operators.similarity import knn_rp
 
     emb = spark.range(n).select(
@@ -1069,7 +1088,7 @@ def probe_knn_rp(spark, n=300_000, queries=10):
     )
 
 
-def probe_knn_brute(spark, n=300_000, queries=10):
+def probe_knn_brute(spark, n=300_000, queries=200):
     from big_data_in_agriculture_spark.operators.similarity import (
         knn_bruteforce,
     )

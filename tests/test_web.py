@@ -1,8 +1,9 @@
 """URL canonicalization, registered-domain extraction, domain caps.
 
 Covers functions/web.py (Column exprs + SQL twins kept in lockstep by
-the registry oracle) and operators/web.py (the skew-safe two-level
-cap, property-checked against the naive single-window form).
+the registry oracle) and operators/web.py (the per-domain cap,
+property-checked against an independently built reference window and
+plan-pinned to Catalyst's WindowGroupLimit rank-limit pushdown).
 """
 
 from __future__ import annotations
@@ -172,35 +173,37 @@ class TestDomainCap:
             .select("doc_id", "domain", "domain_rank")
         )
 
-    @pytest.mark.parametrize("cap,salts", [(5, 16), (1, 4), (50, 2), (7, 1)])
-    def test_equals_naive_window(self, urls, cap, salts):
-        two = OW.domain_cap(urls, cap=cap, salt_buckets=salts).select(
+    @pytest.mark.parametrize("cap", [5, 1, 50, 7])
+    def test_equals_reference_window(self, urls, cap):
+        got = OW.domain_cap(urls, cap=cap).select(
             "doc_id", "domain", "domain_rank"
         )
-        naive = self._naive(urls, cap)
-        assert two.exceptAll(naive).count() == 0
-        assert naive.exceptAll(two).count() == 0
+        ref = self._naive(urls, cap)
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
 
     def test_cap_enforced_and_deterministic(self, urls):
-        out = OW.domain_cap(urls, cap=3, salt_buckets=8)
+        out = OW.domain_cap(urls, cap=3)
         per = out.groupBy("domain").count().collect()
         assert per and all(r["count"] <= 3 for r in per)
         a = sorted(map(tuple, out.select("doc_id").collect()))
         b = sorted(map(tuple, out.select("doc_id").collect()))
         assert a == b
 
-    def test_local_window_is_salted(self, urls):
-        # the scale contract: the FIRST window pass partitions by
-        # (domain, salt) — the hot domain never funnels through one
-        # task before the survivor set is cap-bounded
-        import re
-
+    def test_rank_limit_pushed_below_exchange(self, urls):
+        # the scale contract: Catalyst's rank-limit pushdown must put a
+        # partial WindowGroupLimit BELOW the exchange, so a hot domain
+        # ships at most cap rows per map partition instead of every
+        # page through one task. domain_cap's single-window design
+        # DEPENDS on this rule (the measured alternative — a manual
+        # salted pre-pass — costs an extra exchange+sort for the same
+        # bound); if a Spark upgrade drops it, this test fails and the
+        # salted form in scale_probe.py is the fallback.
         plan = OW.domain_cap(
-            urls, cap=5, salt_buckets=8
+            urls, cap=5
         )._jdf.queryExecution().executedPlan().toString()
-        # the plan prints top-down: the LAST Window block is the first
-        # executed (local) pass — it must partition by (domain, _salt)
-        assert re.search(r"\[domain#\d+, _salt#\d+L?\]", plan), plan
+        pre_exchange = plan.split("Exchange hashpartitioning(domain", 1)[1]
+        assert "WindowGroupLimit" in pre_exchange, plan
 
     def test_domain_profile(self, spark):
         df = spark.createDataFrame(
