@@ -784,24 +784,33 @@ def semantic_dedup(
         quantize=quantize,
     )
     assigned = kmeans_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
+    # cast AND norm hoisted below the cluster self-join — the per-pair
+    # cosine is one dot (see _prenorm_sim; float-identical, and every
+    # joined id came through kmeans_assign's vec_is_valid filter)
     with_vec = assigned.join(
         embeddings.select(F.col(id_col), _dvec(F.col(vec_col)).alias("_v")),
         id_col,
-    )
+    ).withColumn("_n", _norm(F.col("_v")))
     a = with_vec.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = with_vec.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     dupped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "_cos",
+            _prenorm_sim(F.col("_va"), F.col("_vb"),
+                         F.col("_na"), F.col("_nb")),
+        )
         .filter(F.col("_cos") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
