@@ -4237,10 +4237,13 @@ def _quantize_sql(expr: str, q: int) -> str:
 
 
 def _kmeans_cte_chain(
-    iters: int, k: int, dim: int, q: int, source: str = "e"
+    iters: int, k: int, dim: int, q: int, source: str = "e",
+    prefix: str = "",
 ) -> str:
-    """Unrolled-Lloyd CTE chain ``c0 .. c{iters}`` over ``source``
-    (a CTE with columns vec_id, v DOUBLE[]).
+    """Unrolled-Lloyd CTE chain ``{prefix}c0 .. {prefix}c{iters}`` over
+    ``source`` (a CTE with columns vec_id, v DOUBLE[]). ``prefix``
+    namespaces the CTEs so several chains can share one WITH clause
+    (the PQ oracle runs one chain per subspace).
 
     Bit-parity contract with ``similarity.kmeans_fit(tol=0.0,
     quantize=q)``: init = k lowest-id vectors (cid in id order);
@@ -4253,7 +4256,7 @@ def _kmeans_cte_chain(
     their previous centroid.
     """
     parts = [
-        f"""c0 AS (
+        f"""{prefix}c0 AS (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
            v AS cv
     FROM (SELECT vec_id, v FROM {source} ORDER BY vec_id LIMIT {k})
@@ -4261,30 +4264,30 @@ def _kmeans_cte_chain(
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"""d{i} AS (
+            f"""{prefix}d{i} AS (
     SELECT e.vec_id, c.cid,
            list_sum(list_transform(range(1, {dim + 1}),
                     j -> (e.v[j]-c.cv[j])*(e.v[j]-c.cv[j]))) AS d
-    FROM {source} e, c{i - 1} c
+    FROM {source} e, {prefix}c{i - 1} c
 ),
-a{i} AS (
+{prefix}a{i} AS (
     SELECT vec_id, cid FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        FROM d{i}
+        FROM {prefix}d{i}
     ) WHERE rn = 1
 ),
-u{i} AS (
+{prefix}u{i} AS (
     SELECT a.cid, t.j AS dim,
            {_quantize_sql('sum(e.v[t.j]) / count(*)', q)} AS val
-    FROM a{i} a JOIN {source} e USING (vec_id), range(1, {dim + 1}) t(j)
+    FROM {prefix}a{i} a JOIN {source} e USING (vec_id), range(1, {dim + 1}) t(j)
     GROUP BY a.cid, t.j
 ),
-c{i} AS (
-    SELECT cid, array_agg(val ORDER BY dim) AS cv FROM u{i} GROUP BY cid
+{prefix}c{i} AS (
+    SELECT cid, array_agg(val ORDER BY dim) AS cv FROM {prefix}u{i} GROUP BY cid
     UNION ALL
-    SELECT p.cid, p.cv FROM c{i - 1} p
-    WHERE p.cid NOT IN (SELECT cid FROM u{i})
+    SELECT p.cid, p.cv FROM {prefix}c{i - 1} p
+    WHERE p.cid NOT IN (SELECT cid FROM {prefix}u{i})
 )"""
         )
     return ",\n".join(parts)
@@ -6892,6 +6895,167 @@ QUALIFY rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (round 7, second block): pq_codes + knn_pq.
+# ---------------------------------------------------------------------------
+
+_PQ_SUB = 8          # subspaces (64 dims -> 8 blocks of 8)
+_PQ_CODES = 16       # centroids per subspace codebook
+_PQ_ITERS = 2        # quantized-kmeans iterations per codebook
+_PQ_Q = 6            # centroid quantization decimals (kmeans contract)
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb, similarity.pq_train(
+        emb, dim=64, n_subspaces=_PQ_SUB, n_codes=_PQ_CODES,
+        max_iter=_PQ_ITERS, quantize=_PQ_Q,
+    )
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PQ encode stage in the open: (vec_id, subspace, code) long form.
+    # Codebooks are the bit-replayable quantized k-means per 8-dim
+    # slice, so the SQL twin re-derives them and the codes hash-match.
+    emb, books = _pq_books(spark, sf_dir)
+    if not books or not books[0]:
+        return emb.select(
+            "vec_id",
+            F.lit(0).alias("s"),
+            F.lit(0).alias("code"),
+        ).filter(F.lit(False))
+    return (
+        similarity.pq_encode(emb, books, dim=64)
+        .select("vec_id", F.posexplode("pq_codes").alias("s", "code"))
+        .orderBy("vec_id", "s")
+    )
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fourth ANN path: PQ/ADC screen (8 LUT lookups per pair on 8-byte
+    # codes) + exact re-rank of 50 survivors per query.
+    emb, _ = _pq_books(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_pq(
+        emb, queries, dim=64, k=3, n_subspaces=_PQ_SUB,
+        n_codes=_PQ_CODES, n_candidates=50, max_iter=_PQ_ITERS,
+        quantize=_PQ_Q,
+    )
+
+
+def _pq_with_clause() -> str:
+    """Shared WITH-clause body: valid vectors, per-subspace slices,
+    one namespaced kmeans CTE chain per subspace, the encode table
+    (vec_id, s, code), and the per-query LUT rows (vec_id, s, cid, d).
+
+    Distances use the kmeans chain's exact fold
+    (list_sum(list_transform(...))); codebooks are the chains' final
+    CTEs, so the whole PQ model is re-derived inside DuckDB."""
+    sub_dim = 64 // _PQ_SUB
+    parts = [
+        f"""e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {_VALID_VEC}
+)"""
+    ]
+    enc_blocks, lut_blocks = [], []
+    for s in range(_PQ_SUB):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)"
+        )
+        parts.append(
+            _kmeans_cte_chain(
+                _PQ_ITERS, _PQ_CODES, sub_dim, _PQ_Q,
+                source=f"sub{s}", prefix=f"s{s}",
+            )
+        )
+        dist = (
+            f"list_sum(list_transform(range(1, {sub_dim + 1}), "
+            f"j -> (e.v[j]-c.cv[j])*(e.v[j]-c.cv[j])))"
+        )
+        enc_blocks.append(
+            f"""    SELECT vec_id, {s} AS s, cid AS code FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM sub{s} e, s{s}c{_PQ_ITERS} c
+    ) WHERE rn = 1"""
+        )
+        lut_blocks.append(
+            f"""    SELECT e.vec_id, {s} AS s, c.cid, {dist} AS d
+    FROM sub{s} e, s{s}c{_PQ_ITERS} c
+    WHERE e.vec_id < 10"""
+        )
+    parts.append(
+        "enc AS (\n" + "\n    UNION ALL\n".join(enc_blocks) + "\n)"
+    )
+    parts.append(
+        "lutrows AS (\n" + "\n    UNION ALL\n".join(lut_blocks) + "\n)"
+    )
+    return ",\n".join(parts)
+
+
+def _pq_codes_sql() -> str:
+    return f"""
+WITH {_pq_with_clause()}
+SELECT vec_id, s, code FROM enc
+ORDER BY vec_id, s
+"""
+
+
+def _knn_pq_sql(k: int = 3, n_candidates: int = 50) -> str:
+    cos = (
+        "round(CASE WHEN (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))) > 0"
+        " THEN list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+        " ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH {_pq_with_clause()},
+codes AS (
+    SELECT vec_id, array_agg(code ORDER BY s) AS codes FROM enc
+    GROUP BY vec_id
+),
+qlut AS (
+    SELECT vec_id, array_agg(larr ORDER BY s) AS lut FROM (
+        SELECT vec_id, s, array_agg(d ORDER BY cid) AS larr
+        FROM lutrows GROUP BY vec_id, s
+    ) GROUP BY vec_id
+),
+scored AS (
+    -- ADC: same left-to-right list_sum fold as Spark's
+    -- aggregate(zip_with(lut, codes)) — 1-based: lut[s], codes[s]+1
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                 s -> q.lut[s][c.codes[s] + 1])), 6) AS approx_d
+    FROM qlut q, codes c
+    WHERE c.vec_id <> q.vec_id
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d, neighbor_id)
+            <= {n_candidates}
+),
+exact AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {cos.format(a="eq.v", b="ec.v")} AS cosine_sim
+    FROM cand
+    JOIN e eq ON eq.vec_id = cand.query_id
+    JOIN e ec ON ec.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM exact
+QUALIFY rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -7108,6 +7272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": q_domain_cap_sample,
         "rp_project": q_rp_project,
         "knn_rp": q_knn_rp,
+        "pq_codes": q_pq_codes,
+        "knn_pq": q_knn_pq,
     }
 
 
@@ -7297,6 +7463,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
         "knn_rp": _knn_rp_sql(),
+        "knn_pq": _knn_pq_sql(),
+        "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),
         "domain_cap_sample": _domain_cap_sql(),

@@ -168,6 +168,7 @@ def main() -> int:
         "url_canonical",
         "domain_cap_sample",
         "knn_rp",
+        "knn_pq",
     ):
         if name not in qs:
             continue

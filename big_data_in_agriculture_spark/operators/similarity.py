@@ -1054,3 +1054,211 @@ def knn_rp(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# -- product quantization (the PQ half of IVF-PQ) ---------------------------
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize: int | None = 6,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    each vector into ``n_subspaces`` contiguous blocks and run the
+    bit-replayable k-means (``kmeans_fit``, tol=0, quantized updates)
+    independently per block. Returns ``[subspace][code][component]``
+    — n_subspaces × n_codes centroids of dim/n_subspaces components,
+    a driver-side model artifact like any k-means fit.
+
+    Validity is decided on the FULL vector (one NaN component excludes
+    the row from every subspace's fit, not just its own) so train,
+    encode, and search all see the same row set.
+    """
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    sub = dim // n_subspaces
+    valid = corpus.filter(vec_is_valid(F.col(vec_col)))
+    books = []
+    for s in range(n_subspaces):
+        sliced = valid.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_fit(
+                sliced,
+                k=n_codes,
+                max_iter=max_iter,
+                vec_col=vec_col,
+                id_col=id_col,
+                tol=0.0,
+                quantize=quantize,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach ``code_col``: per-subspace nearest-centroid ids (int
+    array, length n_subspaces). Map-only — every subspace's argmin is
+    one ``array_sort`` over (distance, cid) structs against a nested
+    codebook literal (the ``_centroid_dist_pairs`` trick), zero
+    shuffles, 64→8 bytes per vector at the default geometry. Ties
+    break on cid, distances are the same left-to-right float64 folds
+    the SQL twin runs, so codes are engine-deterministic."""
+    n_sub = len(codebooks)
+    sub = dim // n_sub
+    cols = []
+    for s, book in enumerate(codebooks):
+        slice_ = F.slice(F.col(vec_col), s * sub + 1, sub)
+        cols.append(
+            F.array_sort(_centroid_dist_pairs(slice_, book))[0]["cid"]
+        )
+    return df.filter(vec_is_valid(F.col(vec_col))).withColumn(
+        code_col, F.array(*cols)
+    )
+
+
+def _pq_lut(vec, codebooks: list[list[list[float]]], sub: int) -> F.Column:
+    """array<array<double>>: lut[s][code] = squared distance from the
+    vector's s-th slice to that subspace's code centroid — computed
+    ONCE per query row (n_subspaces × n_codes × sub folds); the
+    asymmetric-distance (ADC) score per candidate pair is then just
+    n_subspaces array lookups."""
+    def _dist_to(slice_):
+        # closure, NOT a defaulted second lambda param: pyspark treats
+        # a 2-arg transform lambda as (element, index) and would bind
+        # the slice to the INT index
+        return lambda c: F.aggregate(
+            F.zip_with(slice_, c, lambda a, b: a - b),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+
+    luts = []
+    for s, book in enumerate(codebooks):
+        slice_ = _dvec(F.slice(vec, s * sub + 1, sub))
+        luts.append(
+            F.transform(
+                F.lit([[float(x) for x in c] for c in book]),
+                _dist_to(slice_),
+            )
+        )
+    return F.array(*luts)
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 50,
+    max_iter: int = 2,
+    quantize: int | None = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via product quantization +
+    exact re-rank — the fourth ANN path (brute / sign-LSH / IVF / RP).
+
+    ``codebooks``: pass a ``pq_train`` model to skip training — the
+    production shape (train once, on a sample if the corpus is huge;
+    amortize over every query batch). Omitted, the corpus is trained
+    on inline, which costs n_subspaces × max_iter extra corpus scans
+    per CALL (the knn_pq_300k/pq_train_300k probes separate the two).
+
+    The scan-side scale story is compression: the corpus is encoded
+    once to ``n_subspaces`` small ints (64 floats → 8 bytes at the
+    default geometry — the structure that lets billion-vector indexes
+    fit in memory), and the screen scores each (query, code-word) pair
+    with ``n_subspaces`` LUT lookups instead of a ``dim``-wide dot.
+    The screen ranks by ADC distance (ascending, id tie-break) and
+    emits THIN rows; survivors' vectors are fetched back by id and
+    re-ranked by exact cosine (the knn_rp pattern). Codebooks,
+    encodings, LUTs, and both rankings are engine-deterministic
+    (quantized k-means, fixed folds, round-before-rank), so the DuckDB
+    oracle replays the entire pipeline.
+    """
+    books = codebooks if codebooks is not None else pq_train(
+        corpus, dim, n_subspaces, n_codes, max_iter,
+        vec_col=vec_col, id_col=id_col, quantize=quantize,
+    )
+    if not books or not books[0]:
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).cast("double").alias("cosine_sim"),
+            F.lit(0).cast("int").alias("rank"),
+        ).filter(F.lit(False))
+    sub = dim // n_subspaces
+    c = pq_encode(_fan_out(corpus), books, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_codes"
+    )
+    q = queries.filter(vec_is_valid(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"),
+        _pq_lut(F.col(vec_col), books, sub).alias("lut"),
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("pq_codes"),
+                lambda l, cd: F.element_at(l, cd + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("approx_d"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d"), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    cv = _dnormed(corpus, id_col, vec_col, "neighbor")
+    qv = _dnormed(queries, id_col, vec_col, "query")
+    exact = (
+        cv.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _prenorm_sim(
+                    F.col("query_vec"), F.col("neighbor_vec"),
+                    F.col("query_norm"), F.col("neighbor_norm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1110,5 +1110,57 @@ def probe_knn_brute(spark, n=300_000, queries=200):
 PROBES["knn_rp_300k"] = probe_knn_rp
 PROBES["knn_brute_300k"] = probe_knn_brute
 
+
+_PQ_PROBE_BOOKS = {}
+
+
+def _pq_probe_emb(spark, n):
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.sin(F.col("id") * (j + 1) * 0.7919),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    return emb
+
+
+def probe_pq_train(spark, n=300_000):
+    """Codebook training alone: 8 subspaces x 2 quantized-kmeans
+    iterations = ~24 corpus-slice scans. The one-time (or per-refresh)
+    model cost; at crawl scale you train on a SAMPLE, never the full
+    corpus, so this is bounded by sample size, not corpus size. The
+    books are cached for probe_knn_pq (the production shape)."""
+    from big_data_in_agriculture_spark.operators.similarity import pq_train
+
+    emb = _pq_probe_emb(spark, n)
+    books = pq_train(emb, dim=64, n_subspaces=8, n_codes=16, max_iter=2)
+    _PQ_PROBE_BOOKS[n] = books
+    return spark.range(1).select(
+        F.lit(sum(len(b) for b in books)).alias("n_centroids")
+    )
+
+
+def probe_knn_pq(spark, n=300_000, queries=200):
+    """knn_pq SEARCH at the knn_rp/knn_brute probe geometry (300k
+    corpus x 200 queries = 60M screened pairs), pre-trained codebooks
+    (run probe_pq_train first; falls back to inline training). The ADC
+    screen costs 8 array lookups + a fold per pair against 8-byte
+    codes, vs 32 mults (RP) or 64 (brute) — and the 60M-pair stage
+    reads only (id, codes) rows, the smallest possible scan."""
+    from big_data_in_agriculture_spark.operators.similarity import knn_pq
+
+    emb = _pq_probe_emb(spark, n)
+    q = emb.filter(F.col("vec_id") < queries)
+    out = knn_pq(emb, q, dim=64, k=3, n_candidates=50,
+                 codebooks=_PQ_PROBE_BOOKS.get(n))
+    return out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cosine_sim").alias("chk")
+    )
+
+
+PROBES["pq_train_300k"] = probe_pq_train
+PROBES["knn_pq_300k"] = probe_knn_pq
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -90,6 +90,7 @@ def test_ann_recall_on_planted_neighbors(spark):
         knn_bruteforce,
         knn_ivf,
         knn_lsh,
+        knn_pq,
         knn_rp,
     )
 
@@ -129,6 +130,9 @@ def test_ann_recall_on_planted_neighbors(spark):
         # projected cosine of near-identical vectors stays near 1
         (knn_rp(corpus, queries, dim=64, k=k, out_dim=32,
                 n_candidates=50), 0.9),
+        # near-identical vectors land in (almost) the same code word
+        # per subspace, so their ADC distance is near the minimum
+        (knn_pq(corpus, queries, dim=64, k=k, n_candidates=50), 0.8),
     ]:
         got = found(approx_df)
         recalls = [

@@ -538,3 +538,60 @@ class TestRandomProjection:
             emb, q, dim=64, k=3, out_dim=16,
             n_candidates=10_000).collect()))
         assert rp == brute
+
+
+class TestProductQuantization:
+    def test_codes_shape_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = similarity.pq_train(emb, dim=64, n_subspaces=8, n_codes=16,
+                                    max_iter=2, quantize=6)
+        assert len(books) == 8 and all(len(b) == 16 for b in books)
+        assert all(len(c) == 8 for b in books for c in b)
+        out = similarity.pq_encode(emb, books, dim=64)
+        rows = out.select("vec_id", "pq_codes").collect()
+        assert all(len(r["pq_codes"]) == 8 for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r["pq_codes"])
+        # re-train + re-encode is bit-identical (quantized kmeans)
+        books2 = similarity.pq_train(emb, dim=64, n_subspaces=8,
+                                     n_codes=16, max_iter=2, quantize=6)
+        assert books == books2
+
+    def test_encode_matches_numpy_argmin(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = similarity.pq_train(emb, dim=64, n_subspaces=8, n_codes=16,
+                                    max_iter=2, quantize=6)
+        got = {r["vec_id"]: r["pq_codes"] for r in
+               similarity.pq_encode(emb, books, dim=64).collect()}
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        for vid in list(vecs)[:20]:
+            for s in range(8):
+                sl = vecs[vid][s * 8:(s + 1) * 8]
+                d = ((np.array(books[s]) - sl) ** 2).sum(axis=1)
+                assert got[vid][s] == int(np.argmin(d)), (vid, s)
+
+    def test_knn_pq_exact_when_candidates_cover_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        brute = sorted(map(tuple, similarity.knn_bruteforce(
+            emb, q, k=3).collect()))
+        pq = sorted(map(tuple, similarity.knn_pq(
+            emb, q, dim=64, k=3, n_candidates=10_000).collect()))
+        assert pq == brute
+
+    def test_empty_corpus_yields_empty_result(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).filter(F.lit(False))
+        out = similarity.knn_pq(emb, emb, dim=64, k=3)
+        assert out.collect() == []
+        assert out.columns == ["query_id", "neighbor_id",
+                               "cosine_sim", "rank"]
