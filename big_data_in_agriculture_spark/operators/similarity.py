@@ -431,11 +431,13 @@ def knn_ivf(
     def dist_pairs(vec) -> F.Column:
         return _centroid_dist_pairs(vec, cents)
 
+    # cast + norm hoisted below the cell join (see _prenorm_sim) —
+    # cell members can be numerous at scale and paid per PAIR before
     assigned = _fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("neighbor_vec"),
+        _dvec(F.col(vec_col)).alias("neighbor_vec"),
         F.array_sort(dist_pairs(F.col(vec_col)))[0]["cid"].alias("cluster"),
-    )
+    ).withColumn("neighbor_norm", _norm(F.col("neighbor_vec")))
 
     # queries probe their n_probe nearest clusters
     def probe_expr(vec) -> F.Column:
@@ -443,9 +445,11 @@ def knn_ivf(
 
     probed = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
+        _dvec(F.col(vec_col)).alias("query_vec"),
         F.explode(probe_expr(F.col(vec_col))).alias("p"),
-    ).select("query_id", "query_vec", F.col("p.cid").alias("cluster"))
+    ).select(
+        "query_id", "query_vec", F.col("p.cid").alias("cluster")
+    ).withColumn("query_norm", _norm(F.col("query_vec")))
 
     cand = (
         probed.join(assigned, "cluster")
@@ -453,9 +457,13 @@ def knn_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _prenorm_sim(
+                    F.col("query_vec"), F.col("neighbor_vec"),
+                    F.col("query_norm"), F.col("neighbor_norm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine_sim").alias("cosine_sim"))
