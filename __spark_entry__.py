@@ -7055,6 +7055,100 @@ QUALIFY rank <= {k}
 """
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composed index: IVF cells prune WHICH vectors score, PQ
+    # codes shrink WHAT the scoring reads.
+    emb, _ = _pq_books(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_ivfpq(
+        emb, queries, dim=64, k=3, n_centroids=16, n_probe=4,
+        n_subspaces=_PQ_SUB, n_codes=_PQ_CODES, n_candidates=50,
+        max_iter=_PQ_ITERS, quantize=_PQ_Q,
+    )
+
+
+def _knn_ivfpq_sql(
+    k: int = 3, n_centroids: int = 16, n_probe: int = 4,
+    n_candidates: int = 50, dim: int = 64,
+) -> str:
+    cos = (
+        "round(CASE WHEN (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))) > 0"
+        " THEN list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+        " ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH {_pq_with_clause()},
+codes AS (
+    SELECT vec_id, array_agg(code ORDER BY s) AS codes FROM enc
+    GROUP BY vec_id
+),
+qlut AS (
+    SELECT vec_id, array_agg(larr ORDER BY s) AS lut FROM (
+        SELECT vec_id, s, array_agg(d ORDER BY cid) AS larr
+        FROM lutrows GROUP BY vec_id, s
+    ) GROUP BY vec_id
+),
+cent AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+           v AS cv
+    FROM e ORDER BY vec_id LIMIT {n_centroids}
+),
+cdists AS (
+    SELECT e.vec_id, cent.cid,
+           list_sum(list_transform(range(1, {dim + 1}),
+                    i -> (e.v[i]-cent.cv[i])*(e.v[i]-cent.cv[i]))) AS d
+    FROM e, cent
+),
+assigned AS (
+    SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cdists
+    ) WHERE rn = 1
+),
+probed AS (
+    SELECT vec_id AS query_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cdists WHERE vec_id < 10
+    ) WHERE rn <= {n_probe}
+),
+scored AS (
+    -- a neighbor lives in exactly ONE cell: no cross-probe dedup
+    SELECT p.query_id, a.neighbor_id,
+           round(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                 s -> q.lut[s][c.codes[s] + 1])), 6) AS approx_d
+    FROM probed p
+    JOIN assigned a ON p.cluster = a.cluster
+    JOIN qlut q ON q.vec_id = p.query_id
+    JOIN codes c ON c.vec_id = a.neighbor_id
+    WHERE a.neighbor_id <> p.query_id
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d, neighbor_id)
+            <= {n_candidates}
+),
+exact AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {cos.format(a="eq.v", b="ec.v")} AS cosine_sim
+    FROM cand
+    JOIN e eq ON eq.vec_id = cand.query_id
+    JOIN e ec ON ec.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM exact
+QUALIFY rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7274,6 +7368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rp": q_knn_rp,
         "pq_codes": q_pq_codes,
         "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
     }
 
 
@@ -7464,6 +7559,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _knn_ivf_sql(),
         "knn_rp": _knn_rp_sql(),
         "knn_pq": _knn_pq_sql(),
+        "knn_ivfpq": _knn_ivfpq_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

@@ -169,6 +169,7 @@ def main() -> int:
         "domain_cap_sample",
         "knn_rp",
         "knn_pq",
+        "knn_ivfpq",
     ):
         if name not in qs:
             continue

@@ -1270,3 +1270,131 @@ def knn_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 50,
+    max_iter: int = 2,
+    quantize: int | None = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: inverted-file cells prune WHICH vectors are scored, PQ
+    codes shrink WHAT the scoring reads — composed exactly as the
+    billion-scale ANN indexes compose them (coarse quantizer + product
+    codes; this variant encodes raw vectors, not residuals — the
+    residual refinement is a documented simplification, not a
+    structural difference).
+
+    Per query: probe the ``n_probe`` nearest of ``n_centroids`` coarse
+    cells (the deterministic lowest-id cell vectors knn_ivf uses), ADC-
+    score ONLY those cells' members from their 8-byte codes via the
+    per-query LUT, keep ``n_candidates``, exact re-rank. A (query,
+    neighbor) pair can appear at most once — a neighbor lives in
+    exactly one cell — so the probe join needs no dedup aggregate.
+    Everything (cells, codebooks, codes, LUT, both rankings) is
+    engine-deterministic; the DuckDB oracle replays the full pipeline.
+    """
+    corpus_f = corpus.filter(vec_is_valid(F.col(vec_col)))
+    queries_f = queries.filter(vec_is_valid(F.col(vec_col)))
+    cent_rows = (
+        corpus_f.orderBy(id_col)
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    books = codebooks if codebooks is not None else pq_train(
+        corpus, dim, n_subspaces, n_codes, max_iter,
+        vec_col=vec_col, id_col=id_col, quantize=quantize,
+    )
+    if not cents or not books or not books[0]:
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).cast("double").alias("cosine_sim"),
+            F.lit(0).cast("int").alias("rank"),
+        ).filter(F.lit(False))
+    sub = dim // n_subspaces
+
+    def dist_pairs(vec) -> F.Column:
+        return _centroid_dist_pairs(vec, cents)
+
+    c = pq_encode(_fan_out(corpus), books, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "pq_codes",
+        F.array_sort(dist_pairs(F.col(vec_col)))[0]["cid"].alias("cluster"),
+    )
+    # LUT below the probe explode (ExtractGenerator would otherwise
+    # recompute the 128-fold LUT once per probed cell)
+    q0 = queries_f.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _pq_lut(F.col(vec_col), books, sub).alias("lut"),
+    )
+    q = q0.select(
+        "query_id",
+        "lut",
+        F.explode(
+            F.slice(F.array_sort(dist_pairs(F.col("_qv"))), 1, n_probe)
+        ).alias("p"),
+    ).select("query_id", "lut", F.col("p.cid").alias("cluster"))
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("pq_codes"),
+                lambda l, cd: F.element_at(l, cd + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        q.join(c, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("approx_d"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d"), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    cv = _dnormed(corpus, id_col, vec_col, "neighbor")
+    qv = _dnormed(queries, id_col, vec_col, "query")
+    exact = (
+        cv.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _prenorm_sim(
+                    F.col("query_vec"), F.col("neighbor_vec"),
+                    F.col("query_norm"), F.col("neighbor_norm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

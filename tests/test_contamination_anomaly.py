@@ -89,6 +89,7 @@ def test_ann_recall_on_planted_neighbors(spark):
     from big_data_in_agriculture_spark.operators.similarity import (
         knn_bruteforce,
         knn_ivf,
+        knn_ivfpq,
         knn_lsh,
         knn_pq,
         knn_rp,
@@ -133,6 +134,9 @@ def test_ann_recall_on_planted_neighbors(spark):
         # near-identical vectors land in (almost) the same code word
         # per subspace, so their ADC distance is near the minimum
         (knn_pq(corpus, queries, dim=64, k=k, n_candidates=50), 0.8),
+        # near-identical vectors share a coarse cell AND a code word
+        (knn_ivfpq(corpus, queries, dim=64, k=k, n_centroids=8,
+                   n_probe=3, n_candidates=50), 0.6),
     ]:
         got = found(approx_df)
         recalls = [

@@ -595,3 +595,29 @@ class TestProductQuantization:
         assert out.collect() == []
         assert out.columns == ["query_id", "neighbor_id",
                                "cosine_sim", "rank"]
+
+
+class TestIvfPq:
+    def test_equals_brute_when_probing_everything(self, spark):
+        # probe ALL cells + candidates cover the corpus: both the IVF
+        # pruning and the ADC screen become no-ops and the exact
+        # re-rank must reproduce brute force
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        brute = sorted(map(tuple, similarity.knn_bruteforce(
+            emb, q, k=3).collect()))
+        got = sorted(map(tuple, similarity.knn_ivfpq(
+            emb, q, dim=64, k=3, n_centroids=8, n_probe=8,
+            n_candidates=10_000).collect()))
+        assert got == brute
+
+    def test_empty_corpus_yields_empty_result(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).filter(F.lit(False))
+        out = similarity.knn_ivfpq(emb, emb, dim=64, k=3)
+        assert out.collect() == []
