@@ -1,20 +1,35 @@
 """Similarity search over embedding columns (array<float>).
 
-Four operators, one contract (cosine, deterministic tie-breaks):
+One contract (cosine, rounded-before-rank, deterministic tie-breaks)
+across the whole kNN family:
 
 * ``knn_bruteforce`` — exact top-k. The query set broadcasts; each
   executor scans its slice of the corpus once. Correct baseline at any
   corpus size IF the query set is small (it ships to every task).
-* ``knn_lsh`` — approximate top-k, random-hyperplane LSH. Candidates =
+* ``knn_lsh`` — approximate, random-hyperplane LSH. Candidates =
   equi-join on (table, bucket); exact cosine re-rank on candidates
   only. A 100 TB path: no broadcast of anything large, no all-pairs;
   fan-out controlled by ``num_tables``×``num_bits``.
-* ``knn_ivf`` — approximate top-k, inverted-file probing. Corpus
-  assigned to coarse centroids; queries probe their n_probe nearest
-  cells; equi-join on the cell id. The other 100 TB path — better than
-  LSH when the corpus clusters.
+* ``knn_ivf`` — approximate, inverted-file probing. Corpus assigned to
+  coarse cells; queries probe their n_probe nearest; equi-join on the
+  cell id. Better than LSH when the corpus clusters.
+* ``knn_rp`` — Johnson–Lindenstrauss random-projection screen (round
+  7): cheaper per-pair dots at large query counts, exact re-rank.
+* ``pq_train`` / ``pq_encode`` / ``knn_pq`` — product quantization
+  (round 7): 8-byte codes + per-query LUT make the screen read 30×
+  less and cost n_subspaces lookups per pair.
+* ``knn_ivfpq`` — the composed index (round 7): IVF prunes WHICH
+  vectors score, PQ shrinks WHAT the scoring reads — the
+  billion-vector architecture.
 * ``embedding_neardup_pairs`` — the dedup flavor: all pairs above a
   high cosine threshold, LSH-bucketed candidates + exact verify.
+
+Shared cost discipline (round 7, measured in SCALE.md): casts and L2
+norms hoist to one map-side projection per ROW (``_dnormed`` /
+``_prenorm_sim`` — float-identical to inline cosine), and every
+screen's top-C window sees THIN (id, id, score) rows — survivors'
+vectors come back by id join. Recall is asserted on planted
+near-neighbors (tests/test_contamination_anomaly.py), not on noise.
 
 Vector math that feeds an ORACLE comparison is JVM-side higher-order
 functions (zip_with / aggregate / transform) over array columns, floats
