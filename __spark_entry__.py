@@ -6670,19 +6670,20 @@ ORDER BY rank
 def _synth_urls(docs: DataFrame) -> DataFrame:
     """Deterministic URL corpus derived from documents (the driver
     testdata has no URL column, same trick as the CDC/SCD2 streams
-    synthesized from orders). Ten templates exercise every
+    synthesized from orders). Twelve templates exercise every
     canonicalization rule — mixed-case scheme/host, default (80/443)
     and explicit ports, tracking params, unsorted params, fragments,
     multi-label public suffixes (co.uk/ac.uk), sub-subdomains, a
-    pathless URL, and exact-duplicate URLs — and make registered
-    domain example.com hot (~60% of rows) so the per-domain cap has
-    real skew to cut. SQL twin: _URL_SYNTH_SQL."""
+    pathless URL, userinfo (user:pass@ and user@ — dropped from the
+    canonical form, round-8 fix), and exact-duplicate URLs — and make
+    registered domain example.com hot (~50% of rows) so the per-domain
+    cap has real skew to cut. SQL twin: _URL_SYNTH_SQL."""
     d = F.col("doc_id")
 
     def s(e) -> F.Column:
         return e.cast("string")
 
-    m = d % 10
+    m = d % 12
     url = (
         F.when(m == 0, F.concat(
             F.lit("HTTP://Crawl.Example.COM:80/p/"), s(d % 97),
@@ -6706,15 +6707,20 @@ def _synth_urls(docs: DataFrame) -> DataFrame:
             F.lit("https://crawl.example.com/c?utm_medium=feed&gclid=1&x="),
             s(d % 3)))
         .when(m == 8, F.lit("http://example.io?ref=home"))
-        .otherwise(F.concat(
+        .when(m == 9, F.concat(
             F.lit("https://a.b.example.com/deep/"), s(d % 11)))
+        .when(m == 10, F.concat(
+            F.lit("http://user:pw@auth.example.com/s/"), s(d % 9)))
+        .otherwise(F.concat(
+            F.lit("https://alice@mirror.example.co.uk/m/"), s(d % 6),
+            F.lit("?b=2&a=1")))
     )
     return docs.select("doc_id", url.alias("url"))
 
 
 _URL_SYNTH_SQL = """
     SELECT doc_id,
-           CASE doc_id % 10
+           CASE doc_id % 12
              WHEN 0 THEN 'HTTP://Crawl.Example.COM:80/p/'
                          || (doc_id % 97)::VARCHAR || '?utm_source=rss&z=9&a=1'
              WHEN 1 THEN 'https://news.example.co.uk/art-'
@@ -6733,7 +6739,12 @@ _URL_SYNTH_SQL = """
              WHEN 7 THEN 'https://crawl.example.com/c?utm_medium=feed&gclid=1&x='
                          || (doc_id % 3)::VARCHAR
              WHEN 8 THEN 'http://example.io?ref=home'
-             ELSE 'https://a.b.example.com/deep/' || (doc_id % 11)::VARCHAR
+             WHEN 9 THEN 'https://a.b.example.com/deep/'
+                         || (doc_id % 11)::VARCHAR
+             WHEN 10 THEN 'http://user:pw@auth.example.com/s/'
+                          || (doc_id % 9)::VARCHAR
+             ELSE 'https://alice@mirror.example.co.uk/m/'
+                  || (doc_id % 6)::VARCHAR || '?b=2&a=1'
            END AS url
     FROM documents
 """
@@ -6748,10 +6759,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _host_of_canon_sql(canon_expr: str) -> str:
-    return (
-        f"lower(regexp_extract(regexp_extract({canon_expr}, "
-        f"'{WEB._sql_quote(WEB._HOSTPORT_RE)}', 1), '^([^:]{{1,255}})', 1))"
-    )
+    return WEB.url_host_sql(canon_expr)
 
 
 def _url_canonical_sql() -> str:
