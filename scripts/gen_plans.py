@@ -26,7 +26,7 @@ PICKS = [
     ("bpe_encode", "BPE encode: the trained merge table rides the UDF closure (vocab-sized, broadcast-scale); encoding is a single map-only ArrowEvalPython projection over the corpus scan — zero exchanges at any corpus size."),
     ("bloom_dedup", "Bloom membership (round-6 op): the history side collapses to <= ceil(m/63) bitmap words via one partial-aggregated bit_or exchange and comes back as a BroadcastHashJoin against the probe's k exploded positions; history is never rescanned, and the probe-side aggregate (bool_and compiles to min) is partial-aggregated too."),
     ("pii_scan", "PII scan+mask (round-6 op): four regexp_counts plus the masking chain in ONE WholeStageCodegen projection over the scan — zero exchanges at any corpus size."),
-    ("domain_cap_sample", "Per-domain cap (round-7 op): canonicalization + registered-domain extraction are codegen'd string expressions in the scan projection; TWO Window operators — the first partitioned by (domain, _salt) so the hot domain's pages split across salt_buckets tasks and everything past the local cap dies BEFORE the second exchange, whose input is <= salt_buckets x cap rows per domain."),
+    ("domain_cap_sample", "Per-domain cap (round-7 op): canonicalization + registered-domain extraction are codegen'd string expressions in the scan projection; ONE Window operator — Catalyst's rank-limit pushdown plants a partial WindowGroupLimit BELOW the exchange, so a hot domain ships at most cap rows per map partition (a hand-salted two-level top-N measured a dead tie at 10M rows/30%-hot and was rejected; the WindowGroupLimit-below-exchange shape is pinned by tests/test_web.py)."),
     ("knn_rp", "Random-projection ANN (round-7 op): the JL sign matrix is a nested literal inside ONE map-side projection (no exchange to build it); the projected-space screen emits THIN (id, id, proj_sim) rows into the top-C window (WindowGroupLimit sorts them map-side — hauling the full vectors through that sort measured 1.6x slower than brute force), and the exact 64-wide cosine runs only on the Q x C survivors after broadcast joins fetch their vectors back by id. Casts and norms are hoisted below every join: the per-pair work is one dot."),
     ("knn_pq", "Product-quantization ANN (round-7 op): encode is a map-only projection (argmin per subspace against nested codebook literals - zero exchanges, 64 floats to 8 small ints per row); the query side carries a per-row LUT so the ADC screen is 8 array lookups per pair over THIN rows; exact cosine only on the Q x C survivors after id join-back."),
     ("knn_ivfpq", "IVF-PQ composed index (round-7 op): cell assignment AND code encoding are one map-only projection over the corpus scan; the probe join scores only the probed cells members via 8 LUT lookups per pair on thin rows; exact cosine after id join-back on Q x C survivors."),
