@@ -46,6 +46,30 @@ HEADLINE = [
 ]
 
 
+#: 1-min load above which pre-existing host contention makes the
+#: numbers unusable (round-7's committed BENCH was ~1.9x inflated by a
+#: background load spike; untouched queries "regressed" uniformly).
+LOAD_WARN_THRESHOLD = 4.0
+
+
+def _host_load() -> dict:
+    """Host-contention stamp: loadavg + uptime, recorded INTO the JSON
+    so a polluted run is diagnosable after the fact instead of reading
+    as a code regression."""
+    la1, la5, la15 = os.getloadavg()
+    try:
+        with open("/proc/uptime") as fh:
+            uptime = float(fh.read().split()[0])
+    except OSError:
+        uptime = -1.0
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "uptime_sec": round(uptime, 1),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -53,6 +77,16 @@ def main() -> int:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+
+    load_before = _host_load()
+    if load_before["loadavg_1m"] > LOAD_WARN_THRESHOLD:
+        print(
+            f"WARNING: 1-min load {load_before['loadavg_1m']} > "
+            f"{LOAD_WARN_THRESHOLD} before warmup — host is contended; "
+            "timings will be inflated. Re-run on a quiet host before "
+            "reading regressions.",
+            file=sys.stderr,
+        )
 
     from big_data_in_agriculture_spark.session import get_spark
 
@@ -195,6 +229,12 @@ def main() -> int:
                 "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
                 "cpus": cpus,
+                # Host-contention stamps (round 8): load_before is read
+                # BEFORE warmup (pre-existing contention), load_after
+                # right after the last timed query (bench's own load +
+                # anything that arrived mid-run).
+                "load_before": load_before,
+                "load_after": _host_load(),
                 # Methodology is pinned since r3 (runs_per_query 1→2 and
                 # warmups 1→4 changed there, so r2→r3 totals are NOT a
                 # same-methodology comparison; r3→r4 onward are).
