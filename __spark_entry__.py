@@ -1875,16 +1875,18 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_ivf_sql(
-    dim: int = 64, k: int = 3, n_centroids: int = 16, n_probe: int = 4
+    dim: int = 64, k: int = 3, n_centroids: int = 16, n_probe: int = 4,
+    coarse_iters: int = 2, q: int = 6,
 ) -> str:
     """DuckDB replay of the IVF kNN pipeline (similarity.knn_ivf).
 
-    The coarse centroids are DATA-DEFINED but deterministic — the
-    n_centroids lowest-id corpus vectors — so the oracle recomputes
-    them in SQL instead of needing literals. Assignment/probing =
-    squared-distance argmin with cid tie-break (row_number), exactly
-    the array_sort((d, cid)) order Spark uses; re-rank is the shared
-    ROUND-6 cosine + id tie-break.
+    The coarse centroids are TRAINED but bit-replayable (round 8):
+    the same unrolled quantized-Lloyd chain the kmeans oracle uses
+    (`_kmeans_cte_chain`, prefix g) re-derives similarity.kmeans_fit's
+    exact model in SQL. Assignment/probing = squared-distance argmin
+    with cid tie-break (row_number), exactly the array_sort((d, cid))
+    order Spark uses; re-rank is the shared ROUND-6 cosine + id
+    tie-break.
     """
     return f"""
 WITH e AS (
@@ -1892,9 +1894,9 @@ WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     WHERE {_VALID_VEC}
 ),
+{_kmeans_cte_chain(coarse_iters, n_centroids, dim, q, source="e", prefix="g")},
 cent AS (
-    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv
-    FROM e ORDER BY vec_id LIMIT {n_centroids}
+    SELECT cid, cv FROM gc{coarse_iters}
 ),
 dists AS (
     SELECT e.vec_id, cent.cid,
@@ -6912,23 +6914,64 @@ _PQ_ITERS = 2        # quantized-kmeans iterations per codebook
 _PQ_Q = 6            # centroid quantization decimals (kmeans contract)
 
 
-#: trained codebooks per sf_dir — pq_train is bit-deterministic
-#: (quantized kmeans, tested), so memoizing is semantics-free and
-#: mirrors production (train once, reuse across query batches); the
-#: bench's knn_pq/knn_ivfpq otherwise re-pay 8 kmeans fits per run.
-_PQ_BOOK_CACHE: dict[str, list[list[list[float]]]] = {}
+_IVF_ITERS = 2       # coarse-quantizer kmeans iterations (ivf / ivfpq)
+
+
+def _corpus_sig(sf_dir: str) -> tuple:
+    """Cheap immutability signature for per-corpus model memoization:
+    (abspath, mtime_ns, size) of embeddings.parquet. Keying caches on
+    this instead of the bare path means a corpus REWRITTEN at the same
+    path gets freshly trained models instead of stale ones (the round-7
+    `_PQ_BOOK_CACHE` watch item)."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        return (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (os.path.abspath(sf_dir), -1, -1)
+
+
+#: trained codebooks per corpus signature — pq_train is
+#: bit-deterministic (quantized kmeans, tested), so memoizing is
+#: semantics-free for an unchanged corpus and mirrors production
+#: (train once, reuse across query batches); the bench's knn_pq
+#: otherwise re-pays 8 kmeans fits per run.
+_PQ_BOOK_CACHE: dict[tuple, list[list[list[float]]]] = {}
 
 
 def _pq_books(spark: SparkSession, sf_dir: str):
     emb = _t(spark, sf_dir, "embeddings")
-    books = _PQ_BOOK_CACHE.get(sf_dir)
+    key = _corpus_sig(sf_dir)
+    books = _PQ_BOOK_CACHE.get(key)
     if books is None:
         books = similarity.pq_train(
             emb, dim=64, n_subspaces=_PQ_SUB, n_codes=_PQ_CODES,
             max_iter=_PQ_ITERS, quantize=_PQ_Q,
         )
-        _PQ_BOOK_CACHE[sf_dir] = books
+        _PQ_BOOK_CACHE[key] = books
     return emb, books
+
+
+#: (coarse centroids, residual codebooks) per corpus signature — the
+#: IVF-PQ model pair is trained together (residual codebooks are only
+#: meaningful against the centroids they were fit with).
+_IVFPQ_MODEL_CACHE: dict[tuple, tuple] = {}
+
+
+def _ivfpq_model(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    key = _corpus_sig(sf_dir)
+    model = _IVFPQ_MODEL_CACHE.get(key)
+    if model is None:
+        model = similarity.ivfpq_train(
+            emb, dim=64, n_centroids=16, coarse_iters=_IVF_ITERS,
+            n_subspaces=_PQ_SUB, n_codes=_PQ_CODES, max_iter=_PQ_ITERS,
+            quantize=_PQ_Q,
+        )
+        _IVFPQ_MODEL_CACHE[key] = model
+    return emb, model
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7075,14 +7118,16 @@ QUALIFY rank <= {k}
 
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the composed index: IVF cells prune WHICH vectors score, PQ
-    # codes shrink WHAT the scoring reads.
-    emb, books = _pq_books(spark, sf_dir)
+    # the composed index: TRAINED IVF cells prune WHICH vectors score,
+    # RESIDUAL PQ codes shrink WHAT the scoring reads (round 8 — the
+    # Jégou-standard composition; the raw-vector variant is gone).
+    emb, (cents, books) = _ivfpq_model(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.knn_ivfpq(
         emb, queries, dim=64, k=3, n_centroids=16, n_probe=4,
         n_subspaces=_PQ_SUB, n_codes=_PQ_CODES, n_candidates=50,
         max_iter=_PQ_ITERS, quantize=_PQ_Q, codebooks=books,
+        centroids=cents, coarse_iters=_IVF_ITERS,
     )
 
 
@@ -7090,6 +7135,13 @@ def _knn_ivfpq_sql(
     k: int = 3, n_centroids: int = 16, n_probe: int = 4,
     n_candidates: int = 50, dim: int = 64,
 ) -> str:
+    """DuckDB replay of the ROUND-8 residual IVF-PQ pipeline: trained
+    coarse chain (prefix g) → assignment → residual vectors → one
+    namespaced kmeans chain PER SUBSPACE over residual slices (prefix
+    r{s}) → residual codes + per-(query, probed-cell) residual LUTs →
+    ADC screen → exact re-rank. Every stage is the op-for-op twin of
+    similarity.ivfpq_train / knn_ivfpq (same folds, same argmin
+    tie-breaks, float64 residual subtraction exact on both engines)."""
     cos = (
         "round(CASE WHEN (sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b}))) > 0"
@@ -7098,53 +7150,123 @@ def _knn_ivfpq_sql(
         " * sqrt(list_dot_product({b}, {b})))"
         " ELSE 0.0 END, 6)"
     )
-    return f"""
-WITH {_pq_with_clause()},
-codes AS (
-    SELECT vec_id, array_agg(code ORDER BY s) AS codes FROM enc
-    GROUP BY vec_id
-),
-qlut AS (
-    SELECT vec_id, array_agg(larr ORDER BY s) AS lut FROM (
-        SELECT vec_id, s, array_agg(d ORDER BY cid) AS larr
-        FROM lutrows GROUP BY vec_id, s
-    ) GROUP BY vec_id
-),
-cent AS (
-    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-           v AS cv
-    FROM e ORDER BY vec_id LIMIT {n_centroids}
-),
-cdists AS (
+    sub_dim = dim // _PQ_SUB
+    # MATERIALIZED (DuckDB-only syntax; oracles never run on Spark):
+    # without it DuckDB INLINES each CTE per reference, and the 8
+    # subspace chains each re-expand resid -> assigned -> the whole
+    # coarse chain -> e, an exponential blowup that exhausted file
+    # handles re-opening the parquet before it exhausted time.
+    parts = [
+        f"""e AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {_VALID_VEC}
+)""",
+        _kmeans_cte_chain(
+            _IVF_ITERS, n_centroids, dim, _PQ_Q, source="e", prefix="g"
+        ),
+        f"cent AS MATERIALIZED (SELECT cid, cv FROM gc{_IVF_ITERS})",
+        f"""cdists AS MATERIALIZED (
     SELECT e.vec_id, cent.cid,
            list_sum(list_transform(range(1, {dim + 1}),
                     i -> (e.v[i]-cent.cv[i])*(e.v[i]-cent.cv[i]))) AS d
     FROM e, cent
-),
-assigned AS (
-    SELECT vec_id AS neighbor_id, cid AS cluster FROM (
+)""",
+        """assigned AS MATERIALIZED (
+    SELECT vec_id, cid AS cluster FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM cdists
     ) WHERE rn = 1
-),
-probed AS (
+)""",
+        f"""probed AS MATERIALIZED (
     SELECT vec_id AS query_id, cid AS cluster FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM cdists WHERE vec_id < 10
     ) WHERE rn <= {n_probe}
-),
+)""",
+        f"""resid AS MATERIALIZED (
+    SELECT e.vec_id, a.cluster,
+           list_transform(range(1, {dim + 1}), i -> e.v[i] - c.cv[i]) AS v
+    FROM e
+    JOIN assigned a ON a.vec_id = e.vec_id
+    JOIN cent c ON c.cid = a.cluster
+)""",
+        f"""qresid AS MATERIALIZED (
+    SELECT p.query_id, p.cluster,
+           list_transform(range(1, {dim + 1}), i -> e.v[i] - c.cv[i]) AS v
+    FROM probed p
+    JOIN e ON e.vec_id = p.query_id
+    JOIN cent c ON c.cid = p.cluster
+)""",
+    ]
+    enc_blocks, lut_blocks = [], []
+    for s in range(_PQ_SUB):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f"rsub{s} AS MATERIALIZED "
+            f"(SELECT vec_id, v[{lo}:{hi}] AS v FROM resid)"
+        )
+        parts.append(
+            _kmeans_cte_chain(
+                _PQ_ITERS, _PQ_CODES, sub_dim, _PQ_Q,
+                source=f"rsub{s}", prefix=f"r{s}",
+            )
+        )
+        dist = (
+            f"list_sum(list_transform(range(1, {sub_dim + 1}), "
+            f"j -> (e.v[j]-c.cv[j])*(e.v[j]-c.cv[j])))"
+        )
+        enc_blocks.append(
+            f"""    SELECT vec_id, {s} AS s, cid AS code FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM rsub{s} e, r{s}c{_PQ_ITERS} c
+    ) WHERE rn = 1"""
+        )
+        # per-(query, probed cell) LUT over the query's residual vs
+        # THAT cell — direct element indexing (qr.v[off+j]), not a
+        # slice inside the lambda (which DuckDB copies per position)
+        lut_blocks.append(
+            f"""    SELECT qr.query_id, qr.cluster, {s} AS s, c.cid,
+           list_sum(list_transform(range(1, {sub_dim + 1}),
+                    j -> (qr.v[{s * sub_dim} + j]-c.cv[j])
+                         *(qr.v[{s * sub_dim} + j]-c.cv[j]))) AS d
+    FROM qresid qr, r{s}c{_PQ_ITERS} c"""
+        )
+    parts.append(
+        "enc AS (\n" + "\n    UNION ALL\n".join(enc_blocks) + "\n)"
+    )
+    parts.append(
+        "lutrows AS (\n" + "\n    UNION ALL\n".join(lut_blocks) + "\n)"
+    )
+    parts.append(
+        """codes AS (
+    SELECT vec_id, array_agg(code ORDER BY s) AS codes FROM enc
+    GROUP BY vec_id
+)"""
+    )
+    parts.append(
+        """qlut AS (
+    SELECT query_id, cluster, array_agg(larr ORDER BY s) AS lut FROM (
+        SELECT query_id, cluster, s, array_agg(d ORDER BY cid) AS larr
+        FROM lutrows GROUP BY query_id, cluster, s
+    ) GROUP BY query_id, cluster
+)"""
+    )
+    with_body = ",\n".join(parts)
+    return f"""
+WITH {with_body},
 scored AS (
     -- a neighbor lives in exactly ONE cell: no cross-probe dedup
-    SELECT p.query_id, a.neighbor_id,
+    SELECT q.query_id, a.vec_id AS neighbor_id,
            round(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
                  s -> q.lut[s][c.codes[s] + 1])), 6) AS approx_d
-    FROM probed p
-    JOIN assigned a ON p.cluster = a.cluster
-    JOIN qlut q ON q.vec_id = p.query_id
-    JOIN codes c ON c.vec_id = a.neighbor_id
-    WHERE a.neighbor_id <> p.query_id
+    FROM qlut q
+    JOIN assigned a ON a.cluster = q.cluster
+    JOIN codes c ON c.vec_id = a.vec_id
+    WHERE a.vec_id <> q.query_id
 ),
 cand AS (
     SELECT query_id, neighbor_id FROM scored

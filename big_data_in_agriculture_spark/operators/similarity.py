@@ -11,16 +11,18 @@ across the whole kNN family:
   only. A 100 TB path: no broadcast of anything large, no all-pairs;
   fan-out controlled by ``num_tables``×``num_bits``.
 * ``knn_ivf`` — approximate, inverted-file probing. Corpus assigned to
-  coarse cells; queries probe their n_probe nearest; equi-join on the
-  cell id. Better than LSH when the corpus clusters.
+  k-means-trained coarse cells (round 8; ≤7 used lowest-id stand-ins);
+  queries probe their n_probe nearest; equi-join on the cell id.
+  Better than LSH when the corpus clusters.
 * ``knn_rp`` — Johnson–Lindenstrauss random-projection screen (round
   7): cheaper per-pair dots at large query counts, exact re-rank.
 * ``pq_train`` / ``pq_encode`` / ``knn_pq`` — product quantization
   (round 7): 8-byte codes + per-query LUT make the screen read 30×
   less and cost n_subspaces lookups per pair.
-* ``knn_ivfpq`` — the composed index (round 7): IVF prunes WHICH
-  vectors score, PQ shrinks WHAT the scoring reads — the
-  billion-vector architecture.
+* ``knn_ivfpq`` — the composed index (round 7; residual encoding round
+  8): trained IVF cells prune WHICH vectors score, PQ codes over the
+  RESIDUALS ``v − c(cell)`` shrink WHAT the scoring reads — the
+  billion-vector architecture, Jégou-standard composition.
 * ``embedding_neardup_pairs`` — the dedup flavor: all pairs above a
   high cosine threshold, LSH-bucketed candidates + exact verify.
 
@@ -405,21 +407,28 @@ def knn_ivf(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    coarse_iters: int = 2,
+    coarse_quantize: int | None = 6,
 ) -> DataFrame:
     """IVF-style approximate kNN: coarse quantize, probe, re-rank.
 
-    The inverted-file pattern: (1) pick ``n_centroids`` coarse
-    centroids — here the lowest-id corpus vectors, a deterministic
-    stand-in for a k-means fit (the centroid TABLE is the trained
-    model; swapping in real k-means changes recall, not the plan);
-    (2) assign every corpus vector to its nearest centroid (argmin over
-    literal centroid arrays — pure projection, no shuffle); (3) assign
-    each query to its ``n_probe`` nearest centroids (explode);
-    (4) equi-join on the centroid id and re-rank exactly.
+    The inverted-file pattern: (1) train ``n_centroids`` coarse
+    centroids with the bit-replayable k-means (``kmeans_fit``, tol=0,
+    quantized updates — round 8; rounds ≤7 used the lowest-id corpus
+    vectors as a stand-in, which cost recall because raw data points
+    make lousy cell centers), or pass a pre-trained model via
+    ``centroids``; (2) assign every corpus vector to its nearest
+    centroid (argmin over literal centroid arrays — pure projection,
+    no shuffle); (3) assign each query to its ``n_probe`` nearest
+    centroids (explode); (4) equi-join on the centroid id and re-rank
+    exactly.
 
-    The centroid fetch is a driver-side collect of ``n_centroids`` rows
-    — a bounded model artifact (like broadcasting a k-means model),
-    never a data collect.
+    The model is a driver-side artifact of ``n_centroids`` rows (like
+    broadcasting a k-means model), never a data collect; each training
+    iteration shuffles only k×dim partial sums per partition. With
+    ``coarse_iters=0`` the fit returns its init — the k lowest-id
+    vectors, i.e. the pre-round-8 behavior.
     """
     # invalid vectors excluded at entry (vec_is_valid): before round 6
     # they were only excluded IMPLICITLY (NULL cluster keys drop out of
@@ -427,10 +436,10 @@ def knn_ivf(
     # argmin cid engine-dependent.
     corpus = corpus.filter(vec_is_valid(F.col(vec_col)))
     queries = queries.filter(vec_is_valid(F.col(vec_col)))
-    cent_rows = (
-        corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    cents = centroids if centroids is not None else kmeans_fit(
+        corpus, k=n_centroids, max_iter=coarse_iters, vec_col=vec_col,
+        id_col=id_col, tol=0.0, quantize=coarse_quantize,
     )
-    cents = [[float(x) for x in row[vec_col]] for row in cent_rows]
     if not cents:  # empty corpus: no index cells, no neighbors
         return corpus.select(
             F.col(id_col).alias("query_id"),
@@ -1287,6 +1296,69 @@ def knn_pq(
     )
 
 
+def _residual_frame(
+    corpus_f: DataFrame,
+    cents: list[list[float]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, cluster, vec_col=residual) — every valid vector minus its
+    nearest coarse centroid. Map-only (argmin over the centroid
+    literal + one zip_with); float64 subtraction is exact IEEE, so
+    residuals — and everything trained or encoded on them — replay
+    bit-for-bit in the SQL twins."""
+    cent_lit = F.lit([[float(x) for x in c] for c in cents])
+    return corpus_f.select(
+        F.col(id_col),
+        F.array_sort(_centroid_dist_pairs(F.col(vec_col), cents))[0][
+            "cid"
+        ].alias("cluster"),
+        _dvec(F.col(vec_col)).alias("_v"),
+    ).select(
+        id_col,
+        "cluster",
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(cent_lit, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        ).alias(vec_col),
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    coarse_iters: int = 2,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 2,
+    quantize: int | None = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVF-PQ model pair: (coarse centroids, RESIDUAL
+    codebooks). The coarse quantizer is the bit-replayable k-means;
+    the PQ codebooks are then fit on ``v − c(cell)`` residuals (Jégou
+    composition — the codebooks only make sense against the centroids
+    they were trained with, so train and cache them TOGETHER).
+    The residual frame is localCheckpoint'd so the 8 per-subspace fits
+    don't re-run the assignment argmin per training scan."""
+    corpus_f = corpus.filter(vec_is_valid(F.col(vec_col)))
+    cents = kmeans_fit(
+        corpus_f, k=n_centroids, max_iter=coarse_iters, vec_col=vec_col,
+        id_col=id_col, tol=0.0, quantize=quantize,
+    )
+    if not cents:
+        return [], []
+    resid = _residual_frame(corpus_f, cents, vec_col, id_col)
+    books = pq_train(
+        resid.localCheckpoint(eager=False), dim, n_subspaces, n_codes,
+        max_iter, vec_col=vec_col, id_col=id_col, quantize=quantize,
+    )
+    return cents, books
+
+
 def knn_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1302,36 +1374,46 @@ def knn_ivfpq(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    coarse_iters: int = 2,
 ) -> DataFrame:
     """IVF-PQ: inverted-file cells prune WHICH vectors are scored, PQ
     codes shrink WHAT the scoring reads — composed exactly as the
-    billion-scale ANN indexes compose them (coarse quantizer + product
-    codes; this variant encodes raw vectors, not residuals — the
-    residual refinement is a documented simplification, not a
-    structural difference).
+    billion-scale ANN indexes compose them (Jégou et al. 2011):
+    a TRAINED coarse quantizer (the bit-replayable ``kmeans_fit``,
+    round 8 — pass a model via ``centroids`` to skip training) and
+    product codes over RESIDUALS ``v − c(cell)`` rather than raw
+    vectors (round 8 — residuals concentrate near zero with far less
+    variance than the raw space, so the same code budget quantizes
+    them much more finely; this is the standard composition, and the
+    raw-vector variant of rounds ≤7 is gone).
 
-    Per query: probe the ``n_probe`` nearest of ``n_centroids`` coarse
-    cells (the deterministic lowest-id cell vectors knn_ivf uses), ADC-
-    score ONLY those cells' members from their 8-byte codes via the
-    per-query LUT, keep ``n_candidates``, exact re-rank. A (query,
+    Per query: probe the ``n_probe`` nearest coarse cells; for EACH
+    probed cell compute the query's residual against that cell's
+    centroid and its ADC lookup table (the LUT is per (query, cell)
+    now — n_probe LUTs per query, each n_subspaces × n_codes folds,
+    still a map-side projection below the explode); ADC-score only
+    that cell's members from their 8-byte codes; keep
+    ``n_candidates``; exact re-rank on the true vectors. A (query,
     neighbor) pair can appear at most once — a neighbor lives in
     exactly one cell — so the probe join needs no dedup aggregate.
-    Everything (cells, codebooks, codes, LUT, both rankings) is
-    engine-deterministic; the DuckDB oracle replays the full pipeline.
+    ``codebooks``, when passed, must be RESIDUAL codebooks trained
+    against the same ``centroids`` (the registry memoizes the pair
+    together). Everything (cells, residuals, codebooks, codes, LUTs,
+    both rankings) is engine-deterministic; the DuckDB oracle replays
+    the full pipeline including the residual arithmetic.
     """
     corpus_f = corpus.filter(vec_is_valid(F.col(vec_col)))
     queries_f = queries.filter(vec_is_valid(F.col(vec_col)))
-    cent_rows = (
-        corpus_f.orderBy(id_col)
-        .limit(n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
-    books = codebooks if codebooks is not None else pq_train(
-        corpus, dim, n_subspaces, n_codes, max_iter,
-        vec_col=vec_col, id_col=id_col, quantize=quantize,
-    )
+    if centroids is None or codebooks is None:
+        cents, books = ivfpq_train(
+            corpus_f, dim, n_centroids=n_centroids,
+            coarse_iters=coarse_iters, n_subspaces=n_subspaces,
+            n_codes=n_codes, max_iter=max_iter, quantize=quantize,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        cents, books = centroids, codebooks
     if not cents or not books or not books[0]:
         return corpus.select(
             F.col(id_col).alias("query_id"),
@@ -1340,29 +1422,43 @@ def knn_ivfpq(
             F.lit(0).cast("int").alias("rank"),
         ).filter(F.lit(False))
     sub = dim // n_subspaces
+    cent_lit = F.lit([[float(x) for x in c] for c in cents])
 
     def dist_pairs(vec) -> F.Column:
         return _centroid_dist_pairs(vec, cents)
 
-    c = pq_encode(_fan_out(corpus), books, dim, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        "pq_codes",
-        F.array_sort(dist_pairs(F.col(vec_col)))[0]["cid"].alias("cluster"),
-    )
-    # LUT below the probe explode (ExtractGenerator would otherwise
-    # recompute the 128-fold LUT once per probed cell)
+    resid = _residual_frame(corpus_f, cents, vec_col, id_col)
+    c = pq_encode(
+        _fan_out(resid), books, dim, vec_col=vec_col
+    ).select(F.col(id_col).alias("neighbor_id"), "pq_codes", "cluster")
+    # the per-(query, probed-cell) residual LUT lives in its OWN select
+    # BELOW the explode (ExtractGenerator would otherwise recompute it
+    # per generated row, and it must see the probed cell id anyway)
     q0 = queries_f.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _pq_lut(F.col(vec_col), books, sub).alias("lut"),
+        _dvec(F.col(vec_col)).alias("_qv"),
     )
     q = q0.select(
         "query_id",
-        "lut",
+        "_qv",
         F.explode(
             F.slice(F.array_sort(dist_pairs(F.col("_qv"))), 1, n_probe)
         ).alias("p"),
-    ).select("query_id", "lut", F.col("p.cid").alias("cluster"))
+    ).select(
+        "query_id", "_qv", F.col("p.cid").alias("cluster")
+    ).select(
+        "query_id",
+        "cluster",
+        _pq_lut(
+            F.zip_with(
+                F.col("_qv"),
+                F.element_at(cent_lit, F.col("cluster") + 1),
+                lambda a, b: a - b,
+            ),
+            books,
+            sub,
+        ).alias("lut"),
+    )
     adc = F.round(
         F.aggregate(
             F.zip_with(

@@ -299,9 +299,15 @@ def probe_bloom_10m(spark, docs=10_000_000):
 
 
 def probe_pii_1m(spark, docs=1_000_000):
-    """PII scan throughput at 20x the bench corpus: four regexp_count
-    passes + the masking chain, map-only, zero shuffles — the regex
-    engine cost per row IS the whole cost, so this row pins it."""
+    """PII scan throughput at 20x the bench corpus, SIX classes since
+    round 7 (emails/ipv4/phones/digit_runs + Luhn cards + mod-97
+    IBANs): six count passes + the checksum-interleaved masking chain,
+    map-only, zero shuffles — the regex+fold cost per row IS the whole
+    cost, so this row pins it. Every 7th doc carries a contact block,
+    every 11th a Luhn-valid card + valid IBAN (the checksum folds must
+    run, not just the empty-candidate fast path), and the final agg
+    consumes ALL count columns (Catalyst would prune unconsumed ones
+    and the probe would measure a 4-class scan)."""
     from big_data_in_agriculture_spark.operators.llm import pii_scan
 
     words = F.transform(
@@ -310,23 +316,30 @@ def probe_pii_1m(spark, docs=1_000_000):
             F.lit("tok"), (F.xxhash64(F.col("id"), i) % 2000).cast("string")
         ),
     )
+    base = F.array_join(words, " ")
+    with_contact = F.concat(
+        base,
+        F.lit(" contact user"), F.col("id").cast("string"),
+        F.lit("@example.com ip 10.0.0."),
+        (F.col("id") % 256).cast("string"),
+        F.lit(" tel 555-123-4567 acct 123456789"),
+    )
+    with_bank = F.concat(
+        base,
+        F.lit(" card 4111 1111 1111 1111 iban GB82WEST12345698765432 ref 9"),
+    )
     df = spark.range(docs).select(
         F.col("id").alias("doc_id"),
-        F.when(
-            F.col("id") % 7 == 0,
-            F.concat(
-                F.array_join(words, " "),
-                F.lit(" contact user"), F.col("id").cast("string"),
-                F.lit("@example.com ip 10.0.0."),
-                (F.col("id") % 256).cast("string"),
-                F.lit(" tel 555-123-4567 acct 123456789"),
-            ),
-        ).otherwise(F.array_join(words, " ")).alias("text"),
+        F.when(F.col("id") % 7 == 0, with_contact)
+        .when(F.col("id") % 11 == 0, with_bank)
+        .otherwise(base)
+        .alias("text"),
     )
     out = pii_scan(df)
     return out.agg(
         F.sum("n_emails"), F.sum("n_ipv4"), F.sum("n_phones"),
-        F.sum("n_digit_runs"), F.sum(F.length("masked")),
+        F.sum("n_digit_runs"), F.sum("n_cards"), F.sum("n_ibans"),
+        F.sum(F.length("masked")),
     )
 
 

@@ -126,7 +126,9 @@ def test_ann_recall_on_planted_neighbors(spark):
 
     for approx_df, floor in [
         (knn_lsh(corpus, queries, dim=64, k=k, num_tables=8, num_bits=8), 0.8),
-        (knn_ivf(corpus, queries, k=k, n_centroids=8, n_probe=3), 0.6),
+        # round 8: trained coarse centroids (kmeans_fit) lifted the
+        # floor 0.6 -> 0.8 (measured 1.0 on this corpus)
+        (knn_ivf(corpus, queries, k=k, n_centroids=8, n_probe=3), 0.8),
         # planted cos≈0.999 neighbors survive any JL projection — the
         # projected cosine of near-identical vectors stays near 1
         (knn_rp(corpus, queries, dim=64, k=k, out_dim=32,
@@ -134,9 +136,11 @@ def test_ann_recall_on_planted_neighbors(spark):
         # near-identical vectors land in (almost) the same code word
         # per subspace, so their ADC distance is near the minimum
         (knn_pq(corpus, queries, dim=64, k=k, n_candidates=50), 0.8),
-        # near-identical vectors share a coarse cell AND a code word
+        # near-identical vectors share a coarse cell AND a code word;
+        # round 8: trained cells + residual codes, floor 0.6 -> 0.8
+        # (measured 1.0 on this corpus)
         (knn_ivfpq(corpus, queries, dim=64, k=k, n_centroids=8,
-                   n_probe=3, n_candidates=50), 0.6),
+                   n_probe=3, n_candidates=50), 0.8),
     ]:
         got = found(approx_df)
         recalls = [
