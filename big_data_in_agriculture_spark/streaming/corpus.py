@@ -370,8 +370,121 @@ def _bloom_dir(sink_path: str, m_bits: int) -> str:
     different m values are incompatible bit spaces — folding them
     together would set wrong bits (false rejections in strict=False)
     — so each m gets its own delta lineage and a rebuild SWITCHES
-    directories rather than mixing them."""
+    directories rather than mixing them.
+
+    LAYOUT HISTORY: before the m-versioning (round 7) deltas lived
+    DIRECTLY under ``{sink}/_bloom/``. A sink written with that layout
+    is rejected by the gate (``_reject_legacy_bloom_layout``) instead
+    of silently treated as empty — which would re-admit every
+    historical fingerprint without any error."""
     return f"{sink_path}/_bloom/m={m_bits}"
+
+
+#: completion marker rebuild_bloom drops at the new filter dir's root
+#: strictly after the -1 publish job returns — the discovery signal
+#: current_bloom_m keys on (dynamic-overwrite jobs commit no _SUCCESS)
+_REBUILT_MARKER = "_REBUILT"
+
+
+def _reject_legacy_bloom_layout(spark: SparkSession, sink_path: str) -> None:
+    """Raise if ``_batch_id=*`` partitions sit DIRECTLY under
+    ``{sink}/_bloom/`` — the pre-m-versioning layout. Reading such a
+    sink with the current layout returns None history (deltas
+    orphaned), so previously admitted fingerprints would be silently
+    re-admitted; compact_bloom/bloom_sink_stats at any m would no-op.
+    The caller must migrate (move the deltas into ``_bloom/m=<their
+    m_bits>/``) or rebuild via ``rebuild_bloom``. One listStatus per
+    call — cheap enough to run per micro-batch."""
+    jvm = spark._jvm
+    bpath = jvm.org.apache.hadoop.fs.Path(f"{sink_path}/_bloom")
+    fs = bpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(bpath):
+        return
+    legacy = [
+        status.getPath().getName()
+        for status in fs.listStatus(bpath)
+        if status.isDirectory()
+        and status.getPath().getName().startswith("_batch_id=")
+    ]
+    if legacy:
+        raise RuntimeError(
+            f"bloom sink {sink_path!r} uses the legacy un-versioned "
+            f"filter layout ({len(legacy)} _batch_id=* partitions "
+            "directly under _bloom/) — migrate them into "
+            "_bloom/m=<m_bits>/ (they are orphaned under the current "
+            "layout, and ignoring them would re-admit all history)"
+        )
+
+
+def current_bloom_m(spark: SparkSession, sink_path: str) -> int | None:
+    """Discover the LIVE filter size of a bloom-gate sink.
+
+    ``rebuild_bloom`` publishes the new filter into ``_bloom/m=<new>/``
+    BEFORE deleting ``_bloom/m=<old>/``, so a crash between the two
+    leaves both directories on disk; until round 8 the caller had to
+    carry ``m_bits`` out-of-band and could disagree with a completed
+    rebuild. Resolution rule, deterministic at every crash point:
+
+    * no ``_bloom`` dir / no ``m=`` subdirs → ``None`` (fresh sink —
+      caller picks its design m);
+    * exactly one ``m=`` dir → that m (the running stream's);
+    * several → prefer dirs carrying the ``_REBUILT`` marker, newest
+      marker first (``rebuild_bloom`` writes it strictly AFTER the new
+      filter's publish job returns and BEFORE the old dir retires, so
+      a marked dir is a complete rebuild; parquet's dynamic-overwrite
+      commit leaves no ``_SUCCESS``, hence the explicit marker). A
+      crash anywhere before the marker — mid-publish or between
+      publish and marker — leaves the new dir unmarked, and discovery
+      stays on the old filter: among unmarked dirs, exactly one with a
+      live stream lineage (any ``_batch_id=<n≥0>`` partition) wins;
+      an unmarked dir holding only ``-1`` is a crashed rebuild and is
+      never chosen (the rebuild is simply re-run). Anything else is
+      not a state this lifecycle produces → raise.
+
+    Kill-injected like the rest of the lifecycle
+    (tests/test_streaming_corpus.py)."""
+    _reject_legacy_bloom_layout(spark, sink_path)
+    jvm = spark._jvm
+    bpath = jvm.org.apache.hadoop.fs.Path(f"{sink_path}/_bloom")
+    fs = bpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(bpath):
+        return None
+    mdirs = [
+        status.getPath()
+        for status in fs.listStatus(bpath)
+        if status.isDirectory() and status.getPath().getName().startswith("m=")
+    ]
+    if not mdirs:
+        return None
+    if len(mdirs) == 1:
+        return int(mdirs[0].getName()[2:])
+    marked = []  # (marker mtime, m)
+    for mpath in mdirs:
+        marker = jvm.org.apache.hadoop.fs.Path(mpath, _REBUILT_MARKER)
+        if fs.exists(marker):
+            marked.append(
+                (fs.getFileStatus(marker).getModificationTime(),
+                 int(mpath.getName()[2:]))
+            )
+    if marked:
+        return max(marked)[1]
+    live = [
+        p for p in mdirs
+        if any(
+            status.isDirectory()
+            and status.getPath().getName().startswith("_batch_id=")
+            and not status.getPath().getName().endswith("=-1")
+            for status in fs.listStatus(p)
+        )
+    ]
+    if len(live) == 1:
+        return int(live[0].getName()[2:])
+    raise RuntimeError(
+        f"bloom sink {sink_path!r} has multiple filter directories "
+        f"({sorted(p.getName() for p in mdirs)}) and none resolves to "
+        "a completed rebuild or a unique live stream lineage — not a "
+        "crash state the rebuild lifecycle produces; inspect the sink"
+    )
 
 
 def _publish_bloom_words(df: DataFrame, path: str, epoch_id: int) -> None:
@@ -469,6 +582,9 @@ def admit_batch_bloom(
     from ..operators.profile import bloom_build, bloom_probe
 
     spark = batch.sparkSession
+    # a sink written before the m-versioned layout must fail loudly,
+    # not read as empty history (ADVICE round 7)
+    _reject_legacy_bloom_layout(spark, sink_path)
     fp = batch.withColumn("fingerprint", TX.fingerprint("text"))
     in_batch = (
         fp.withColumn(
@@ -784,6 +900,11 @@ def rebuild_bloom(
         m_bits_new,
         k_hashes,
     ).withColumn("_batch_id", F.lit(-1))
-    _publish_rebuilt_bloom(words, _bloom_dir(sink_path, m_bits_new))
+    new_dir = _bloom_dir(sink_path, m_bits_new)
+    _publish_rebuilt_bloom(words, new_dir)
+    # completion marker strictly after the publish job returns: the
+    # signal current_bloom_m resolves the swap window on (step 2.5)
+    marker = jvm.org.apache.hadoop.fs.Path(f"{new_dir}/{_REBUILT_MARKER}")
+    fs.create(marker, True).close()
     # retire the old filter only after the new one is fully published
     fs.delete(jvm.org.apache.hadoop.fs.Path(old_dir), True)

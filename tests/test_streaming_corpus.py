@@ -696,3 +696,91 @@ def test_bloom_rebuild_excludes_uncommitted_docs(
     ).awaitTermination(120)
     docs = spark.read.parquet(sink + "/docs").collect()
     assert sorted(r["doc_id"] for r in docs) == [1, 2, 3]  # nothing lost
+
+
+def test_current_bloom_m_discovery_across_lifecycle(
+    spark, tmp_path, monkeypatch
+):
+    """current_bloom_m closes the caller/rebuild disagreement window:
+    fresh sink -> None; running stream -> its m; crash INSIDE the
+    publish seam (new dir on disk, _REBUILT marker never written) ->
+    still the OLD m (the old filter is intact and the rebuild is
+    simply re-run); completed rebuild -> the new m, which drives a
+    working gate; a SECOND rebuild -> newest marker wins."""
+    import pytest as _pytest
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    m_small, m_big, m_mid = 64, 1 << 16, 4096
+
+    assert corpus.current_bloom_m(spark, sink) is None  # fresh sink
+
+    _land(spark, str(land / "b0"), [(1, "alpha beta"), (2, "gamma delta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA, m_bits=m_small
+    ).awaitTermination(120)
+    assert corpus.current_bloom_m(spark, sink) == m_small
+
+    # kill in the publish seam: the new dir exists (unmarked -1), the
+    # _REBUILT marker was never written -- discovery must stay on the
+    # old, intact filter
+    real = corpus._publish_rebuilt_bloom
+
+    def crash_after_publish(words, new_dir):
+        real(words, new_dir)
+        raise RuntimeError("injected crash after rebuilt-filter publish")
+
+    monkeypatch.setattr(corpus, "_publish_rebuilt_bloom", crash_after_publish)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        corpus.rebuild_bloom(spark, sink, m_small, m_big, checkpoint_path=chk)
+    assert corpus.current_bloom_m(spark, sink) == m_small
+
+    # re-run completes publish + marker + retire
+    monkeypatch.setattr(corpus, "_publish_rebuilt_bloom", real)
+    corpus.rebuild_bloom(spark, sink, m_small, m_big, checkpoint_path=chk)
+    assert corpus.current_bloom_m(spark, sink) == m_big
+
+    # the discovered m drives a working gate (strict=False: decisions
+    # come purely from the rebuilt filter)
+    _land(spark, str(land / "b1"),
+          [(3, "alpha beta"), (4, "epsilon zeta")])
+    corpus.start_bloom_ingest(
+        spark, str(land) + "/*", sink, chk, DOC_SCHEMA,
+        m_bits=corpus.current_bloom_m(spark, sink), strict=False,
+    ).awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(sink + "/docs").collect()}
+    assert got == {1, 2, 4}
+
+    # second rebuild, crash again before retire: BOTH dirs now carry a
+    # marker and the NEWEST marker (the m_mid rebuild) must win
+    monkeypatch.setattr(corpus, "_publish_rebuilt_bloom", crash_after_publish)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        corpus.rebuild_bloom(spark, sink, m_big, m_mid, checkpoint_path=chk)
+    assert corpus.current_bloom_m(spark, sink) == m_big  # marker not written
+    monkeypatch.setattr(corpus, "_publish_rebuilt_bloom", real)
+    corpus.rebuild_bloom(spark, sink, m_big, m_mid, checkpoint_path=chk)
+    assert corpus.current_bloom_m(spark, sink) == m_mid
+
+
+def test_bloom_gate_rejects_legacy_unversioned_layout(spark, tmp_path):
+    """A sink written before the m-versioned layout (_batch_id=*
+    directly under _bloom/) must fail loudly at the gate and at
+    discovery — silently reading it as empty history would re-admit
+    every historical fingerprint."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    sink = str(tmp_path / "sink")
+    # forge the legacy layout: one delta partition directly in _bloom/
+    spark.range(3).select(
+        F.col("id").alias("word_idx"), F.lit(7).alias("bits"),
+        F.lit(0).alias("_batch_id"),
+    ).write.partitionBy("_batch_id").parquet(sink + "/_bloom")
+
+    with _pytest.raises(RuntimeError, match="legacy"):
+        corpus.current_bloom_m(spark, sink)
+    batch = spark.createDataFrame([(1, "alpha beta")], DOC_SCHEMA)
+    with _pytest.raises(RuntimeError, match="legacy"):
+        corpus.admit_batch_bloom(batch, sink, 0, m_bits=64)
