@@ -5787,9 +5787,11 @@ def _iban_cands_sql(e: str) -> str:
 def _pii_mask_sql(expr: str) -> str:
     """Replay of TX.mask_pii over expr, in its exact pass order:
     emails, ipv4, then the checksum classes (IBANs, cards) folded
-    over the text with literal replace() in positional match order —
-    identical in Java regex and RE2, so the fold is deterministic
-    cross-engine — then phones and digit runs."""
+    over the text with a \\b-anchored regexp_replace per candidate
+    (round 8 — same boundaries the extraction saw; a candidate
+    embedded in a longer digit run is left for digit_runs) in
+    positional match order — identical in Java regex and RE2, so the
+    fold is deterministic cross-engine — then phones and digit runs."""
     from big_data_in_agriculture_spark.functions.text import PII_PATTERNS
 
     out = expr
@@ -5797,11 +5799,13 @@ def _pii_mask_sql(expr: str) -> str:
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     out = (
         f"list_reduce(list_prepend({out}, {_iban_cands_sql(out)}), "
-        "(acc, x) -> replace(acc, x, '<IBAN>'))"
+        "(acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', "
+        "'<IBAN>', 'g'))"
     )
     out = (
         f"list_reduce(list_prepend({out}, {_card_cands_sql(out)}), "
-        "(acc, x) -> replace(acc, x, '<CARD>'))"
+        "(acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', "
+        "'<CARD>', 'g'))"
     )
     for _, pat, rep in PII_PATTERNS[2:]:  # phones, digit_runs
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"

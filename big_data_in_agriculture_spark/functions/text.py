@@ -552,6 +552,20 @@ def iban_valid(s: Column) -> Column:
     return acc == 1
 
 
+def _bounded_literal(x: Column) -> Column:
+    """``\\b<candidate>\\b`` as a per-row regex pattern: masking must
+    replace a validated candidate only where it sits at the SAME word
+    boundaries the extraction saw. A bare literal replace also hit the
+    candidate as a SUBSTRING of a longer digit run elsewhere in the
+    doc (round-8 ADVICE: '904111111111111111' became '90<CARD>11',
+    leaving residue the digit_runs pass no longer matched). Candidate
+    values come from the card/IBAN patterns — digits, A-Z, space,
+    hyphen — so no regex metacharacter escaping is needed, and ``\\b``
+    means ASCII-word boundary in BOTH Java (default, no
+    UNICODE_CHARACTER_CLASS) and RE2."""
+    return F.concat(F.lit("\\b"), x, F.lit("\\b"))
+
+
 def _card_candidates(c: Column) -> Column:
     """Luhn-valid card matches in the text (separator-stripped form is
     validated; the literal match is what masking removes). Kept in
@@ -596,9 +610,12 @@ def mask_pii(text: Column | str) -> Column:
     (IBANs, cards) BEFORE the plain digit patterns — a bare 16-digit
     card is also a ``digit_runs`` match, and masking it as <NUM>
     first would hide it from the Luhn gate. Checksum masking folds
-    the validated candidate list over the text with literal
-    ``replace`` (candidates are digit/separator literals — no regex
-    metacharacters), which replays in DuckDB as a list_reduce;
+    the validated candidate list over the text with a
+    ``\\b``-anchored ``regexp_replace`` per candidate (round 8 — the
+    same boundaries the extraction saw, so a candidate appearing as a
+    SUBSTRING of a longer digit run elsewhere is left alone; see
+    :func:`_bounded_literal`), which replays in DuckDB as a
+    list_reduce of the identical regexp_replace;
     checksum-INVALID candidates are deliberately left for the later
     generic patterns (an invalid bare run still masks as <NUM>; an
     invalid grouped run stays, as a scanner should leave non-PII).
@@ -615,14 +632,18 @@ def mask_pii(text: Column | str) -> Column:
         c,
         lambda t: F.aggregate(
             _iban_candidates(t), t,
-            lambda acc, x: F.replace(acc, x, F.lit("<IBAN>")),
+            lambda acc, x: F.regexp_replace(
+                acc, _bounded_literal(x), F.lit("<IBAN>")
+            ),
         ),
     )
     c = _let_array(
         c,
         lambda t: F.aggregate(
             _card_candidates(t), t,
-            lambda acc, x: F.replace(acc, x, F.lit("<CARD>")),
+            lambda acc, x: F.regexp_replace(
+                acc, _bounded_literal(x), F.lit("<CARD>")
+            ),
         ),
     )
     for _, pat, rep in regex_tail:  # phones, digit_runs

@@ -1075,6 +1075,21 @@ class TestPiiScan:
         assert out[2]["n_cards"] == 1  # 15-digit amex, bare form
         assert out[2]["masked"] == "amex <CARD> ok"
 
+    def test_card_embedded_in_longer_run_left_for_digit_pass(self, spark):
+        # round-8 ADVICE fix: a Luhn-valid candidate extracted at \b
+        # boundaries must be replaced ONLY at \b boundaries — the old
+        # literal replace also hit it as a SUBSTRING of a longer digit
+        # run ('904111111111111111' -> '90<CARD>11', leaving residue
+        # the digit_runs pass then missed). The long run is not a card
+        # (19+ digits / no boundary match there) and must mask whole
+        # as <NUM>; the standalone card still masks as <CARD>.
+        out = self._scan(spark, [
+            (0, "pay 4111111111111111 ref 904111111111111111 end"),
+        ])
+        r = out[0]
+        assert r["n_cards"] == 1
+        assert r["masked"] == "pay <CARD> ref <NUM> end"
+
     def test_ibans_mod97_gated(self, spark):
         out = self._scan(spark, [
             (0, "send to DE89370400440532013000 or GB82WEST12345698765432"),
