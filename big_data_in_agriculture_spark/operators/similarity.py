@@ -1427,7 +1427,16 @@ def knn_ivfpq(
     def dist_pairs(vec) -> F.Column:
         return _centroid_dist_pairs(vec, cents)
 
-    resid = _residual_frame(corpus_f, cents, vec_col, id_col)
+    # barrier the residual frame before encoding: interpreted HOFs have
+    # no CSE and CollapseProject would inline the residual expression —
+    # which embeds the n_centroids-wide coarse argmin — into every one
+    # of the n_subspaces × n_codes encode distances (128× recompute per
+    # row at the default geometry; A/B'd ~10% at bench scale, and the
+    # ratio grows with n_centroids). Materializing residuals once is
+    # also the production IVF-PQ shape (encode once, persist codes).
+    resid = _residual_frame(corpus_f, cents, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
     c = pq_encode(
         _fan_out(resid), books, dim, vec_col=vec_col
     ).select(F.col(id_col).alias("neighbor_id"), "pq_codes", "cluster")
