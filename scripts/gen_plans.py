@@ -29,7 +29,7 @@ PICKS = [
     ("domain_cap_sample", "Per-domain cap (round-7 op): canonicalization + registered-domain extraction are codegen'd string expressions in the scan projection; ONE Window operator — Catalyst's rank-limit pushdown plants a partial WindowGroupLimit BELOW the exchange, so a hot domain ships at most cap rows per map partition (a hand-salted two-level top-N measured a dead tie at 10M rows/30%-hot and was rejected; the WindowGroupLimit-below-exchange shape is pinned by tests/test_web.py)."),
     ("knn_rp", "Random-projection ANN (round-7 op): the JL sign matrix is a nested literal inside ONE map-side projection (no exchange to build it); the projected-space screen emits THIN (id, id, proj_sim) rows into the top-C window (WindowGroupLimit sorts them map-side — hauling the full vectors through that sort measured 1.6x slower than brute force), and the exact 64-wide cosine runs only on the Q x C survivors after broadcast joins fetch their vectors back by id. Casts and norms are hoisted below every join: the per-pair work is one dot."),
     ("knn_pq", "Product-quantization ANN (round-7 op): encode is a map-only projection (argmin per subspace against nested codebook literals - zero exchanges, 64 floats to 8 small ints per row); the query side carries a per-row LUT so the ADC screen is 8 array lookups per pair over THIN rows; exact cosine only on the Q x C survivors after id join-back."),
-    ("knn_ivfpq", "IVF-PQ composed index (round-7 op): cell assignment AND code encoding are one map-only projection over the corpus scan; the probe join scores only the probed cells members via 8 LUT lookups per pair on thin rows; exact cosine after id join-back on Q x C survivors."),
+    ("knn_ivfpq", "IVF-PQ composed index (round-7 op; round-8: kmeans-trained cells + RESIDUAL codes): residuals v - c(cell) materialize once behind a localCheckpoint barrier (CollapseProject would otherwise inline the coarse argmin into all 128 encode distances per row — measured ~10%), encoding is a map-only projection over that checkpoint; the probe join scores only the probed cells' members via 8 LUT lookups per pair on thin rows, with the per-(query, cell) residual LUT computed below the explode; exact cosine after id join-back on Q x C survivors."),
 ]
 
 out = ["# PLANS — formatted physical plans of representative queries",

@@ -1172,8 +1172,51 @@ def probe_knn_pq(spark, n=300_000, queries=200):
     )
 
 
+_IVFPQ_PROBE_MODEL: dict[int, tuple] = {}
+
+
+def probe_ivfpq_train(spark, n=300_000):
+    """IVF-PQ model training alone (round 8): coarse kmeans (16 cells,
+    2 quantized iterations) + residual construction + 8 residual-slice
+    codebook fits. One-time / per-refresh cost, sample-bounded at
+    crawl scale like pq_train; the (centroids, books) pair is cached
+    for probe_knn_ivfpq (the production shape)."""
+    from big_data_in_agriculture_spark.operators.similarity import ivfpq_train
+
+    emb = _pq_probe_emb(spark, n)
+    cents, books = ivfpq_train(emb, dim=64, n_centroids=16, coarse_iters=2)
+    _IVFPQ_PROBE_MODEL[n] = (cents, books)
+    return spark.range(1).select(
+        F.lit(len(cents) + sum(len(b) for b in books)).alias("n_centroids")
+    )
+
+
+def probe_knn_ivfpq(spark, n=300_000, queries=200):
+    """knn_ivfpq SEARCH at the shared 300k x 200 ANN probe geometry,
+    pre-trained model (run probe_ivfpq_train first; falls back to
+    inline training). Unlike knn_pq's full 60M-pair ADC sweep, the
+    coarse cells prune the scored set to the probed cells' members
+    (~n_probe/n_centroids of the corpus = ~25% at 4/16) BEFORE any
+    per-pair work — the composed index's whole point — and the codes
+    the survivors read are 8 bytes. The per-(query, cell) residual LUT
+    adds n_probe x 128 folds per QUERY (not per pair), noise at any
+    corpus size."""
+    from big_data_in_agriculture_spark.operators.similarity import knn_ivfpq
+
+    emb = _pq_probe_emb(spark, n)
+    q = emb.filter(F.col("vec_id") < queries)
+    cents, books = _IVFPQ_PROBE_MODEL.get(n, (None, None))
+    out = knn_ivfpq(emb, q, dim=64, k=3, n_candidates=50,
+                    centroids=cents, codebooks=books)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cosine_sim").alias("chk")
+    )
+
+
 PROBES["pq_train_300k"] = probe_pq_train
 PROBES["knn_pq_300k"] = probe_knn_pq
+PROBES["ivfpq_train_300k"] = probe_ivfpq_train
+PROBES["knn_ivfpq_300k"] = probe_knn_ivfpq
 
 if __name__ == "__main__":
     sys.exit(main())
