@@ -6813,13 +6813,21 @@ ORDER BY domain, domain_rank
 def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JL random projection 64 -> 16, long form (vec_id, j, comp); the
     # literal sign matrix is similarity._rp_signs — both engines
-    # multiply the identical constants. comp re-rounded to 6 for the
+    # multiply the identical constants. comp re-quantized to 6 for the
     # value hash (the operator keeps 9 internally for downstream use).
+    # BOTH roundings are the explicit half-away op sequence
+    # (_quantize_col / _quantize_sql), NOT engine round: re-rounding a
+    # 9dp-grid double to 6dp hits decimal ties where Spark (shortest
+    # decimal repr, HALF_UP) and DuckDB (binary) disagree — the
+    # round-8 fuzz corpus caught exactly one such component.
     emb = _t(spark, sf_dir, "embeddings")
     p = similarity.random_project(emb, in_dim=64, out_dim=16)
     return (
         p.select("vec_id", F.posexplode("proj").alias("j", "comp"))
-        .select("vec_id", "j", F.round("comp", 6).alias("comp"))
+        .select(
+            "vec_id", "j",
+            similarity._quantize_col(F.col("comp"), 6).alias("comp"),
+        )
         .orderBy("vec_id", "j")
     )
 
@@ -6828,12 +6836,17 @@ def _rp_proj_list_sql(seed: int, out_dim: int, in_dim: int,
                       round_digits: int = 9) -> str:
     """DuckDB list expression: the JL projection of DOUBLE[] column v
     (mirrors similarity.random_project: per-row dots against the same
-    literal matrix, each component rounded BEFORE downstream use)."""
+    literal matrix, each component QUANTIZED — the explicit half-away
+    op sequence, bit-identical to _quantize_col — before downstream
+    use)."""
     rows = similarity._rp_signs(seed, out_dim, in_dim)
     entries = ",\n      ".join(
-        "round(list_dot_product(v, ["
-        + ", ".join(repr(x) for x in row)
-        + f"]::DOUBLE[]), {round_digits})"
+        _quantize_sql(
+            "list_dot_product(v, ["
+            + ", ".join(repr(x) for x in row)
+            + "]::DOUBLE[])",
+            round_digits,
+        )
         for row in rows
     )
     return "[\n      " + entries + "\n    ]"
@@ -6847,7 +6860,7 @@ WITH e AS (
     WHERE {_VALID_VEC}
 ),
 p AS (SELECT vec_id, {proj} AS proj FROM e)
-SELECT vec_id, j::INTEGER AS j, round(proj[j + 1], 6) AS comp
+SELECT vec_id, j::INTEGER AS j, {_quantize_sql("proj[j + 1]", 6)} AS comp
 FROM p, range({out_dim}) t(j)
 ORDER BY vec_id, j
 """

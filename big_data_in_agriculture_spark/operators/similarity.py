@@ -57,6 +57,31 @@ def _dvec(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _quantize_col(col, digits: int) -> F.Column:
+    """Column twin of ``_util.quantize_half_away`` / the oracle's
+    ``_quantize_sql``: round half-AWAY-from-zero via explicit IEEE ops
+    (abs, scale, +0.5, floor, unscale, re-sign) instead of engine
+    ``round``. The engines' rounds disagree at decimal ties through a
+    DIFFERENT mechanism than Python-vs-DuckDB: Spark's round goes
+    through the shortest DECIMAL repr (BigDecimal.valueOf — the double
+    nearest 1.0339485 reads as the exact decimal and HALF_UPs to
+    1.033949) while DuckDB rounds the BINARY double
+    (1.03394849999... → 1.033948). Ties are common precisely when the
+    input is ALREADY on a coarser decimal grid — the round-8 fuzz
+    corpus hit one in rp_project's 9dp→6dp re-round. This op sequence
+    evaluates each step as a correctly-rounded double primitive on
+    both engines, so it is bit-identical by construction. The input is
+    let-bound (transform over a 1-element array) because the body
+    references it three times and interpreted HOFs have no CSE."""
+    scale = float(10 ** digits)
+
+    def _q(d: F.Column) -> F.Column:
+        mag = F.floor(F.abs(d) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+        return F.when(d < 0, -mag).otherwise(mag)
+
+    return F.transform(F.array(col), _q)[0]
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -956,10 +981,14 @@ def random_project(
     Map-only, zero shuffles: the whole sign matrix ships as ONE nested
     array literal and the per-output-dimension dot products run inside
     a single ``transform`` — O(1) plan nodes regardless of ``out_dim``
-    (the ``_centroid_dist_pairs`` trick). Components are rounded to
+    (the ``_centroid_dist_pairs`` trick). Components are quantized to
     ``round_digits`` BEFORE anything downstream consumes them, so an
     engine fold-order ulp can never flip a downstream comparison (the
-    same contract as LSH bucket signs).
+    same contract as LSH bucket signs). Quantization is the explicit
+    half-away op sequence (``_quantize_col``), NOT engine ``round`` —
+    Spark rounds the shortest decimal repr while DuckDB rounds the
+    binary double, and they disagree at decimal ties (round-8 fuzz
+    find).
 
     Invalid vectors (NULL/NaN/Inf components) are excluded at entry
     per the repo-wide vector-operator convention (``vec_is_valid``).
@@ -972,7 +1001,9 @@ def random_project(
     """
     mat = F.lit(_rp_signs(seed, out_dim, in_dim))
     v = _dvec(F.col(vec_col))
-    proj = F.transform(mat, lambda row: F.round(_dot(v, row), round_digits))
+    proj = F.transform(
+        mat, lambda row: _quantize_col(_dot(v, row), round_digits)
+    )
     return df.filter(vec_is_valid(F.col(vec_col))).withColumn(out_col, proj)
 
 
