@@ -7307,6 +7307,108 @@ QUALIFY rank <= {k}
 """
 
 
+def q_lm_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style LM quality signal: stupid-backoff trigram model
+    # trained on the doc_id % 5 != 0 slice, every >= 3-token doc
+    # scored (held-out fifth exercises real backoff/OOV paths).
+    # Per-token log10 scores are integer micros, so the per-doc sums
+    # are bit-exact LONGs on both engines (operators/llm.py
+    # lm_perplexity).
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    return llm.lm_stupid_backoff(docs, train=train).orderBy("doc_id")
+
+
+def _lm_backoff_sql(alpha: str = "0.4") -> str:
+    """DuckDB replay of the full LM pipeline: token lists, the three
+    count tables, the five-way backoff join, the micro-log fold, the
+    LONG sum, and the quantized perplexity. Every DECIMAL-looking
+    constant is CAST to DOUBLE (DuckDB binds bare 0.4 as DECIMAL and
+    0.4*0.4 would be an exact 0.16 instead of the IEEE product).
+    MATERIALIZED keeps the shared token/count frames from being
+    re-inlined per reference."""
+    a = f"CAST({alpha} AS DOUBLE)"
+    ppl = (
+        "power(CAST(10.0 AS DOUBLE), CAST(-logprob_micro AS DOUBLE)"
+        " / (CAST(n_scored AS DOUBLE) * CAST(1000000.0 AS DOUBLE)))"
+    )
+    return f"""
+WITH tr AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+    FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0
+),
+alldocs AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+    FROM documents WHERE text IS NOT NULL
+),
+uni AS MATERIALIZED (
+    SELECT g AS w1, count(*) AS c
+    FROM (SELECT unnest(tk) AS g FROM tr) GROUP BY 1
+),
+bi AS MATERIALIZED (
+    SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS c FROM (
+        SELECT unnest(list_transform(range(2, len(tk) + 1),
+               i -> struct_pack(w1 := tk[i - 1], w2 := tk[i]))) AS g
+        FROM tr
+    ) GROUP BY 1, 2
+),
+tri AS MATERIALIZED (
+    SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, count(*) AS c FROM (
+        SELECT unnest(list_transform(range(3, len(tk) + 1),
+               i -> struct_pack(w1 := tk[i - 2], w2 := tk[i - 1],
+                                w3 := tk[i]))) AS g
+        FROM tr
+    ) GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM uni),
+sc AS MATERIALIZED (
+    SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+        SELECT doc_id, unnest(list_transform(range(3, len(tk) + 1),
+               i -> struct_pack(w1 := tk[i - 2], w2 := tk[i - 1],
+                                w3 := tk[i]))) AS g
+        FROM alldocs
+    )
+),
+scored AS (
+    SELECT sc.doc_id,
+           CASE WHEN coalesce(t.c, 0) > 0 AND coalesce(b12.c, 0) > 0
+                    THEN t.c::DOUBLE / b12.c::DOUBLE
+                WHEN coalesce(b23.c, 0) > 0 AND coalesce(u2.c, 0) > 0
+                    THEN {a} * (b23.c::DOUBLE / u2.c::DOUBLE)
+                WHEN coalesce(u3.c, 0) > 0
+                    THEN {a} * {a} * (u3.c::DOUBLE / CAST(tot.N AS DOUBLE))
+                ELSE {a} * {a}
+                     * (CAST(1.0 AS DOUBLE) / CAST(tot.N AS DOUBLE))
+           END AS s
+    FROM sc
+    LEFT JOIN tri t  ON t.w1 = sc.w1 AND t.w2 = sc.w2 AND t.w3 = sc.w3
+    LEFT JOIN bi b12 ON b12.w1 = sc.w1 AND b12.w2 = sc.w2
+    LEFT JOIN bi b23 ON b23.w1 = sc.w2 AND b23.w2 = sc.w3
+    LEFT JOIN uni u2 ON u2.w1 = sc.w2
+    LEFT JOIN uni u3 ON u3.w1 = sc.w3
+    CROSS JOIN tot
+    WHERE tot.N IS NOT NULL AND tot.N > 0
+),
+micro AS (
+    SELECT doc_id,
+           -CAST(floor(abs(log10(s)) * CAST(1000000.0 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
+    FROM scored
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_scored,
+           CAST(sum(m) AS BIGINT) AS logprob_micro
+    FROM micro GROUP BY doc_id
+)
+SELECT doc_id, n_scored, logprob_micro,
+       CAST({{q4}} AS FLOAT) AS ppl
+FROM agg ORDER BY doc_id
+""".replace("{q4}", _quantize_sql(ppl, 4))
+
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7527,6 +7629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
+        "lm_backoff_ppl": q_lm_backoff_ppl,
     }
 
 
@@ -7718,6 +7821,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_rp": _knn_rp_sql(),
         "knn_pq": _knn_pq_sql(),
         "knn_ivfpq": _knn_ivfpq_sql(),
+        "lm_backoff_ppl": _lm_backoff_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

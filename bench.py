@@ -204,6 +204,8 @@ def main() -> int:
         "knn_rp",
         "knn_pq",
         "knn_ivfpq",
+        # round 8: stupid-backoff trigram LM quality scoring
+        "lm_backoff_ppl",
     ):
         if name not in qs:
             continue

@@ -3382,3 +3382,183 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model perplexity (CCNet-style quality filtering)
+# ---------------------------------------------------------------------------
+
+def _lm_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (double spaces).
+    Same single-space split contract as TX.tokens / the SQL twins."""
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+def _lm_grams(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, w1..wn) — one row per n-gram position (1-based positions
+    n..len). Map-only: the token array is LET-BOUND (TX._let_array —
+    the per-position element_at would otherwise re-split the document
+    per gram, O(len²), the --longdoc trap) and the gram array lives in
+    its own select BELOW the explode (ExtractGenerator re-plans
+    expressions sharing the Generate's select above it). Docs shorter
+    than n tokens emit nothing; sequence() must be guarded because
+    Spark's sequence(3, 2) is the DECREASING [3, 2], not empty."""
+    def build(tk: Column) -> Column:
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(n), F.size(tk)),
+                lambda i: F.struct(*[
+                    F.element_at(tk, i - (n - 1) + j).alias(f"w{j + 1}")
+                    for j in range(n)
+                ]),
+            ),
+        ).otherwise(F.array())
+
+    arr = TX._let_array(_lm_tokens(F.col(text_col)), build)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), arr.alias("_g"))
+        .select(id_col, F.explode("_g").alias("g"))
+        .select(id_col, "g.*")
+    )
+
+
+def _micro_log10(s: Column) -> Column:
+    """log10(s) for s in (0, 1], half-away-rounded at 6 decimals and
+    scaled to integer MICROS (long). Per-token scores become exact
+    integers, so the per-doc total is an order-free bit-exact LONG sum
+    on both engines — no float fold-order anywhere in the aggregate
+    (the kmeans/quantize playbook applied to log-likelihoods). The op
+    sequence is the shared half-away rule: abs, scale, +0.5, floor,
+    negate (log10 of a probability is never positive)."""
+    return -(
+        F.floor(F.abs(F.log10(s)) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+
+
+def lm_stupid_backoff(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document trigram LM perplexity — the CCNet-style quality
+    filter (Wenzek et al. 2020 score with a KenLM; this is the
+    engine-native equivalent with a stupid-backoff trigram model,
+    Brants et al. 2007 — no smoothing hyperparameters, just counts
+    and a fixed backoff discount, which is what makes it exactly
+    replayable in SQL).
+
+    Model = three count tables aggregated from ``train`` (defaults to
+    ``docs``): unigrams, bigrams, trigrams over lowercased whitespace
+    tokens. Score of token w3 after context (w1, w2):
+
+    * c(w1 w2 w3) / c(w1 w2)        when the trigram was seen,
+    * alpha · c(w2 w3) / c(w2)      backing off to the bigram,
+    * alpha² · c(w3) / N            backing off to the unigram,
+    * alpha² · 1 / N                for out-of-vocabulary tokens.
+
+    Every level is a ratio of exact integers, each token's log10 is
+    quantized to integer micros (``_micro_log10``), and the per-doc
+    aggregate is a LONG sum — bit-exact across engines regardless of
+    aggregation order. Output: (id, n_scored, logprob_micro, ppl) for
+    every doc with ≥ 3 tokens, where ppl = 10^(−logprob_micro /
+    (n_scored·1e6)) quantized at 4 decimals. An empty/undefined model
+    (no train rows) yields no output rows rather than a divide-by-zero
+    under ANSI.
+
+    Scale shape: gram construction is map-only (let-bound token
+    arrays); the count tables are groupBy aggregates with map-side
+    partial combine (shuffle rows bounded by distinct grams); scoring
+    is five LEFT equi-joins of the scored grams against the count
+    tables — plain shuffled hash joins on uniformly-hashed gram keys
+    (AQE broadcasts them when the model is small; they are NOT
+    force-broadcast because model size grows with corpus vocabulary —
+    the forced-broadcast audit rule); the total-token count N is the
+    one permitted 1-row broadcast cross join. No collect, no window,
+    no per-row Python.
+    """
+    from .similarity import _quantize_col
+
+    tr = (docs if train is None else train).filter(
+        F.col(text_col).isNotNull()
+    )
+    uni = _lm_grams(tr, 1, text_col, id_col).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bi = _lm_grams(tr, 2, text_col, id_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tri = _lm_grams(tr, 3, text_col, id_col).groupBy(
+        "w1", "w2", "w3"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("_N"))
+
+    sc = _lm_grams(docs, 3, text_col, id_col)
+    joined = (
+        sc.join(tri.withColumnRenamed("c", "c123"), ["w1", "w2", "w3"], "left")
+        .join(
+            bi.select("w1", "w2", F.col("c").alias("c12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w2"), F.col("c").alias("c2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w3"), F.col("c").alias("c3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        # empty model -> no scores (not an ANSI divide-by-zero)
+        .filter(F.col("_N").isNotNull() & (F.col("_N") > 0))
+    )
+    a = F.lit(float(alpha))
+    nd = F.col("_N").cast("double")
+    s = (
+        F.when(
+            (F.col("c123") > 0) & (F.col("c12") > 0),
+            F.col("c123").cast("double") / F.col("c12").cast("double"),
+        )
+        .when(
+            (F.col("c23") > 0) & (F.col("c2") > 0),
+            a * (F.col("c23").cast("double") / F.col("c2").cast("double")),
+        )
+        .when(F.col("c3") > 0, a * a * (F.col("c3").cast("double") / nd))
+        .otherwise(a * a * (F.lit(1.0) / nd))
+    )
+    per_doc = (
+        joined.select(F.col(id_col), _micro_log10(s).alias("_m"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("_m").alias("logprob_micro"),
+        )
+    )
+    ppl = F.pow(
+        F.lit(10.0),
+        (-F.col("logprob_micro")).cast("double")
+        / (F.col("n_scored").cast("double") * F.lit(1e6)),
+    )
+    return per_doc.select(
+        id_col,
+        "n_scored",
+        "logprob_micro",
+        _quantize_col(ppl, 4).cast("float").alias("ppl"),
+    )

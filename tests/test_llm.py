@@ -372,6 +372,75 @@ def test_lm_perplexity_flags_outlier_doc(spark):
     assert out[9] > 2 * out[1]
 
 
+def test_lm_stupid_backoff_hand_computed(spark):
+    import math
+
+    # train = score corpus "a b c" x2: every trigram position (only
+    # i=3: a b c) has c(a b c)=2, c(a b)=2 -> S = 1, log10 = 0, micro
+    # sum 0, n_scored 1, ppl = 10^0 = 1.
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    rows = sorted(llm.lm_stupid_backoff(docs).collect(),
+                  key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["n_scored"] == 1
+        assert r["logprob_micro"] == 0
+        assert abs(r["ppl"] - 1.0) < 1e-6
+
+
+def test_lm_stupid_backoff_levels(spark):
+    import math
+
+    # train: "a b c" + "b d e". scored doc "a b d":
+    #   trigram (a,b,d) unseen; bigram (b,d) seen once, c(b)=2
+    #   -> S = 0.4 * 1/2 = 0.2, log10 = -0.698970
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "b d e")], ["doc_id", "text"]
+    )
+    scored = spark.createDataFrame([(7, "a b d")], ["doc_id", "text"])
+    r = llm.lm_stupid_backoff(scored, train=train).collect()[0]
+    assert r["n_scored"] == 1
+    want = round(math.log10(0.4 * 0.5), 6)
+    assert r["logprob_micro"] == int(round(want * 1e6))
+
+    # scored doc "a b zzz": trigram+bigram unseen, zzz OOV ->
+    # S = 0.16 * 1/N with N = 6 train tokens
+    scored2 = spark.createDataFrame([(8, "a b zzz")], ["doc_id", "text"])
+    r2 = llm.lm_stupid_backoff(scored2, train=train).collect()[0]
+    want2 = round(math.log10(0.16 * (1.0 / 6.0)), 6)
+    assert r2["logprob_micro"] == int(round(want2 * 1e6))
+
+
+def test_lm_stupid_backoff_short_docs_and_empty_model(spark):
+    # docs with < 3 tokens produce no scored positions -> no rows;
+    # an empty model (no train rows) produces no rows at all instead
+    # of an ANSI divide-by-zero
+    docs = spark.createDataFrame(
+        [(1, "just two"), (2, "one"), (3, None)], ["doc_id", "text"]
+    )
+    assert llm.lm_stupid_backoff(docs).collect() == []
+    scored = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    empty_train = docs.filter("doc_id < 0")
+    assert llm.lm_stupid_backoff(scored, train=empty_train).collect() == []
+
+
+def test_lm_stupid_backoff_flags_outlier_doc(spark):
+    # held-out junk scores far worse than in-domain repetition
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(1, 6)],
+        ["doc_id", "text"],
+    )
+    scored = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (9, "zz qq yy ww vv uu")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["ppl"]
+           for r in llm.lm_stupid_backoff(scored, train=train).collect()}
+    assert out[9] > 2 * out[1]
+
+
 # ---------------------------------------------------------------------------
 # Line-level dedup + blocklist
 # ---------------------------------------------------------------------------
