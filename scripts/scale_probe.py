@@ -1213,10 +1213,39 @@ def probe_knn_ivfpq(spark, n=300_000, queries=200):
     )
 
 
+def probe_lm_1m(spark, docs=1_000_000):
+    """Stupid-backoff LM (round 8) at 20x the bench corpus: train the
+    three count tables on 80% of 1M ~20-token docs and score ALL of
+    them. The shuffles are the gram-count groupBys (bounded by
+    distinct grams — the synthetic vocab keeps them honest-sized, as
+    a dedup'd web corpus's token distribution does) and the five
+    backoff joins; everything else is map-only let-bound gram
+    construction. The final agg consumes every output column."""
+    from big_data_in_agriculture_spark.operators.llm import lm_stupid_backoff
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.pmod(F.xxhash64("id"), F.lit(30)) + 10),
+        lambda i: F.concat(
+            F.lit("tok"), (F.xxhash64(F.col("id"), i) % 2000).cast("string")
+        ),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    out = lm_stupid_backoff(df, train=df.filter(F.col("doc_id") % 5 != 0))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_scored").alias("n_positions"),
+        F.sum("logprob_micro").alias("chk"),
+        F.sum("ppl").alias("ppl_chk"),
+    )
+
+
 PROBES["pq_train_300k"] = probe_pq_train
 PROBES["knn_pq_300k"] = probe_knn_pq
 PROBES["ivfpq_train_300k"] = probe_ivfpq_train
 PROBES["knn_ivfpq_300k"] = probe_knn_ivfpq
+PROBES["lm_1m"] = probe_lm_1m
 
 if __name__ == "__main__":
     sys.exit(main())
