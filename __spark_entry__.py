@@ -7410,6 +7410,103 @@ FROM agg ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (2): edit-distance record linkage (PassJoin-style
+# pigeonhole blocking — operators/relational.py:edit_join).
+# ---------------------------------------------------------------------------
+
+def _linkage_names(cust: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, dirty) record-linkage tables derived from customer.
+
+    The driver testdata has no dirty-entity column (TPC-H names are
+    'Customer#...' — a degenerate near-constant namespace where every
+    pair is within edit distance of every other), so linkage inputs
+    are synthesized the same way as the URL/CDC streams: clean names
+    'cust-' + 10 hex chars of md5(custkey) (high-entropy, like real
+    normalized entity keys), and a dirty copy with a deterministic
+    typo family — exact copy / one substitution / one deletion / two
+    substitutions, positions varying with the key. SQL twin inline in
+    _EDIT_LINKAGE_SQL; md5 hex is identical across engines.
+    """
+    key = F.col("c_custkey")
+    name = F.concat(
+        F.lit("cust-"), F.substring(F.md5(key.cast("string")), 1, 10)
+    )
+    clean = cust.select(key.alias("custkey"), name.alias("name"))
+    _k = F.col("_k")
+    q = (F.lit(6) + _k % 10).cast("int")
+    q2 = (F.lit(6) + (_k * 3) % 10).cast("int")
+    n = F.col("_n")
+    sub1 = F.concat(
+        n.substr(F.lit(1), q - 1), F.lit("Z"), n.substr(q + 1, F.lit(99))
+    )
+    deletion = F.concat(n.substr(F.lit(1), q - 1), n.substr(q + 1, F.lit(99)))
+    sub2 = F.concat(
+        sub1.substr(F.lit(1), q2 - 1), F.lit("q"), sub1.substr(q2 + 1, F.lit(99))
+    )
+    dirty = (
+        cust.select(key.alias("_k"), name.alias("_n"))
+        .select(
+            (F.col("_k") + 1_000_000).alias("variant_id"),
+            F.when(F.col("_k") % 4 == 0, n)
+            .when(F.col("_k") % 4 == 1, sub1)
+            .when(F.col("_k") % 4 == 2, deletion)
+            .otherwise(sub2)
+            .alias("name"),
+        )
+    )
+    return clean, dirty
+
+
+def q_edit_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PassJoin pigeonhole blocking + exact levenshtein verify; the
+    # oracle is an INDEPENDENT brute-force cross join, so the hash
+    # match verifies edit_join's exact-recall guarantee (every pair at
+    # distance <= k generated), not a replay of the same blocking.
+    clean, dirty = _linkage_names(_t(spark, sf_dir, "customer"))
+    return relational.edit_join(
+        clean, dirty, "custkey", "variant_id", "name", "name", k=2
+    ).withColumnRenamed("id_a", "custkey").withColumnRenamed(
+        "id_b", "variant_id"
+    )
+
+
+_EDIT_LINKAGE_SQL = """
+WITH clean AS (
+    SELECT c_custkey AS custkey,
+           'cust-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS n
+    FROM customer
+),
+seed AS (
+    SELECT c_custkey AS k,
+           'cust-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS n,
+           CAST(6 + c_custkey % 10 AS INT) AS q,
+           CAST(6 + (c_custkey * 3) % 10 AS INT) AS q2
+    FROM customer
+),
+dirty AS (
+    SELECT k + 1000000 AS variant_id,
+           CASE k % 4
+             WHEN 0 THEN n
+             WHEN 1 THEN substr(n, 1, q - 1) || 'Z' || substr(n, q + 1, 99)
+             WHEN 2 THEN substr(n, 1, q - 1) || substr(n, q + 1, 99)
+             ELSE substr(substr(n, 1, q - 1) || 'Z' || substr(n, q + 1, 99),
+                         1, q2 - 1)
+                  || 'q'
+                  || substr(substr(n, 1, q - 1) || 'Z' || substr(n, q + 1, 99),
+                            q2 + 1, 99)
+           END AS n
+    FROM seed
+)
+SELECT a.custkey, b.variant_id,
+       CAST(levenshtein(a.n, b.n) AS INT) AS dist
+FROM clean a, dirty b
+WHERE levenshtein(a.n, b.n) <= 2
+ORDER BY custkey, variant_id
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -7630,6 +7727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         "lm_backoff_ppl": q_lm_backoff_ppl,
+        "edit_linkage": q_edit_linkage,
     }
 
 
@@ -7822,6 +7920,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq": _knn_pq_sql(),
         "knn_ivfpq": _knn_ivfpq_sql(),
         "lm_backoff_ppl": _lm_backoff_sql(),
+        "edit_linkage": _EDIT_LINKAGE_SQL,
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

@@ -474,6 +474,49 @@ def test_fuzzy_join_matches_bruteforce(spark, names, threshold):
 
 @SLOW
 @given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=7),
+        min_size=1,
+        max_size=7,
+        unique=True,
+    ),
+    k=st.integers(1, 2),
+)
+def test_edit_join_matches_bruteforce(spark, names, k):
+    """PassJoin pigeonhole blocking ≡ brute-force levenshtein ≤ k.
+
+    The tiny 'abc' alphabet maximizes near-collisions, the worst case
+    for candidate-generation completeness (many pairs sit exactly at
+    the k boundary through pure indel alignments)."""
+    from big_data_in_agriculture_spark.operators.relational import edit_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_join(df, df, "id", "id", "name", "name", k=k).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if lev(a, b) <= k
+    }
+    assert got == want
+
+
+@SLOW
+@given(
     texts=st.lists(
         st.text(
             alphabet=st.characters(

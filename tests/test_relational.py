@@ -336,6 +336,124 @@ class TestFuzzyJoin:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+class TestEditJoin:
+    def test_hand_computed_distances(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "gadget-a17f"),
+                (2, "gadget-a17f"),   # dist 0
+                (3, "gadget-b17f"),   # dist 1 (sub)
+                (4, "gadget-17f"),    # dist 1 (del)
+                (5, "gadget-XY7f"),   # dist 2 from 1
+                (6, "widget-zz99"),   # far from all gadgets
+            ],
+            ["id", "name"],
+        )
+        out = relational.edit_join(
+            df, df, "id", "id", "name", "name", k=2
+        ).filter("id_a < id_b").collect()
+        got = {(r["id_a"], r["id_b"]): r["dist"] for r in out}
+        assert got[(1, 2)] == 0
+        assert got[(1, 3)] == 1
+        assert got[(1, 4)] == 1
+        assert got[(1, 5)] == 2
+        assert not any(6 in pair for pair in got)
+
+    def test_exact_recall_vs_bruteforce(self, spark):
+        # deterministic typo corpus: substitutions, deletions,
+        # insertions at varying positions — recall must be EXACT
+        base = [f"name-{i:04d}-{(i * 2654435761) % 0xFFFF:04x}" for i in range(40)]
+        names = list(base)
+        for i, s in enumerate(base):
+            ops = i % 4
+            t = list(s)
+            for o in range(ops):
+                pos = (o * 5 + 2) % len(t)
+                kind = (i + o) % 3
+                if kind == 0:
+                    t[pos] = "Z"
+                elif kind == 1 and len(t) > 1:
+                    del t[pos]
+                else:
+                    t.insert(pos, "q")
+            names.append("".join(t))
+        rows = list(enumerate(names))
+        df = spark.createDataFrame(rows, ["id", "name"])
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in relational.edit_join(
+                df, df, "id", "id", "name", "name", k=2
+            ).collect()
+        }
+        want = {
+            (ia, ib, _lev(na, nb))
+            for ia, na in rows
+            for ib, nb in rows
+            if _lev(na, nb) <= 2
+        }
+        assert got == want
+
+    def test_short_strings_length_block(self, spark):
+        # strings shorter than k+1 chars can't donate k+1 segments;
+        # the length block must still pair them (and with longer ones
+        # only through the brute-force truth, here none qualify)
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, "ab"), (4, "xy"), (5, "abcd")],
+            ["id", "name"],
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in relational.edit_join(
+                df, df, "id", "id", "name", "name", k=2
+            ).collect()
+        }
+        rows = [(1, ""), (2, "a"), (3, "ab"), (4, "xy"), (5, "abcd")]
+        want = {
+            (ia, ib, _lev(na, nb))
+            for ia, na in rows
+            for ib, nb in rows
+            if _lev(na, nb) <= 2
+        }
+        assert got == want
+
+    def test_null_names_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcdef"), (2, None), (3, "abcdeg")], ["id", "name"]
+        )
+        out = relational.edit_join(
+            df, df, "id", "id", "name", "name", k=1
+        ).collect()
+        assert not any(r["id_a"] == 2 or r["id_b"] == 2 for r in out)
+
+    def test_plan_has_no_cartesian(self, spark):
+        df = spark.createDataFrame([(1, "abcdef"), (2, "abcxyz")], ["id", "name"])
+        plan = (
+            relational.edit_join(df, df, "id", "id", "name", "name", k=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["id", "name"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            relational.edit_join(df, df, "id", "id", "name", "name", k=0)
+
+
 class TestBasketGrowthPareto:
     def test_copurchase_counts_and_no_self_pairs(self, spark):
         li = spark.createDataFrame(
