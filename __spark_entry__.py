@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from big_data_in_agriculture_spark.operators import daily as daily_ops
 from big_data_in_agriculture_spark.operators import hourly as hourly_ops
+from big_data_in_agriculture_spark.operators import graph
 from big_data_in_agriculture_spark.operators import llm, relational, serve, similarity
 from big_data_in_agriculture_spark.operators import web as web_ops
 from big_data_in_agriculture_spark.functions import web as WEB
@@ -7507,6 +7508,95 @@ ORDER BY custkey, variant_id
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (3): PageRank over the customer -> supplier trade
+# graph (operators/graph.py:pagerank — fixed-iteration power method,
+# LONG integer mass so both engines replay the iteration bit-exactly).
+# ---------------------------------------------------------------------------
+
+#: supplier-node id offset — customers and suppliers share the rank
+#: table, so supplier keys move to a disjoint id range.
+_PR_SUPP_OFFSET = 10_000_000
+_PR_ITERS = 4
+_PR_DAMPING = 85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Directed bipartite trade graph: customer -> supplier whenever an
+    # order of that customer has a lineitem from that supplier. Every
+    # supplier node is dangling (no out-edges), so the query exercises
+    # the dangling-mass redistribution path, not just the join+agg.
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = graph.pagerank(
+        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMPING
+    )
+    return pr.orderBy(F.desc("rank_e12"), "node")
+
+
+def _pagerank_sql(
+    iterations: int = _PR_ITERS,
+    damping: int = _PR_DAMPING,
+    mass: int = graph.MASS,
+) -> str:
+    """Iterated-CTE twin of q_pagerank: each power-iteration round is
+    unrolled into (dangling, inflow, rank) CTEs, all arithmetic LONG
+    (DuckDB ``//`` == Spark ``div`` on the non-negative operands used
+    here), so the hash match replays the full iteration bit-for-bit."""
+    tele = 100 - damping
+    parts = [
+        f"""WITH edges AS (
+    SELECT DISTINCT o.o_custkey AS src,
+           l.l_suppkey + {_PR_SUPP_OFFSET} AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS c FROM nodes),
+deg AS (
+    SELECT n.node, count(e.src) AS od
+    FROM nodes n LEFT JOIN edges e ON n.node = e.src
+    GROUP BY 1
+),
+r0 AS (
+    SELECT node, (SELECT {mass} // c FROM nn) AS r FROM nodes
+)"""
+    ]
+    for i in range(iterations):
+        parts.append(f""",
+d{i} AS (
+    SELECT coalesce(sum(r.r), 0) AS dm
+    FROM r{i} r JOIN deg ON r.node = deg.node WHERE deg.od = 0
+),
+inf{i} AS (
+    SELECT e.dst AS node, sum(r.r // deg.od) AS s
+    FROM edges e JOIN r{i} r ON e.src = r.node
+    JOIN deg ON e.src = deg.node
+    GROUP BY 1
+),
+r{i + 1} AS (
+    SELECT n.node,
+           (SELECT ({tele} * ({mass} // c)) // 100 FROM nn)
+           + ({damping} * (coalesce(i.s, 0)
+              + ((SELECT dm FROM d{i}) // (SELECT c FROM nn)))) // 100 AS r
+    FROM nodes n LEFT JOIN inf{i} i ON n.node = i.node
+)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_e12
+FROM r{iterations}
+ORDER BY rank_e12 DESC, node
+""")
+    return "".join(parts)
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -7728,6 +7818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": q_knn_ivfpq,
         "lm_backoff_ppl": q_lm_backoff_ppl,
         "edit_linkage": q_edit_linkage,
+        "pagerank_trade": q_pagerank,
     }
 
 
@@ -7921,6 +8012,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq": _knn_ivfpq_sql(),
         "lm_backoff_ppl": _lm_backoff_sql(),
         "edit_linkage": _EDIT_LINKAGE_SQL,
+        "pagerank_trade": _pagerank_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),
