@@ -7597,6 +7597,145 @@ ORDER BY rank_e12 DESC, node
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (4): scalar quantization (SQ8) — the fifth ANN path
+# (operators/similarity.py:sq_train/sq_encode/knn_sq). The model is
+# per-dimension min/max bounds, derivable EXACTLY on any engine (no
+# quantized-kmeans protocol needed), so the oracle re-derives the
+# whole model in one aggregation CTE.
+# ---------------------------------------------------------------------------
+
+_SQ_DIM = 64
+
+#: trained SQ bounds per corpus signature — min/max aggregation is
+#: deterministic by definition; memoized like the PQ codebooks.
+_SQ_BOUNDS_CACHE: dict[tuple, list[tuple[float, float]]] = {}
+
+
+def _sq_bounds(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    key = _corpus_sig(sf_dir)
+    bounds = _SQ_BOUNDS_CACHE.get(key)
+    if bounds is None:
+        bounds = similarity.sq_train(emb, dim=_SQ_DIM)
+        _SQ_BOUNDS_CACHE[key] = bounds
+    return emb, bounds
+
+
+def q_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQ8 encode stage in the open: (vec_id, d, code) long form —
+    # per-dimension 256-level quantization against corpus min/max.
+    emb, bounds = _sq_bounds(spark, sf_dir)
+    if not bounds:
+        return emb.select(
+            "vec_id", F.lit(0).alias("d"), F.lit(0).alias("code")
+        ).filter(F.lit(False))
+    return (
+        similarity.sq_encode(emb, bounds)
+        .select("vec_id", F.posexplode("sq_codes").alias("d", "code"))
+        .orderBy("vec_id", "d")
+    )
+
+
+def q_knn_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fifth ANN path: SQ8 asymmetric-distance screen (1-byte codes,
+    # query stays exact) + exact re-rank of 50 survivors per query.
+    emb, bounds = _sq_bounds(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_sq(
+        emb, queries, dim=_SQ_DIM, k=3, n_candidates=50, bounds=bounds
+    )
+
+
+def _sq_with_clause() -> str:
+    """Shared WITH body: valid vectors, per-dim bounds (min/max — the
+    whole SQ model, re-derived exactly), the (mins, invs, steps)
+    constant arrays, and the encode table. Scale factors use the same
+    IEEE divides Spark's driver ran; floor(x + 0.5) is the shared
+    half-away rounding; constant dims (mx = mn) get inv = step = 0."""
+    return f"""e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE {_VALID_VEC}
+),
+bounds AS (
+    SELECT j AS d, min(v[j]) AS mn, max(v[j]) AS mx
+    FROM e, range(1, {_SQ_DIM + 1}) t(j)
+    GROUP BY j
+),
+consts AS (
+    SELECT array_agg(mn ORDER BY d) AS mins,
+           array_agg(CASE WHEN mx = mn THEN 0.0
+                          ELSE 255.0 / (mx - mn) END ORDER BY d) AS invs,
+           array_agg(CASE WHEN mx = mn THEN 0.0
+                          ELSE (mx - mn) / 255.0 END ORDER BY d) AS steps
+    FROM bounds
+),
+enc AS (
+    SELECT e.vec_id,
+           list_transform(range(1, {_SQ_DIM + 1}),
+               j -> CAST(least(greatest(
+                        floor((e.v[j] - c.mins[j]) * c.invs[j] + 0.5),
+                        0), 255) AS INT)) AS codes
+    FROM e, consts c
+)"""
+
+
+def _sq_codes_sql() -> str:
+    return f"""
+WITH {_sq_with_clause()}
+SELECT vec_id, CAST(j - 1 AS INT) AS d, codes[j] AS code
+FROM enc, range(1, {_SQ_DIM + 1}) t(j)
+ORDER BY vec_id, d
+"""
+
+
+def _knn_sq_sql(k: int = 3, n_candidates: int = 50) -> str:
+    cos = (
+        "round(CASE WHEN (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))) > 0"
+        " THEN list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+        " ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH {_sq_with_clause()},
+scored AS (
+    -- asymmetric distance: exact query vs candidate RECONSTRUCTION
+    -- mins[j] + codes[j] * steps[j]; same left-to-right list_sum fold
+    -- as Spark's aggregate(zip_with(...)) with identical per-element
+    -- op order (code*step, min+scaled, q-recon, square)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_sum(list_transform(range(1, {_SQ_DIM + 1}),
+                 j -> (q.v[j] - (k.mins[j] + k.steps[j] * c.codes[j]))
+                    * (q.v[j] - (k.mins[j] + k.steps[j] * c.codes[j]))
+                 )), 6) AS approx_d
+    FROM e q, enc c, consts k
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d, neighbor_id)
+            <= {n_candidates}
+),
+exact AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {cos.format(a="eq.v", b="ec.v")} AS cosine_sim
+    FROM cand
+    JOIN e eq ON eq.vec_id = cand.query_id
+    JOIN e ec ON ec.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM exact
+QUALIFY rank <= {k}
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -7819,6 +7958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_backoff_ppl": q_lm_backoff_ppl,
         "edit_linkage": q_edit_linkage,
         "pagerank_trade": q_pagerank,
+        "sq_codes": q_sq_codes,
+        "knn_sq": q_knn_sq,
     }
 
 
@@ -8013,6 +8154,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_backoff_ppl": _lm_backoff_sql(),
         "edit_linkage": _EDIT_LINKAGE_SQL,
         "pagerank_trade": _pagerank_sql(),
+        "sq_codes": _sq_codes_sql(),
+        "knn_sq": _knn_sq_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

@@ -204,8 +204,11 @@ def main() -> int:
         "knn_rp",
         "knn_pq",
         "knn_ivfpq",
-        # round 8: stupid-backoff trigram LM quality scoring
+        # round 8: stupid-backoff trigram LM quality scoring, PageRank,
+        # scalar-quantization ANN
         "lm_backoff_ppl",
+        "pagerank_trade",
+        "knn_sq",
     ):
         if name not in qs:
             continue

@@ -23,6 +23,11 @@ across the whole kNN family:
   8): trained IVF cells prune WHICH vectors score, PQ codes over the
   RESIDUALS ``v − c(cell)`` shrink WHAT the scoring reads — the
   billion-vector architecture, Jégou-standard composition.
+* ``sq_train`` / ``sq_encode`` / ``knn_sq`` — scalar quantization
+  (round 8): per-dimension 256-level codes against corpus min/max —
+  the no-training-protocol compression path (bounds are exact
+  selections, so the oracle re-derives the model in one CTE); 4 bytes
+  → 1 byte per component, asymmetric-distance screen, exact re-rank.
 * ``embedding_neardup_pairs`` — the dedup flavor: all pairs above a
   high cosine threshold, LSH-bucketed candidates + exact verify.
 
@@ -1526,6 +1531,187 @@ def knn_ivfpq(
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adc.alias("approx_d"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d"), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    cv = _dnormed(corpus, id_col, vec_col, "neighbor")
+    qv = _dnormed(queries, id_col, vec_col, "query")
+    exact = (
+        cv.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _prenorm_sim(
+                    F.col("query_vec"), F.col("neighbor_vec"),
+                    F.col("query_norm"), F.col("neighbor_norm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the simplest vector-compression path.
+# ---------------------------------------------------------------------------
+
+def sq_train(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> list[tuple[float, float]]:
+    """Train per-dimension SQ8 bounds: ``[(min_d, max_d)] * dim``.
+
+    Scalar quantization (the FAISS ``SQ8`` index flavor) maps each
+    dimension independently onto 256 evenly spaced levels between its
+    corpus-wide min and max — no iterative training, just one
+    aggregation pass. Unlike the k-means-based PQ model, the model is
+    EXACT to derive on any engine: min/max of doubles are selections,
+    order-free by definition, so the DuckDB oracle re-derives the
+    bounds without any quantized-update protocol.
+
+    One job, ``2*dim`` partially-aggregated scalars collected — a
+    model artifact the size of the vector itself, same driver-traffic
+    class as a k-means centroid set. Validity is decided on the FULL
+    vector (``vec_is_valid``) so train/encode/search see one row set.
+    """
+    valid = corpus.filter(vec_is_valid(F.col(vec_col)))
+    v = _dvec(F.col(vec_col))
+    aggs = []
+    for d in range(dim):
+        aggs.append(F.min(v[d]).alias(f"_mn{d}"))
+        aggs.append(F.max(v[d]).alias(f"_mx{d}"))
+    row = valid.agg(*aggs).first()
+    if row is None or row[0] is None:
+        return []
+    return [(float(row[2 * d]), float(row[2 * d + 1])) for d in range(dim)]
+
+
+def _sq_consts(
+    bounds: list[tuple[float, float]],
+) -> tuple[list[float], list[float], list[float]]:
+    """(mins, inv_scales, steps) from trained bounds. A constant
+    dimension (max == min) gets inv = step = 0.0: every value encodes
+    to code 0 and reconstructs to the min — exact for that dimension.
+    The divisions happen HERE, once, in float64; the SQL twin runs the
+    identical IEEE divides on its identically-derived bounds."""
+    mins = [mn for mn, _ in bounds]
+    invs = [0.0 if mx == mn else 255.0 / (mx - mn) for mn, mx in bounds]
+    steps = [0.0 if mx == mn else (mx - mn) / 255.0 for mn, mx in bounds]
+    return mins, invs, steps
+
+
+def sq_encode(
+    df: DataFrame,
+    bounds: list[tuple[float, float]],
+    vec_col: str = "embedding",
+    code_col: str = "sq_codes",
+) -> DataFrame:
+    """Attach ``code_col``: per-dimension uint8 level ids (int array,
+    length dim) — ``clamp(floor((v_d - min_d) * inv_d + 0.5), 0, 255)``.
+
+    Map-only, zero shuffles; 4 bytes -> 1 byte per component (the
+    scan-payload compression that makes SQ8 the default "cheap" index
+    in production vector stores). floor(x + 0.5) is the explicit
+    half-away rounding both engines share (`quantize_half_away`
+    contract); values outside the trained range (a query vector from a
+    different distribution) clamp to the edge levels instead of
+    wrapping.
+    """
+    mins, invs, _ = _sq_consts(bounds)
+    v = _dvec(F.col(vec_col))
+    centered = F.zip_with(v, F.lit(mins), lambda x, m: x - m)
+    leveled = F.zip_with(
+        centered, F.lit(invs), lambda x, s: F.floor(x * s + F.lit(0.5))
+    )
+    codes = F.transform(
+        leveled,
+        lambda x: F.least(F.greatest(x, F.lit(0)), F.lit(255)).cast("int"),
+    )
+    return df.filter(vec_is_valid(F.col(vec_col))).withColumn(
+        code_col, codes
+    )
+
+
+def knn_sq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_candidates: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bounds: list[tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via scalar quantization +
+    exact re-rank — the family's cheapest compression path (beside
+    brute / LSH / IVF / RP / PQ / IVF-PQ).
+
+    ``bounds``: pass a ``sq_train`` model to skip the training pass
+    (production shape — train once, reuse per query batch).
+
+    The screen scores each (query, candidate) pair by squared L2
+    distance between the query vector and the candidate's
+    RECONSTRUCTION ``min_d + code_d * step_d`` — asymmetric distance,
+    like PQ's ADC, so only the corpus side is lossy. Scale shape: the
+    corpus scan reads 1-byte codes instead of 4-byte floats (4x less
+    payload than raw, arithmetic unchanged — the honest local story,
+    same as PQ: compression pays at scan/IO, not in local CPU); the
+    screen emits THIN (query, neighbor, distance) rows into a
+    WindowGroupLimit top-C; survivors' vectors come back by id for the
+    exact cosine re-rank. Every stage folds left-to-right in float64,
+    so the DuckDB oracle replays the pipeline bit-for-bit.
+    """
+    b = bounds if bounds is not None else sq_train(corpus, dim, vec_col)
+    if not b:
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).cast("double").alias("cosine_sim"),
+            F.lit(0).cast("int").alias("rank"),
+        ).filter(F.lit(False))
+    mins, _, steps = _sq_consts(b)
+    c = sq_encode(_fan_out(corpus), b, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "sq_codes"
+    )
+    q = queries.filter(vec_is_valid(F.col(vec_col))).select(
+        F.col(id_col).alias("query_id"),
+        _dvec(F.col(vec_col)).alias("_qv"),
+    )
+    # reconstruction: min_d + code_d * step_d, then the usual
+    # sum-of-squared-diffs fold against the raw query vector
+    scaled = F.zip_with(
+        F.lit(steps), F.col("sq_codes"), lambda s, cd: s * cd
+    )
+    recon = F.zip_with(F.lit(mins), scaled, lambda m, x: m + x)
+    approx_d = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_qv"), recon, lambda a, bb: a - bb),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        ),
+        6,
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", approx_d.alias("approx_d"))
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("approx_d"), F.col("neighbor_id")

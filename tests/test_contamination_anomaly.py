@@ -93,6 +93,7 @@ def test_ann_recall_on_planted_neighbors(spark):
         knn_lsh,
         knn_pq,
         knn_rp,
+        knn_sq,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -141,6 +142,9 @@ def test_ann_recall_on_planted_neighbors(spark):
         # (measured 1.0 on this corpus)
         (knn_ivfpq(corpus, queries, dim=64, k=k, n_centroids=8,
                    n_probe=3, n_candidates=50), 0.8),
+        # 256 levels per dim: reconstruction error << the planted
+        # noise, so the ADC screen is near-exact on these neighbors
+        (knn_sq(corpus, queries, dim=64, k=k, n_candidates=50), 0.9),
     ]:
         got = found(approx_df)
         recalls = [

@@ -621,3 +621,84 @@ class TestIvfPq:
         ).filter(F.lit(False))
         out = similarity.knn_ivfpq(emb, emb, dim=64, k=3)
         assert out.collect() == []
+
+
+class TestScalarQuantization:
+    def test_bounds_match_numpy_min_max(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        bounds = similarity.sq_train(emb, dim=64)
+        assert len(bounds) == 64
+        vecs = np.array([r["embedding"] for r in emb.collect()
+                         if r["embedding"] is not None
+                         and np.isfinite(r["embedding"]).all()],
+                        dtype=np.float64)
+        for d, (mn, mx) in enumerate(bounds):
+            assert mn == vecs[:, d].min()
+            assert mx == vecs[:, d].max()
+
+    def test_encode_matches_numpy(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        bounds = similarity.sq_train(emb, dim=64)
+        got = {r["vec_id"]: r["sq_codes"] for r in
+               similarity.sq_encode(emb, bounds).collect()}
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        for vid in list(vecs)[:20]:
+            for d, (mn, mx) in enumerate(bounds):
+                inv = 0.0 if mx == mn else 255.0 / (mx - mn)
+                want = int(min(max(
+                    np.floor((vecs[vid][d] - mn) * inv + 0.5), 0), 255))
+                assert got[vid][d] == want, (vid, d)
+            assert all(0 <= c <= 255 for c in got[vid])
+
+    def test_constant_dimension_encodes_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, [5.0, 1.0]), (2, [5.0, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        bounds = similarity.sq_train(df, dim=2)
+        assert bounds[0] == (5.0, 5.0)
+        got = {r["vec_id"]: r["sq_codes"] for r in
+               similarity.sq_encode(df, bounds).collect()}
+        assert got[1][0] == 0 and got[2][0] == 0
+        assert got[1][1] == 0 and got[2][1] == 255
+
+    def test_out_of_range_vector_clamps_to_edge_levels(self, spark):
+        train = spark.createDataFrame(
+            [(1, [0.0]), (2, [1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        bounds = similarity.sq_train(train, dim=1)
+        wild = spark.createDataFrame(
+            [(3, [-9.0]), (4, [9.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: r["sq_codes"] for r in
+               similarity.sq_encode(wild, bounds).collect()}
+        assert got[3] == [0] and got[4] == [255]
+
+    def test_knn_sq_exact_when_candidates_cover_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        brute = sorted(map(tuple, similarity.knn_bruteforce(
+            emb, q, k=3).collect()))
+        sq = sorted(map(tuple, similarity.knn_sq(
+            emb, q, dim=64, k=3, n_candidates=10_000).collect()))
+        assert sq == brute
+
+    def test_empty_corpus_yields_empty_result(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).filter(F.lit(False))
+        out = similarity.knn_sq(emb, emb, dim=64, k=3)
+        assert out.collect() == []
+        assert out.columns == ["query_id", "neighbor_id",
+                               "cosine_sim", "rank"]
