@@ -7736,6 +7736,104 @@ QUALIFY rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (5): multinomial Naive Bayes language classifier
+# (operators/llm.py:nb_train/nb_classify — the aggregation-only
+# training paradigm beside classifier_train's gradient descent).
+# ---------------------------------------------------------------------------
+
+def q_nb_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # supervised language ID: train on the held-out-excluding slice
+    # (doc_id % 5 <> 0, the LM convention), predict every doc, report
+    # prediction vs the actual label. Scores are integer-micros log10
+    # sums, so the argmax replays exactly in SQL.
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    token_model, class_model = llm.nb_train(train, label_col="lang")
+    pred = llm.nb_classify(docs, token_model, class_model)
+    return (
+        pred.join(docs.select("doc_id", F.col("lang").alias("actual")),
+                  "doc_id")
+        .select(
+            "doc_id",
+            "actual",
+            "pred_cls",
+            (F.col("pred_cls") == F.col("actual")).alias("correct"),
+            "logprob_micro",
+            "n_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NB_LANGUAGE_SQL = """
+WITH tr AS MATERIALIZED (
+    SELECT doc_id, lang AS cls,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+    FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL AND doc_id % 5 <> 0
+),
+alld AS MATERIALIZED (
+    SELECT doc_id, lang,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+    FROM documents WHERE text IS NOT NULL
+),
+cnt AS MATERIALIZED (
+    SELECT cls, w, count(*) AS c
+    FROM (SELECT cls, unnest(tk) AS w FROM tr) GROUP BY 1, 2
+),
+totc AS (SELECT cls, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM cnt),
+ndocs AS (SELECT count(*) AS nd FROM tr),
+ndcls AS (SELECT cls, count(*) AS ndc FROM tr GROUP BY 1),
+model AS MATERIALIZED (
+    SELECT c.cls, c.w,
+           -CAST(floor(abs(log10(
+                CAST(c.c + 1 AS DOUBLE) / CAST(t.t + vb.v AS DOUBLE)))
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS lp_micro
+    FROM cnt c JOIN totc t USING (cls) CROSS JOIN vocab vb
+),
+classes AS (
+    SELECT t.cls,
+           -CAST(floor(abs(log10(
+                CAST(p.ndc AS DOUBLE) / CAST(n.nd AS DOUBLE)))
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS prior_micro,
+           -CAST(floor(abs(log10(
+                CAST(1.0 AS DOUBLE) / CAST(t.t + vb.v AS DOUBLE)))
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS oov_micro
+    FROM totc t JOIN ndcls p USING (cls)
+    CROSS JOIN vocab vb CROSS JOIN ndocs n
+),
+dtok AS (SELECT doc_id, unnest(tk) AS w FROM alld),
+per_class AS (
+    SELECT d.doc_id, cl.cls, cl.prior_micro,
+           CAST(sum(coalesce(m.lp_micro, cl.oov_micro)) AS BIGINT) AS s,
+           count(*) AS n_tok
+    FROM dtok d
+    CROSS JOIN classes cl
+    LEFT JOIN model m ON m.cls = cl.cls AND m.w = d.w
+    GROUP BY 1, 2, 3
+),
+winner AS (
+    SELECT doc_id, cls AS pred_cls,
+           prior_micro + s AS logprob_micro,
+           CAST(n_tok AS INT) AS n_tokens
+    FROM per_class
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY prior_micro + s DESC, cls) = 1
+)
+SELECT w.doc_id, a.lang AS actual, w.pred_cls,
+       w.pred_cls = a.lang AS correct,
+       w.logprob_micro, w.n_tokens
+FROM winner w JOIN alld a USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -7960,6 +8058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_trade": q_pagerank,
         "sq_codes": q_sq_codes,
         "knn_sq": q_knn_sq,
+        "nb_language": q_nb_language,
     }
 
 
@@ -8156,6 +8255,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade": _pagerank_sql(),
         "sq_codes": _sq_codes_sql(),
         "knn_sq": _knn_sq_sql(),
+        "nb_language": _NB_LANGUAGE_SQL,
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

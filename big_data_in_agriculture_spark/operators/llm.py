@@ -3562,3 +3562,135 @@ def lm_stupid_backoff(
         "logprob_micro",
         _quantize_col(ppl, 4).cast("float").alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes (round 8) — the aggregation-only classifier.
+# ---------------------------------------------------------------------------
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial Naive Bayes text classifier with add-one
+    smoothing. Returns ``(token_model, class_model)``:
+
+    * token_model — one row per (cls, w) pair seen in training:
+      ``lp_micro`` = log10((c(w,cls) + 1) / (T_cls + V)) in integer
+      MICROS (the `_micro_log10` contract — per-token scores are exact
+      LONGs, so scoring sums are order-free bit-exact on both engines);
+    * class_model — one row per class: ``prior_micro`` =
+      log10(n_docs_cls / n_docs) and ``oov_micro`` =
+      log10(1 / (T_cls + V)), the smoothed score of an unseen token.
+
+    The training paradigm complement to ``classifier_train``'s
+    gradient descent: ONE token-explode + ONE (cls, w) groupBy trains
+    the entire model — no iterations, no driver-resident weights — and
+    the model STAYS DISTRIBUTED (vocabulary-sized, like the LM count
+    tables), which is what makes NB the classic first classifier over
+    a 100 TB corpus. The only scalars are V (distinct training tokens)
+    and n_docs, both 1-row broadcast aggregates.
+
+    Rows with NULL text or NULL label can't supervise — excluded
+    (oracle: IS NOT NULL on both).
+    """
+    tr = docs.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(label_col).alias("cls"), F.col(text_col).alias("_t"))
+    tok = tr.select(
+        "cls", F.explode(_lm_tokens(F.col("_t"))).alias("w")
+    )
+    cnt = tok.groupBy("cls", "w").agg(F.count(F.lit(1)).alias("c"))
+    totc = cnt.groupBy("cls").agg(F.sum("c").alias("t"))
+    vocab = cnt.select(
+        F.count_distinct("w").alias("v")
+    )
+    ndocs = tr.select(F.count(F.lit(1)).alias("nd"))
+    nd_cls = tr.groupBy("cls").agg(F.count(F.lit(1)).alias("ndc"))
+
+    token_model = (
+        cnt.join(totc, "cls")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "cls",
+            "w",
+            _micro_log10(
+                (F.col("c") + 1).cast("double")
+                / (F.col("t") + F.col("v")).cast("double")
+            ).alias("lp_micro"),
+        )
+    )
+    class_model = (
+        totc.join(nd_cls, "cls")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "cls",
+            _micro_log10(
+                F.col("ndc").cast("double") / F.col("nd").cast("double")
+            ).alias("prior_micro"),
+            _micro_log10(
+                F.lit(1.0)
+                / (F.col("t") + F.col("v")).cast("double")
+            ).alias("oov_micro"),
+        )
+    )
+    return token_model, class_model
+
+
+def nb_classify(
+    docs: DataFrame,
+    token_model: DataFrame,
+    class_model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against a trained NB model and pick the
+    argmax class: ``(id, pred_cls, logprob_micro, n_tokens)``.
+
+    Per doc and class: prior_micro + Σ_tokens lp_micro (OOV tokens
+    fall back to the class's oov_micro) — a LONG sum of exact
+    integers, then one row_number window (total DESC, cls ASC
+    tie-break) keeps the winner; WindowGroupLimit pushes the rank-1
+    filter into the sort.
+
+    Scale shape: the class table is a broadcast nested-loop expansion
+    (n_classes small and bounded — the one deliberate non-equi join,
+    multiplying token rows by |classes| exactly as written); the
+    token-model join is a plain shuffled equi-join on the token
+    (AQE broadcasts it when the model is small; NOT force-broadcast —
+    vocabulary grows with the corpus, the LM rule). Docs with zero
+    tokens have no per-class evidence and emit nothing.
+    """
+    dtok = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(_lm_tokens(F.col(text_col))).alias("w"))
+    )
+    joined = (
+        dtok.crossJoin(F.broadcast(class_model))
+        .join(token_model, ["cls", "w"], "left")
+        .select(
+            id_col,
+            "cls",
+            "prior_micro",
+            F.coalesce("lp_micro", F.col("oov_micro")).alias("_lp"),
+        )
+    )
+    per_class = joined.groupBy(id_col, "cls", "prior_micro").agg(
+        F.sum("_lp").alias("_sum"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("prior_micro") + F.col("_sum")).desc(), F.col("cls")
+    )
+    return (
+        per_class.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("cls").alias("pred_cls"),
+            (F.col("prior_micro") + F.col("_sum")).alias("logprob_micro"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+        )
+    )

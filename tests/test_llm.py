@@ -1313,3 +1313,79 @@ def test_leakage_safe_split_deep_chain_is_atomic(spark):
     keys = {r["split_key"] for r in rows}
     sides = {r["split"] for r in rows}
     assert keys == {1} and len(sides) == 1
+
+
+class TestNaiveBayes:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_hand_computed_micros(self, spark):
+        import math
+
+        # one class, two tokens: class 'a' corpus = "x x y"
+        # T_a=3, V=2, c(x)=2, c(y)=1
+        docs = self._docs(spark, [(1, "x x y", "a")])
+        tm, cm = llm.nb_train(docs)
+        lps = {r["w"]: r["lp_micro"] for r in tm.collect()}
+
+        def micro(p):
+            return -int(math.floor(abs(math.log10(p)) * 1e6 + 0.5))
+
+        assert lps["x"] == micro((2 + 1) / (3 + 2))
+        assert lps["y"] == micro((1 + 1) / (3 + 2))
+        c = cm.collect()[0]
+        assert c["prior_micro"] == micro(1.0)  # only class -> prior 1
+        assert c["oov_micro"] == micro(1 / (3 + 2))
+
+    def test_separable_corpus_classifies_held_out(self, spark):
+        rows = []
+        for i in range(20):
+            rows.append((i, "alpha beta gamma alpha", "greek"))
+            rows.append((100 + i, "uno dos tres uno", "spanish"))
+        train = self._docs(spark, rows)
+        test = self._docs(
+            spark,
+            [(500, "beta gamma", None), (501, "dos tres tres", None)],
+        )
+        tm, cm = llm.nb_train(train)
+        got = {r["doc_id"]: r["pred_cls"]
+               for r in llm.nb_classify(test, tm, cm).collect()}
+        assert got == {500: "greek", 501: "spanish"}
+
+    def test_oov_tokens_fall_back_per_class(self, spark):
+        # doc of ONLY unseen tokens: every class scores n*oov + prior,
+        # so the winner is the one with the best prior+oov (here the
+        # bigger class wins on prior; equal-size classes tie-break on
+        # class name ascending)
+        train = self._docs(
+            spark,
+            [(1, "p q", "a"), (2, "p q", "a"), (3, "r s", "b")],
+        )
+        tm, cm = llm.nb_train(train)
+        test = self._docs(spark, [(9, "zz ww", None)])
+        out = llm.nb_classify(test, tm, cm).collect()
+        assert out[0]["pred_cls"] == "a"
+        assert out[0]["n_tokens"] == 2
+
+    def test_null_text_and_label_excluded_from_training(self, spark):
+        train = self._docs(
+            spark,
+            [(1, "x", "a"), (2, None, "b"), (3, "y", None)],
+        )
+        tm, cm = llm.nb_train(train)
+        assert {r["cls"] for r in cm.collect()} == {"a"}
+        assert tm.count() == 1
+
+    def test_zero_token_docs_emit_nothing(self, spark):
+        train = self._docs(spark, [(1, "x", "a")])
+        tm, cm = llm.nb_train(train)
+        test = self._docs(spark, [(2, "   ", None), (3, None, None)])
+        assert llm.nb_classify(test, tm, cm).count() == 0
+
+    def test_empty_training_scores_nothing(self, spark):
+        train = self._docs(spark, [(1, None, None)])
+        tm, cm = llm.nb_train(train)
+        test = self._docs(spark, [(2, "x y", None)])
+        assert llm.nb_classify(test, tm, cm).count() == 0
