@@ -7834,6 +7834,70 @@ ORDER BY w.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (6): multi-round BFS hop levels over the symmetrized
+# trade graph (operators/graph.py:bfs_levels — frontier expansion, the
+# second message-passing workload; exact integer levels, no
+# quantization contract needed).
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 6
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hop distance from customer 1 through the SYMMETRIZED trade graph
+    # (customer <-> supplier edges in both directions): level 1 = its
+    # suppliers, level 2 = customers sharing a supplier, and so on —
+    # the "collaborative distance" walk.
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = orders.select(F.col("o_custkey").alias("node")).filter(
+        F.col("node") == 1
+    ).distinct()
+    return graph.bfs_levels(
+        edges, sources, max_depth=_BFS_DEPTH
+    ).orderBy("level", "node")
+
+
+_BFS_HOPS_SQL = f"""
+WITH RECURSIVE fwd AS (
+    SELECT DISTINCT o.o_custkey AS src,
+           l.l_suppkey + {_PR_SUPP_OFFSET} AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+    SELECT src, dst FROM fwd
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM fwd
+),
+srcs AS (
+    SELECT DISTINCT o_custkey AS node FROM orders WHERE o_custkey = 1
+),
+walk(node, lvl) AS (
+    SELECT node, 0 FROM srcs
+    UNION
+    SELECT e.dst, w.lvl + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.lvl < {_BFS_DEPTH}
+)
+SELECT node, CAST(min(lvl) AS BIGINT) AS level
+FROM walk GROUP BY node
+ORDER BY level, node
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -8059,6 +8123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_codes": q_sq_codes,
         "knn_sq": q_knn_sq,
         "nb_language": q_nb_language,
+        "bfs_trade_hops": q_bfs_hops,
     }
 
 
@@ -8256,6 +8321,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_codes": _sq_codes_sql(),
         "knn_sq": _knn_sq_sql(),
         "nb_language": _NB_LANGUAGE_SQL,
+        "bfs_trade_hops": _BFS_HOPS_SQL,
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

@@ -147,3 +147,59 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank_e12")
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    max_depth: int = 20,
+) -> DataFrame:
+    """Multi-source BFS: ``(node, level)`` — the minimum hop count
+    from any source node, for every node reachable within
+    ``max_depth`` hops (sources themselves at level 0).
+
+    Frontier expansion, the other classic message-passing workload
+    beside :func:`pagerank`: each round joins the CURRENT FRONTIER
+    (not the whole visited set) against the edge list, anti-joins the
+    visited table, and stamps survivors with the next level — so a
+    round's cost is proportional to the frontier's out-edges, and the
+    loop stops as soon as a frontier comes back empty (the driver
+    reads only that per-round count). Levels are exact integers; no
+    float anywhere, so the DuckDB twin (a depth-bounded recursive CTE
+    taking min(level)) replays it without any quantization contract.
+
+    ``max_depth`` bounds the walk: nodes whose true distance exceeds
+    it are absent from the result (the SQL twin applies the identical
+    bound). Unreachable nodes are likewise absent — left-join the node
+    universe downstream if a row per node is needed.
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .withColumn("level", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -1247,5 +1247,102 @@ PROBES["ivfpq_train_300k"] = probe_ivfpq_train
 PROBES["knn_ivfpq_300k"] = probe_knn_ivfpq
 PROBES["lm_1m"] = probe_lm_1m
 
+
+
+def probe_pagerank_5m(spark, edges=5_000_000, src_nodes=300_000,
+                      all_nodes=500_000):
+    """PageRank (round 8) on a 5M-edge directed graph with a 40%
+    dangling tail: sources draw from [0, 300k) but destinations from
+    [0, 500k), so 200k nodes have no out-edges and the per-round
+    dangling aggregate carries real mass. 4 rounds x (one edge-sized
+    equi-join + one node-keyed agg + one 1-row dangling broadcast) —
+    the cost that extrapolates linearly in edges per round."""
+    from big_data_in_agriculture_spark.operators.graph import pagerank
+
+    e = spark.range(edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(src_nodes)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(all_nodes)).alias("dst"),
+    )
+    out = pagerank(e, iterations=4)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("rank_e12").alias("mass_chk"),
+    )
+
+
+def probe_sq_train_300k(spark, n=300_000):
+    """SQ8 bound training alone: ONE aggregation pass producing 128
+    partially-combined scalars — the cheapest model in the ANN family
+    (no iterations, no sample needed; contrast pq_train_300k's ~24
+    corpus-slice scans)."""
+    from big_data_in_agriculture_spark.operators.similarity import sq_train
+
+    emb = _pq_probe_emb(spark, n)
+    bounds = sq_train(emb, dim=64)
+    _SQ_PROBE_BOUNDS[n] = bounds
+    return spark.range(1).select(F.lit(len(bounds)).alias("dims"))
+
+
+_SQ_PROBE_BOUNDS: dict = {}
+
+
+def probe_knn_sq_300k(spark, n=300_000, queries=200):
+    """knn_sq SEARCH at the shared 300k x 200 ANN geometry,
+    pre-trained bounds (run probe_sq_train_300k first; falls back to
+    inline training). HONEST shape: the ADC screen reconstructs all
+    64 dims per pair, so the 60M-pair sweep costs brute-force-class
+    ARITHMETIC — SQ8's win is the 4x smaller scan payload (1-byte
+    codes) and the model's zero training cost, not per-pair math.
+    When per-pair math matters, compose with a pruner (IVF cells) or
+    use PQ's 8-lookup LUT instead."""
+    from big_data_in_agriculture_spark.operators.similarity import knn_sq
+
+    emb = _pq_probe_emb(spark, n)
+    q = emb.filter(F.col("vec_id") < queries)
+    out = knn_sq(emb, q, dim=64, k=3, n_candidates=50,
+                 bounds=_SQ_PROBE_BOUNDS.get(n))
+    return out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cosine_sim").alias("chk")
+    )
+
+
+def probe_nb_1m(spark, docs=1_000_000):
+    """Naive Bayes (round 8) at 20x the bench corpus: train on 80% of
+    1M ~20-token docs over a 5-class label, classify ALL of them. One
+    (cls, token) groupBy trains the model; scoring explodes ~20M
+    tokens x 5 classes through one left join + one (doc, cls) agg +
+    the argmax window — all partial-aggregated, nothing collected."""
+    from big_data_in_agriculture_spark.operators.llm import (
+        nb_classify,
+        nb_train,
+    )
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.pmod(F.xxhash64("id"), F.lit(30)) + 10),
+        lambda i: F.concat(
+            F.lit("tok"), (F.xxhash64(F.col("id"), i) % 2000).cast("string")
+        ),
+    )
+    df = spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+        F.concat(
+            F.lit("c"), F.pmod(F.xxhash64("id", F.lit(9)), F.lit(5))
+        ).alias("lang"),
+    )
+    tm, cm = nb_train(df.filter(F.col("doc_id") % 5 != 0))
+    out = nb_classify(df, tm, cm)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("logprob_micro").alias("chk"),
+        F.sum("n_tokens").alias("n_tok"),
+    )
+
+
+PROBES["pagerank_5m"] = probe_pagerank_5m
+PROBES["sq_train_300k"] = probe_sq_train_300k
+PROBES["knn_sq_300k"] = probe_knn_sq_300k
+PROBES["nb_1m"] = probe_nb_1m
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -105,3 +105,67 @@ def test_invalid_params_raise(spark):
         pagerank(e, damping_pct=101)
     with pytest.raises(ValueError):
         pagerank(e, iterations=-1)
+
+
+# ---------------------------------------------------------------------------
+# bfs_levels
+# ---------------------------------------------------------------------------
+
+from big_data_in_agriculture_spark.operators.graph import bfs_levels  # noqa: E402
+
+
+def _srcs(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], ["node"])
+
+
+def _levels(df) -> dict[int, int]:
+    return {r["node"]: r["level"] for r in df.collect()}
+
+
+def test_bfs_chain_levels(spark):
+    out = _levels(bfs_levels(
+        _edges(spark, [(1, 2), (2, 3), (3, 4)]), _srcs(spark, [1])))
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_min_level_wins_on_multiple_paths(spark):
+    # 1->4 directly and 1->2->3->4: node 4 is level 1, not 3
+    out = _levels(bfs_levels(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)]),
+        _srcs(spark, [1])))
+    assert out[4] == 1
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    out = _levels(bfs_levels(
+        _edges(spark, [(1, 2), (2, 3), (9, 3)]), _srcs(spark, [1, 9])))
+    assert out == {1: 0, 9: 0, 2: 1, 3: 1}
+
+
+def test_bfs_cycle_terminates(spark):
+    out = _levels(bfs_levels(
+        _edges(spark, [(1, 2), (2, 3), (3, 1)]), _srcs(spark, [1])))
+    assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_unreachable_and_depth_bound(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (8, 9)])
+    out = _levels(bfs_levels(e, _srcs(spark, [1]), max_depth=2))
+    assert out == {1: 0, 2: 1, 3: 2}  # 4 beyond bound, 8/9 unreachable
+
+
+def test_bfs_direction_respected(spark):
+    # edge 2->1 does not make 2 reachable FROM 1
+    out = _levels(bfs_levels(_edges(spark, [(2, 1)]), _srcs(spark, [1])))
+    assert out == {1: 0}
+
+
+def test_bfs_zero_depth_is_sources_only(spark):
+    out = _levels(bfs_levels(
+        _edges(spark, [(1, 2)]), _srcs(spark, [1]), max_depth=0))
+    assert out == {1: 0}
+
+
+def test_bfs_negative_depth_raises(spark):
+    with pytest.raises(ValueError):
+        bfs_levels(_edges(spark, [(1, 2)]), _srcs(spark, [1]), max_depth=-1)
