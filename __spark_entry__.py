@@ -7898,6 +7898,62 @@ ORDER BY level, node
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (7): the stream-stream interval join, externally
+# verified — streaming/events.py:click_purchase_join_stream has been
+# tests-only since round 5; this runs it as a REAL availableNow
+# micro-batch (file source → dual-watermark join → append parquet
+# sink) whose sink equals the batch interval join, so the oracle is
+# plain SQL (the q_stream_daily_rollup trick).
+# ---------------------------------------------------------------------------
+
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_in_agriculture_spark.streaming.events import (
+        start_click_attribution_to_parquet,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tmp = tempfile.mkdtemp(prefix="streamj-")
+    landing = f"{tmp}/landing"
+    os.makedirs(landing)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/batch-000.parquet")
+    q = start_click_attribution_to_parquet(
+        spark, landing, f"{tmp}/sink", f"{tmp}/chk",
+        attribution_window="1 hour", available_now=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream-stream join did not finish within 300s")
+    return (
+        spark.read.parquet(f"{tmp}/sink")
+        .select("click_id", "user_id", "click_ts", "purchase_ts",
+                F.col("purchase_value").cast("double").alias("purchase_value"))
+        .orderBy("click_id", "purchase_ts")
+    )
+
+
+_STREAM_CLICK_ATTRIBUTION_SQL = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       CAST(p.value AS DOUBLE) AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts <= c.ts
+ AND p.ts >= c.ts - INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+ORDER BY click_id, purchase_ts
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -8124,6 +8180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq": q_knn_sq,
         "nb_language": q_nb_language,
         "bfs_trade_hops": q_bfs_hops,
+        "stream_click_attribution": q_stream_click_attribution,
     }
 
 
@@ -8322,6 +8379,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_sq": _knn_sq_sql(),
         "nb_language": _NB_LANGUAGE_SQL,
         "bfs_trade_hops": _BFS_HOPS_SQL,
+        "stream_click_attribution": _STREAM_CLICK_ATTRIBUTION_SQL,
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

@@ -845,3 +845,39 @@ def start_incremental_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_click_attribution_to_parquet(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint: str,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+    path_glob: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire the stream-stream join end-to-end: files →
+    :func:`click_purchase_join_stream` (inner) → append parquet sink.
+
+    Inner stream-stream join rows emit as soon as both sides match
+    (no watermark wait — only OUTER rows trail), so an availableNow
+    run over a landed batch produces exactly the batch join's rows
+    and the sink is SQL-oracle-checkable, the same external-
+    verification trick as ``start_daily_rollup_to_parquet``.
+    """
+    joined = click_purchase_join_stream(
+        read_events_stream(spark, source_path, path_glob=path_glob),
+        attribution_window=attribution_window,
+        watermark=watermark,
+        how="inner",
+    )
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

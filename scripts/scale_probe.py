@@ -1344,5 +1344,30 @@ PROBES["sq_train_300k"] = probe_sq_train_300k
 PROBES["knn_sq_300k"] = probe_knn_sq_300k
 PROBES["nb_1m"] = probe_nb_1m
 
+
+def probe_bfs_5m(spark, edges=5_000_000, nodes=1_000_000):
+    """BFS (round 8) on a 5M-edge random digraph over 1M nodes from a
+    single source. A sparse uniform random graph reaches almost every
+    node within ~log(n)/log(avg_deg) hops, so the probe exercises the
+    frontier's growth-then-collapse shape: early rounds tiny, middle
+    rounds corpus-sized, tail rounds empty out — the pattern whose
+    per-round cost tracks FRONTIER out-edges, not graph size."""
+    from big_data_in_agriculture_spark.operators.graph import bfs_levels
+
+    e = spark.range(edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(nodes)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(nodes)).alias("dst"),
+    )
+    srcs = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    out = bfs_levels(e, srcs, max_depth=15)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.max("level").alias("max_level"),
+        F.sum("level").alias("chk"),
+    )
+
+
+PROBES["bfs_5m"] = probe_bfs_5m
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -130,7 +130,7 @@ DISPLACED = [
 #: ("176 of 178 registered queries hash-match ... the remaining 2").
 #: Registering a query or converting a rows-only op MUST update the
 #: docs and these constants together.
-REGISTERED_QUERIES = 198
+REGISTERED_QUERIES = 199
 ROWS_ONLY = 2
 
 
