@@ -7965,9 +7965,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "era5_hourly_spatial_mean": q_era5_hourly_spatial_mean,
-        "era5_weighted_mean": q_era5_weighted_mean,
+        "pagerank_trade": q_pagerank,
         "era5_daily_rollup": q_era5_daily_rollup,
-        "era5_chain": q_era5_chain,
+        "nb_language": q_nb_language,
         "era5_serve_filter_daily": q_era5_serve_filter_daily,
         "era5_pivot": q_era5_pivot,
         "era5_kpis": q_era5_kpis,
@@ -7982,7 +7982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "scd2_history": q_scd2_history,
         "interval_join": q_interval_join,
-        "window_topn": q_window_topn,
+        "knn_sq": q_knn_sq,
         "semantic_dedup": q_semantic_dedup,
         "sessionize": q_sessionize,
         "set_intersect": q_set_intersect,
@@ -7995,9 +7995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "pack_firstfit": q_pack_firstfit,
         "corpus_profile": q_corpus_profile,
-        "jaccard_pairs": q_jaccard_pairs,
+        "edit_linkage": q_edit_linkage,
         "line_dedup": q_line_dedup,
-        "simhash": q_simhash,
+        "lm_backoff_ppl": q_lm_backoff_ppl,
         "bpe_encode": q_bpe_encode,
         "retention_cohorts": q_retention_cohorts,
         "multimodal_meta": q_multimodal_meta,
@@ -8013,10 +8013,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup, classifier_quality, pack_firstfit, bpe_train;
         # r6: cdc_apply, scd2_history, interval_join, hybrid_search,
         # incremental_rollup; r7: bm25_search, cms_frequencies,
-        # line_dedup, bpe_encode, retention_cohorts). Displaced queries
-        # (r7: tpch_q5, dedup_exact_groups, containment_pairs,
-        # knn_bruteforce, embedding_norms — each with a same-family
-        # sibling still in the prefix) join the DISPLACED set in
+        # line_dedup, bpe_encode, retention_cohorts; r8:
+        # pagerank_trade, nb_language, knn_sq, edit_linkage,
+        # lm_backoff_ppl). Displaced queries (r8: era5_weighted_mean,
+        # era5_chain, window_topn, jaccard_pairs, simhash — each with
+        # a same-family sibling still in the prefix; r7: tpch_q5,
+        # dedup_exact_groups, containment_pairs,
+        # knn_bruteforce, embedding_norms) join the DISPLACED set in
         # test_registry.py::test_displaced_query_oracle_parity with
         # full Spark-vs-DuckDB hash parity in pytest, and their
         # two-engine hashes are recorded in the committed
@@ -8173,14 +8176,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
-        "lm_backoff_ppl": q_lm_backoff_ppl,
-        "edit_linkage": q_edit_linkage,
-        "pagerank_trade": q_pagerank,
         "sq_codes": q_sq_codes,
-        "knn_sq": q_knn_sq,
-        "nb_language": q_nb_language,
         "bfs_trade_hops": q_bfs_hops,
         "stream_click_attribution": q_stream_click_attribution,
+        "era5_weighted_mean": q_era5_weighted_mean,
+        "era5_chain": q_era5_chain,
+        "window_topn": q_window_topn,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
     }
 
 

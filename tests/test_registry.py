@@ -3,10 +3,10 @@
 The external driver's correctness gate checks a PREFIX of ``queries()``
 (50 entries). Two invariants protect it:
 
-1. The first 50 names are PINNED (round-7 rotation of the round-6
+1. The first 50 names are PINNED (round-8 rotation of the round-7
    gate set) — an accidental insertion before index 50 would silently
    eject an operator from external verification.
-2. The 26 queries the round-3/5/6/7 reorderings displaced out of
+2. The 31 queries the round-3/5/6/7/8 reorderings displaced out of
    the prefix keep full oracle parity here in pytest, so a regression
    in them cannot hide behind the driver's prefix truncation — and
    scripts/displaced_verify.py snapshots their two-engine hashes into
@@ -23,23 +23,25 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-#: The driver-gate prefix as of round 7. Rounds 3-4 pinned the
+#: The driver-gate prefix as of round 8. Rounds 3-4 pinned the
 #: CORRECTNESS_r03 keys; rounds 5, 6 and 7 each DELIBERATELY rotated
 #: five slots so never-externally-verified queries gain CORRECTNESS
 #: rows (r5: kmeans_clusters, semantic_dedup, classifier_quality,
 #: pack_firstfit, bpe_train; r6: cdc_apply, scd2_history,
 #: interval_join, hybrid_search, incremental_rollup; r7: bm25_search,
-#: cms_frequencies, line_dedup, bpe_encode, retention_cohorts — each
-#: displacing a query with a same-family prefix sibling: tpch_q5,
-#: dedup_exact_groups, containment_pairs, knn_bruteforce,
-#: embedding_norms). Do not edit
+#: cms_frequencies, line_dedup, bpe_encode, retention_cohorts;
+#: r8: pagerank_trade, nb_language, knn_sq, edit_linkage,
+#: lm_backoff_ppl — displacing era5_weighted_mean, era5_chain,
+#: window_topn, jaccard_pairs, simhash, each with a same-family
+#: prefix sibling: era5_hourly_spatial_mean, era5_daily_rollup,
+#: top10_orders, minhash_neardup, minhash_neardup). Do not edit
 #: without re-deciding gate visibility; append new queries AFTER
 #: index 50 instead.
 DRIVER_PREFIX_50 = [
     "era5_hourly_spatial_mean",
-    "era5_weighted_mean",
+    "pagerank_trade",
     "era5_daily_rollup",
-    "era5_chain",
+    "nb_language",
     "era5_serve_filter_daily",
     "era5_pivot",
     "era5_kpis",
@@ -54,7 +56,7 @@ DRIVER_PREFIX_50 = [
     "kmeans_clusters",
     "scd2_history",
     "interval_join",
-    "window_topn",
+    "knn_sq",
     "semantic_dedup",
     "sessionize",
     "set_intersect",
@@ -67,9 +69,9 @@ DRIVER_PREFIX_50 = [
     "pii_scan",
     "pack_firstfit",
     "corpus_profile",
-    "jaccard_pairs",
+    "edit_linkage",
     "line_dedup",
-    "simhash",
+    "lm_backoff_ppl",
     "bpe_encode",
     "retention_cohorts",
     "multimodal_meta",
@@ -88,7 +90,7 @@ DRIVER_PREFIX_50 = [
     "asof_attribution",
 ]
 
-#: Displaced from the prefix by the round-3/5/6/7 reorderings (round 6
+#: Displaced from the prefix by the round-3/5/6/7/8 reorderings (round 6
 #: twice: five never-externally-verified conversions early, then the
 #: three new round-6 ops — bloom_dedup / pii_scan / leakage_split —
 #: swapped in for same-family siblings text_stats / pack_chunks /
@@ -123,6 +125,11 @@ DISPLACED = [
     "containment_pairs",
     "knn_bruteforce",
     "embedding_norms",
+    "era5_weighted_mean",
+    "era5_chain",
+    "window_topn",
+    "jaccard_pairs",
+    "simhash",
 ]
 
 
