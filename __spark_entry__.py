@@ -7954,6 +7954,38 @@ ORDER BY click_id, purchase_ts
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (8): distributed dense-id assignment
+# (operators/relational.py:assign_dense_ids — the `_range_ntile`
+# decomposition with the global rank itself as the product; no
+# single-partition window at any volume).
+# ---------------------------------------------------------------------------
+
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stable contiguous ids over orders in (o_orderdate, o_orderkey)
+    # order — the ingest-time id-assignment primitive. The oracle is a
+    # plain global row_number, so the hash match proves the
+    # range-exchange decomposition equals the single-window semantics.
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        relational.assign_dense_ids(
+            orders.select("o_orderkey", "o_orderdate"),
+            [F.col("o_orderdate"), F.col("o_orderkey")],
+        )
+        .select("o_orderkey", "dense_id")
+        .orderBy("dense_id")
+    )
+
+
+_DENSE_IDS_SQL = """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS dense_id
+FROM orders
+ORDER BY dense_id
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -8179,6 +8211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_codes": q_sq_codes,
         "bfs_trade_hops": q_bfs_hops,
         "stream_click_attribution": q_stream_click_attribution,
+        "dense_ids_orders": q_dense_ids,
         "era5_weighted_mean": q_era5_weighted_mean,
         "era5_chain": q_era5_chain,
         "window_topn": q_window_topn,
@@ -8383,6 +8416,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_language": _NB_LANGUAGE_SQL,
         "bfs_trade_hops": _BFS_HOPS_SQL,
         "stream_click_attribution": _STREAM_CLICK_ATTRIBUTION_SQL,
+        "dense_ids_orders": _DENSE_IDS_SQL,
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

@@ -1983,3 +1983,58 @@ def triangle_participation(
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(top_k)
     )
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    sort_exprs: list,
+    alias: str = "dense_id",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Attach a global dense 1..n id in ``sort_exprs`` order — the
+    ingest primitive (stable contiguous doc/sample ids for shard
+    export) WITHOUT the single-partition global window.
+
+    ``row_number().over(Window.orderBy(...))`` funnels the whole
+    table through one task; ``monotonically_increasing_id`` is
+    partition-sparse and non-contiguous; ``zipWithIndex`` drops to
+    RDDs. This is the `_range_ntile` decomposition with the rank
+    itself as the product: range exchange on the (total-order,
+    tie-broken) sort key → per-partition row_number (parallel) →
+    P-row prefix sum of partition counts broadcast back as offsets —
+    global id = local rank + partition offset. Everything lives in
+    one lazy plan, so the range exchange's sampled boundaries feed
+    the rank and count branches consistently.
+
+    The sort key must be a total order (tie-break on a unique column)
+    or ids within ties are partition-placement-dependent.
+    """
+    spark = df.sparkSession
+    P = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = (
+        df.repartitionByRange(P, *sort_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrank",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(*sort_exprs)
+            ),
+        )
+    )
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, (F.col("_lrank") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrank", "_off")
+    )

@@ -624,3 +624,46 @@ def test_rfm_has_no_global_window(spark):
     for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
         assert "_pid" in m.group(1), m.group(0)
     assert "ntile" not in plan  # the global-window form is gone
+
+
+class TestAssignDenseIds:
+    def test_ids_are_contiguous_and_order_follow_sort(self, spark):
+        df = spark.createDataFrame(
+            [(3, "c"), (1, "a"), (2, "b"), (5, "e"), (4, "d")],
+            ["k", "v"],
+        )
+        out = relational.assign_dense_ids(df, [F.col("k")]).collect()
+        got = {r["k"]: r["dense_id"] for r in out}
+        assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+        assert {r["v"] for r in out} == {"a", "b", "c", "d", "e"}
+
+    def test_tie_break_column_gives_total_order(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 13)], ["k", "uid"]
+        )
+        out = {r["uid"]: r["dense_id"] for r in
+               relational.assign_dense_ids(
+                   df, [F.col("k"), F.col("uid")]).collect()}
+        assert out == {10: 1, 11: 2, 12: 3, 13: 4}
+
+    def test_many_partitions_still_dense(self, spark):
+        df = spark.range(10_000).select(
+            (F.col("id") * 7919 % 10_000).alias("k")
+        )
+        ids = sorted(
+            r["dense_id"] for r in
+            relational.assign_dense_ids(
+                df, [F.col("k")], num_ranges=16).collect()
+        )
+        assert ids == list(range(1, 10_001))
+
+    def test_no_single_partition_window(self, spark):
+        # the whole point: the physical plan's Window must partition
+        # by _pid, never run over one global partition
+        df = spark.range(1000).select(F.col("id").alias("k"))
+        out = relational.assign_dense_ids(df, [F.col("k")])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_pid" in plan
+        import re
+        for m in re.finditer(r"Window \[.*?\]", plan):
+            assert "partitionBy" not in m.group(0) or "_pid" in m.group(0)
