@@ -7986,6 +7986,90 @@ ORDER BY dense_id
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (9): mergeable histogram quantile sketch — the
+# fourth mergeable sketch beside HLL / Bloom / CMS
+# (operators/profile.py:histogram_sketch/merge_histograms/
+# sketch_quantiles). The registered query builds TWO shard sketches
+# and merges them, so the hash match verifies the mergeability
+# contract itself, not just one build.
+# ---------------------------------------------------------------------------
+
+_QSK_LO, _QSK_HI, _QSK_BINS = 0.0, 600_000.0, 128
+_QSK_QS = [0.25, 0.5, 0.75, 0.9]
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators import profile as prof
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
+    )
+    halves = [
+        prof.histogram_sketch(
+            orders.filter(F.col("o_orderkey") % 2 == i), "v",
+            _QSK_LO, _QSK_HI, _QSK_BINS,
+        )
+        for i in (0, 1)
+    ]
+    merged = prof.merge_histograms(*halves)
+    return prof.sketch_quantiles(
+        merged, _QSK_LO, _QSK_HI, _QSK_BINS, _QSK_QS
+    )
+
+
+def _quantile_sketch_sql(
+    lo: float = _QSK_LO, hi: float = _QSK_HI, bins: int = _QSK_BINS,
+    qs: list[float] = _QSK_QS,
+) -> str:
+    """Twin of the two-shard build + merge + interpolation. q literals
+    are CAST to DOUBLE (DuckDB binds 0.9 as DECIMAL, whose exact
+    multiply would round ceil targets differently than IEEE); the bin
+    width is the Python-computed double constant, identical to the
+    one Spark's driver embedded."""
+    w = (hi - lo) / float(bins)
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    half = (
+        "SELECT CAST(least(greatest(floor((v - {lo}) / {w}), 0), {top}) "
+        "AS BIGINT) AS bin_id, count(*) AS n FROM vals "
+        "WHERE o_orderkey % 2 = {par} GROUP BY 1"
+    )
+    return f"""
+WITH vals AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v FROM orders
+    WHERE o_totalprice IS NOT NULL
+      AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+),
+h0 AS ({half.format(lo=repr(lo), w=repr(w), top=bins - 1, par=0)}),
+h1 AS ({half.format(lo=repr(lo), w=repr(w), top=bins - 1, par=1)}),
+m AS (
+    SELECT bin_id, CAST(sum(n) AS BIGINT) AS n
+    FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) GROUP BY 1
+),
+cum AS (
+    SELECT bin_id, n,
+           CAST(sum(n) OVER (ORDER BY bin_id) AS BIGINT) AS cum,
+           CAST(sum(n) OVER () AS BIGINT) AS total
+    FROM m
+),
+qs AS (SELECT CAST(unnest([{q_list}]) AS DOUBLE) AS q),
+hit AS (
+    SELECT q, bin_id, n, cum, total,
+           row_number() OVER (PARTITION BY q ORDER BY bin_id) AS rn
+    FROM qs, cum
+    WHERE cum >= greatest(CAST(ceil(q * total) AS BIGINT), 1)
+)
+SELECT q,
+       round({repr(lo)} + (CAST(bin_id AS DOUBLE)
+             + CAST(CAST(ceil(q * total) AS BIGINT) - (cum - n) AS DOUBLE)
+               / CAST(n AS DOUBLE)) * {repr(w)}, 6) AS estimate,
+       CAST({repr(w)} AS DOUBLE) AS err_bound
+FROM hit WHERE rn = 1
+ORDER BY q
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -8212,6 +8296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_trade_hops": q_bfs_hops,
         "stream_click_attribution": q_stream_click_attribution,
         "dense_ids_orders": q_dense_ids,
+        "quantile_sketch": q_quantile_sketch,
         "era5_weighted_mean": q_era5_weighted_mean,
         "era5_chain": q_era5_chain,
         "window_topn": q_window_topn,
@@ -8417,6 +8502,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_trade_hops": _BFS_HOPS_SQL,
         "stream_click_attribution": _STREAM_CLICK_ATTRIBUTION_SQL,
         "dense_ids_orders": _DENSE_IDS_SQL,
+        "quantile_sketch": _quantile_sketch_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

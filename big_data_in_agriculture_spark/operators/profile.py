@@ -14,7 +14,7 @@ sketches, not values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -764,3 +764,118 @@ def cms_estimate(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (round 8) — the fourth mergeable
+# sketch beside HLL (distinct), Bloom (membership), CMS (frequency).
+# ---------------------------------------------------------------------------
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Build a fixed-bound equi-width histogram sketch: one row per
+    OCCUPIED bin, ``(bin_id, n)``.
+
+    The bounds are CALLER-FIXED, not data-derived — that is what makes
+    two sketches mergeable by construction (``merge_histograms`` just
+    sums counts per bin id), the same contract as Bloom's fixed
+    ``m_bits`` and CMS's fixed (depth, width): shards, days, or
+    corpora sketch independently and the union's quantiles come from
+    one ≤``bins``-row merge, history never rescanned. Values outside
+    [lo, hi) clamp into the edge bins (documented lossiness — pick
+    bounds from domain knowledge, e.g. price caps, token-length
+    limits); NULL/NaN are excluded on both engines. One hash aggregate
+    over ≤``bins`` groups; bin math is plain double IEEE ops, so the
+    sketch is engine-deterministic.
+    """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(col).cast("double")
+    d = df.filter(F.col(col).isNotNull() & ~F.isnan(v))
+    width = (hi - lo) / float(bins)
+    bin_id = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("long")
+    return (
+        d.groupBy(bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histograms(*sketches: DataFrame) -> DataFrame:
+    """Union fixed-bound sketches built with IDENTICAL (lo, hi, bins)
+    and sum counts per bin — the mergeable-sketch operation. The
+    caller owns the bounds agreement (same contract as merging Bloom
+    filters of equal m_bits)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin_id").agg(F.sum("n").alias("n"))
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Estimate quantiles from a histogram sketch: ``(q, estimate,
+    err_bound)`` — estimate is the linear interpolation inside the bin
+    containing the target rank, err_bound the bin width (the sketch's
+    worst-case error for in-range values; clamped outliers can exceed
+    it, which is why the bounds are a domain decision).
+
+    Everything downstream of the sketch is ≤``bins`` rows: one
+    cumulative-count window over bin ids, one cross join against the
+    |qs|-row quantile frame, one min-by. Rank math follows the
+    nearest-rank convention target = ceil(q * n) (exact LONGs), then
+    one double interpolation — deterministic on both engines.
+    """
+    width = (hi - lo) / float(bins)
+    w = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sketch.select(
+        "bin_id",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(
+            Window.orderBy("bin_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    quantiles = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], ["q"]
+    )
+    target = F.ceil(F.col("q") * F.col("total")).cast("long")
+    hit = (
+        cum.crossJoin(F.broadcast(quantiles))
+        .filter(F.col("cum") >= F.greatest(target, F.lit(1)))
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.struct("bin_id", "n", "cum", "total"), F.col("bin_id")
+            ).alias("b")
+        )
+    )
+    tgt = F.ceil(F.col("q") * F.col("b.total")).cast("long")
+    frac = (
+        (tgt - (F.col("b.cum") - F.col("b.n"))).cast("double")
+        / F.col("b.n").cast("double")
+    )
+    est = F.lit(lo) + (F.col("b.bin_id").cast("double") + frac) * F.lit(width)
+    return hit.select(
+        "q",
+        F.round(est, 6).alias("estimate"),
+        F.lit(float(width)).alias("err_bound"),
+    ).orderBy("q")

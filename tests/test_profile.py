@@ -363,3 +363,68 @@ def test_cms_estimate_excludes_null_keys(spark):
     rows = profile.cms_estimate(q, sk, "k", depth=4, width=8).collect()
     assert {r["k"] for r in rows} == {"a"}
     assert rows[0]["cms_estimate"] >= 2
+
+
+class TestHistogramQuantileSketch:
+    def _build(self, spark, values, lo=0.0, hi=100.0, bins=100):
+        from big_data_in_agriculture_spark.operators import profile as prof
+
+        df = spark.createDataFrame([(float(v),) for v in values], ["v"])
+        return prof.histogram_sketch(df, "v", lo, hi, bins)
+
+    def test_estimates_within_err_bound_of_exact(self, spark):
+        import numpy as np
+
+        from big_data_in_agriculture_spark.operators import profile as prof
+
+        vals = [((i * 7919) % 1000) / 10.0 for i in range(2000)]
+        sk = self._build(spark, vals)
+        out = prof.sketch_quantiles(sk, 0.0, 100.0, 100,
+                                    [0.1, 0.25, 0.5, 0.75, 0.9])
+        arr = np.sort(np.array(vals))
+        for r in out.collect():
+            # nearest-rank exact quantile
+            target = max(int(np.ceil(r["q"] * len(arr))), 1)
+            exact = arr[target - 1]
+            assert abs(r["estimate"] - exact) <= r["err_bound"] + 1e-9, r
+
+    def test_merge_of_shards_equals_whole(self, spark):
+        from big_data_in_agriculture_spark.operators import profile as prof
+
+        vals = [((i * 31) % 97) + 0.5 for i in range(500)]
+        whole = self._build(spark, vals)
+        a = self._build(spark, vals[:200])
+        b = self._build(spark, vals[200:])
+        merged = prof.merge_histograms(a, b)
+        w = {r["bin_id"]: r["n"] for r in whole.collect()}
+        m = {r["bin_id"]: r["n"] for r in merged.collect()}
+        assert w == m
+        qw = prof.sketch_quantiles(whole, 0.0, 100.0, 100, [0.5]).collect()
+        qm = prof.sketch_quantiles(merged, 0.0, 100.0, 100, [0.5]).collect()
+        assert [tuple(r) for r in qw] == [tuple(r) for r in qm]
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        sk = {r["bin_id"]: r["n"] for r in
+              self._build(spark, [-50.0, 5.0, 250.0],
+                          lo=0.0, hi=100.0, bins=10).collect()}
+        assert sk == {0: 2, 9: 1}
+
+    def test_null_and_nan_excluded(self, spark):
+        from big_data_in_agriculture_spark.operators import profile as prof
+
+        df = spark.createDataFrame(
+            [(1.0,), (float("nan"),), (None,)], "v double"
+        )
+        sk = prof.histogram_sketch(df, "v", 0.0, 10.0, 10)
+        assert sk.agg(F.sum("n")).collect()[0][0] == 1
+
+    def test_invalid_bounds_raise(self, spark):
+        import pytest as _pt
+
+        from big_data_in_agriculture_spark.operators import profile as prof
+
+        df = spark.createDataFrame([(1.0,)], ["v"])
+        with _pt.raises(ValueError):
+            prof.histogram_sketch(df, "v", 5.0, 5.0, 10)
+        with _pt.raises(ValueError):
+            prof.histogram_sketch(df, "v", 0.0, 1.0, 0)
