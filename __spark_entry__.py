@@ -8070,6 +8070,77 @@ ORDER BY q
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (10): Holt double-exponential-smoothing forecast
+# (operators/timeseries.py:holt_forecast — the sequential recurrence
+# as a JVM-side aggregate fold; recursive-CTE oracle carries (l, b)).
+# ---------------------------------------------------------------------------
+
+_HOLT_A, _HOLT_B, _HOLT_H = 0.5, 0.3, 7
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = timeseries.daily_series(ev, "event_type", "ts", "value")
+    out = timeseries.holt_forecast(
+        daily, alpha=_HOLT_A, beta=_HOLT_B, horizon=_HOLT_H
+    )
+    return out.orderBy("key", "h")
+
+
+def _holt_sql(
+    alpha: float = _HOLT_A, beta: float = _HOLT_B, horizon: int = _HOLT_H
+) -> str:
+    """Recursive-CTE twin: state (l, b) advances one observation per
+    recursion step, consuming ys[t] for t = 2..n (t starts at 2 with
+    l = ys[1], b = ys[2] − ys[1]); final state is the unique t = n+1
+    row (= 2 for single-observation keys). Every smoothing constant is
+    CAST to DOUBLE (DuckDB binds bare decimals as DECIMAL, whose exact
+    arithmetic diverges from Spark's IEEE fold)."""
+    a, om_a = repr(float(alpha)), repr(1.0 - float(alpha))
+    b, om_b = repr(float(beta)), repr(1.0 - float(beta))
+    lnew = (
+        f"CAST({a} AS DOUBLE) * ys[t] "
+        f"+ CAST({om_a} AS DOUBLE) * (l + b)"
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day,
+           sum(value) AS v
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+ser AS (
+    SELECT key, list(v ORDER BY day) AS ys, max(day) AS last_day
+    FROM daily GROUP BY key
+),
+fit(key, t, l, b) AS (
+    SELECT key, 2, ys[1],
+           CASE WHEN len(ys) >= 2 THEN ys[2] - ys[1] ELSE 0.0 END
+    FROM ser
+    UNION ALL
+    SELECT f.key, f.t + 1,
+           {lnew},
+           CAST({b} AS DOUBLE) * (({lnew}) - l)
+           + CAST({om_b} AS DOUBLE) * b
+    FROM fit f JOIN ser USING (key)
+    WHERE f.t <= len(ys)
+),
+final AS (
+    SELECT f.key, f.l, f.b, s.last_day
+    FROM fit f JOIN ser s USING (key)
+    WHERE f.t = len(s.ys) + 1
+)
+SELECT key, CAST(h AS INT) AS h,
+       last_day + h * INTERVAL 1 DAY AS forecast_day,
+       round(l + CAST(h AS DOUBLE) * b, 6) AS yhat
+FROM final, range(1, {horizon + 1}) r(h)
+ORDER BY key, h
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -8297,6 +8368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_click_attribution": q_stream_click_attribution,
         "dense_ids_orders": q_dense_ids,
         "quantile_sketch": q_quantile_sketch,
+        "holt_forecast": q_holt_forecast,
         "era5_weighted_mean": q_era5_weighted_mean,
         "era5_chain": q_era5_chain,
         "window_topn": q_window_topn,
@@ -8503,6 +8575,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_click_attribution": _STREAM_CLICK_ATTRIBUTION_SQL,
         "dense_ids_orders": _DENSE_IDS_SQL,
         "quantile_sketch": _quantile_sketch_sql(),
+        "holt_forecast": _holt_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

@@ -522,3 +522,90 @@ def seasonal_naive_backtest(
         )
         .orderBy("key")
     )
+
+
+def holt_forecast(
+    daily: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend) and an
+    ``horizon``-step linear forecast: one row per (key, h) with
+    ``forecast_day = last_day + h`` and ``yhat = level + h·trend``.
+
+    The recurrence (l_t = α·y_t + (1−α)(l+b); b_t = β(l_t − l) +
+    (1−β)b, initialized l₀ = y₁, b₀ = y₂ − y₁, folded from the second
+    observation) is sequential like :func:`ema`'s — but where ema
+    documents the pandas-island route, this one stays JVM-side: the
+    per-key series is collected into a day-sorted array (series
+    length = days per key, the same bounded-series assumption
+    ``gapfill_locf`` makes) and the recurrence runs as ONE
+    ``F.aggregate`` fold with a (level, trend) struct accumulator —
+    no Python, no Arrow hop, whole-stage-codegen'd. Cost: one shuffle
+    on the key.
+
+    Both engines run the identical IEEE op sequence (the fold is
+    order-pinned by construction — sequential recurrences have no
+    fold-order freedom), so the oracle replays it with a recursive
+    CTE carrying (l, b) and no quantization contract beyond the final
+    display round. Single-observation keys forecast flat (trend 0).
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    a, b_ = float(alpha), float(beta)
+    ser = daily.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(day_col).alias("d"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("_s")
+    )
+    ys = F.col("_s").getField("v")
+    init = F.struct(
+        F.element_at(ys, 1).alias("l"),
+        F.when(
+            F.size(ys) >= 2, F.element_at(ys, 2) - F.element_at(ys, 1)
+        ).otherwise(F.lit(0.0)).alias("b"),
+    )
+
+    def _step(acc, y):
+        l_new = F.lit(a) * y + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(b_) * (l_new - acc["l"]) + F.lit(1.0 - b_) * acc["b"])
+            .alias("b"),
+        )
+
+    fitted = F.aggregate(F.slice(ys, 2, F.size(ys)), init, _step)
+    return (
+        ser.select(
+            "key",
+            F.element_at(F.col("_s").getField("d"), -1).alias("_last"),
+            fitted.alias("_f"),
+        )
+        .select(
+            "key",
+            "_last",
+            "_f",
+            F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h"),
+        )
+        .select(
+            "key",
+            "h",
+            F.timestamp_add("DAY", F.col("h"), F.col("_last")).alias(
+                "forecast_day"
+            ),
+            F.round(
+                F.col("_f").getField("l")
+                + F.col("h") * F.col("_f").getField("b"),
+                6,
+            ).alias("yhat"),
+        )
+    )

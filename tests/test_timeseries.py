@@ -348,3 +348,71 @@ def test_cusum_mean_includes_zero_days(spark):
     assert r["n_days"] == 5  # calendar span, holes included
     # S: day0 +3, day1 +1, day2 -1, day3 -3, day4 0 → peak |S| = 3
     assert abs(r["max_drift"] - 3.0) < 1e-6
+
+
+class TestHoltForecast:
+    def _daily(self, spark, rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, d), float(v)) for k, d, v in rows],
+            ["key", "day", "value"],
+        )
+
+    def test_matches_hand_rolled_recurrence(self, spark):
+        alpha, beta = 0.5, 0.3
+        vals = [10.0, 12.0, 15.0, 14.0, 18.0]
+        daily = self._daily(
+            spark, [("a", i + 1, v) for i, v in enumerate(vals)]
+        )
+        out = {r["h"]: r["yhat"] for r in
+               timeseries.holt_forecast(
+                   daily, alpha=alpha, beta=beta, horizon=3).collect()}
+        l, b = vals[0], vals[1] - vals[0]
+        for y in vals[1:]:
+            l_new = alpha * y + (1 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1 - beta) * b
+            l = l_new
+        for h in (1, 2, 3):
+            assert abs(out[h] - round(l + h * b, 6)) < 1e-9
+
+    def test_linear_series_forecasts_linearly(self, spark):
+        # a perfectly linear series is a fixpoint of Holt: the
+        # forecast continues the line exactly
+        daily = self._daily(
+            spark, [("a", d, 100.0 + 5.0 * d) for d in range(1, 11)]
+        )
+        out = {r["h"]: r["yhat"] for r in
+               timeseries.holt_forecast(daily, horizon=4).collect()}
+        last = 100.0 + 5.0 * 10
+        for h in (1, 2, 3, 4):
+            assert abs(out[h] - (last + 5.0 * h)) < 1e-6
+
+    def test_single_observation_forecasts_flat(self, spark):
+        daily = self._daily(spark, [("a", 1, 42.0)])
+        out = timeseries.holt_forecast(daily, horizon=2).collect()
+        assert [r["yhat"] for r in sorted(out, key=lambda r: r["h"])] \
+            == [42.0, 42.0]
+
+    def test_forecast_days_extend_last_day(self, spark):
+        daily = self._daily(spark, [("a", 1, 1.0), ("a", 5, 2.0)])
+        out = {r["h"]: r["forecast_day"] for r in
+               timeseries.holt_forecast(daily, horizon=2).collect()}
+        assert out[1] == dt.datetime(2024, 1, 6)
+        assert out[2] == dt.datetime(2024, 1, 7)
+
+    def test_keys_independent(self, spark):
+        daily = self._daily(
+            spark,
+            [("a", d, 10.0 * d) for d in range(1, 6)]
+            + [("b", d, 1000.0) for d in range(1, 6)],
+        )
+        out = timeseries.holt_forecast(daily, horizon=1).collect()
+        got = {r["key"]: r["yhat"] for r in out}
+        assert abs(got["a"] - 60.0) < 1e-6   # linear continuation
+        assert abs(got["b"] - 1000.0) < 1e-6  # flat series stays flat
+
+    def test_invalid_horizon_raises(self, spark):
+        import pytest as _pt
+
+        daily = self._daily(spark, [("a", 1, 1.0)])
+        with _pt.raises(ValueError):
+            timeseries.holt_forecast(daily, horizon=0)
