@@ -8141,6 +8141,87 @@ ORDER BY key, h
 
 
 # ---------------------------------------------------------------------------
+# Round-8 widening (11): DBSCAN — density-based clustering
+# (operators/similarity.py:dbscan_2d; grid-blocked exact neighbor
+# generation, verified against a BRUTE-FORCE quadratic oracle).
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS, _DBSCAN_MINPTS = 0.02, 4
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # density clustering over the embedding table's first two
+    # components (real data columns; the planted-blob semantics live
+    # in the unit tests). The oracle generates neighbor pairs with a
+    # brute-force quadratic join, so the hash match PROVES the 3x3
+    # grid blocking loses no pair (the edit_linkage pattern).
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        similarity.vec_is_valid(F.col("embedding"))
+    )
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.element_at(F.col("embedding"), 1).cast("double").alias("x"),
+        F.element_at(F.col("embedding"), 2).cast("double").alias("y"),
+    )
+    return similarity.dbscan_2d(
+        pts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS
+    ).orderBy("id")
+
+
+def _dbscan_sql(
+    eps: float = _DBSCAN_EPS, min_pts: int = _DBSCAN_MINPTS
+) -> str:
+    eps2 = repr(float(eps) * float(eps))
+    return f"""
+WITH RECURSIVE pts AS (
+    SELECT vec_id AS id, embedding[1]::DOUBLE AS x,
+           embedding[2]::DOUBLE AS y
+    FROM embeddings WHERE {_VALID_VEC}
+),
+pairs AS MATERIALIZED (
+    -- brute force: INDEPENDENT of the engine's grid blocking
+    SELECT a.id AS ia, b.id AS ib FROM pts a, pts b
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= CAST({eps2} AS DOUBLE)
+),
+cnt AS (SELECT ia AS id, count(*) AS n FROM pairs GROUP BY 1),
+core AS MATERIALIZED (SELECT id FROM cnt WHERE n >= {min_pts}),
+cedges AS MATERIALIZED (
+    SELECT ia, ib FROM pairs
+    JOIN core c1 ON pairs.ia = c1.id
+    JOIN core c2 ON pairs.ib = c2.id
+),
+reach(id, lab) AS (
+    SELECT ia, ia FROM cedges
+    UNION
+    SELECT e.ib, r.lab FROM reach r JOIN cedges e ON e.ia = r.id
+),
+comp AS MATERIALIZED (SELECT id, min(lab) AS cid FROM reach GROUP BY id),
+core_out AS (
+    SELECT c.id, 'core' AS role, m.cid AS cluster_id
+    FROM core c JOIN comp m USING (id)
+),
+border_out AS (
+    SELECT p.ia AS id, 'border' AS role, min(m.cid) AS cluster_id
+    FROM pairs p
+    JOIN core k ON p.ib = k.id
+    JOIN comp m ON m.id = p.ib
+    WHERE p.ia NOT IN (SELECT id FROM core)
+    GROUP BY 1
+),
+assigned AS (
+    SELECT * FROM core_out UNION ALL SELECT * FROM border_out
+)
+SELECT id, role, CAST(cluster_id AS BIGINT) AS cluster_id FROM assigned
+UNION ALL
+SELECT p.id, 'noise', NULL
+FROM pts p WHERE p.id NOT IN (SELECT id FROM assigned)
+ORDER BY id
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -8369,6 +8450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_ids_orders": q_dense_ids,
         "quantile_sketch": q_quantile_sketch,
         "holt_forecast": q_holt_forecast,
+        "dbscan_embed": q_dbscan,
         "era5_weighted_mean": q_era5_weighted_mean,
         "era5_chain": q_era5_chain,
         "window_topn": q_window_topn,
@@ -8576,6 +8658,7 @@ def oracle_sql() -> dict[str, str]:
         "dense_ids_orders": _DENSE_IDS_SQL,
         "quantile_sketch": _quantile_sketch_sql(),
         "holt_forecast": _holt_sql(),
+        "dbscan_embed": _dbscan_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

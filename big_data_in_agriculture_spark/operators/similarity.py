@@ -1746,3 +1746,133 @@ def knn_sq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (round 8) — density-based clustering, the non-parametric
+# complement to kmeans_fit (no k, finds arbitrary-shape clusters,
+# labels noise explicitly).
+# ---------------------------------------------------------------------------
+
+def dbscan_2d(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Exact 2-D DBSCAN (Ester et al. 1996): ``(id, role, cluster_id)``
+    with role ∈ {core, border, noise}; noise rows carry NULL cluster.
+
+    EXACT, not approximate — the ε-neighbor generation is grid-blocked
+    but provably complete: each point joins the 3×3 block of ε-sized
+    grid cells around its own, and any pair within ε is at most one
+    cell apart on each axis, so every qualifying pair reaches the
+    distance check (the registered oracle pairs against a BRUTE-FORCE
+    quadratic join, so the hash match proves this recall claim, the
+    edit_join verification pattern). Scale shape: one explode(9) +
+    one equi-join on the cell key + the distance filter — pair volume
+    is bounded by local density (points per ε-cell), never n²; the
+    core-core component step rides :func:`operators.llm.
+    neardup_components` (pointer-jumping min-label, O(log diameter)
+    rounds, strict non-convergence raise).
+
+    Determinism: both engines compute the identical IEEE
+    ``(dx² + dy²) ≤ ε²`` predicate on identical doubles, cluster ids
+    are component-minimum core ids, and border points tie-break to
+    the SMALLEST neighboring core's cluster (classical DBSCAN assigns
+    border ties arbitrarily; pinning min makes runs replayable).
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    from .llm import neardup_components
+
+    inv = 1.0 / float(eps)
+    eps2 = float(eps) * float(eps)
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(
+        F.col("x").isNotNull() & ~F.isnan("x")
+        & F.col("y").isNotNull() & ~F.isnan("y")
+    )
+    cells = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") * F.lit(inv)).alias("cx"),
+        F.floor(F.col("y") * F.lit(inv)).alias("cy"),
+    ).localCheckpoint(eager=False)
+    probe = cells.select(
+        F.col("id").alias("ia"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), "cx", "cy",
+    ).withColumn(
+        "_off", F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ]))
+    ).select(
+        "ia", "xa", "ya",
+        (F.col("cx") + F.col("_off.dx")).alias("cx"),
+        (F.col("cy") + F.col("_off.dy")).alias("cy"),
+    )
+    dist2 = (
+        (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x"))
+        + (F.col("ya") - F.col("y")) * (F.col("ya") - F.col("y"))
+    )
+    pairs = (
+        probe.join(
+            cells.select(F.col("id").alias("ib"), "x", "y", "cx", "cy"),
+            ["cx", "cy"],
+        )
+        .filter(dist2 <= F.lit(eps2))
+        .select("ia", "ib")
+        .localCheckpoint(eager=False)
+    )
+    counts = pairs.groupBy(F.col("ia").alias("id")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    core = counts.filter(F.col("_n") >= min_pts).select("id")
+    core_edges = (
+        pairs.join(core.select(F.col("id").alias("ia")), "ia")
+        .join(core.select(F.col("id").alias("ib")), "ib")
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    # self-pairs ride along from the neighbor join, so isolated cores
+    # keep their own label inside the component pass
+    comp = neardup_components(core_edges, max_iter=max_iter)
+    core_out = (
+        core.join(comp, core.id == comp.id)
+        .select(
+            core.id.alias("id"),
+            F.lit("core").alias("role"),
+            F.col("component_id").alias("cluster_id"),
+        )
+    )
+    border_out = (
+        pairs.join(core.select(F.col("id").alias("ib")), "ib")
+        .join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
+        .join(
+            comp.select(
+                F.col("id").alias("ib"), F.col("component_id")
+            ),
+            "ib",
+        )
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("component_id").alias("cluster_id"))
+        .select("id", F.lit("border").alias("role"), "cluster_id")
+    )
+    assigned = core_out.unionByName(border_out)
+    noise = (
+        pts.select("id")
+        .join(assigned.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster_id"),
+        )
+    )
+    return assigned.unionByName(noise)

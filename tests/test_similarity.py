@@ -702,3 +702,83 @@ class TestScalarQuantization:
         assert out.collect() == []
         assert out.columns == ["query_id", "neighbor_id",
                                "cosine_sim", "rank"]
+
+
+class TestDbscan:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(rows)],
+            ["id", "x", "y"],
+        )
+
+    def test_two_blobs_and_noise(self, spark):
+        blob_a = [(0.0, 0.0), (0.01, 0.0), (0.0, 0.01), (0.01, 0.01)]
+        blob_b = [(1.0, 1.0), (1.01, 1.0), (1.0, 1.01), (1.01, 1.01)]
+        lone = [(5.0, 5.0)]
+        out = similarity.dbscan_2d(
+            self._pts(spark, blob_a + blob_b + lone),
+            eps=0.05, min_pts=4,
+        ).collect()
+        by_id = {r["id"]: r for r in out}
+        # blobs are all core (4 mutual neighbors each incl self)
+        a_cl = {by_id[i]["cluster_id"] for i in range(4)}
+        b_cl = {by_id[i]["cluster_id"] for i in range(4, 8)}
+        assert len(a_cl) == 1 and len(b_cl) == 1 and a_cl != b_cl
+        assert all(by_id[i]["role"] == "core" for i in range(8))
+        assert by_id[8]["role"] == "noise"
+        assert by_id[8]["cluster_id"] is None
+
+    def test_border_point_attaches_to_cluster(self, spark):
+        core = [(0.0, 0.0), (0.01, 0.0), (0.0, 0.01), (0.01, 0.01)]
+        # within eps of (0.01, 0) and (0.01, 0.01) only: 2 neighbors
+        # + self = 3 < min_pts, but touching a core -> border
+        border = [(0.055, 0.0)]
+        out = {r["id"]: r for r in similarity.dbscan_2d(
+            self._pts(spark, core + border), eps=0.05, min_pts=4
+        ).collect()}
+        assert out[4]["role"] == "border"
+        assert out[4]["cluster_id"] == out[0]["cluster_id"]
+
+    def test_chain_merges_through_shared_core(self, spark):
+        # two dense groups sharing a middle core point: one cluster
+        g1 = [(0.0, 0.0), (0.02, 0.0), (0.04, 0.0)]
+        mid = [(0.06, 0.0)]
+        g2 = [(0.08, 0.0), (0.10, 0.0), (0.12, 0.0)]
+        out = similarity.dbscan_2d(
+            self._pts(spark, g1 + mid + g2), eps=0.025, min_pts=2
+        ).collect()
+        assert len({r["cluster_id"] for r in out}) == 1
+
+    def test_grid_boundary_pairs_not_lost(self, spark):
+        # two points straddling a cell boundary at distance just
+        # under eps — the 3x3 block join must still pair them
+        out = similarity.dbscan_2d(
+            self._pts(spark, [(0.099, 0.0), (0.101, 0.0)]),
+            eps=0.1, min_pts=2,
+        ).collect()
+        assert all(r["role"] == "core" for r in out)
+        assert len({r["cluster_id"] for r in out}) == 1
+
+    def test_all_noise_when_sparse(self, spark):
+        out = similarity.dbscan_2d(
+            self._pts(spark, [(0.0, 0.0), (10.0, 10.0)]),
+            eps=0.1, min_pts=2,
+        ).collect()
+        assert all(r["role"] == "noise" for r in out)
+
+    def test_nan_points_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, float("nan"), 0.0), (3, None, 1.0)],
+            "id long, x double, y double",
+        )
+        out = similarity.dbscan_2d(df, eps=0.1, min_pts=1).collect()
+        assert {r["id"] for r in out} == {1}
+
+    def test_invalid_params_raise(self, spark):
+        import pytest as _pt
+
+        df = self._pts(spark, [(0.0, 0.0)])
+        with _pt.raises(ValueError):
+            similarity.dbscan_2d(df, eps=0.0, min_pts=1)
+        with _pt.raises(ValueError):
+            similarity.dbscan_2d(df, eps=0.1, min_pts=0)
