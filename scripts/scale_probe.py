@@ -1369,5 +1369,71 @@ def probe_bfs_5m(spark, edges=5_000_000, nodes=1_000_000):
 
 PROBES["bfs_5m"] = probe_bfs_5m
 
+
+def probe_dbscan_200k(spark, n=200_000):
+    """DBSCAN (round 8) at 200k points: 100 blobs planted in a
+    [0,100)^2 field of uniform noise. The claim under test is the
+    blocking's cost shape — pair volume tracks LOCAL density (points
+    per eps-cell), so the 3x3 cell join emits blob pairs + sparse
+    noise pairs, never the brute-force n^2 grid.
+
+    TWO honest negative findings from larger geometries, kept for
+    round 9: (1) at ~160 points per eps-cell (2M points, blobs packed
+    into 0.05-wide boxes) the ~1,400 candidates per point OOM'd a
+    default-heap aggregation — per-cell density is the knob that
+    bounds DBSCAN's cost, and pathological density wants a smaller
+    eps or a pre-aggregated grid, not a bigger executor; (2) at 1M
+    points with 2k-point blobs (~6/cell) the core-core component pass
+    ran ~22 minutes and then died with a JVM 'BigInteger would
+    overflow supported range' raised from a round's localCheckpoint
+    (llm.py:723) — the pointer-jump loop was still iterating far past
+    its expected O(log diameter) round count on this topology, which
+    needs a dedicated investigation (likely fix: collapse each blob's
+    dense core to a representative via the grid cell BEFORE the
+    component pass, the collapse_exact move from minhash)."""
+    from big_data_in_agriculture_spark.operators.similarity import dbscan_2d
+
+    blob = F.pmod(F.xxhash64("id"), F.lit(100)).cast("double")
+    ux = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 1e6
+    uy = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)) / 1e6
+    dense = F.col("id") % 10 < 2  # 20% in blobs, 80% scattered
+    pts = spark.range(n).select(
+        F.col("id"),
+        F.when(dense, blob + ux * 0.25).otherwise(ux * 100.0).alias("x"),
+        F.when(dense, blob + uy * 0.25).otherwise(uy * 100.0).alias("y"),
+    )
+    out = dbscan_2d(pts, eps=0.01, min_pts=5)
+    return out.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+
+
+def probe_holt_100k(spark, keys=100_000, days=60):
+    """Holt forecast (round 8) at 100k keys x 60-day series (6M
+    observations): the JVM-side fold's cost is one key shuffle + one
+    collect_list + a 60-step codegen'd fold per key — contrast the
+    pandas-island route, which pays the Arrow hop per group."""
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        holt_forecast,
+    )
+
+    daily = spark.range(keys * days).select(
+        (F.col("id") % keys).alias("key"),
+        F.timestamp_add(
+            "DAY", (F.col("id") / keys).cast("int"),
+            F.lit("2024-01-01").cast("timestamp"),
+        ).alias("day"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("value"),
+    )
+    out = holt_forecast(daily, horizon=7)
+    return out.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("yhat").alias("chk")
+    )
+
+
+PROBES["dbscan_200k"] = probe_dbscan_200k
+PROBES["holt_100k"] = probe_holt_100k
+
 if __name__ == "__main__":
     sys.exit(main())
