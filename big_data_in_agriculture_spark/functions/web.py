@@ -56,6 +56,12 @@ _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.\\-]{0,15})://"
 #: explicit-port validity — applied to the short post-':' tail only
 _PORT_RE = "^[0-9]{1,5}$"
 
+#: IP-literal host — bracketed IPv6 (leading '[', as url_host emits
+#: them) or dotted-quad IPv4 — has no registrable domain. ONE regex so
+#: registered_domain spends a single reference on the check (every
+#: Column reference duplicates its subtree; see url_host's note).
+_IP_LITERAL_RE = "^(\\[|[0-9]{1,3}(\\.[0-9]{1,3}){3}$)"
+
 #: tracking parameters dropped during canonicalization — the
 #: click-/campaign-id families every public canonicalizer strips
 #: (utm_* per Google's own docs, fbclid/gclid/msclkid click ids).
@@ -115,13 +121,43 @@ def url_hostport(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host with userinfo and any :port suffix removed."""
-    return F.lower(F.substring_index(url_hostport(url), ":", 1))
+    """Lowercased host with userinfo and any :port suffix removed.
+
+    Bracketed IPv6 authorities (RFC 3986 §3.2.2 IP-literal) keep their
+    brackets: ``http://[2001:db8::1]:8080/x`` has host ``[2001:db8::1]``
+    — the WHATWG serialization, and the only form that survives the
+    colon-is-port-separator convention. Splitting on the FIRST colon
+    (the round-8 defect) cut every IPv6 literal at its first group,
+    collapsing distinct addresses onto one dedup key. A ``[`` with no
+    closing ``]`` is an unparseable authority → '' (and
+    :func:`canonicalize_url` then passes the raw URL through).
+
+    Column-tree note: every reference to a sub-Column duplicates its
+    whole subtree (Catalyst has no let-binding), so this keeps the
+    hostport reference count at the minimum 4 — compose big
+    extractions through intermediate columns (``with_url_keys``), not
+    by nesting Column calls."""
+    hp = url_hostport(url)
+    bracket_host = F.when(
+        hp.contains("]"),
+        F.lower(F.concat(F.substring_index(hp, "]", 1), F.lit("]"))),
+    ).otherwise(F.lit(""))
+    return F.when(hp.startswith("["), bracket_host).otherwise(
+        F.lower(F.substring_index(hp, ":", 1))
+    )
 
 
 def url_port(url: Column | str) -> Column:
     """Explicit port as a string ('' when the URL carries none or the
-    post-':' tail is not 1-5 digits)."""
+    post-':' tail is not 1-5 digits).
+
+    Correct for bracketed IPv6 authorities WITHOUT a bracket branch:
+    the candidate is the text after the LAST colon, and it is accepted
+    only when it is 1-5 digits — a colon inside ``[...]`` always has
+    the closing ``]`` somewhere after it, so its tail can never be
+    digits-only. ``[2001:db8::1]:8080`` → ``8080``; ``[2001:db8::1]``
+    → tail ``1]`` rejected; ``[2001:db8::8080]`` → tail ``8080]``
+    rejected."""
     hp = url_hostport(url)
     tail = F.element_at(F.split(hp, ":"), -1)
     return F.when(
@@ -210,7 +246,13 @@ def registered_domain(host: Column | str) -> Column:
     example.co.uk`` (the last THREE labels when the last two are a
     known multi-label public suffix, :data:`MULTI_LABEL_SUFFIXES`).
     Hosts with one label (or that ARE a suffix) return unchanged.
+    IP literals — bracketed IPv6 (``[...]``, as :func:`url_host`
+    emits them) and dotted-quad IPv4 — have no registrable domain and
+    return unchanged: splitting ``1.2.3.4`` into ``3.4`` (the round-8
+    behavior) merged every /16 onto one phantom cap grain.
     """
+    h = _c(host)
+    is_ip = h.rlike(_IP_LITERAL_RE)
     labels = F.split(_c(host), "\\.")
     n = F.size(labels)
     last2 = F.concat(
@@ -221,7 +263,8 @@ def registered_domain(host: Column | str) -> Column:
         F.array(*[F.lit(s) for s in MULTI_LABEL_SUFFIXES]), last2
     )
     return (
-        F.when(n <= 1, _c(host))
+        F.when(is_ip, h)
+        .when(n <= 1, _c(host))
         .when((n >= 3) & is_multi, last3)
         .otherwise(last2)
     )
@@ -254,7 +297,17 @@ def url_parts_sql(u: str) -> dict[str, str]:
     )
     authority = f"CASE WHEN {scheme} = '' THEN '' ELSE {auth0} END"
     hostport = f"(string_split({authority}, '@'))[-1]"
-    host = f"lower(split_part({hostport}, ':', 1))"
+    # bracket-aware (IPv6 IP-literal): host is the [...] span inclusive.
+    # Port needs NO bracket branch — a colon inside [...] always has the
+    # closing ']' after it, so its after-last-colon tail is never
+    # digits-only (see url_port). Mirrors url_host/url_port exactly.
+    host = (
+        f"CASE WHEN substr({hostport}, 1, 1) = '[' THEN "
+        f"(CASE WHEN instr({hostport}, ']') > 0 "
+        f"THEN lower(split_part({hostport}, ']', 1) || ']') "
+        f"ELSE '' END) "
+        f"ELSE lower(split_part({hostport}, ':', 1)) END"
+    )
     ptail = f"(string_split({hostport}, ':'))[-1]"
     port = (
         f"CASE WHEN instr({hostport}, ':') > 0 "
@@ -329,7 +382,9 @@ def registered_domain_sql(host: str) -> str:
     last3 = f"({labels})[-3] || '.' || {last2}"
     suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
     return (
-        f"CASE WHEN len({labels}) <= 1 THEN {host} "
+        f"CASE WHEN regexp_matches({host}, '{_sql_quote(_IP_LITERAL_RE)}') "
+        f"THEN {host} "
+        f"WHEN len({labels}) <= 1 THEN {host} "
         f"WHEN len({labels}) >= 3 AND list_contains([{suffixes}], {last2}) "
         f"THEN {last3} ELSE {last2} END"
     )
