@@ -6684,13 +6684,19 @@ def _synth_urls(docs: DataFrame) -> DataFrame:
     pathless URL, userinfo (user:pass@ and user@ — dropped from the
     canonical form, round-8 fix), and exact-duplicate URLs — and make
     registered domain example.com hot (~50% of rows) so the per-domain
-    cap has real skew to cut. SQL twin: _URL_SYNTH_SQL."""
+    cap has real skew to cut. Round 9 widens 12 → 20 templates with
+    the HOSTILE shapes the round-7/8 defects proved necessary in the
+    standing two-engine sweep (not just unit tests): IPv6 bracket
+    literals (distinct addresses sharing a first group — the round-8
+    silent-merge shape), dotted-quad IPv4, punycode, double-@
+    userinfo, a >1000-char path (the old regex-bound trap), and
+    unparseable pass-through rows. SQL twin: _URL_SYNTH_SQL."""
     d = F.col("doc_id")
 
     def s(e) -> F.Column:
         return e.cast("string")
 
-    m = d % 12
+    m = d % 20
     url = (
         F.when(m == 0, F.concat(
             F.lit("HTTP://Crawl.Example.COM:80/p/"), s(d % 97),
@@ -6718,16 +6724,33 @@ def _synth_urls(docs: DataFrame) -> DataFrame:
             F.lit("https://a.b.example.com/deep/"), s(d % 11)))
         .when(m == 10, F.concat(
             F.lit("http://user:pw@auth.example.com/s/"), s(d % 9)))
-        .otherwise(F.concat(
+        .when(m == 11, F.concat(
             F.lit("https://alice@mirror.example.co.uk/m/"), s(d % 6),
             F.lit("?b=2&a=1")))
+        .when(m == 12, F.concat(
+            F.lit("http://[2001:db8::"), s(d % 9 + 1),
+            F.lit("]:8080/v6/"), s(d % 7)))
+        .when(m == 13, F.concat(
+            F.lit("https://[2001:DB8::1]/x/"), s(d % 5)))
+        .when(m == 14, F.concat(
+            F.lit("http://10."), s(d % 256), F.lit(".3.4/a/"), s(d % 3)))
+        .when(m == 15, F.concat(
+            F.lit("http://xn--bcher-kva.example/x?b="), s(d % 4),
+            F.lit("&a=1&utm_term=z")))
+        .when(m == 16, F.concat(
+            F.lit("http://u@h@trap.example.com/x/"), s(d % 6)))
+        .when(m == 17, F.concat(
+            F.lit("http://long.example.org/"), F.repeat(F.lit("p"), 1100),
+            F.lit("/"), s(d % 5)))
+        .when(m == 18, F.concat(F.lit("not a url "), s(d % 3)))
+        .otherwise(F.concat(F.lit("#frag-"), s(d % 4)))
     )
     return docs.select("doc_id", url.alias("url"))
 
 
 _URL_SYNTH_SQL = """
     SELECT doc_id,
-           CASE doc_id % 12
+           CASE doc_id % 20
              WHEN 0 THEN 'HTTP://Crawl.Example.COM:80/p/'
                          || (doc_id % 97)::VARCHAR || '?utm_source=rss&z=9&a=1'
              WHEN 1 THEN 'https://news.example.co.uk/art-'
@@ -6750,8 +6773,22 @@ _URL_SYNTH_SQL = """
                          || (doc_id % 11)::VARCHAR
              WHEN 10 THEN 'http://user:pw@auth.example.com/s/'
                           || (doc_id % 9)::VARCHAR
-             ELSE 'https://alice@mirror.example.co.uk/m/'
-                  || (doc_id % 6)::VARCHAR || '?b=2&a=1'
+             WHEN 11 THEN 'https://alice@mirror.example.co.uk/m/'
+                          || (doc_id % 6)::VARCHAR || '?b=2&a=1'
+             WHEN 12 THEN 'http://[2001:db8::' || (doc_id % 9 + 1)::VARCHAR
+                          || ']:8080/v6/' || (doc_id % 7)::VARCHAR
+             WHEN 13 THEN 'https://[2001:DB8::1]/x/'
+                          || (doc_id % 5)::VARCHAR
+             WHEN 14 THEN 'http://10.' || (doc_id % 256)::VARCHAR
+                          || '.3.4/a/' || (doc_id % 3)::VARCHAR
+             WHEN 15 THEN 'http://xn--bcher-kva.example/x?b='
+                          || (doc_id % 4)::VARCHAR || '&a=1&utm_term=z'
+             WHEN 16 THEN 'http://u@h@trap.example.com/x/'
+                          || (doc_id % 6)::VARCHAR
+             WHEN 17 THEN 'http://long.example.org/' || repeat('p', 1100)
+                          || '/' || (doc_id % 5)::VARCHAR
+             WHEN 18 THEN 'not a url ' || (doc_id % 3)::VARCHAR
+             ELSE '#frag-' || (doc_id % 4)::VARCHAR
            END AS url
     FROM documents
 """
@@ -7515,6 +7552,14 @@ ORDER BY custkey, variant_id
 
 #: supplier-node id offset — customers and suppliers share the rank
 #: table, so supplier keys move to a disjoint id range.
+#:
+#: SF CEILING (documented, round-9): TPC-H custkeys reach 150_000×SF,
+#: so this literal is collision-free below SF ≈ 66; past that,
+#: customer and supplier nodes would silently merge ON BOTH ENGINES
+#: (the oracle embeds the same literal, so no hash would catch it).
+#: It must stay a static literal because oracle_sql() strings cannot
+#: depend on data; tests/test_graph.py pins max(o_custkey) at every
+#: shipped SF against it. Deployments at larger SFs must raise it.
 _PR_SUPP_OFFSET = 10_000_000
 _PR_ITERS = 4
 _PR_DAMPING = 85

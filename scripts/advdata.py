@@ -166,6 +166,40 @@ COPY (
 """)
 
 
+def generate_hostile_urls(out: str, src: str) -> None:
+    """Clone with extra documents whose doc_ids CONCENTRATE the
+    hostile URL-synthesis templates (``__spark_entry__._synth_urls``
+    m = doc_id %% 20, templates 12-19: IPv6 bracket literals, IPv4,
+    punycode, double-@ userinfo, >1000-char paths, unparseable rows).
+
+    URLs in this repo are synthesized deterministically from doc_id,
+    so the hostile axis plants IDS, not strings: 40 rows per hostile
+    template put ~320 hostile URLs through url_canonical /
+    domain_cap_sample's full two-engine sweep every round — the
+    round-7 userinfo and round-8 IPv6 defects were both invisible to
+    benign corpora (both engine twins replayed the same wrong answer),
+    and unit-test corpora only run when someone runs the unit tests.
+    """
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in [x for x in ALL_TABLES if x != "documents"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # 960000 % 20 == 0: id 960000+20j+k hits template k exactly
+    con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/documents.parquet')
+  UNION ALL
+  SELECT 960000 + 20 * j + k,
+         'hostile url probe row ' || (20 * j + k)::VARCHAR,
+         'en', 'advhostile', 5
+  FROM range(40) t(j), range(12, 20) u(k)
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+
+
 def generate_longdoc(out: str, src: str) -> None:
     """Clone with GIANT documents planted — organic synthetic docs top
     out at ~560 chars, but a real web corpus has multi-hundred-KB
@@ -428,8 +462,12 @@ if __name__ == "__main__":
     ap.add_argument("--nanvec", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--longdoc", action="store_true")
+    ap.add_argument("--hostile-urls", action="store_true")
     a = ap.parse_args()
-    if a.longdoc:
+    if a.hostile_urls:
+        generate_hostile_urls(a.out, a.src)
+        print(f"wrote hostile-URL-id tables to {a.out} (src={a.src})")
+    elif a.longdoc:
         generate_longdoc(a.out, a.src)
         print(f"wrote giant-document tables to {a.out} (src={a.src})")
     elif a.skew:
