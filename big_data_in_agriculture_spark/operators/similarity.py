@@ -1754,6 +1754,22 @@ def knn_sq(
 # labels noise explicitly).
 # ---------------------------------------------------------------------------
 
+def _dbscan_probe(df: DataFrame, offsets: list[tuple[int, int]],
+                  cols: list[str]) -> DataFrame:
+    """Explode ``df`` once per grid offset, shifting (cx, cy) — the
+    candidate-generation side of every grid join below."""
+    return df.withColumn(
+        "_off", F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offsets
+        ]))
+    ).select(
+        *cols,
+        (F.col("cx") + F.col("_off.dx")).alias("cx"),
+        (F.col("cy") + F.col("_off.dy")).alias("cy"),
+    )
+
+
 def dbscan_2d(
     points: DataFrame,
     eps: float,
@@ -1762,37 +1778,71 @@ def dbscan_2d(
     x_col: str = "x",
     y_col: str = "y",
     max_iter: int = 50,
+    max_cell_pts: int = 5000,
 ) -> DataFrame:
     """Exact 2-D DBSCAN (Ester et al. 1996): ``(id, role, cluster_id)``
     with role ∈ {core, border, noise}; noise rows carry NULL cluster.
 
-    EXACT, not approximate — the ε-neighbor generation is grid-blocked
-    but provably complete: each point joins the 3×3 block of ε-sized
-    grid cells around its own, and any pair within ε is at most one
-    cell apart on each axis, so every qualifying pair reaches the
-    distance check (the registered oracle pairs against a BRUTE-FORCE
-    quadratic join, so the hash match proves this recall claim, the
-    edit_join verification pattern). Scale shape: one explode(9) +
-    one equi-join on the cell key + the distance filter — pair volume
-    is bounded by local density (points per ε-cell), never n²; the
-    core-core component step rides :func:`operators.llm.
-    neardup_components` (pointer-jumping min-label, O(log diameter)
-    rounds, strict non-convergence raise).
+    EXACT, not approximate, on a ``ε/√2`` grid (the Gan & Tao
+    SIGMOD'15 cell width): any two points in the SAME cell are < ε
+    apart by construction (cell diagonal ≤ ε, strict because the cell
+    width is pinned one ulp BELOW ε/√2 via nextafter — which also
+    retires the FP edge the ε-width grid had, since probe completeness
+    now carries a ~√2 margin instead of an exact boundary: |Δx| ≤ ε ⇒
+    cell delta ≤ floor(ε·inv)+1 = 2 needs only ε·inv < 2, and ε·inv ≈
+    √2). The registered oracle pairs against a BRUTE-FORCE quadratic
+    join, so the hash match proves recall (the edit_join pattern).
+
+    The same-cell-implies-neighbor property buys three round-9 scale
+    fixes over the ε-grid version (SCALE.md ``dbscan_200k`` row
+    recorded an OOM at ~160 pts/cell and a component-pass death at
+    1M pts / 20M core edges):
+
+    - **no pair materialization** — the round-8 version
+      localCheckpointed the full candidate pair stream (density² rows);
+      every pass below streams candidates straight into an aggregate.
+    - **dense cells are auto-core** — a cell holding ≥ min_pts points
+      makes every resident core (cell-mates alone suffice), so the
+      neighbor-COUNT pass generates candidates only for points in
+      sparse cells, and even they get their own-cell contribution as
+      a pre-aggregated count instead of pairs.
+    - **cell collapse before the component pass** — all core points in
+      one cell are pairwise ε-neighbors, hence one cluster fragment:
+      each cell's cores collapse to a representative (the cell-minimum
+      core id) and the component graph runs on distinct cross-cell
+      (rep_a, rep_b) edges, generated once per unordered pair via the
+      12 lexicographically-positive offsets of the 5×5 neighborhood.
+      Component count, labels, and the min-id contract are unchanged;
+      the graph shrinks from O(core pairs) to O(occupied cells).
+
+    Residual density cost: cross-cell candidate generation between two
+    adjacent cells is occupancy², streamed. ``max_cell_pts`` is the
+    circuit breaker — one count-aggregate probe raises a clear error
+    (with the cost model) instead of letting a degenerate geometry
+    (all points in one ε-ball) run quadratically.
 
     Determinism: both engines compute the identical IEEE
     ``(dx² + dy²) ≤ ε²`` predicate on identical doubles, cluster ids
     are component-minimum core ids, and border points tie-break to
-    the SMALLEST neighboring core's cluster (classical DBSCAN assigns
+    the SMALLEST neighboring core cluster id (classical DBSCAN assigns
     border ties arbitrarily; pinning min makes runs replayable).
     """
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    import math
+
     from .llm import neardup_components
 
-    inv = 1.0 / float(eps)
+    # one ulp ABOVE √2/ε: effective cell width one ulp BELOW ε/√2, so
+    # same-cell distance < ε holds strictly under FP rounding
+    inv = math.nextafter(math.sqrt(2.0) / float(eps), math.inf)
     eps2 = float(eps) * float(eps)
+    offs_all = [(dx, dy) for dx in range(-2, 3) for dy in range(-2, 3)
+                if (dx, dy) != (0, 0)]
+    offs_pos = [o for o in offs_all if o > (0, 0)]
+
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("double").alias("x"),
@@ -1806,61 +1856,138 @@ def dbscan_2d(
         F.floor(F.col("x") * F.lit(inv)).alias("cx"),
         F.floor(F.col("y") * F.lit(inv)).alias("cy"),
     ).localCheckpoint(eager=False)
-    probe = cells.select(
-        F.col("id").alias("ia"), F.col("x").alias("xa"),
-        F.col("y").alias("ya"), "cx", "cy",
-    ).withColumn(
-        "_off", F.explode(F.array(*[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-        ]))
-    ).select(
-        "ia", "xa", "ya",
-        (F.col("cx") + F.col("_off.dx")).alias("cx"),
-        (F.col("cy") + F.col("_off.dy")).alias("cy"),
-    )
+    cell_cnt = cells.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    ).localCheckpoint(eager=False)
+
+    # circuit breaker: the cross-cell passes stream occupancy² rows per
+    # adjacent cell pair — a degenerate geometry must fail loudly, not
+    # spin quadratically (one 1-row aggregate, the only driver action)
+    hottest = cell_cnt.agg(F.max("_cnt")).first()[0] or 0
+    if hottest > max_cell_pts:
+        raise ValueError(
+            f"dbscan_2d: hottest ε/√2-cell holds {hottest} points "
+            f"(> max_cell_pts={max_cell_pts}); cross-cell candidate "
+            "generation is occupancy² per adjacent cell pair, so this "
+            "geometry would stream ~"
+            f"{hottest * hottest // 1_000_000}M rows per hot cell pair. "
+            "Shrink eps, pre-aggregate coincident points, or raise "
+            "max_cell_pts deliberately."
+        )
+
+    with_cnt = cells.join(cell_cnt, ["cx", "cy"])
+    dense_pts = with_cnt.filter(F.col("_cnt") >= min_pts)
+    sparse_pts = with_cnt.filter(F.col("_cnt") < min_pts)
+
     dist2 = (
         (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x"))
         + (F.col("ya") - F.col("y")) * (F.col("ya") - F.col("y"))
     )
-    pairs = (
-        probe.join(
-            cells.select(F.col("id").alias("ib"), "x", "y", "cx", "cy"),
-            ["cx", "cy"],
-        )
+    right = cells.select(F.col("id").alias("ib"), "x", "y", "cx", "cy")
+
+    # neighbor counts, sparse-cell points only: own cell contributes
+    # its full count (every cell-mate, self included, is < ε away);
+    # only the 24 surrounding cells generate distance candidates
+    sparse_probe = _dbscan_probe(
+        sparse_pts.select(
+            F.col("id").alias("ia"), F.col("x").alias("xa"),
+            F.col("y").alias("ya"), "cx", "cy",
+        ),
+        offs_all, ["ia", "xa", "ya"],
+    )
+    cross_n = (
+        sparse_probe.join(right, ["cx", "cy"])
         .filter(dist2 <= F.lit(eps2))
-        .select("ia", "ib")
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.count(F.lit(1)).alias("_xn"))
+    )
+    sparse_core = (
+        sparse_pts.join(cross_n, "id", "left")
+        .filter(
+            F.col("_cnt") + F.coalesce(F.col("_xn"), F.lit(0)) >= min_pts
+        )
+    )
+    core_pts = (
+        dense_pts.select("id", "x", "y", "cx", "cy")
+        .unionByName(sparse_core.select("id", "x", "y", "cx", "cy"))
         .localCheckpoint(eager=False)
     )
-    counts = pairs.groupBy(F.col("ia").alias("id")).agg(
-        F.count(F.lit(1)).alias("_n")
+
+    # cell collapse: representative = cell-minimum core id
+    cell_rep = core_pts.groupBy("cx", "cy").agg(F.min("id").alias("rep"))
+    core_rep = core_pts.join(cell_rep, ["cx", "cy"]).select(
+        "id", "x", "y", "cx", "cy", "rep"
+    ).localCheckpoint(eager=False)
+
+    # cross-cell core-core edges on representatives, one generation per
+    # unordered cell pair (positive offsets); same-cell cores need no
+    # edge — they share the rep by construction
+    core_probe = _dbscan_probe(
+        core_rep.select(
+            F.col("id").alias("ia"), F.col("x").alias("xa"),
+            F.col("y").alias("ya"), F.col("rep").alias("rep_a"),
+            "cx", "cy",
+        ),
+        offs_pos, ["ia", "xa", "ya", "rep_a"],
     )
-    core = counts.filter(F.col("_n") >= min_pts).select("id")
-    core_edges = (
-        pairs.join(core.select(F.col("id").alias("ia")), "ia")
-        .join(core.select(F.col("id").alias("ib")), "ib")
-        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    core_right = core_rep.select(
+        F.col("id").alias("ib"), "x", "y",
+        F.col("rep").alias("rep_b"), "cx", "cy",
     )
-    # self-pairs ride along from the neighbor join, so isolated cores
-    # keep their own label inside the component pass
-    comp = neardup_components(core_edges, max_iter=max_iter)
+    rep_edges = (
+        core_probe.join(core_right, ["cx", "cy"])
+        .filter(dist2 <= F.lit(eps2))
+        .select(F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"))
+    )
+    rep_selfs = cell_rep.select(
+        F.col("rep").alias("id_a"), F.col("rep").alias("id_b")
+    )
+    # neardup_components dedups internally; self-edges keep isolated
+    # representatives labelled
+    comp = neardup_components(
+        rep_edges.unionByName(rep_selfs), max_iter=max_iter
+    )
+
     core_out = (
-        core.join(comp, core.id == comp.id)
+        core_rep.join(
+            comp.select(F.col("id").alias("rep"), "component_id"), "rep"
+        )
         .select(
-            core.id.alias("id"),
+            "id",
             F.lit("core").alias("role"),
             F.col("component_id").alias("cluster_id"),
         )
     )
-    border_out = (
-        pairs.join(core.select(F.col("id").alias("ib")), "ib")
-        .join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
-        .join(
-            comp.select(
-                F.col("id").alias("ib"), F.col("component_id")
-            ),
-            "ib",
+
+    # border: non-core (necessarily sparse-cell) points adjacent to a
+    # core. Own-cell cores are within ε by construction (cell_rep join
+    # supplies them count-free); the 24 surrounding cells go through
+    # the distance check against core points.
+    noncore = sparse_pts.join(
+        core_pts.select("id"), "id", "left_anti"
+    ).localCheckpoint(eager=False)
+    own_cell_rep = noncore.join(cell_rep, ["cx", "cy"]).select(
+        F.col("id").alias("ia"), "rep"
+    )
+    nc_probe = _dbscan_probe(
+        noncore.select(
+            F.col("id").alias("ia"), F.col("x").alias("xa"),
+            F.col("y").alias("ya"), "cx", "cy",
+        ),
+        offs_all, ["ia", "xa", "ya"],
+    )
+    cross_rep = (
+        nc_probe.join(
+            core_rep.select(F.col("id").alias("ib"), "x", "y", "rep",
+                            "cx", "cy"),
+            ["cx", "cy"],
         )
+        .filter(dist2 <= F.lit(eps2))
+        .select("ia", "rep")
+    )
+    border_out = (
+        own_cell_rep.unionByName(cross_rep)
+        .join(comp.select(F.col("id").alias("rep"), "component_id"), "rep")
         .groupBy(F.col("ia").alias("id"))
         .agg(F.min("component_id").alias("cluster_id"))
         .select("id", F.lit("border").alias("role"), "cluster_id")

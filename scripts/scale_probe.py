@@ -1435,5 +1435,62 @@ def probe_holt_100k(spark, keys=100_000, days=60):
 PROBES["dbscan_200k"] = probe_dbscan_200k
 PROBES["holt_100k"] = probe_holt_100k
 
+
+def probe_dbscan_1m(spark, n=1_000_000):
+    """The round-8 KILLER geometry #2, re-probed after the round-9
+    cell collapse: 1M points, 100 blobs of 2k points each (20% blob
+    mass). Round 8's component pass ran on ~20M core-core POINT edges
+    and died after ~22 min; the collapse runs it on distinct CELL-pair
+    edges instead (one node per occupied ε/√2 cell), which shrinks the
+    graph by the per-cell occupancy factor."""
+    from big_data_in_agriculture_spark.operators.similarity import dbscan_2d
+
+    blob = F.pmod(F.xxhash64("id"), F.lit(100)).cast("double")
+    ux = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 1e6
+    uy = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)) / 1e6
+    dense = F.col("id") % 10 < 2
+    pts = spark.range(n).select(
+        F.col("id"),
+        F.when(dense, blob + ux * 0.25).otherwise(ux * 100.0).alias("x"),
+        F.when(dense, blob + uy * 0.25).otherwise(uy * 100.0).alias("y"),
+    )
+    out = dbscan_2d(pts, eps=0.01, min_pts=5)
+    return out.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+
+
+def probe_dbscan_2m_packed(spark, n=2_000_000):
+    """The round-8 KILLER geometry #1, re-probed after round 9: 2M
+    points with 4k-point blobs packed into 0.05-wide boxes (~160 per
+    ε-cell on the old grid; ~80 per ε/√2 cell now). Round 8 OOM'd
+    materializing ~1,400 candidates/point through a localCheckpoint;
+    round 9 never materializes pairs (candidates stream into
+    aggregates), auto-cores dense cells WITHOUT generating their
+    neighbor-count pairs at all, and runs components on collapsed
+    cell reps. The occupancy sits under the max_cell_pts=5000
+    circuit breaker, which is the documented cost-model bound."""
+    from big_data_in_agriculture_spark.operators.similarity import dbscan_2d
+
+    blob = F.pmod(F.xxhash64("id"), F.lit(100)).cast("double")
+    ux = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 1e6
+    uy = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)) / 1e6
+    dense = F.col("id") % 10 < 2
+    pts = spark.range(n).select(
+        F.col("id"),
+        F.when(dense, blob + ux * 0.05).otherwise(ux * 100.0).alias("x"),
+        F.when(dense, blob + uy * 0.05).otherwise(uy * 100.0).alias("y"),
+    )
+    out = dbscan_2d(pts, eps=0.01, min_pts=5)
+    return out.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+
+
+PROBES["dbscan_1m"] = probe_dbscan_1m
+PROBES["dbscan_2m_packed"] = probe_dbscan_2m_packed
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -169,3 +169,24 @@ def test_bfs_zero_depth_is_sources_only(spark):
 def test_bfs_negative_depth_raises(spark):
     with pytest.raises(ValueError):
         bfs_levels(_edges(spark, [(1, 2)]), _srcs(spark, [1]), max_depth=-1)
+
+
+def test_supplier_offset_clears_custkeys_at_all_shipped_sfs():
+    # _PR_SUPP_OFFSET is a static literal (oracle_sql() strings cannot
+    # depend on data), so its no-collision guarantee is an SF ceiling:
+    # custkeys reach 150_000*SF, crossing 10M near SF 66. Pin the
+    # invariant on every shipped testdata SF so a bigger generation
+    # fails loudly instead of silently merging customer and supplier
+    # nodes on both engines (round-8 ADVICE).
+    import glob
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    dirs = sorted(glob.glob("/root/testdata/sf*/orders.parquet"))
+    assert dirs, "no shipped testdata found"
+    con = duckdb.connect()
+    for p in dirs:
+        mx = con.sql(f"SELECT max(o_custkey) FROM read_parquet('{p}')").fetchone()[0]
+        assert mx < entry._PR_SUPP_OFFSET, (p, mx)
