@@ -8127,7 +8127,14 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_in_agriculture_spark.operators import timeseries
 
     ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # quantize the per-day sum BEFORE the fold: F.sum over DOUBLE is
+    # partition-fold-order-dependent, and the Holt recurrence amplifies
+    # a last-ulp difference through every step — the final round(,6) on
+    # yhat only absorbs what survives, which is a hash-gate hazard on
+    # near-ties (round-8 ADVICE). round(,6) here is the same cross-
+    # engine contract the output already relies on.
     daily = timeseries.daily_series(ev, "event_type", "ts", "value")
+    daily = daily.withColumn("value", F.round("value", 6))
     out = timeseries.holt_forecast(
         daily, alpha=_HOLT_A, beta=_HOLT_B, horizon=_HOLT_H
     )
@@ -8151,8 +8158,9 @@ def _holt_sql(
     )
     return f"""
 WITH RECURSIVE daily AS (
+    -- round(,6) mirrors the Spark side's pre-fold quantization
     SELECT event_type AS key, date_trunc('day', ts) AS day,
-           sum(value) AS v
+           round(sum(value), 6) AS v
     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 ser AS (
@@ -8267,6 +8275,360 @@ ORDER BY id
 
 
 # ---------------------------------------------------------------------------
+# Round-9 widening: graph-analytics depth (personalized PageRank,
+# k-core, weighted SSSP, clustering coefficient — operators/graph.py)
+# and additive Holt-Winters seasonal forecasting
+# (operators/timeseries.py:holt_winters_forecast).
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 4
+_PPR_SRC_MOD = 100  # PPR sources: customers with custkey ≡ 1 (mod 100)
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # personalized PageRank on the trade graph: teleport + dangling
+    # mass return to a deterministic customer seed set — proximity-to-
+    # sources ranking (seed-expanded corpus selection). Same LONG
+    # integer-mass contract as q_pagerank.
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = (
+        orders.filter(F.col("o_custkey") % _PPR_SRC_MOD == 1)
+        .select(F.col("o_custkey").alias("node"))
+        .distinct()
+    )
+    out = graph.personalized_pagerank(
+        edges, sources, iterations=_PPR_ITERS, damping_pct=_PR_DAMPING
+    )
+    return out.orderBy("node")
+
+
+def _ppr_sql(
+    iterations: int = _PPR_ITERS,
+    damping: int = _PR_DAMPING,
+    mass: int = graph.MASS,
+) -> str:
+    """Iterated-CTE twin of q_ppr — the _pagerank_sql pattern with an
+    is_src flag: teleport and dangling terms apply to sources only."""
+    tele = 100 - damping
+    parts = [
+        f"""WITH edges AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS src,
+           l.l_suppkey + {_PR_SUPP_OFFSET} AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+srcs AS MATERIALIZED (
+    SELECT DISTINCT o_custkey AS node FROM orders
+    WHERE o_custkey % {_PPR_SRC_MOD} = 1
+),
+nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    UNION SELECT node FROM srcs
+),
+sn AS (SELECT count(*) AS c FROM srcs),
+deg AS MATERIALIZED (
+    SELECT n.node, count(e.src) AS od,
+           CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_src
+    FROM nodes n
+    LEFT JOIN edges e ON n.node = e.src
+    LEFT JOIN srcs s ON n.node = s.node
+    GROUP BY 1, 3
+),
+r0 AS (
+    SELECT node,
+           CASE WHEN is_src = 1 THEN (SELECT {mass} // c FROM sn)
+                ELSE 0 END AS r
+    FROM deg
+)"""
+    ]
+    for i in range(iterations):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+    SELECT coalesce(sum(r.r), 0) AS dm
+    FROM r{i} r JOIN deg ON r.node = deg.node WHERE deg.od = 0
+),
+inf{i} AS MATERIALIZED (
+    SELECT e.dst AS node, sum(r.r // deg.od) AS s
+    FROM edges e JOIN r{i} r ON e.src = r.node
+    JOIN deg ON e.src = deg.node
+    GROUP BY 1
+),
+r{i + 1} AS MATERIALIZED (
+    SELECT dg.node,
+           CASE WHEN dg.is_src = 1
+                THEN (SELECT ({tele} * ({mass} // c)) // 100 FROM sn)
+                ELSE 0 END
+           + ({damping} * (coalesce(i.s, 0)
+              + CASE WHEN dg.is_src = 1
+                     THEN (SELECT dm FROM d{i}) // (SELECT c FROM sn)
+                     ELSE 0 END)) // 100 AS r
+    FROM deg dg LEFT JOIN inf{i} i ON dg.node = i.node
+)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r{iterations}
+ORDER BY node
+""")
+    return "".join(parts)
+
+
+#: co-purchase graph: part pairs sharing >= 2 orders (the q_triangles
+#: graph), with the shared-order count kept as an edge weight.
+_COPURCHASE_EDGES_SQL = """
+parts AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (
+    SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+    FROM parts a JOIN parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 6
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-core of the co-purchase graph, FIXED 6 peeling rounds (the
+    # SQL-replayable mode; tests assert 6 rounds reach the true
+    # fixpoint on the testdata graph, and the operator's default mode
+    # verifies convergence for real use)
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    return graph.kcore(
+        edges, k=_KCORE_K, rounds=_KCORE_ROUNDS
+    ).orderBy("node")
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        f"""WITH {_COPURCHASE_EDGES_SQL},
+alive0 AS MATERIALIZED (
+    SELECT a AS u, b AS v FROM edges
+    UNION ALL SELECT b, a FROM edges
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+deg{i} AS (SELECT u, count(*) AS d FROM alive{i} GROUP BY 1),
+keep{i} AS MATERIALIZED (SELECT u FROM deg{i} WHERE d >= {k}),
+alive{i + 1} AS MATERIALIZED (
+    SELECT e.u, e.v FROM alive{i} e
+    JOIN keep{i} k1 ON e.u = k1.u
+    JOIN keep{i} k2 ON e.v = k2.u
+)""")
+    parts.append(f"""
+SELECT u AS node, count(*) AS core_degree
+FROM alive{rounds} GROUP BY 1 ORDER BY node
+""")
+    return "".join(parts)
+
+
+_SSSP_HOPS, _SSSP_SRC_MOD = 4, 97
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted shortest paths on the co-purchase graph: edge cost =
+    # 1_000_000 div shared-order-count (popular links are "shorter"),
+    # sources = parts with partkey ≡ 1 (mod 97), 4-hop bound. LONG
+    # arithmetic throughout, so the unrolled Bellman-Ford oracle
+    # replays it exactly.
+    cop = _copurchase_edges(spark, sf_dir)
+    und = cop.select("src", "dst", "w").unionByName(
+        cop.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    weighted = und.select(
+        "src", "dst", F.expr("1000000 div w").cast("long").alias("w")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sources = (
+        li.filter(F.col("l_partkey") % _SSSP_SRC_MOD == 1)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    return graph.sssp(
+        weighted, sources, max_hops=_SSSP_HOPS
+    ).orderBy("node")
+
+
+def _sssp_sql(hops: int = _SSSP_HOPS) -> str:
+    parts = [
+        f"""WITH {_COPURCHASE_EDGES_SQL},
+und AS MATERIALIZED (
+    SELECT a AS u, b AS v, 1000000 // w AS w FROM edges
+    UNION ALL SELECT b, a, 1000000 // w FROM edges
+),
+d0 AS MATERIALIZED (
+    SELECT DISTINCT l_partkey AS node, CAST(0 AS BIGINT) AS dist
+    FROM lineitem WHERE l_partkey % {_SSSP_SRC_MOD} = 1
+)"""
+    ]
+    for i in range(hops):
+        parts.append(f""",
+r{i + 1} AS (
+    SELECT e.v AS node, min(d.dist + e.w) AS dist
+    FROM d{i} d JOIN und e ON e.u = d.node
+    GROUP BY 1
+),
+d{i + 1} AS MATERIALIZED (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL SELECT node, dist FROM r{i + 1}
+    ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{hops} ORDER BY node
+""")
+    return "".join(parts)
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # local clustering coefficient per node of the co-purchase graph
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    return graph.clustering_coefficient(edges).orderBy("node")
+
+
+_CLUSTERING_COEFF_SQL = f"""
+WITH {_COPURCHASE_EDGES_SQL},
+und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT u AS node, count(*) AS degree FROM und GROUP BY 1),
+tris AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+),
+tcount AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1)
+SELECT d.node, d.degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(CAST(2 AS DOUBLE) * coalesce(t.n_triangles, 0)
+                       / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+            ELSE CAST(0 AS DOUBLE) END AS coeff
+FROM deg d LEFT JOIN tcount t USING (node)
+ORDER BY d.node
+"""
+
+
+_HW_PERIOD, _HW_A, _HW_B, _HW_G, _HW_H = 7, 0.5, 0.3, 0.3, 7
+
+
+def q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # same pre-fold quantization contract as q_holt_forecast
+    daily = timeseries.daily_series(ev, "event_type", "ts", "value")
+    daily = daily.withColumn("value", F.round("value", 6))
+    out = timeseries.holt_winters_forecast(
+        daily,
+        period=_HW_PERIOD,
+        alpha=_HW_A,
+        beta=_HW_B,
+        gamma=_HW_G,
+        horizon=_HW_H,
+    )
+    return out.orderBy("key", "h")
+
+
+def _hw_sql(
+    m: int = _HW_PERIOD,
+    alpha: float = _HW_A,
+    beta: float = _HW_B,
+    gamma: float = _HW_G,
+    horizon: int = _HW_H,
+) -> str:
+    """Recursive-CTE twin of q_hw_forecast: state (l, b, s[m]) advances
+    one observation per step from t = m+1; init means use list_reduce
+    (fold from the first element — the Spark side folds identically);
+    the season list updates via DuckDB's 1-based indexed lambda. Every
+    constant CAST to DOUBLE (bare decimals bind DECIMAL)."""
+    a, om_a = repr(float(alpha)), repr(1.0 - float(alpha))
+    be, om_b = repr(float(beta)), repr(1.0 - float(beta))
+    g, om_g = repr(float(gamma)), repr(1.0 - float(gamma))
+    md = repr(float(m))
+    sprev = f"f.s[((f.t - 1) % {m}) + 1]"
+    lnew = (
+        f"CAST({a} AS DOUBLE) * (ys[f.t] - {sprev}) "
+        f"+ CAST({om_a} AS DOUBLE) * (f.l + f.b)"
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day,
+           round(sum(value), 6) AS v
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+ser AS (
+    SELECT key, list(v ORDER BY day) AS ys, max(day) AS last_day
+    FROM daily GROUP BY key HAVING count(*) >= {m}
+),
+init AS (
+    SELECT key,
+           list_reduce(list_slice(ys, 1, {m}), (x, y) -> x + y)
+             / CAST({md} AS DOUBLE) AS l0,
+           CASE WHEN len(ys) >= {2 * m} THEN
+             (list_reduce(list_slice(ys, {m + 1}, {2 * m}), (x, y) -> x + y)
+               / CAST({md} AS DOUBLE) - l0) / CAST({md} AS DOUBLE)
+           ELSE CAST(0 AS DOUBLE) END AS b0,
+           list_transform(list_slice(ys, 1, {m}), x -> x - l0) AS s0
+    FROM ser
+),
+fit(key, t, l, b, s) AS (
+    SELECT key, {m + 1}, l0, b0, s0 FROM init
+    UNION ALL
+    SELECT f.key, f.t + 1,
+           {lnew},
+           CAST({be} AS DOUBLE) * (({lnew}) - f.l)
+             + CAST({om_b} AS DOUBLE) * f.b,
+           list_transform(f.s, (x, i) ->
+             CASE WHEN i = ((f.t - 1) % {m}) + 1
+                  THEN CAST({g} AS DOUBLE) * (ys[f.t] - ({lnew}))
+                       + CAST({om_g} AS DOUBLE) * x
+                  ELSE x END)
+    FROM fit f JOIN ser USING (key)
+    WHERE f.t <= len(ys)
+),
+final AS (
+    SELECT f.key, f.l, f.b, f.s, s2.last_day, len(s2.ys) AS n
+    FROM fit f JOIN ser s2 USING (key)
+    WHERE f.t = len(s2.ys) + 1
+)
+SELECT key, CAST(h AS INT) AS h,
+       last_day + h * INTERVAL 1 DAY AS forecast_day,
+       round(l + CAST(h AS DOUBLE) * b
+             + s[((n + h - 1) % {m}) + 1], 6) AS yhat
+FROM final, range(1, {horizon + 1}) t(h)
+ORDER BY key, h
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -8292,7 +8654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "bm25_search": q_bm25_search,
         "join_semi": q_join_semi,
-        "kmeans_clusters": q_kmeans_clusters,
+        "dbscan_embed": q_dbscan,
         "scd2_history": q_scd2_history,
         "interval_join": q_interval_join,
         "knn_sq": q_knn_sq,
@@ -8302,20 +8664,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_quality": q_classifier_quality,
         "rollup_acctbal": q_rollup,
         "top10_orders": q_top10_orders,
-        "cms_frequencies": q_cms_frequencies,
+        "quantile_sketch": q_quantile_sketch,
         "incremental_rollup": q_incremental_rollup,
         "dedup_exact_docs": q_dedup_exact_docs,
         "pii_scan": q_pii_scan,
         "pack_firstfit": q_pack_firstfit,
         "corpus_profile": q_corpus_profile,
         "edit_linkage": q_edit_linkage,
-        "line_dedup": q_line_dedup,
+        "dense_ids_orders": q_dense_ids,
         "lm_backoff_ppl": q_lm_backoff_ppl,
-        "bpe_encode": q_bpe_encode,
+        "holt_forecast": q_holt_forecast,
         "retention_cohorts": q_retention_cohorts,
         "multimodal_meta": q_multimodal_meta,
         "minhash_neardup": q_minhash_neardup,
-        "knn_lsh": q_knn_lsh,
+        "bfs_trade_hops": q_bfs_hops,
         # --- registry-order note: the driver's correctness gate checks
         # a PREFIX of this dict (50 entries). The first 50 are PINNED
         # (tests/test_registry.py::test_driver_prefix_is_pinned) — new
@@ -8328,9 +8690,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental_rollup; r7: bm25_search, cms_frequencies,
         # line_dedup, bpe_encode, retention_cohorts; r8:
         # pagerank_trade, nb_language, knn_sq, edit_linkage,
-        # lm_backoff_ppl). Displaced queries (r8: era5_weighted_mean,
-        # era5_chain, window_topn, jaccard_pairs, simhash — each with
-        # a same-family sibling still in the prefix; r7: tpch_q5,
+        # lm_backoff_ppl; r9: dbscan_embed, quantile_sketch,
+        # dense_ids_orders, holt_forecast, bfs_trade_hops). Displaced
+        # queries (r9: kmeans_clusters, cms_frequencies, line_dedup,
+        # bpe_encode, knn_lsh — each leaving a same-family sibling in
+        # the prefix: dbscan/minhash-dedup/bpe_train/knn_sq cover
+        # clustering, dedup, BPE, ANN; r8: era5_weighted_mean,
+        # era5_chain, window_topn, jaccard_pairs, simhash; r7: tpch_q5,
         # dedup_exact_groups, containment_pairs,
         # knn_bruteforce, embedding_norms) join the DISPLACED set in
         # test_registry.py::test_displaced_query_oracle_parity with
@@ -8490,17 +8856,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         "sq_codes": q_sq_codes,
-        "bfs_trade_hops": q_bfs_hops,
+        "knn_lsh": q_knn_lsh,
         "stream_click_attribution": q_stream_click_attribution,
-        "dense_ids_orders": q_dense_ids,
-        "quantile_sketch": q_quantile_sketch,
-        "holt_forecast": q_holt_forecast,
-        "dbscan_embed": q_dbscan,
+        "line_dedup": q_line_dedup,
+        "cms_frequencies": q_cms_frequencies,
+        "bpe_encode": q_bpe_encode,
+        "kmeans_clusters": q_kmeans_clusters,
         "era5_weighted_mean": q_era5_weighted_mean,
         "era5_chain": q_era5_chain,
         "window_topn": q_window_topn,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        # round-9 widening: graph-analytics depth + seasonal forecast
+        "ppr_trade": q_ppr,
+        "kcore_trade": q_kcore,
+        "sssp_trade": q_sssp,
+        "clustering_coeff": q_clustering_coeff,
+        "hw_forecast": q_hw_forecast,
     }
 
 
@@ -8704,6 +9076,12 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": _quantile_sketch_sql(),
         "holt_forecast": _holt_sql(),
         "dbscan_embed": _dbscan_sql(),
+        # round-9 widening
+        "ppr_trade": _ppr_sql(),
+        "kcore_trade": _kcore_sql(),
+        "sssp_trade": _sssp_sql(),
+        "clustering_coeff": _CLUSTERING_COEFF_SQL,
+        "hw_forecast": _hw_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

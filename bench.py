@@ -70,6 +70,44 @@ def _host_load() -> dict:
     }
 
 
+def _wait_for_quiet_host(max_wait_sec: float, poll_sec: float = 20.0) -> dict:
+    """Sleep-retry until the 1-min load drops under the threshold.
+
+    Round 8 stamped the load but committed a run whose own stamp read
+    4.36 > 4.0 — the gate fired and the polluted artifact shipped
+    anyway, leaving the cross-round series without a usable anchor.
+    The gate now ACTS: wait (bounded) for the contention to decay;
+    only if the budget runs out does the bench proceed, with
+    ``quiet: false`` stamped so the round's artifact self-identifies
+    as non-comparable instead of reading as a code regression.
+    """
+    waited = 0.0
+    load = _host_load()
+    while load["loadavg_1m"] > LOAD_WARN_THRESHOLD and waited < max_wait_sec:
+        print(
+            f"load gate: 1-min load {load['loadavg_1m']} > "
+            f"{LOAD_WARN_THRESHOLD}; sleeping {poll_sec:.0f}s "
+            f"({waited:.0f}/{max_wait_sec:.0f}s waited)",
+            file=sys.stderr,
+        )
+        time.sleep(poll_sec)
+        waited += poll_sec
+        load = _host_load()
+    quiet = load["loadavg_1m"] <= LOAD_WARN_THRESHOLD
+    if not quiet:
+        print(
+            f"WARNING: still contended after {waited:.0f}s "
+            f"(1-min load {load['loadavg_1m']}); proceeding with "
+            "quiet=false stamped — do NOT read regressions from this run.",
+            file=sys.stderr,
+        )
+    return {
+        "threshold": LOAD_WARN_THRESHOLD,
+        "waited_sec": round(waited, 1),
+        "quiet": quiet,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -78,15 +116,10 @@ def main() -> int:
     except ValueError:
         sf = -1.0
 
+    load_gate = _wait_for_quiet_host(
+        max_wait_sec=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+    )
     load_before = _host_load()
-    if load_before["loadavg_1m"] > LOAD_WARN_THRESHOLD:
-        print(
-            f"WARNING: 1-min load {load_before['loadavg_1m']} > "
-            f"{LOAD_WARN_THRESHOLD} before warmup — host is contended; "
-            "timings will be inflated. Re-run on a quiet host before "
-            "reading regressions.",
-            file=sys.stderr,
-        )
 
     from big_data_in_agriculture_spark.session import get_spark
 
@@ -166,10 +199,11 @@ def main() -> int:
     # regressions; the min of two runs is the standard steady-state
     # estimator (each run still builds the full plan and materializes
     # every output column — nothing is cached between runs).
+    runs_per_query = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs_per_query):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             # noop sink: consumes EVERY output column, so nothing
@@ -209,11 +243,17 @@ def main() -> int:
         "lm_backoff_ppl",
         "pagerank_trade",
         "knn_sq",
+        # round 9: the rotation-promoted queries gain a bench series
+        "dbscan_embed",
+        "holt_forecast",
+        "dense_ids_orders",
+        "quantile_sketch",
+        "bfs_trade_hops",
     ):
         if name not in qs:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs_per_query):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -240,16 +280,22 @@ def main() -> int:
                 # anything that arrived mid-run).
                 "load_before": load_before,
                 "load_after": _host_load(),
+                # load_gate (round 9): the threshold now ACTS — the
+                # bench sleep-retries until quiet (bounded) and stamps
+                # the outcome; quiet=false marks the artifact
+                # non-comparable.
+                "load_gate": load_gate,
                 # Methodology is pinned since r3 (runs_per_query 1→2 and
-                # warmups 1→4 changed there, so r2→r3 totals are NOT a
-                # same-methodology comparison; r3→r4 onward are).
+                # warmups 1→4 changed there); r9 moved runs 2→3 for a
+                # tighter min — min over more runs can only shrink, so
+                # tiny r8→r9 "speedups" under ~5% are estimator effect.
                 "methodology": {
-                    "runs_per_query": 2,
+                    "runs_per_query": runs_per_query,
                     "estimator": "min",
                     "warmups": 4,
                     "sink": "noop",
-                    "note": "r2->r3 changed estimator+warmups; "
-                    "compare r3 onward only",
+                    "note": "r2->r3 changed estimator+warmups; r8->r9 "
+                    "runs 2->3; compare r3 onward, r9 min is tighter",
                 },
             }
         )

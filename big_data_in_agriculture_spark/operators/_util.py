@@ -25,6 +25,38 @@ def quantize_half_away(x: float, digits: int) -> float:
     mag = math.floor(abs(x) * scale + 0.5) / scale
     return -mag if x < 0 else mag
 
+def pin_stats_free(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` (localCheckpoint) AND reset its plan
+    statistics — the pin every ITERATIVE loop must use.
+
+    ``localCheckpoint`` truncates lineage but PRESERVES the plan's
+    estimated statistics (LogicalRDD ``originStats``). An iterative
+    loop that joins each round's checkpoint with frames derived from
+    the same checkpoint therefore SQUARES sizeInBytes every round —
+    measured: stats bit-length 21 → 58 → 133 → 282 → 581 → 1177 →
+    2371 over six rounds of the min-label shape — until round ~30-45
+    crosses BigInteger's 2^31-bit ceiling and Catalyst dies with
+    'BigInteger would overflow supported range' (the round-8
+    component-pass death at 1M points, reproduced and root-caused in
+    round 9).
+
+    The reset re-wraps the checkpointed RDD[InternalRow] in a fresh
+    LogicalRDD with no originStats (sizeInBytes falls back to the
+    session default), so each round's plan starts from constant-size
+    statistics. Zero recompute — ``toRdd`` of a checkpointed frame IS
+    the materialized RDD. Joins against the pinned frame won't
+    auto-broadcast (unknown size ⇒ conservative), which is the right
+    default inside loops; callers that want a broadcast say so
+    explicitly.
+    """
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    jrdd = jdf.queryExecution().toRdd()
+    jspark = ck.sparkSession._jsparkSession
+    njdf = jspark.internalCreateDataFrame(jrdd, jdf.schema(), False)
+    return DataFrame(njdf, ck.sparkSession)
+
+
 #: Assumed split size when the session conf is unreadable (Spark default).
 _DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
 

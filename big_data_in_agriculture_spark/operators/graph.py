@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import pin_stats_free
+
 #: total mass in rank units — 1e12 gives ~12 significant decimal
 #: digits of rank while keeping 100 * rank far inside LONG range.
 MASS = 1_000_000_000_000
@@ -60,6 +62,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping_pct: int = 85,
+    residual_out: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -79,6 +82,15 @@ def pagerank(
     the node key; the rank table is node-sized, the join edge-sized.
     The only driver-side values are the node count and the per-round
     1-row dangling aggregate.
+
+    ``residual_out``: pass a list to receive one LONG per round —
+    ``sum(abs(rank_t − rank_{t−1}))`` in 1e-12 mass units — the
+    evidence a 100 TB user reads to pick ``iterations`` (stop when the
+    residual falls below the rank granularity they care about).
+    Diagnostic ONLY: it adds a node-keyed join + 1-row aggregate per
+    round against tables the iteration already materialized, never
+    changes the ranks, and stays OFF (None) in the oracle path so
+    registered hashes are untouched.
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be 0..100, got {damping_pct}")
@@ -116,6 +128,7 @@ def pagerank(
     )
     ranks = deg.withColumn("rank_e12", F.lit(base).cast("long"))
     for _ in range(iterations):
+        prev = ranks
         # dangling mass: 1-row LONG aggregate, broadcast back below
         dangling = (
             ranks.filter(F.col("od") == 0)
@@ -144,8 +157,28 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_e12"),
             )
-            .localCheckpoint(eager=True)
         )
+        # stats-free pin: each round's plan joins frames derived from
+        # the previous checkpoint, and localCheckpoint PRESERVES plan
+        # statistics — sizeInBytes would square per round and cross
+        # BigInteger's bit ceiling near iteration ~40 (_util.py note)
+        ranks = pin_stats_free(ranks)
+        if residual_out is not None:
+            residual_out.append(
+                ranks.join(
+                    prev.select(
+                        "node", F.col("rank_e12").alias("_prev")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("rank_e12") - F.col("_prev"))),
+                        F.lit(0),
+                    ).alias("_res")
+                )
+                .first()[0]
+            )
     return ranks.select("node", "rank_e12")
 
 
@@ -190,16 +223,326 @@ def bfs_levels(
     )
     frontier = visited
     for depth in range(1, max_depth + 1):
-        nxt = (
+        # stats-free pins: visited joins frames derived from its own
+        # previous checkpoint every round — preserved originStats would
+        # compound across rounds (_util.pin_stats_free note)
+        nxt = pin_stats_free(
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("level", F.lit(depth).cast("long"))
-            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = pin_stats_free(visited.unionByName(nxt))
         frontier = nxt
     return visited
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank: importance RELATIVE to a source set.
+
+    The crawl-scheduling / data-curation variant of :func:`pagerank`
+    (Page et al. 1999 §6; the "random surfer teleports home"): all
+    teleport mass and all dangling mass return to the SOURCE nodes
+    instead of spreading uniformly, so ranks measure proximity to the
+    sources — the primitive behind seed-expanded corpus selection
+    ("find pages like these") and trust propagation.
+
+    Same determinism contract as :func:`pagerank` — LONG 1e-12 mass
+    units, integer division everywhere, order-free LONG sums, fixed
+    iterations — so the DuckDB twin replays it bit-exactly:
+
+        S        = source set, S_n = |S|
+        rank_0(v)= M div S_n  if v ∈ S else 0
+        rank_t+1 = [(100-d)·(M div S_n) div 100  if v ∈ S else 0]
+                 + d·(inflow_t(v) + [dangling_t div S_n if v ∈ S]) div 100
+
+    Scale shape identical to pagerank: per round one edge equi-join +
+    one node-keyed sum + a 1-row dangling broadcast; rank rows carry
+    (od, is_src) so no per-round membership join; stats-free pins keep
+    the iteration safe at any round count.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be 0..100, got {damping_pct}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+
+    e = pin_stats_free(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    s = sources.select(F.col(source_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(s)
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    deg = pin_stats_free(
+        nodes.join(outdeg, "node", "left")
+        .join(s.withColumn("_is_src", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.coalesce("od", F.lit(0)).alias("od"),
+            F.coalesce("_is_src", F.lit(0)).alias("is_src"),
+        )
+    )
+    s_n = deg.filter(F.col("is_src") == 1).count()
+    if s_n == 0:
+        return deg.select("node").limit(0).withColumn(
+            "rank_e12", F.lit(0).cast("long")
+        )
+    base_s = MASS // s_n
+    teleport = (100 - damping_pct) * base_s // 100
+
+    ranks = deg.withColumn(
+        "rank_e12",
+        F.when(F.col("is_src") == 1, F.lit(base_s))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("od") == 0).agg(
+            F.coalesce(F.sum("rank_e12"), F.lit(0)).alias("_dm")
+        )
+        shares = ranks.filter(F.col("od") > 0).select(
+            "node", F.expr("rank_e12 div od").alias("share")
+        )
+        inflow = (
+            e.join(shares, e.src == shares.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = pin_stats_free(
+            deg.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "od",
+                "is_src",
+                (
+                    F.when(F.col("is_src") == 1, F.lit(teleport))
+                    .otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(inflow, 0)"
+                        f" + (case when is_src = 1 then _dm div {s_n}"
+                        " else 0 end))) div 100"
+                    )
+                ).cast("long").alias("rank_e12"),
+            )
+        )
+    return ranks.select("node", "rank_e12")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core of an undirected graph: ``(node, core_degree)`` for the
+    maximal subgraph where every node keeps degree ≥ k.
+
+    The classic graph-density filter (Seidman 1983) — in a curation
+    pipeline it prunes link-farm fringes and isolates the densely
+    cross-linked cores a crawl scheduler prioritizes. Iterative
+    peeling: drop nodes with current degree < k, recompute degrees on
+    the survivors, repeat to fixpoint. Each round is one degree
+    aggregate + one semi-join of the edge list against the surviving
+    node set — edge-keyed shuffles, node-sized state, stats-free pins.
+
+    Two modes, one code path:
+
+    - ``rounds=None`` (default): peel to the true fixpoint, verified
+      (raises after ``max_iter`` non-converged rounds).
+    - ``rounds=R``: exactly R peels — partial (still deterministic)
+      if R is too small. This is the SQL-replayable form: the oracle
+      unrolls R chained CTEs, and the registered query pins an R the
+      tests prove sufficient for the testdata graph, with the
+      fixpoint mode asserted equal in pytest.
+
+    Edges are symmetrized and self-loops dropped, so ``degree`` means
+    distinct-neighbor count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = pin_stats_free(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+    )
+    alive_edges = und
+    n_iter = max_iter if rounds is None else rounds
+    converged = rounds is not None
+    for _ in range(n_iter):
+        degs = alive_edges.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        keep = degs.filter(F.col("_d") >= k).select("u")
+        nxt = pin_stats_free(
+            alive_edges.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+        )
+        done = nxt.count() == alive_edges.count()
+        alive_edges = nxt
+        if rounds is None and done:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"kcore did not converge in {max_iter} peeling rounds; raise "
+            "max_iter (each round removes at least one node, so this "
+            "means a pathologically deep peel order)"
+        )
+    return (
+        alive_edges.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    source_col: str = "node",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Single/multi-source shortest paths with non-negative LONG
+    weights, bounded at ``max_hops`` edges: ``(node, dist)``.
+
+    Distributed Bellman-Ford: each round relaxes every edge out of the
+    current distance table — one edge equi-join + one node-keyed min —
+    and stops early when a round improves nothing. ``max_hops`` bounds
+    the walk EXACTLY like bfs_levels' depth bound (the SQL twin
+    enumerates paths of ≤ max_hops edges and takes the min, which
+    after ≤ max_hops relaxation rounds is the identical function);
+    unreached nodes are absent. Weights are LONG (caller casts), sums
+    are LONG — no float anywhere, so no quantization contract.
+
+    At 100 TB: per-round cost tracks the edges out of IMPROVED nodes'
+    frontier... conservatively, this implementation relaxes the full
+    edge list per round (simple, shuffle-keyed); the early-exit keeps
+    round count at the true shortest-path hop diameter ≤ max_hops.
+    Stats-free pins (_util.py) keep long walks safe.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = pin_stats_free(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        ).filter(F.col("w") >= 0)
+    )
+    dist = pin_stats_free(
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(dist, e.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("_cand"))
+            .groupBy("node")
+            .agg(F.min("_cand").alias("_cand"))
+        )
+        # least() skips NULLs (full join: either side may be absent)
+        nxt = pin_stats_free(
+            dist.join(relaxed, "node", "full")
+            .select("node", F.least("dist", "_cand").alias("dist"))
+        )
+        improved = (
+            nxt.join(dist.select("node", F.col("dist").alias("_old")),
+                     "node", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+        )
+        done = improved.isEmpty()
+        dist = nxt
+        if done:
+            break
+    return dist
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient on an undirected graph:
+    ``(node, degree, n_triangles, coeff)`` with coeff = 2T/(d(d−1)).
+
+    The community-density companion to ``triangle_participation``
+    (Watts & Strogatz 1998): how close each node's neighborhood is to
+    a clique — on a co-purchase graph, high-coefficient nodes sit in
+    tightly bundled product families, low-coefficient high-degree
+    nodes are hubs. Exact: triangles enumerate a<b<c via two edge
+    equi-joins (compact-forward bound), degrees come from one
+    symmetric aggregate, and the only float op is the final division,
+    identical one-rounding IEEE on both engines (rounded 6 dp).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        e.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    tcount = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    t = F.coalesce("n_triangles", F.lit(0))
+    d = F.col("degree")
+    return deg.join(tcount, "node", "left").select(
+        "node",
+        "degree",
+        t.cast("long").alias("n_triangles"),
+        F.when(
+            d >= 2,
+            F.round(
+                F.lit(2.0) * t.cast("double") / (d * (d - 1)).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )

@@ -639,101 +639,117 @@ def neardup_components(
 
     The clustering step of a dedup pipeline — pair lists from
     jaccard/minhash/simhash become groups, one survivor kept per group.
-    Min-label propagation WITH pointer jumping: each round every node
-    adopts the smallest label among itself and its neighbors, then
-    additionally adopts its label's OWN label (path compression). The
-    jump makes the distance the minimum travels roughly double per
-    round, so convergence is O(log diameter) rounds rather than
-    O(diameter) — a transitive near-dup drift chain of length 2^50
-    would still converge inside the default ``max_iter``. Labels stay
-    node ids of the same component throughout, so the fixpoint is the
-    exact per-component minimum id — identical to plain propagation
-    and to the recursive SQL oracle.
+    Alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014): each
+    round rewires the edge set itself —
 
-    Convergence is VERIFIED, not assumed: if the last round still
-    changed labels, ``strict=True`` (default) raises rather than
-    silently returning an under-merged labelling — downstream
-    consumers (``dedup_near``, ``leakage_safe_split``) promise whole
-    families move atomically, which a non-converged result breaks
-    without any visible error. ``strict=False`` keeps the old
-    best-effort behavior for exploratory use.
+    - large-star: every node attaches its strictly-LARGER neighbors to
+      the minimum of its closed neighborhood;
+    - small-star: every node attaches itself and its smaller neighbors
+      to that minimum (edges kept oriented big→small throughout);
 
-    Each round is one pair-graph-sized equi-join + hash aggregate plus
-    one self-join of the (one row per node) label table — fully
-    distributed; the driver only reads the convergence counter.
+    until the edge set is a fixpoint, which the paper proves is exactly
+    the set of stars rooted at each component's minimum id — so labels
+    are per-component minimum ids, identical to plain min propagation
+    and to the recursive SQL oracle. Both operations are one aggregate
+    + one equi-join on the edge list (no per-node neighbor collection,
+    so a million-member star never builds a million-element array row).
+
+    Round 9 replaced the previous min-label + pointer-jump loop, which
+    this repo's own probes killed two ways: (a) on grid-shaped
+    components with geometry-uncorrelated ids (DBSCAN's cell graph)
+    the jump stalls at local-minimum ids and the loop degenerates to
+    ~O(diameter) rounds — a 35-cell blob needed ~50; star contraction
+    is O(log² n) worst case and single-digit rounds in practice;
+    (b) every round's plan JOINED two frames derived from the same
+    localCheckpoint, and since localCheckpoint preserves originStats,
+    estimated sizeInBytes SQUARED per round (measured bit-lengths
+    21→58→133→282→581→1177→2371) until BigInteger's 2^31-bit ceiling
+    killed round ~30-45 ('BigInteger would overflow supported range'
+    — the round-8 1M-point death). Every per-round pin is therefore
+    ``pin_stats_free`` (_util.py), which materializes AND resets plan
+    statistics.
+
+    Convergence is VERIFIED, not assumed: the loop stops only when a
+    full large-star + small-star round reproduces the edge set exactly
+    (equal distinct counts + empty set difference — a sound fixpoint
+    test, not a fingerprint); if ``max_iter`` rounds pass without
+    that, ``strict=True`` (default) raises rather than silently
+    returning an under-merged labelling — downstream consumers
+    (``dedup_near``, ``leakage_safe_split``) promise whole families
+    move atomically. ``strict=False`` keeps best-effort behavior for
+    exploratory use.
     """
-    # materialize the edge list ONCE: every iteration's join consumes
-    # it, and without this each of the up-to-max_iter rounds re-ran the
-    # entire upstream pair GENERATOR (shingling, the inverted-index
-    # shuffle, verification) from scratch — measured 14.5 s → 4.5 s for
-    # the sf0.1 jaccard-graph split at identical output. The edge list
-    # is pair-graph-sized (near-dup mass, not corpus-sized), exactly
-    # what you'd land to storage before clustering at 100 TB.
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    from ._util import pin_stats_free
+
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # node set remembered up front: self-pairs and isolated inputs must
+    # survive to the output with label = self
+    nodes = pin_stats_free(
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    # canonical big→small orientation, self-loops dropped; materialized
+    # ONCE so rounds never re-run the upstream pair GENERATOR
+    # (shingling, inverted-index shuffles — measured 14.5 s → 4.5 s on
+    # the sf0.1 jaccard graph when this landed in round 3)
+    edges = pin_stats_free(
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
-    changed = 0
+    n_edges = edges.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # checkpoint the (tiny, one row per node) half-step so the
-        # pointer-jump self-join below reads a materialized table
-        # instead of re-running the edge join twice in one plan
-        half = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("_old"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # pointer jump: adopt label(label(id)). label(x) <= x is an
-        # invariant (labels start at id and only decrease via mins of
-        # node ids in the same component), so the looked-up row always
-        # exists and the least() is defensive only.
-        lk = half.select(
-            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
-        )
-        updated = (
-            half.join(lk, F.col("label") == F.col("_lid"), "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("_llabel"), F.col("label")),
-                ).alias("label"),
-                "_old",
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = updated.filter(F.col("label") != F.col("_old")).count()
-        labels = updated.drop("_old")
-        if changed == 0:
+        if converged:
             break
-    if changed != 0 and strict:
+        # LARGE-STAR. Symmetrize; m(u) = min(neighbors(u) ∪ u); attach
+        # each neighbor v > u to m(u). Every edge (a,b), a>b appears in
+        # sym from both endpoints and is emitted exactly once (from the
+        # smaller one), so connectivity is preserved (paper, Lemma 1).
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least("_mn", "u").alias("m")
+        )
+        large = pin_stats_free(
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # SMALL-STAR on the big→small edges: m(u) = min of u's smaller
+        # neighbors; attach u and every smaller neighbor to m(u).
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = pin_stats_free(
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        # sound fixpoint test on distinct sets: equal cardinality and
+        # an empty one-sided difference imply set equality
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.exceptAll(edges).count() == 0:
+            converged = True
+        edges, n_edges = new_edges, n_new
+    if not converged and strict:
         raise RuntimeError(
-            f"neardup_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — the labelling is "
+            f"neardup_components did not converge in {max_iter} "
+            "large-star/small-star rounds — the labelling is "
             "under-merged and unsafe for dedup/split consumers; raise "
             "max_iter or pass strict=False for a best-effort result"
         )
-    return labels.select(F.col("id"), F.col("label").alias("component_id"))
+    # fixpoint edges are (member, root) stars; roots and singletons
+    # label themselves
+    return nodes.join(edges, nodes.id == edges.u, "left").select(
+        F.col("id"), F.coalesce("v", F.col("id")).alias("component_id")
+    )
 
 
 def dedup_near(

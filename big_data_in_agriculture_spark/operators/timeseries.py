@@ -551,8 +551,13 @@ def holt_forecast(
     Both engines run the identical IEEE op sequence (the fold is
     order-pinned by construction — sequential recurrences have no
     fold-order freedom), so the oracle replays it with a recursive
-    CTE carrying (l, b) and no quantization contract beyond the final
-    display round. Single-observation keys forecast flat (trend 0).
+    CTE carrying (l, b). That guarantee covers the FOLD, not the
+    inputs: if the per-day values arrive from an order-free DOUBLE
+    aggregate (``daily_series``'s F.sum), the caller must quantize
+    them before the fold (the registered query rounds to 6 dp on both
+    engines) — the recurrence amplifies a last-ulp input difference
+    through every step. Single-observation keys forecast flat
+    (trend 0).
     """
     if horizon < 1:
         raise ValueError(f"horizon must be >= 1, got {horizon}")
@@ -605,6 +610,142 @@ def holt_forecast(
             F.round(
                 F.col("_f").getField("l")
                 + F.col("h") * F.col("_f").getField("b"),
+                6,
+            ).alias("yhat"),
+        )
+    )
+
+
+def holt_winters_forecast(
+    daily: DataFrame,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    horizon: int = 7,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key additive Holt-Winters (level + trend + seasonality of
+    ``period`` m) and an ``horizon``-step forecast: one row per
+    (key, h) with ``forecast_day = last_day + h`` and
+    ``yhat = l + h·b + s[season slot of n+h]`` — the weekly-cycle
+    upgrade of :func:`holt_forecast` (event streams have day-of-week
+    structure a trend-only model aliases into the level).
+
+    Deterministic init (every convention pinned so the oracle replays
+    it): l₀ = mean(y₁..y_m), b₀ = (mean(y_{m+1}..y_{2m}) − l₀)/m when
+    a second full season exists else 0, s_i = y_i − l₀ for the first
+    season. Fold from t = m+1 (Winters 1960, additive form):
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l + b)
+        b_t = β(l_t − l) + (1−β)b
+        s_t = γ(y_t − l_t) + (1−γ)s_{t−m}
+
+    JVM-side like holt_forecast: the per-key series is a day-sorted
+    array and the recurrence is ONE ``F.aggregate`` fold whose
+    accumulator carries (l, b, s[period]); the season update is an
+    indexed ``transform`` over the m-slot array — O(m) per step,
+    whole-stage-codegen'd, no Python. Keys with fewer than ``period``
+    observations are EXCLUDED (no full season to fit; mirrored by the
+    oracle's HAVING). The init means fold left-to-right from the
+    first element (list_reduce semantics) so both engines run the
+    identical IEEE op sequence; same input-quantization caveat as
+    holt_forecast.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    a, be, g = float(alpha), float(beta), float(gamma)
+    m = int(period)
+    ser = (
+        daily.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(day_col).alias("d"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("_s")
+        )
+        .filter(F.size("_s") >= m)
+    )
+    ys = F.col("_s").getField("v")
+    n = F.size(ys)
+
+    def _mean_first(arr):
+        # left fold FROM THE FIRST ELEMENT (list_reduce semantics) so
+        # the oracle's list_reduce replays the exact IEEE sequence
+        return F.aggregate(
+            F.slice(arr, 2, m - 1),
+            F.element_at(arr, 1),
+            lambda acc, y: acc + y,
+        ) / F.lit(float(m))
+
+    l0 = _mean_first(F.slice(ys, 1, m))
+    b0 = F.when(
+        n >= 2 * m,
+        (_mean_first(F.slice(ys, m + 1, m)) - l0) / F.lit(float(m)),
+    ).otherwise(F.lit(0.0))
+    s0 = F.transform(F.slice(ys, 1, m), lambda x: x - l0)
+    init = F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s"))
+
+    # observations m+1..n tagged with their 0-based season slot
+    tail = F.transform(
+        F.slice(ys, m + 1, n),
+        lambda y, i: F.struct(y.alias("y"), (i % m).alias("slot")),
+    )
+
+    def _step(acc, st):
+        y, slot = st["y"], st["slot"]
+        s_prev = F.element_at(acc["s"], slot + F.lit(1))
+        l_new = (
+            F.lit(a) * (y - s_prev)
+            + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        )
+        b_new = (
+            F.lit(be) * (l_new - acc["l"]) + F.lit(1.0 - be) * acc["b"]
+        )
+        s_new = F.transform(
+            acc["s"],
+            lambda x, i: F.when(
+                i == slot, F.lit(g) * (y - l_new) + F.lit(1.0 - g) * x
+            ).otherwise(x),
+        )
+        return F.struct(l_new.alias("l"), b_new.alias("b"), s_new.alias("s"))
+
+    fitted = F.aggregate(tail, init, _step)
+    return (
+        ser.select(
+            "key",
+            F.element_at(F.col("_s").getField("d"), -1).alias("_last"),
+            n.alias("_n"),
+            fitted.alias("_f"),
+        )
+        .select(
+            "key",
+            "_last",
+            "_n",
+            "_f",
+            F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h"),
+        )
+        .select(
+            "key",
+            F.col("h").cast("int").alias("h"),
+            F.timestamp_add("DAY", F.col("h"), F.col("_last")).alias(
+                "forecast_day"
+            ),
+            F.round(
+                F.col("_f").getField("l")
+                + F.col("h").cast("double") * F.col("_f").getField("b")
+                + F.element_at(
+                    F.col("_f").getField("s"),
+                    ((F.col("_n") + F.col("h") - 1) % m + 1).cast("int"),
+                ),
                 6,
             ).alias("yhat"),
         )

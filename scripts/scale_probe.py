@@ -1489,8 +1489,34 @@ def probe_dbscan_2m_packed(spark, n=2_000_000):
     )
 
 
+def probe_holt_10y_hourly(spark, keys=500, hours=87_600):
+    """Holt at PATHOLOGICAL series length (round-9 ask): 500 keys ×
+    10 years of hourly observations (43.8M rows; ~88k observations ≈
+    a ~1.4 MB collect_list row per key). This is where the
+    'per-key series must stay row-bounded' gapfill assumption bends —
+    the probe decides whether the single-row fold survives multi-MB
+    rows or the bound goes into SCALE.md."""
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        holt_forecast,
+    )
+
+    series = spark.range(keys * hours).select(
+        (F.col("id") % keys).alias("key"),
+        F.timestamp_add(
+            "HOUR", (F.col("id") / keys).cast("int"),
+            F.lit("2015-01-01").cast("timestamp"),
+        ).alias("day"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("value"),
+    )
+    out = holt_forecast(series, horizon=7)
+    return out.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("yhat").alias("chk")
+    )
+
+
 PROBES["dbscan_1m"] = probe_dbscan_1m
 PROBES["dbscan_2m_packed"] = probe_dbscan_2m_packed
+PROBES["holt_10y_hourly"] = probe_holt_10y_hourly
 
 if __name__ == "__main__":
     sys.exit(main())

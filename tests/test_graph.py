@@ -190,3 +190,175 @@ def test_supplier_offset_clears_custkeys_at_all_shipped_sfs():
     for p in dirs:
         mx = con.sql(f"SELECT max(o_custkey) FROM read_parquet('{p}')").fetchone()[0]
         assert mx < entry._PR_SUPP_OFFSET, (p, mx)
+
+
+def test_pagerank_residual_diagnostic(spark):
+    # residual = sum(abs(rank_t - rank_{t-1})): monotone evidence for
+    # picking `iterations`; must never change the ranks themselves
+    from big_data_in_agriculture_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 2)], ["src", "dst"]
+    )
+    res = []
+    with_diag = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(e, iterations=4, residual_out=res).collect()
+    }
+    without = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(e, iterations=4).collect()
+    }
+    assert with_diag == without          # diagnostic is side-effect-free
+    assert len(res) == 4                 # one residual per round
+    assert all(isinstance(v, int) and v >= 0 for v in res)
+    assert res[0] > 0                    # the first round moves mass
+    # a contracting power iteration: the tail residual is far below
+    # the first round's (exact monotonicity per-round isn't guaranteed
+    # under integer truncation, the trend is)
+    assert res[-1] < res[0]
+
+
+def test_pagerank_residual_zero_on_fixed_point(spark):
+    # a symmetric 2-cycle starts AT its fixed point (uniform), so every
+    # residual is truncation dust (identically small); with damping 100
+    # and equal ranks it is exactly 0
+    from big_data_in_agriculture_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    res = []
+    pagerank(e, iterations=3, damping_pct=100, residual_out=res).collect()
+    assert res == [0, 0, 0]
+
+
+def test_pagerank_many_iterations_no_stats_overflow(spark):
+    # 45 iterations: the per-round plan joins frames derived from the
+    # previous checkpoint, so WITHOUT the stats-free pin the preserved
+    # originStats square each round and BigInteger dies near ~40
+    # (the round-8 failure genus). Mass conservation still holds.
+    from big_data_in_agriculture_spark.operators.graph import MASS, pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    out = pagerank(e, iterations=45)
+    total = sum(r["rank_e12"] for r in out.collect())
+    assert abs(total - MASS) < 4 * 50  # truncation dust only
+
+
+class TestPersonalizedPagerank:
+    def test_mass_returns_to_sources(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            MASS, personalized_pagerank,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], ["src", "dst"]
+        )
+        s = spark.createDataFrame([(1,)], ["node"])
+        out = {
+            r["node"]: r["rank_e12"]
+            for r in personalized_pagerank(e, s, iterations=3).collect()
+        }
+        # mass conserved exactly (teleport + dangling both return home)
+        assert sum(out.values()) == MASS
+        # the source dominates; nodes beyond the iteration horizon are 0
+        assert out[1] == max(out.values())
+        assert out[5] == 0
+
+    def test_empty_sources_returns_empty(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        s = spark.createDataFrame([], "node long")
+        assert personalized_pagerank(e, s, iterations=2).count() == 0
+
+
+class TestKcore:
+    def test_triangle_survives_tail_peeled(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import kcore
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], ["src", "dst"]
+        )
+        out = {r["node"]: r["core_degree"] for r in kcore(e, 2).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_fixed_rounds_equals_converged_when_enough(self, spark):
+        # the oracle mode (rounds=R) must equal the verified fixpoint
+        # mode once R covers the peel depth — chain 1-2-3-4-5-6 peels
+        # from both ends, 1-core trivially everything, 2-core empty
+        from big_data_in_agriculture_spark.operators.graph import kcore
+
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], ["src", "dst"]
+        )
+        fix = sorted(
+            (r["node"], r["core_degree"]) for r in kcore(e, 2).collect()
+        )
+        fixed_rounds = sorted(
+            (r["node"], r["core_degree"])
+            for r in kcore(e, 2, rounds=4).collect()
+        )
+        assert fix == fixed_rounds == []
+
+    def test_k1_keeps_everything(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import kcore
+
+        e = spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"])
+        assert kcore(e, 1).count() == 4
+
+
+class TestSssp:
+    def test_cheaper_two_hop_beats_direct(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import sssp
+
+        e = spark.createDataFrame(
+            [(1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 2)],
+            ["src", "dst", "w"],
+        )
+        s = spark.createDataFrame([(1,)], ["node"])
+        out = {r["node"]: r["dist"] for r in sssp(e, s, max_hops=5).collect()}
+        assert out == {1: 0, 2: 5, 3: 6, 4: 8}
+
+    def test_hop_bound_truncates(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import sssp
+
+        e = spark.createDataFrame(
+            [(1, 2, 1), (2, 3, 1), (3, 4, 1)], ["src", "dst", "w"]
+        )
+        s = spark.createDataFrame([(1,)], ["node"])
+        out = {r["node"]: r["dist"] for r in sssp(e, s, max_hops=2).collect()}
+        assert out == {1: 0, 2: 1, 3: 2}  # node 4 is 3 hops away
+
+    def test_multi_source_takes_min(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import sssp
+
+        e = spark.createDataFrame(
+            [(1, 2, 10), (5, 2, 1)], ["src", "dst", "w"]
+        )
+        s = spark.createDataFrame([(1,), (5,)], ["node"])
+        out = {r["node"]: r["dist"] for r in sssp(e, s, max_hops=3).collect()}
+        assert out == {1: 0, 5: 0, 2: 1}
+
+
+class TestClusteringCoefficient:
+    def test_triangle_plus_pendant(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        # triangle 1-2-3 with pendant 4 off node 3
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+        )
+        out = {
+            r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+            for r in clustering_coefficient(e).collect()
+        }
+        assert out[1] == (2, 1, 1.0)
+        assert out[2] == (2, 1, 1.0)
+        assert out[3] == (3, 1, round(2 * 1 / (3 * 2), 6))
+        assert out[4] == (1, 0, 0.0)

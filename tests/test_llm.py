@@ -1389,3 +1389,84 @@ class TestNaiveBayes:
         tm, cm = llm.nb_train(train)
         test = self._docs(spark, [(2, "x y", None)])
         assert llm.nb_classify(test, tm, cm).count() == 0
+
+
+class TestComponentsPathologicalTopologies:
+    """Round-9 regression suite for the large-star/small-star rewrite:
+    the two shapes that killed the old min-label+jump loop (grid
+    components needed ~diameter rounds; the per-round stats squaring
+    hit BigInteger's bit ceiling near round 40)."""
+
+    def test_long_chain_converges(self, spark):
+        # a 4000-node path: hop diameter 3999. The old loop's jump
+        # stalls at local-min ids, so this would exhaust max_iter;
+        # star contraction must converge well inside 50 rounds.
+        from pyspark.sql import functions as F
+
+        from big_data_in_agriculture_spark.operators.llm import (
+            neardup_components,
+        )
+
+        # shuffle ids so they are uncorrelated with chain position
+        # (the stalling precondition), deterministically
+        e = spark.range(3999).select(
+            F.pmod(F.col("id") * 2654435761, F.lit(4000)).alias("id_a"),
+            F.pmod((F.col("id") + 1) * 2654435761, F.lit(4000)).alias(
+                "id_b"
+            ),
+        )
+        out = neardup_components(e, max_iter=50)
+        labs = {r["component_id"] for r in out.collect()}
+        assert labs == {0}  # one component, min id 0 (pmod hits 0)
+
+    def test_grid_component_converges(self, spark):
+        # 30x30 4-neighbor grid with hash-scrambled ids — the DBSCAN
+        # cell-graph shape that degenerated to ~50 rounds in round 8
+        from pyspark.sql import functions as F
+
+        from big_data_in_agriculture_spark.operators.llm import (
+            neardup_components,
+        )
+
+        n = 30
+        cells = spark.range(n * n).select(
+            (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"),
+            F.xxhash64("id").alias("nid"),
+        )
+        a = cells.select("x", "y", F.col("nid").alias("id_a"))
+        right_nb = cells.select(
+            (F.col("x") - 1).alias("x"), "y", F.col("nid").alias("id_b")
+        )
+        down_nb = cells.select(
+            "x", (F.col("y") - 1).alias("y"), F.col("nid").alias("id_b")
+        )
+        e = a.join(right_nb, ["x", "y"]).select("id_a", "id_b").unionByName(
+            a.join(down_nb, ["x", "y"]).select("id_a", "id_b")
+        )
+        out = neardup_components(e, max_iter=50)
+        rows = out.collect()
+        assert len(rows) == n * n
+        assert len({r["component_id"] for r in rows}) == 1
+
+    def test_many_rounds_no_stats_overflow(self, spark):
+        # 40+ sequential rounds through pin_stats_free must keep plan
+        # statistics CONSTANT-size (the old loop squared sizeInBytes
+        # per round: bits 21->58->133->282->... -> BigInteger death).
+        # Two disjoint long chains also verify per-component minima.
+        from pyspark.sql import functions as F
+
+        from big_data_in_agriculture_spark.operators.llm import (
+            neardup_components,
+        )
+
+        c1 = spark.range(500).select(
+            (F.col("id") + 1000).alias("id_a"),
+            (F.col("id") + 1001).alias("id_b"),
+        )
+        c2 = spark.range(500).select(
+            (F.col("id") + 5000).alias("id_a"),
+            (F.col("id") + 5001).alias("id_b"),
+        )
+        out = neardup_components(c1.unionByName(c2))
+        labs = {r["component_id"] for r in out.collect()}
+        assert labs == {1000, 5000}

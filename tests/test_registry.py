@@ -53,7 +53,7 @@ DRIVER_PREFIX_50 = [
     "cdc_apply",
     "bm25_search",
     "join_semi",
-    "kmeans_clusters",
+    "dbscan_embed",
     "scd2_history",
     "interval_join",
     "knn_sq",
@@ -63,20 +63,20 @@ DRIVER_PREFIX_50 = [
     "classifier_quality",
     "rollup_acctbal",
     "top10_orders",
-    "cms_frequencies",
+    "quantile_sketch",
     "incremental_rollup",
     "dedup_exact_docs",
     "pii_scan",
     "pack_firstfit",
     "corpus_profile",
     "edit_linkage",
-    "line_dedup",
+    "dense_ids_orders",
     "lm_backoff_ppl",
-    "bpe_encode",
+    "holt_forecast",
     "retention_cohorts",
     "multimodal_meta",
     "minhash_neardup",
-    "knn_lsh",
+    "bfs_trade_hops",
     "hybrid_search",
     "substring_dedup",
     "leakage_split",
@@ -130,6 +130,15 @@ DISPLACED = [
     "window_topn",
     "jaccard_pairs",
     "simhash",
+    # round-9 rotation: displaced by dbscan_embed / quantile_sketch /
+    # dense_ids_orders / holt_forecast / bfs_trade_hops — each leaves a
+    # same-family sibling in the prefix (dbscan_embed, dedup_exact_docs
+    # + minhash_neardup, bpe_train, knn_sq)
+    "kmeans_clusters",
+    "cms_frequencies",
+    "line_dedup",
+    "bpe_encode",
+    "knn_lsh",
 ]
 
 
@@ -137,7 +146,7 @@ DISPLACED = [
 #: ("176 of 178 registered queries hash-match ... the remaining 2").
 #: Registering a query or converting a rows-only op MUST update the
 #: docs and these constants together.
-REGISTERED_QUERIES = 203
+REGISTERED_QUERIES = 208
 ROWS_ONLY = 2
 
 

@@ -416,3 +416,95 @@ class TestHoltForecast:
         daily = self._daily(spark, [("a", 1, 1.0)])
         with _pt.raises(ValueError):
             timeseries.holt_forecast(daily, horizon=0)
+
+
+class TestHoltWinters:
+    def test_matches_reference_recurrence(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            holt_winters_forecast,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        vals = [10.0 + (i % 7) + 0.1 * i for i in range(21)]
+        df = spark.createDataFrame(
+            [("k", base + dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+            ["key", "day", "value"],
+        )
+        got = {
+            r["h"]: r["yhat"]
+            for r in holt_winters_forecast(df, period=7, horizon=3).collect()
+        }
+        # pure-python replay of the pinned recurrence
+        m, a, b_, g = 7, 0.5, 0.3, 0.3
+        l0 = vals[0]
+        for y in vals[1:7]:
+            l0 += y
+        l0 /= 7.0
+        m2 = vals[7]
+        for y in vals[8:14]:
+            m2 += y
+        m2 /= 7.0
+        b0 = (m2 - l0) / 7.0
+        s = [y - l0 for y in vals[:7]]
+        l, b = l0, b0
+        for t in range(7, 21):
+            slot = t % m
+            ln = a * (vals[t] - s[slot]) + (1 - a) * (l + b)
+            bn = b_ * (ln - l) + (1 - b_) * b
+            s[slot] = g * (vals[t] - ln) + (1 - g) * s[slot]
+            l, b = ln, bn
+        for h in (1, 2, 3):
+            assert got[h] == round(l + h * b + s[(21 + h - 1) % m], 6), h
+
+    def test_short_series_excluded(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            holt_winters_forecast,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("short", base + dt.timedelta(days=i), 1.0) for i in range(5)]
+            + [("full", base + dt.timedelta(days=i), 2.0) for i in range(7)],
+            ["key", "day", "value"],
+        )
+        out = holt_winters_forecast(df, period=7, horizon=2)
+        assert {r["key"] for r in out.collect()} == {"full"}
+
+    def test_exactly_one_season_flat(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            holt_winters_forecast,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        vals = [3.0, 5.0, 4.0, 6.0, 2.0, 7.0, 8.0]
+        df = spark.createDataFrame(
+            [("k", base + dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+            ["key", "day", "value"],
+        )
+        got = {
+            r["h"]: r["yhat"]
+            for r in holt_winters_forecast(df, period=7, horizon=7).collect()
+        }
+        l0 = sum(vals) / 7.0  # exact here (small ints)
+        # no trend season: forecast = l0 + seasonal of the matching slot
+        for h in range(1, 8):
+            assert abs(got[h] - (vals[(7 + h - 1) % 7])) < 1e-9
+
+    def test_invalid_params_raise(self, spark):
+        import pytest as _pytest
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            holt_winters_forecast,
+        )
+
+        df = spark.createDataFrame([], "key string, day timestamp, value double")
+        with _pytest.raises(ValueError):
+            holt_winters_forecast(df, period=1)
+        with _pytest.raises(ValueError):
+            holt_winters_forecast(df, horizon=0)
