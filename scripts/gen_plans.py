@@ -35,6 +35,9 @@ PICKS = [
     ("nb_language", "Naive Bayes classify (round-8 op): the class table expands via a bounded BroadcastNestedLoopJoin (|classes| rows — the one deliberate non-equi join), the token-model join is a plain shuffled equi-join AQE may broadcast (never forced: vocabulary grows with the corpus), the per-(doc, class) sum is partial-aggregated LONG micros, and the argmax is one WindowGroupLimit-eligible rank filter."),
     ("dense_ids_orders", "Dense-id assignment (round-8 op): RangePartitioning exchange on the tie-broken sort key, row_number windows partitioned by _pid (parallel — NO single-partition window anywhere in the plan), partition counts prefix-summed over P rows and broadcast back; global id = local rank + offset."),
     ("quantile_sketch", "Histogram quantile sketch (round-8 op): two shard builds are one hash aggregate each over <=bins groups (map-side partial combine), the merge re-aggregates <=2*bins rows, and the quantile readout windows over <=bins rows — nothing downstream of the scans exceeds the bin count at any corpus size."),
+    ("tpch_q15", "Global-max with ties (round-9 rewrite): the per-supplier aggregate feeds a 1-row max aggregate broadcast back as an equality join — NO WindowExec anywhere in the plan (the old rank-over-empty-partition funneled the whole aggregate through one task); the supplier aggregate reads one localCheckpoint materialization so the max branch and the join branch cannot observe different float-fold orders."),
+    ("clustering_coeff", "Clustering coefficient (round-9 op): the co-purchase edge build is one distinct + one self-equi-join on l_orderkey + one (a,b) aggregate; triangles are two edge-table equi-joins (compact-forward a<b<c) and degree one symmetric aggregate — fact data is never re-read downstream of the edge build, and the final projection's only float op is one division."),
+    ("hw_forecast", "Additive Holt-Winters (round-9 op): ONE key-shuffle into collect_list, then the entire (l, b, s[7]) recurrence plus the 7-step forecast is a single codegen'd projection over the per-key array — no Python, no second exchange, series length bounds per-key memory (SCALE.md holt_10y_hourly: 88k-observation keys fold in-task)."),
 ]
 
 out = ["# PLANS — formatted physical plans of representative queries",
