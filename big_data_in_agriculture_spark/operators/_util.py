@@ -25,7 +25,7 @@ def quantize_half_away(x: float, digits: int) -> float:
     mag = math.floor(abs(x) * scale + 0.5) / scale
     return -mag if x < 0 else mag
 
-def pin_stats_free(df: DataFrame) -> DataFrame:
+def pin_stats_free(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` (localCheckpoint) AND reset its plan
     statistics — the pin every ITERATIVE loop must use.
 
@@ -48,13 +48,40 @@ def pin_stats_free(df: DataFrame) -> DataFrame:
     auto-broadcast (unknown size ⇒ conservative), which is the right
     default inside loops; callers that want a broadcast say so
     explicitly.
+
+    ``eager=False`` defers materialization to the first downstream
+    action (which then writes the checkpoint once and reuses it) —
+    use it when a count/action follows immediately anyway, saving one
+    job per loop round; the stats reset is identical either way.
     """
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=eager)
     jdf = ck._jdf
     jrdd = jdf.queryExecution().toRdd()
     jspark = ck.sparkSession._jsparkSession
     njdf = jspark.internalCreateDataFrame(jrdd, jdf.schema(), False)
     return DataFrame(njdf, ck.sparkSession)
+
+
+def pin_iter(df: DataFrame, rnd: int, eager: bool = True,
+             reset_every: int = 8) -> DataFrame:
+    """Per-round pin for iterative loops: REAL statistics most rounds,
+    a stats reset every ``reset_every``-th.
+
+    Plain localCheckpoint keeps the plan's real size estimates, which
+    is what lets Catalyst broadcast the node-sized label/rank tables
+    inside a round — an always-stats-free loop plans sort-merge joins
+    everywhere and measured ~5× slower PER ROUND on small graphs. But
+    real originStats compound by SQUARING across rounds (bit-lengths
+    21→58→133→282→…, see :func:`pin_stats_free`), so every
+    ``reset_every``-th round pins stats-free instead: 8 rounds of
+    doubling from either a real (~40-bit) or post-reset (63-bit) seed
+    stays around 10-16k bits, orders of magnitude under BigInteger's
+    2^31-bit ceiling, at ANY round count. Short loops (≤ reset_every
+    rounds — the common near-dup / PageRank case) never pay a reset.
+    """
+    if (rnd + 1) % reset_every == 0:
+        return pin_stats_free(df, eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 #: Assumed split size when the session conf is unreadable (Spark default).

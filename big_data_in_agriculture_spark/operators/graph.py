@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._util import pin_stats_free
+from ._util import pin_iter
 
 #: total mass in rank units — 1e12 gives ~12 significant decimal
 #: digits of rank while keeping 100 * rank far inside LONG range.
@@ -127,7 +127,7 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = deg.withColumn("rank_e12", F.lit(base).cast("long"))
-    for _ in range(iterations):
+    for _rnd in range(iterations):
         prev = ranks
         # dangling mass: 1-row LONG aggregate, broadcast back below
         dangling = (
@@ -158,11 +158,10 @@ def pagerank(
                 ).cast("long").alias("rank_e12"),
             )
         )
-        # stats-free pin: each round's plan joins frames derived from
-        # the previous checkpoint, and localCheckpoint PRESERVES plan
-        # statistics — sizeInBytes would square per round and cross
+        # per-round pin with periodic stats reset: localCheckpoint
+        # PRESERVES plan statistics, which SQUARE per round and cross
         # BigInteger's bit ceiling near iteration ~40 (_util.py note)
-        ranks = pin_stats_free(ranks)
+        ranks = pin_iter(ranks, _rnd)
         if residual_out is not None:
             residual_out.append(
                 ranks.join(
@@ -223,19 +222,20 @@ def bfs_levels(
     )
     frontier = visited
     for depth in range(1, max_depth + 1):
-        # stats-free pins: visited joins frames derived from its own
-        # previous checkpoint every round — preserved originStats would
-        # compound across rounds (_util.pin_stats_free note)
-        nxt = pin_stats_free(
+        # per-round pins with periodic stats reset: visited joins
+        # frames derived from its own previous checkpoint every round
+        # (_util.pin_iter note)
+        nxt = pin_iter(
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .withColumn("level", F.lit(depth).cast("long"))
+            .withColumn("level", F.lit(depth).cast("long")),
+            depth,
         )
         if nxt.isEmpty():
             break
-        visited = pin_stats_free(visited.unionByName(nxt))
+        visited = pin_iter(visited.unionByName(nxt), depth)
         frontier = nxt
     return visited
 
@@ -277,8 +277,9 @@ def personalized_pagerank(
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
 
-    e = pin_stats_free(
+    e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=True)
     )
     s = sources.select(F.col(source_col).alias("node")).distinct()
     nodes = (
@@ -290,7 +291,7 @@ def personalized_pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("od")
     )
-    deg = pin_stats_free(
+    deg = (
         nodes.join(outdeg, "node", "left")
         .join(s.withColumn("_is_src", F.lit(1)), "node", "left")
         .select(
@@ -298,6 +299,7 @@ def personalized_pagerank(
             F.coalesce("od", F.lit(0)).alias("od"),
             F.coalesce("_is_src", F.lit(0)).alias("is_src"),
         )
+        .localCheckpoint(eager=True)
     )
     s_n = deg.filter(F.col("is_src") == 1).count()
     if s_n == 0:
@@ -313,7 +315,7 @@ def personalized_pagerank(
         .otherwise(F.lit(0))
         .cast("long"),
     )
-    for _ in range(iterations):
+    for _rnd in range(iterations):
         dangling = ranks.filter(F.col("od") == 0).agg(
             F.coalesce(F.sum("rank_e12"), F.lit(0)).alias("_dm")
         )
@@ -325,7 +327,7 @@ def personalized_pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("inflow"))
         )
-        ranks = pin_stats_free(
+        ranks = pin_iter(
             deg.join(inflow, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -341,7 +343,8 @@ def personalized_pagerank(
                         " else 0 end))) div 100"
                     )
                 ).cast("long").alias("rank_e12"),
-            )
+            ),
+            _rnd,
         )
     return ranks.select("node", "rank_e12")
 
@@ -380,7 +383,7 @@ def kcore(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    und = pin_stats_free(
+    und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .unionByName(
@@ -388,17 +391,19 @@ def kcore(
             .filter(F.col("u") != F.col("v"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     alive_edges = und
     n_iter = max_iter if rounds is None else rounds
     converged = rounds is not None
-    for _ in range(n_iter):
+    for _rnd in range(n_iter):
         degs = alive_edges.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
         keep = degs.filter(F.col("_d") >= k).select("u")
-        nxt = pin_stats_free(
+        nxt = pin_iter(
             alive_edges.join(keep, "u")
             .join(keep.select(F.col("u").alias("v")), "v")
-            .select("u", "v")
+            .select("u", "v"),
+            _rnd,
         )
         done = nxt.count() == alive_edges.count()
         alive_edges = nxt
@@ -446,19 +451,21 @@ def sssp(
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
-    e = pin_stats_free(
+    e = (
         edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             F.col(weight).cast("long").alias("w"),
         ).filter(F.col("w") >= 0)
+        .localCheckpoint(eager=True)
     )
-    dist = pin_stats_free(
+    dist = (
         sources.select(F.col(source_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_hops):
+    for _rnd in range(max_hops):
         relaxed = (
             e.join(dist, e.src == dist.node)
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("_cand"))
@@ -466,9 +473,10 @@ def sssp(
             .agg(F.min("_cand").alias("_cand"))
         )
         # least() skips NULLs (full join: either side may be absent)
-        nxt = pin_stats_free(
+        nxt = pin_iter(
             dist.join(relaxed, "node", "full")
-            .select("node", F.least("dist", "_cand").alias("dist"))
+            .select("node", F.least("dist", "_cand").alias("dist")),
+            _rnd,
         )
         improved = (
             nxt.join(dist.select("node", F.col("dist").alias("_old")),

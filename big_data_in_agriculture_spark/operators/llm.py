@@ -634,110 +634,207 @@ def neardup_components(
     b_col: str = "id_b",
     max_iter: int = 50,
     strict: bool = True,
+    fast_rounds: int = 6,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, component_id).
 
     The clustering step of a dedup pipeline — pair lists from
     jaccard/minhash/simhash become groups, one survivor kept per group.
-    Alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC 2014): each
-    round rewires the edge set itself —
+    TWO-PHASE hybrid (round 9):
 
-    - large-star: every node attaches its strictly-LARGER neighbors to
-      the minimum of its closed neighborhood;
-    - small-star: every node attaches itself and its smaller neighbors
-      to that minimum (edges kept oriented big→small throughout);
+    **Phase 1 — min-label propagation + pointer jump**, at most
+    ``fast_rounds`` rounds: each node adopts the minimum label in its
+    closed neighborhood, then label(label(id)). Two node-keyed
+    shuffles per round — the cheap loop, and near-dup families are
+    near-cliques of diameter 2-3 that CONVERGE here in 1-3 rounds
+    (verified per round by a changed-label count). This loop alone is
+    ~O(diameter) worst case: on grid-shaped components with
+    geometry-uncorrelated ids (DBSCAN's cell graph) the jump stalls at
+    local-minimum ids — a 35-cell blob needed ~50 rounds in round 8 —
+    so it is strictly a bounded fast path, never trusted to finish.
 
-    until the edge set is a fixpoint, which the paper proves is exactly
-    the set of stars rooted at each component's minimum id — so labels
-    are per-component minimum ids, identical to plain min propagation
-    and to the recursive SQL oracle. Both operations are one aggregate
-    + one equi-join on the edge list (no per-node neighbor collection,
-    so a million-member star never builds a million-element array row).
+    **Phase 2 — alternating LARGE-STAR / SMALL-STAR contraction**
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) on the LABEL-QUOTIENT graph (edge (a,b) →
+    (label(a), label(b)), self-loops dropped — sound because phase-1
+    labels are same-component node ids and the true minimum m keeps
+    label(m) = m): large-star attaches every strictly-larger neighbor
+    to the neighborhood minimum, small-star attaches the node and its
+    smaller neighbors (edges oriented big→small), until the edge set
+    is a fixpoint — which the paper proves is exactly the stars rooted
+    at component minima, in O(log² n) rounds. Both operations are one
+    aggregate + one equi-join (no per-node neighbor collection, so a
+    million-member star never builds a million-element array row).
+    Final label = star root of the phase-1 label — identical to plain
+    min propagation and to the recursive SQL oracle.
 
-    Round 9 replaced the previous min-label + pointer-jump loop, which
-    this repo's own probes killed two ways: (a) on grid-shaped
-    components with geometry-uncorrelated ids (DBSCAN's cell graph)
-    the jump stalls at local-minimum ids and the loop degenerates to
-    ~O(diameter) rounds — a 35-cell blob needed ~50; star contraction
-    is O(log² n) worst case and single-digit rounds in practice;
-    (b) every round's plan JOINED two frames derived from the same
-    localCheckpoint, and since localCheckpoint preserves originStats,
-    estimated sizeInBytes SQUARED per round (measured bit-lengths
+    Every per-round pin is ``pin_iter`` (_util.py): plain
+    localCheckpoint most rounds (real statistics keep the node-sized
+    tables broadcast-eligible — an always-stats-free loop measured ~5×
+    slower per round), with a stats-free reset every 8th round because
+    preserved originStats SQUARE per round (measured bit-lengths
     21→58→133→282→581→1177→2371) until BigInteger's 2^31-bit ceiling
-    killed round ~30-45 ('BigInteger would overflow supported range'
-    — the round-8 1M-point death). Every per-round pin is therefore
-    ``pin_stats_free`` (_util.py), which materializes AND resets plan
-    statistics.
+    killed round ~30-45 — the round-8 1M-point death, root-caused in
+    round 9.
 
-    Convergence is VERIFIED, not assumed: the loop stops only when a
-    full large-star + small-star round reproduces the edge set exactly
-    (equal distinct counts + empty set difference — a sound fixpoint
-    test, not a fingerprint); if ``max_iter`` rounds pass without
-    that, ``strict=True`` (default) raises rather than silently
-    returning an under-merged labelling — downstream consumers
-    (``dedup_near``, ``leakage_safe_split``) promise whole families
-    move atomically. ``strict=False`` keeps best-effort behavior for
-    exploratory use.
+    Convergence is VERIFIED, not assumed: phase 1 by a changed-label
+    count, phase 2 by an exact edge-set fixpoint test (equal distinct
+    counts + empty one-sided difference); if ``max_iter`` star rounds
+    pass without a fixpoint, ``strict=True`` (default) raises rather
+    than silently returning an under-merged labelling — downstream
+    consumers (``dedup_near``, ``leakage_safe_split``) promise whole
+    families move atomically. ``strict=False`` keeps best-effort
+    behavior for exploratory use.
     """
-    from ._util import pin_stats_free
+    from ._util import pin_iter
 
-    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # the raw pair list is checkpointed ONCE and every derived frame
+    # (node set, canonical edges) reads that materialization — the
+    # upstream pair GENERATOR (shingling, inverted-index shuffles) must
+    # never run twice (measured 14.5 s → 4.5 s in round 3, and a
+    # round-9 refactor that split nodes/edges into two checkpoints
+    # over the generator re-paid the full jaccard cost — caught by the
+    # leakage_split bench)
+    raw = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint(eager=False)
     # node set remembered up front: self-pairs and isolated inputs must
     # survive to the output with label = self
-    nodes = pin_stats_free(
+    nodes = (
         raw.select(F.col("u").alias("id"))
         .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    # canonical big→small orientation, self-loops dropped; materialized
-    # ONCE so rounds never re-run the upstream pair GENERATOR
-    # (shingling, inverted-index shuffles — measured 14.5 s → 4.5 s on
-    # the sf0.1 jaccard graph when this landed in round 3)
-    edges = pin_stats_free(
+    # canonical big→small orientation, self-loops dropped
+    edges = (
         raw.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    n_edges = edges.count()
-    converged = n_edges == 0
-    for _ in range(max_iter):
+    n_edges = edges.count()  # materializes the lazy pin
+    if n_edges == 0:
+        return nodes.select(
+            "id", F.col("id").alias("component_id")
+        )
+
+    # -- PHASE 1: min-label propagation + pointer jump, a few CHEAP
+    # rounds (2 node-keyed shuffles per round vs star contraction's
+    # ~6). Near-dup families are near-cliques of diameter 2-3 and
+    # converge here in 1-3 rounds — the overwhelmingly common case,
+    # and the round-9 bench showed star-only cost leakage_split 2×.
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.withColumn("label", F.col("id"))
+    fast_converged = False
+    for _rnd in range(fast_rounds):
+        neighbor_min = (
+            sym.join(labels, sym.u == labels.id)
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        half = pin_iter(
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("_nl", F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            ),
+            _rnd, eager=False,
+        )
+        lk = half.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_ll")
+        )
+        updated = pin_iter(
+            half.join(lk, F.col("label") == F.col("_lid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("_ll", F.col("label"))
+                ).alias("label"),
+                "_old",
+            ),
+            _rnd, eager=False,
+        )
+        changed = updated.filter(F.col("label") != F.col("_old")).count()
+        labels = updated.drop("_old")
+        if changed == 0:
+            fast_converged = True
+            break
+    if fast_converged:
+        return labels.select(
+            F.col("id"), F.col("label").alias("component_id")
+        )
+
+    # -- PHASE 2: large-star/small-star contraction on the LABEL
+    # QUOTIENT graph (edge (a,b) → (label(a), label(b)), self-loops
+    # dropped). The quotient is sound: phase-1 labels are node ids of
+    # the same component, the true component minimum m keeps label(m)
+    # = m, and a quotient node with NO cross-label edge is already a
+    # complete component labelled by its minimum — so star roots over
+    # the quotient are exactly the per-component minima, and composing
+    # label → star-root gives the identical final labelling.
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("_lu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("_lv"))
+    q_edges = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("_lu") != F.col("_lv"))
+        .select(
+            F.greatest("_lu", "_lv").alias("u"),
+            F.least("_lu", "_lv").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_q = q_edges.count()
+    converged = n_q == 0
+    for _rnd in range(max_iter):
         if converged:
             break
         # LARGE-STAR. Symmetrize; m(u) = min(neighbors(u) ∪ u); attach
         # each neighbor v > u to m(u). Every edge (a,b), a>b appears in
-        # sym from both endpoints and is emitted exactly once (from the
-        # smaller one), so connectivity is preserved (paper, Lemma 1).
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        # qsym from both endpoints and is emitted exactly once (from
+        # the smaller one), so connectivity is preserved (Kiveris et
+        # al. SoCC'14, Lemma 1). No distinct here: duplicates cannot
+        # arise faster than the SMALL-STAR distinct removes them, and
+        # min() is duplicate-blind.
+        qsym = q_edges.unionByName(
+            q_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+        mins = qsym.groupBy("u").agg(F.min("v").alias("_mn")).select(
             "u", F.least("_mn", "u").alias("m")
         )
-        large = pin_stats_free(
-            sym.join(mins, "u")
+        large = pin_iter(
+            qsym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
+            .select(F.col("v").alias("u"), F.col("m").alias("v")),
+            _rnd, eager=False,
         )
         # SMALL-STAR on the big→small edges: m(u) = min of u's smaller
         # neighbors; attach u and every smaller neighbor to m(u).
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        new_edges = pin_stats_free(
+        new_edges = pin_iter(
             large.join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .unionByName(mins2.select("u", F.col("m").alias("v")))
-            .distinct()
+            .distinct(),
+            _rnd, eager=False,
         )
         # sound fixpoint test on distinct sets: equal cardinality and
-        # an empty one-sided difference imply set equality
-        n_new = new_edges.count()
-        if n_new == n_edges and new_edges.exceptAll(edges).count() == 0:
+        # an empty one-sided difference imply set equality (isEmpty
+        # short-circuits on the first surviving row)
+        n_new = new_edges.count()  # materializes the lazy pin
+        if n_new == n_q and new_edges.exceptAll(q_edges).isEmpty():
             converged = True
-        edges, n_edges = new_edges, n_new
+        q_edges, n_q = new_edges, n_new
     if not converged and strict:
         raise RuntimeError(
             f"neardup_components did not converge in {max_iter} "
@@ -745,10 +842,13 @@ def neardup_components(
             "under-merged and unsafe for dedup/split consumers; raise "
             "max_iter or pass strict=False for a best-effort result"
         )
-    # fixpoint edges are (member, root) stars; roots and singletons
-    # label themselves
-    return nodes.join(edges, nodes.id == edges.u, "left").select(
-        F.col("id"), F.coalesce("v", F.col("id")).alias("component_id")
+    # fixpoint q_edges are (member-label, root) stars; labels whose
+    # quotient node has no star edge keep themselves
+    star = q_edges.select(
+        F.col("u").alias("_ql"), F.col("v").alias("_root")
+    )
+    return labels.join(star, labels.label == F.col("_ql"), "left").select(
+        "id", F.coalesce("_root", F.col("label")).alias("component_id")
     )
 
 

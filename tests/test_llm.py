@@ -1293,9 +1293,13 @@ def test_neardup_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 30)], ["id_a", "id_b"]
     )
+    # starve BOTH phases: one fast round can't finish a 29-hop chain
+    # and zero star rounds leaves the quotient unmerged
     with pytest.raises(RuntimeError, match="did not converge"):
-        llm.neardup_components(pairs, max_iter=2)
-    out = llm.neardup_components(pairs, max_iter=2, strict=False)
+        llm.neardup_components(pairs, max_iter=0, fast_rounds=1)
+    out = llm.neardup_components(
+        pairs, max_iter=0, fast_rounds=1, strict=False
+    )
     assert out.count() == 30  # best-effort still returns every node
 
 
