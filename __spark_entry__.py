@@ -8628,6 +8628,144 @@ ORDER BY key, h
 """
 
 
+def q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # neighborhood-overlap link prediction (common neighbors / Jaccard
+    # / Adamic-Adar) for non-edge part pairs of the co-purchase graph
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    return graph.link_prediction(edges, min_common=2).orderBy(
+        "node_a", "node_b"
+    )
+
+
+_LINKPRED_SQL = f"""
+WITH {_COPURCHASE_EDGES_SQL},
+und AS MATERIALIZED (
+    SELECT a AS x, b AS y FROM edges UNION ALL SELECT b, a FROM edges
+),
+deg AS MATERIALIZED (SELECT x AS node, count(*) AS deg FROM und GROUP BY 1),
+mid AS (
+    SELECT node AS u,
+           CASE WHEN deg >= 2 THEN CAST(floor(
+               1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)
+           END AS aa
+    FROM deg
+),
+wedges AS (
+    SELECT w1.x AS x, w2.y AS y, m.aa
+    FROM und w1
+    JOIN und w2 ON w1.y = w2.x AND w1.x < w2.y
+    JOIN mid m ON m.u = w1.y
+),
+cand AS MATERIALIZED (
+    SELECT x AS node_a, y AS node_b,
+           count(*) AS cn, sum(aa) AS aasum
+    FROM wedges GROUP BY 1, 2 HAVING count(*) >= 2
+),
+noedge AS (
+    SELECT c.* FROM cand c
+    LEFT JOIN edges e ON e.a = c.node_a AND e.b = c.node_b
+    WHERE e.a IS NULL
+)
+SELECT n.node_a, n.node_b, n.cn AS common_neighbors,
+       round(CAST(n.cn AS DOUBLE)
+             / CAST(da.deg + db.deg - n.cn AS DOUBLE), 6) AS jaccard,
+       round(CAST(n.aasum AS DOUBLE) / 1000000.0, 6) AS adamic_adar
+FROM noedge n
+JOIN deg da ON da.node = n.node_a
+JOIN deg db ON db.node = n.node_b
+ORDER BY n.node_a, n.node_b
+"""
+
+
+def q_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_in_agriculture_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = timeseries.daily_series(ev, "event_type", "ts", "value")
+    daily = daily.withColumn("value", F.round("value", 6))
+    return timeseries.seasonal_decompose(daily, period=7).orderBy(
+        "key", "day"
+    )
+
+
+_SEASONAL_DECOMP_SQL_TMPL = """
+WITH daily AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day,
+           round(sum(value), 6) AS value
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+v AS (
+    SELECT key, day, value,
+           CAST((epoch(day)::BIGINT // 86400) % 7 AS INT) AS slot,
+           CAST(CASE WHEN value >= 0
+                     THEN floor(value * CAST(1000000 AS DOUBLE) + 0.5)
+                     ELSE -floor(-value * CAST(1000000 AS DOUBLE) + 0.5)
+                END AS BIGINT) AS vmic
+    FROM daily
+),
+t AS (
+    -- trend from an EXACT LONG micro window sum: a DOUBLE window-avg
+    -- diverges in the last ulp between the engines' moving-frame
+    -- strategies (incremental vs recompute)
+    SELECT key, day, value, slot,
+           CASE WHEN count(vmic) OVER w = 7
+                THEN CAST(sum(vmic) OVER w AS DOUBLE)
+                     / CAST(7000000 AS DOUBLE) END AS trend
+    FROM v
+    WINDOW w AS (PARTITION BY key ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+d AS (
+    SELECT *,
+           CASE WHEN trend IS NOT NULL THEN CAST(
+               CASE WHEN value - trend >= 0
+                    THEN floor((value - trend)
+                               * CAST(1000000 AS DOUBLE) + 0.5)
+                    ELSE -floor(-(value - trend)
+                                * CAST(1000000 AS DOUBLE) + 0.5)
+               END AS BIGINT)
+           END AS dmic
+    FROM t
+),
+s AS (
+    SELECT key, slot,
+           CAST(sum(dmic) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE)
+                * CAST(1000000 AS DOUBLE)) AS sraw
+    FROM d WHERE dmic IS NOT NULL GROUP BY 1, 2
+),
+sc AS (
+    SELECT key, slot,
+           {q_seasonal} AS seasonal
+    FROM s
+    WINDOW ws AS (PARTITION BY key ORDER BY slot
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING)
+)
+SELECT d.key, d.day, d.value,
+       {q_trend} AS trend,
+       sc.seasonal,
+       CASE WHEN d.trend IS NOT NULL
+            THEN {q_resid}
+       END AS residual
+FROM d LEFT JOIN sc ON d.key = sc.key AND d.slot = sc.slot
+ORDER BY d.key, d.day
+"""
+
+#: half-away quantize (the _quantize_sql contract) instead of engine
+#: round(): centered seasonal effects land on decimal ties where the
+#: engines' rounds disagree (observed live on this operator).
+_SEASONAL_DECOMP_SQL = _SEASONAL_DECOMP_SQL_TMPL.format(
+    q_seasonal=_quantize_sql(
+        "sraw - sum(sraw) OVER ws / count(sraw) OVER ws", 6
+    ),
+    q_trend=_quantize_sql("d.trend", 6),
+    q_resid=_quantize_sql(
+        f"d.value - {_quantize_sql('d.trend', 6)} - sc.seasonal", 6
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -8873,6 +9011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_trade": q_sssp,
         "clustering_coeff": q_clustering_coeff,
         "hw_forecast": q_hw_forecast,
+        "linkpred_parts": q_linkpred,
+        "seasonal_decomp": q_seasonal_decomp,
     }
 
 
@@ -9082,6 +9222,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp_trade": _sssp_sql(),
         "clustering_coeff": _CLUSTERING_COEFF_SQL,
         "hw_forecast": _hw_sql(),
+        "linkpred_parts": _LINKPRED_SQL,
+        "seasonal_decomp": _SEASONAL_DECOMP_SQL,
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

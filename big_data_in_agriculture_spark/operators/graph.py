@@ -554,3 +554,114 @@ def clustering_coefficient(
         .otherwise(F.lit(0.0))
         .alias("coeff"),
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction on an undirected graph:
+    for every NON-edge pair with ≥ ``min_common`` common neighbors,
+    ``(node_a, node_b, common_neighbors, jaccard, adamic_adar)``.
+
+    The classic triad of local similarity scores (Liben-Nowell &
+    Kleinberg 2003): common-neighbor count, Jaccard of neighborhoods,
+    and Adamic-Adar (Σ 1/ln(deg(u)) over shared neighbors u — rare
+    shared neighbors weigh more). On a co-purchase graph these rank
+    "products that SHOULD be bought together but aren't yet" — the
+    candidate generator for recommendation and for crawl frontier
+    scoring.
+
+    Scale shape: candidates come from the WEDGE join (two edge-table
+    equi-joins through the shared neighbor — the same compact bound as
+    triangle counting: Σ_u deg(u)²), aggregated per pair; existing
+    edges are removed with one anti-join; degrees ride a broadcast-
+    eligible node aggregate. ``min_common`` bounds the emitted pair
+    set (1-common-neighbor pairs are noise at any scale).
+
+    Determinism contract: counts and degrees are exact integers;
+    Adamic-Adar terms are quantized to LONG micros per NEIGHBOR
+    (half-away, the repo's `_quantize` contract — ln() is a libm call
+    the two engines could disagree on in the last ulp, so the sum must
+    be over pre-rounded integers, the lm_backoff_ppl pattern) and the
+    LONG sum is order-free; jaccard divides two exact ints, one IEEE
+    rounding, rounded 6 dp.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # Adamic-Adar term per potential shared neighbor, LONG micros.
+    # deg == 1 would make ln(deg) = 0 → Inf → ANSI cast error, but a
+    # SHARED neighbor always has deg ≥ 2 (adjacent to both endpoints),
+    # so the guard only silences rows that can never match a wedge.
+    aa_term = F.when(
+        F.col("deg") >= 2,
+        F.floor(
+            F.lit(1_000_000.0) / F.log(F.col("deg").cast("double"))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    mid = deg.select(
+        F.col("node").alias("u"),
+        aa_term.alias("_aa"),
+    )
+    # wedges: (x, u), (u, y) with x < y — each unordered candidate
+    # pair generated once per shared neighbor
+    left = und.select(F.col("b").alias("u"), F.col("a").alias("x"))
+    right = und.select(F.col("a").alias("u"), F.col("b").alias("y"))
+    wedges = (
+        left.join(right, "u")
+        .filter(F.col("x") < F.col("y"))
+        .join(mid, "u")
+    )
+    cand = (
+        wedges.groupBy(F.col("x").alias("node_a"), F.col("y").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("_aa").alias("_aa_sum"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+        # existing edges are not predictions
+        .join(
+            e.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+            ["node_a", "node_b"],
+            "left_anti",
+        )
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("_db"))
+    return (
+        cand.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("_da") + F.col("_db") - F.col("common_neighbors")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("_aa_sum").cast("double") / F.lit(1e6), 6).alias(
+                "adamic_adar"
+            ),
+        )
+    )

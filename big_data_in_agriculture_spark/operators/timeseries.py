@@ -750,3 +750,149 @@ def holt_winters_forecast(
             ).alias("yhat"),
         )
     )
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    period: int = 7,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key:
+    ``(key, day, value, trend, seasonal, residual)``.
+
+    The diagnosis companion to :func:`holt_winters_forecast` — before
+    fitting a seasonal model you LOOK at the decomposition (how much
+    of the signal is weekly cycle vs drift vs noise). Textbook
+    classical method (odd ``period`` m):
+
+    - ``trend``  = centered m-row moving average (NULL at the first/
+      last m//2 rows of each key, where the window is incomplete);
+    - ``seasonal`` = per-(key, season-slot) mean of the detrended
+      interior, centered so the m slot effects sum to ~0;
+    - ``residual`` = value − trend − seasonal (NULL where trend is).
+
+    The season slot is pure integer math on epoch days
+    ((epoch_secs div 86400) mod m — engine-identical, no calendar
+    functions), so slots align with real weekdays for m = 7. Assumes a
+    gap-free daily grid (run :func:`gapfill_locf` first; a hole shifts
+    the rows-frame, not the slot).
+
+    Determinism contract: the trend is NOT a DOUBLE window-avg — Spark
+    updates moving frames incrementally (add/subtract) while DuckDB
+    recomputes, and the two IEEE paths disagree in the last ulp, which
+    flips micro quantization on half boundaries (observed live). So
+    values are quantized to LONG micros first and the trend is an
+    EXACT LONG window sum divided once; detrended values quantize to
+    LONG micros (half-away) before the order-free per-slot groupBy
+    sum; the slot-centering sum runs in a slot-ORDERED full frame
+    (frame-order folds are engine-exact); every emitted float is
+    rounded 6 dp, and residual is computed FROM the rounded
+    trend/seasonal so it inherits their determinism.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            f"period must be odd and >= 3 (classical centered MA), "
+            f"got {period}"
+        )
+    m = int(period)
+    half = m // 2
+    slot = F.pmod(
+        F.expr(f"cast({day_col} as long) div 86400"), F.lit(m)
+    ).cast("int")
+    w_ma = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(-half, half)
+    )
+    vmic = (
+        F.signum(F.col("value"))
+        * F.floor(F.abs(F.col("value")) * F.lit(1_000_000.0) + F.lit(0.5))
+    ).cast("long")
+    base = daily.select(
+        F.col(key_col).alias("key"),
+        F.col(day_col).alias("day"),
+        F.col(value_col).cast("double").alias("value"),
+        slot.alias("_slot"),
+    ).withColumn("_vmic", vmic)
+    with_trend = base.select(
+        "key",
+        "day",
+        "value",
+        "_slot",
+        F.when(
+            F.count("_vmic").over(
+                Window.partitionBy("key").orderBy("day")
+                .rowsBetween(-half, half)
+            )
+            == m,
+            F.sum("_vmic").over(
+                Window.partitionBy("key").orderBy("day")
+                .rowsBetween(-half, half)
+            ).cast("double")
+            / F.lit(float(m) * 1_000_000.0),
+        ).alias("_trend"),
+    )
+    detr = F.col("value") - F.col("_trend")
+    dmic = F.when(
+        F.col("_trend").isNotNull(),
+        (
+            F.signum(detr)
+            * F.floor(F.abs(detr) * F.lit(1_000_000.0) + F.lit(0.5))
+        ).cast("long"),
+    )
+    wt = with_trend.withColumn("_dmic", dmic).localCheckpoint(eager=False)
+    s_raw = (
+        wt.filter(F.col("_dmic").isNotNull())
+        .groupBy("key", "_slot")
+        .agg(
+            F.sum("_dmic").alias("_l"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .select(
+            "key",
+            "_slot",
+            (
+                F.col("_l").cast("double")
+                / (F.col("_c").cast("double") * F.lit(1_000_000.0))
+            ).alias("_sraw"),
+        )
+    )
+    ws = (
+        Window.partitionBy("key")
+        .orderBy("_slot")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # half-away quantize via the explicit op sequence, NOT engine
+    # round(): centered seasonal effects land on decimal ties (micro-
+    # grid inputs), where Spark's BigDecimal round and DuckDB's binary
+    # round disagree — observed live on this operator
+    from .similarity import _quantize_col
+
+    seasonal = s_raw.select(
+        "key",
+        "_slot",
+        _quantize_col(
+            F.col("_sraw")
+            - F.sum("_sraw").over(ws) / F.count("_sraw").over(ws),
+            6,
+        ).alias("seasonal"),
+    )
+    trend_q = _quantize_col(F.col("_trend"), 6)
+    return (
+        wt.join(seasonal, ["key", "_slot"], "left")
+        .select(
+            "key",
+            "day",
+            "value",
+            trend_q.alias("trend"),
+            "seasonal",
+            F.when(
+                F.col("_trend").isNotNull(),
+                _quantize_col(
+                    F.col("value") - trend_q - F.col("seasonal"), 6
+                ),
+            ).alias("residual"),
+        )
+    )

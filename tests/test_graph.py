@@ -362,3 +362,53 @@ class TestClusteringCoefficient:
         assert out[2] == (2, 1, 1.0)
         assert out[3] == (3, 1, round(2 * 1 / (3 * 2), 6))
         assert out[4] == (1, 0, 0.0)
+
+
+class TestLinkPrediction:
+    def test_square_predicts_diagonals(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            link_prediction,
+        )
+
+        # 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) each
+        # have BOTH other nodes as common neighbors; no existing edge
+        # is ever emitted
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+        )
+        out = {
+            (r["node_a"], r["node_b"]): (
+                r["common_neighbors"], r["jaccard"], r["adamic_adar"]
+            )
+            for r in link_prediction(e, min_common=2).collect()
+        }
+        assert set(out) == {(1, 3), (2, 4)}
+        import math
+
+        cn, jac, aa = out[(1, 3)]
+        assert cn == 2
+        assert jac == round(2 / (2 + 2 - 2), 6) == 1.0
+        term = math.floor(1_000_000.0 / math.log(2.0) + 0.5)
+        assert aa == round(2 * term / 1e6, 6)
+
+    def test_min_common_filters(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            link_prediction,
+        )
+
+        # path 1-2-3: (1,3) has ONE common neighbor
+        e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        assert link_prediction(e, min_common=2).count() == 0
+        out = link_prediction(e, min_common=1).collect()
+        assert [(r["node_a"], r["node_b"]) for r in out] == [(1, 3)]
+
+    def test_existing_edges_excluded(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            link_prediction,
+        )
+
+        # triangle: every pair IS an edge -> nothing predicted
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+        )
+        assert link_prediction(e, min_common=1).count() == 0

@@ -508,3 +508,66 @@ class TestHoltWinters:
             holt_winters_forecast(df, period=1)
         with _pytest.raises(ValueError):
             holt_winters_forecast(df, horizon=0)
+
+
+class TestSeasonalDecompose:
+    def _mk(self, spark, vals):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [("k", base + dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+            ["key", "day", "value"],
+        )
+
+    def test_pure_seasonal_signal_recovered(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        # a zero-mean weekly pattern repeated 4x: trend = 0-mean level,
+        # seasonal = the pattern, residual ~ 0 in the interior
+        pat = [3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0]
+        df = self._mk(spark, pat * 4)
+        rows = sorted(
+            seasonal_decompose(df, period=7).collect(),
+            key=lambda r: r["day"],
+        )
+        # edges: first/last 3 rows have no trend or residual
+        for r in rows[:3] + rows[-3:]:
+            assert r["trend"] is None and r["residual"] is None
+        for r in rows[3:-3]:
+            assert abs(r["trend"] - 0.0) < 1e-9
+            assert abs(r["residual"]) < 1e-9
+        # seasonal repeats with the pattern (slot-aligned to the value)
+        by_day = {i: r for i, r in enumerate(rows)}
+        for i in range(7, 21):
+            assert by_day[i]["seasonal"] == by_day[i - 7]["seasonal"]
+            assert abs(by_day[i]["seasonal"] - (pat * 4)[i]) < 1e-9
+
+    def test_linear_trend_recovered(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        # pure line: trend == value in the interior, seasonal ~ 0
+        df = self._mk(spark, [float(i) for i in range(21)])
+        rows = sorted(
+            seasonal_decompose(df, period=7).collect(),
+            key=lambda r: r["day"],
+        )
+        for i, r in enumerate(rows[3:-3], start=3):
+            assert abs(r["trend"] - i) < 1e-9
+            assert abs(r["residual"]) < 1e-6
+        assert all(abs(r["seasonal"]) < 1e-9 for r in rows)
+
+    def test_even_period_raises(self, spark):
+        import pytest as _pytest
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        df = self._mk(spark, [1.0] * 10)
+        with _pytest.raises(ValueError):
+            seasonal_decompose(df, period=6)
