@@ -412,3 +412,32 @@ class TestLinkPrediction:
             [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
         )
         assert link_prediction(e, min_common=1).count() == 0
+
+
+def test_kcore_rounds_reach_fixpoint_on_testdata(spark):
+    # the registered kcore_trade uses FIXED rounds so the oracle can
+    # unroll them — but a fixed-round result is deterministic even when
+    # PARTIAL (both engines replay the same unfinished peel, so the
+    # hash gate is structurally blind to it; round 9 caught exactly
+    # that at sf0.01 with 6 rounds). Prove the pinned round count
+    # reaches the TRUE fixpoint on every shipped testdata graph.
+    import os
+
+    import __spark_entry__ as entry
+    from big_data_in_agriculture_spark.operators import graph
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf):
+            continue
+        edges = entry._copurchase_edges(spark, sf).select("src", "dst")
+        fixed = sorted(
+            (r["node"], r["core_degree"])
+            for r in graph.kcore(
+                edges, k=entry._KCORE_K, rounds=entry._KCORE_ROUNDS
+            ).collect()
+        )
+        conv = sorted(
+            (r["node"], r["core_degree"])
+            for r in graph.kcore(edges, k=entry._KCORE_K).collect()
+        )
+        assert fixed == conv, sf
