@@ -1537,19 +1537,20 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: max-EQUALITY semantics, matching relational.top_supplier_by_revenue
+#: exactly: every supplier tied at the max revenue is returned. The
+#: previous rank()-with-suppkey-tiebreak twin returned ONE row on a
+#: revenue tie while the Spark side returned all — a latent parity
+#: break float revenues merely made improbable (round-9 ADVICE).
 _Q15_SQL = """
 WITH per_supp AS (
     SELECT l_suppkey,
            CAST(sum(l_extendedprice * (1 - l_discount)) AS FLOAT) AS total_revenue
     FROM lineitem GROUP BY l_suppkey
-),
-ranked AS (
-    SELECT *, rank() OVER (ORDER BY total_revenue DESC, l_suppkey) AS rnk
-    FROM per_supp
 )
 SELECT s_suppkey, s_name, total_revenue
-FROM ranked JOIN supplier ON l_suppkey = s_suppkey
-WHERE rnk = 1
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
 ORDER BY s_suppkey
 """
 
@@ -8700,7 +8701,9 @@ WITH daily AS (
 ),
 v AS (
     SELECT key, day, value,
-           CAST((epoch(day)::BIGINT // 86400) % 7 AS INT) AS slot,
+           -- ((x % 7) + 7) % 7 = Spark's pmod: sign-safe for pre-1970
+           -- days, identical to plain % on the non-negative range
+           CAST((((epoch(day)::BIGINT // 86400) % 7) + 7) % 7 AS INT) AS slot,
            CAST(CASE WHEN value >= 0
                      THEN floor(value * CAST(1000000 AS DOUBLE) + 0.5)
                      ELSE -floor(-value * CAST(1000000 AS DOUBLE) + 0.5)

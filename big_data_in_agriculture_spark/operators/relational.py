@@ -194,8 +194,11 @@ def top_supplier_by_revenue(lineitem: DataFrame, supplier: DataFrame) -> DataFra
     never a rank window with no PARTITION BY, which funnels the entire
     per-supplier aggregate through ONE task (the round-8 verdict's
     `WindowExec: No Partition Defined` finding; bounded at today's
-    supplier counts, pointlessly serial at any). Ties keep every
-    supplier at the max, the same contract rank()==1 had.
+    supplier counts, pointlessly serial at any). Ties keep EVERY
+    supplier at the max — a deliberate semantics change from the old
+    rank()-based form, which tie-broke on l_suppkey and kept one row;
+    the registered _Q15_SQL oracle encodes the same max-equality
+    contract so a revenue tie cannot split the engines.
 
     The supplier aggregate is pinned with localCheckpoint so the max
     branch and the join branch read ONE materialization — float sums

@@ -798,14 +798,15 @@ def seasonal_decompose(
         )
     m = int(period)
     half = m // 2
+    # season slot = pmod(day-number, m): pmod is NON-NEGATIVE for
+    # pre-1970 days too (plain % follows the dividend's sign), and the
+    # SQL twin mirrors it with the ((x % m) + m) % m idiom — the two
+    # only agree by luck on post-1970 data otherwise. The day-number
+    # division is exact (date_trunc'd days are multiples of 86400), so
+    # truncating vs floor div cannot diverge.
     slot = F.pmod(
         F.expr(f"cast({day_col} as long) div 86400"), F.lit(m)
     ).cast("int")
-    w_ma = (
-        Window.partitionBy(key_col)
-        .orderBy(day_col)
-        .rowsBetween(-half, half)
-    )
     vmic = (
         F.signum(F.col("value"))
         * F.floor(F.abs(F.col("value")) * F.lit(1_000_000.0) + F.lit(0.5))

@@ -426,7 +426,14 @@ def test_kcore_rounds_reach_fixpoint_on_testdata(spark):
     import __spark_entry__ as entry
     from big_data_in_agriculture_spark.operators import graph
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    # sf0.1 included (round-9 ADVICE): it is the bench scale, and a
+    # partial peel there would be hash-gate-invisible by design (its
+    # 3-core happens to empty in 3 rounds today — pin that it stays so)
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         if not os.path.isdir(sf):
             continue
         edges = entry._copurchase_edges(spark, sf).select("src", "dst")
