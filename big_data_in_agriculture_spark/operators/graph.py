@@ -405,11 +405,16 @@ def kcore(
             .select("u", "v"),
             _rnd,
         )
-        done = nxt.count() == alive_edges.count()
-        alive_edges = nxt
-        if rounds is None and done:
-            converged = True
-            break
+        if rounds is None:
+            # convergence test only in fixpoint mode — fixed-rounds
+            # runs were paying one discarded count() job per round
+            done = nxt.count() == alive_edges.count()
+            alive_edges = nxt
+            if done:
+                converged = True
+                break
+        else:
+            alive_edges = nxt
     if not converged:
         raise RuntimeError(
             f"kcore did not converge in {max_iter} peeling rounds; raise "
@@ -443,11 +448,17 @@ def sssp(
     unreached nodes are absent. Weights are LONG (caller casts), sums
     are LONG — no float anywhere, so no quantization contract.
 
-    At 100 TB: per-round cost tracks the edges out of IMPROVED nodes'
-    frontier... conservatively, this implementation relaxes the full
-    edge list per round (simple, shuffle-keyed); the early-exit keeps
-    round count at the true shortest-path hop diameter ≤ max_hops.
-    Stats-free pins (_util.py) keep long walks safe.
+    At 100 TB: each round relaxes ONLY edges out of nodes whose
+    distance improved last round (the ``bfs_levels`` frontier
+    discipline) — identical results to full relaxation, because a
+    non-improved node's best label was already propagated the round it
+    last improved, so re-relaxing its edges re-derives candidates the
+    min already absorbed. Per-round cost therefore tracks the
+    improved-frontier's out-edges, not graph size: on a bounded walk
+    total work is ~|E| once the wave passes, vs hops × |E| for the
+    naive form. The early exit (empty frontier) keeps round count at
+    the true shortest-path hop diameter ≤ max_hops. Stats-free pins
+    (_util.py) keep long walks safe.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
@@ -465,9 +476,10 @@ def sssp(
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
+    frontier = dist  # round 0: every source just "improved" to 0
     for _rnd in range(max_hops):
         relaxed = (
-            e.join(dist, e.src == dist.node)
+            e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("_cand"))
             .groupBy("node")
             .agg(F.min("_cand").alias("_cand"))
@@ -478,12 +490,16 @@ def sssp(
             .select("node", F.least("dist", "_cand").alias("dist")),
             _rnd,
         )
-        improved = (
+        # next frontier = nodes whose distance improved this round,
+        # carrying their NEW distance
+        frontier = pin_iter(
             nxt.join(dist.select("node", F.col("dist").alias("_old")),
                      "node", "left")
             .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist"),
+            _rnd,
         )
-        done = improved.isEmpty()
+        done = frontier.isEmpty()
         dist = nxt
         if done:
             break
@@ -491,7 +507,10 @@ def sssp(
 
 
 def clustering_coefficient(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_wedges: int | None = 1_000_000_000,
 ) -> DataFrame:
     """Per-node local clustering coefficient on an undirected graph:
     ``(node, degree, n_triangles, coeff)`` with coeff = 2T/(d(d−1)).
@@ -500,10 +519,25 @@ def clustering_coefficient(
     (Watts & Strogatz 1998): how close each node's neighborhood is to
     a clique — on a co-purchase graph, high-coefficient nodes sit in
     tightly bundled product families, low-coefficient high-degree
-    nodes are hubs. Exact: triangles enumerate a<b<c via two edge
-    equi-joins (compact-forward bound), degrees come from one
-    symmetric aggregate, and the only float op is the final division,
-    identical one-rounding IEEE on both engines (rounded 6 dp).
+    nodes are hubs. Exact counts; the only float op is the final
+    division, identical one-rounding IEEE on both engines (6 dp).
+
+    Triangle enumeration is DEGREE-ORDERED compact-forward (Latapy
+    2008): every edge is oriented from its lower-(degree, id) endpoint
+    to the higher, wedges pair the out-neighbors of each node, and a
+    semi-join against the oriented edges closes them. Ordering by id
+    alone leaves Σ deg(u)² wedges — a single 10⁶-degree hub is 10¹²
+    candidates; ordering by degree first bounds each node's OUT-degree
+    by O(√m) (arboricity), so the hub's edges all point INTO it and it
+    generates zero wedges. Each triangle is still produced exactly
+    once (by its smallest corner in the total order), so counts — and
+    the registered oracle hash — are unchanged.
+
+    ``max_wedges`` is the degenerate-geometry circuit breaker (the
+    DBSCAN ``max_cell_pts`` pattern): one 1-row aggregate computes the
+    exact post-orientation wedge count Σ C(outdeg, 2) and raises with
+    a cost model instead of launching an unpayable join. ``None``
+    disables the check.
     """
     e = (
         edges.select(
@@ -519,17 +553,64 @@ def clustering_coefficient(
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tris = (
-        e.join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
-            "left_semi",
+    # orient each edge low-(degree, id) endpoint -> high; carry the
+    # out-neighbor's degree so wedge pairs can be ordered by the same
+    # total order without another join
+    ed = e.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("_da")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("_db")),
+        "b",
+    )
+    lo_first = F.struct(F.col("_da"), F.col("a")) < F.struct(
+        F.col("_db"), F.col("b")
+    )
+    o = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("_db")).otherwise(F.col("_da")).alias("dv"),
+    ).localCheckpoint(eager=False)
+    if max_wedges is not None:
+        est = (
+            o.groupBy("u").agg(F.count(F.lit(1)).alias("_od"))
+            .agg(F.sum(F.expr("_od * (_od - 1) div 2")))
+            .first()[0]
+            or 0
         )
-        .select("a", "b", "c")
+        if est > max_wedges:
+            raise ValueError(
+                f"clustering_coefficient: degree-oriented wedge count is "
+                f"{est} (> max_wedges={max_wedges}); the triangle join "
+                "would stream that many candidate rows. This graph is "
+                "pathologically dense even after orientation — raise "
+                "max_wedges deliberately or pre-filter the edge list."
+            )
+    o2 = o.select(
+        F.col("u"),
+        F.col("v").alias("w"),
+        F.col("dv").alias("dw"),
+    )
+    close = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    # wedge (v, w) out of u with (dv,v) < (dw,w): the closing edge, if
+    # present, is oriented v -> w by construction — one semi-join
+    tris = (
+        o.join(o2, "u")
+        .filter(
+            F.struct(F.col("dv"), F.col("v"))
+            < F.struct(F.col("dw"), F.col("w"))
+        )
+        .join(close, ["v", "w"], "left_semi")
+        .select(
+            F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
+        )
+        # pin ONCE: the 3-way corner union below is three consumers of
+        # this frame — unpinned, the wedge join (the dominant cost)
+        # re-executes per corner (round-9 verdict finding #1,
+        # PLANS.md's old tree showed the subtree three times)
+        .localCheckpoint(eager=False)
     )
     tcount = (
         tris.select(F.col("a").alias("node"))
@@ -561,6 +642,7 @@ def link_prediction(
     src: str = "src",
     dst: str = "dst",
     min_common: int = 2,
+    max_wedges: int | None = 1_000_000_000,
 ) -> DataFrame:
     """Neighborhood-overlap link prediction on an undirected graph:
     for every NON-edge pair with ≥ ``min_common`` common neighbors,
@@ -588,6 +670,18 @@ def link_prediction(
     be over pre-rounded integers, the lm_backoff_ppl pattern) and the
     LONG sum is order-free; jaccard divides two exact ints, one IEEE
     rounding, rounded 6 dp.
+
+    Unlike triangle counting, the wedge here is IRREDUCIBLY centered
+    on the shared neighbor (the score is about the endpoints of the
+    wedge, so degree orientation can't shrink it): the candidate
+    stream is exactly Σ C(deg(u), 2), quadratic in any hub's degree.
+    ``max_wedges`` is therefore a circuit breaker, not an optimization
+    (the DBSCAN ``max_cell_pts`` pattern): one 1-row aggregate
+    computes the exact wedge count and raises with a cost model
+    instead of launching an unpayable join — a planted 10⁶-degree hub
+    alone is 5·10¹¹ candidates. Callers on hub-heavy graphs should
+    pre-cap degrees (drop or sample hub adjacency) explicitly; ``None``
+    disables the check.
     """
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
@@ -605,7 +699,20 @@ def link_prediction(
     )
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).localCheckpoint(eager=False)
+    if max_wedges is not None:
+        est = (
+            deg.agg(F.sum(F.expr("deg * (deg - 1) div 2"))).first()[0] or 0
+        )
+        if est > max_wedges:
+            raise ValueError(
+                f"link_prediction: the shared-neighbor wedge join would "
+                f"stream {est} candidate pairs (> max_wedges="
+                f"{max_wedges}); Σ C(deg, 2) is quadratic in hub degree "
+                "and cannot be oriented away for this score. Pre-cap hub "
+                "degrees (drop or sample adjacency of the hottest nodes) "
+                "or raise max_wedges deliberately."
+            )
     # Adamic-Adar term per potential shared neighbor, LONG micros.
     # deg == 1 would make ln(deg) = 0 → Inf → ANSI cast error, but a
     # SHARED neighbor always has deg ≥ 2 (adjacent to both endpoints),

@@ -363,6 +363,54 @@ class TestClusteringCoefficient:
         assert out[3] == (3, 1, round(2 * 1 / (3 * 2), 6))
         assert out[4] == (1, 0, 0.0)
 
+    def test_hub_star_generates_zero_wedges(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        # star: hub 0 with 200 leaves. Degree-ordered orientation
+        # points every edge INTO the hub (it has the max degree), so
+        # the wedge join streams ZERO candidates — id-ordered
+        # enumeration would stream C(200, 2) = 19900. The tiny
+        # max_wedges proves it: were any wedge generated, the breaker
+        # would raise before the result.
+        e = spark.createDataFrame(
+            [(0, i) for i in range(1, 201)], ["src", "dst"]
+        )
+        out = clustering_coefficient(e, max_wedges=0).collect()
+        assert len(out) == 201
+        assert all(r["n_triangles"] == 0 for r in out)
+
+    def test_breaker_trips_beyond_max_wedges(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        # triangle: lowest-order corner has out-degree 2 -> 1 wedge
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+        )
+        with pytest.raises(ValueError, match="max_wedges"):
+            clustering_coefficient(e, max_wedges=0)
+
+    def test_final_plan_has_no_join_resident_triangle_subtree(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        # the triangle enumeration (two joins + a semi-join) must live
+        # BEHIND the tris pin: the 3-way corner union is three
+        # consumers, and an unpinned tris frame re-executes the wedge
+        # join per corner (round-9 verdict finding #1 — the committed
+        # plan showed the subtree three times). Pinned, the final plan
+        # scans a checkpointed RDD and carries no semi-join at all.
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+        )
+        out = clustering_coefficient(e)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" not in plan, plan
+
 
 class TestLinkPrediction:
     def test_square_predicts_diagonals(self, spark):
@@ -412,6 +460,22 @@ class TestLinkPrediction:
             [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
         )
         assert link_prediction(e, min_common=1).count() == 0
+
+    def test_hub_breaker_trips(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            link_prediction,
+        )
+
+        # star: hub degree 50 -> Sigma C(deg,2) = 1225 + 0 wedges;
+        # a cap below that must refuse with the cost in the message
+        e = spark.createDataFrame(
+            [(0, i) for i in range(1, 51)], ["src", "dst"]
+        )
+        with pytest.raises(ValueError, match="1225"):
+            link_prediction(e, min_common=1, max_wedges=1000)
+        # raised deliberately (or disabled), the same graph runs
+        assert link_prediction(e, min_common=1, max_wedges=None).count() \
+            == 1225
 
 
 def test_kcore_rounds_reach_fixpoint_on_testdata(spark):
