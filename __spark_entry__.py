@@ -8448,6 +8448,53 @@ FROM alive{rounds} GROUP BY 1 ORDER BY node
     return "".join(parts)
 
 
+# ROUNDS proven sufficient by tests/test_graph.py::
+# test_core_numbers_rounds_reach_fixpoint_on_testdata at every
+# shipped sf. Measured convergence: sf0.001 needs 17-20 rounds,
+# sf0.01 needs <=12, sf0.1 needs <=8 — the h-index tail length tracks
+# local structure (long induced paths), not graph size, so the
+# SMALLEST graph needs the most rounds here; 24 carries headroom.
+_CORE_ROUNDS = 24
+
+
+def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full coreness decomposition of the co-purchase graph, FIXED
+    # h-index rounds (the SQL-replayable mode, the kcore_trade
+    # contract: tests assert the fixed rounds reach the TRUE fixpoint
+    # on every shipped testdata graph)
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    return graph.core_numbers(edges, rounds=_CORE_ROUNDS).orderBy("node")
+
+
+def _core_numbers_sql(rounds: int = _CORE_ROUNDS) -> str:
+    parts = [
+        f"""WITH {_COPURCHASE_EDGES_SQL},
+und AS MATERIALIZED (
+    SELECT a AS u, b AS v FROM edges
+    UNION ALL SELECT b, a FROM edges
+),
+c0 AS MATERIALIZED (
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS c FROM und GROUP BY 1
+)"""
+    ]
+    for i in range(rounds):
+        # h-index of neighbor values: max(least(rank-desc, value)) —
+        # invariant to tie order among equal values, all integers
+        parts.append(f""",
+c{i + 1} AS MATERIALIZED (
+    SELECT u AS node, max(least(rn, cv)) AS c FROM (
+        SELECT e.u, c.c AS cv,
+               CAST(row_number() OVER (
+                   PARTITION BY e.u ORDER BY c.c DESC) AS BIGINT) AS rn
+        FROM und e JOIN c{i} c ON e.v = c.node
+    ) GROUP BY u
+)""")
+    parts.append(f"""
+SELECT node, c AS core FROM c{rounds} ORDER BY node
+""")
+    return "".join(parts)
+
+
 _SSSP_HOPS, _SSSP_SRC_MOD = 4, 97
 
 
@@ -9020,6 +9067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_forecast": q_hw_forecast,
         "linkpred_parts": q_linkpred,
         "seasonal_decomp": q_seasonal_decomp,
+        # round-10 widening
+        "core_numbers_trade": q_core_numbers,
     }
 
 
@@ -9231,6 +9280,7 @@ def oracle_sql() -> dict[str, str]:
         "hw_forecast": _hw_sql(),
         "linkpred_parts": _LINKPRED_SQL,
         "seasonal_decomp": _SEASONAL_DECOMP_SQL,
+        "core_numbers_trade": _core_numbers_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

@@ -46,7 +46,7 @@ connected-components clustering in operators/llm.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._util import pin_iter
@@ -425,6 +425,96 @@ def kcore(
         alive_edges.groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Full core decomposition of an undirected graph: ``(node, core)``
+    where ``core`` is the largest k such that the node is in the
+    k-core — :func:`kcore` answers ONE k, this answers all of them in
+    one pass, the standard graph-density feature for corpus curation
+    (rank crawl nodes by coreness, drop the 1-core fringe, keep the
+    densely linked backbone).
+
+    Algorithm: the h-index fixpoint (Lü, Zhou, Zhang & Stanley, "The
+    H-index of a node and its application", Nat. Commun. 7:10168,
+    2016): start every node at its degree, then repeatedly replace
+    each node's value with the H-INDEX of its neighbors' values (the
+    largest h such that ≥ h neighbors hold value ≥ h). The sequence is
+    monotone non-increasing and converges exactly to coreness. Unlike
+    peeling (whose round count is the peel depth PER k, nested over
+    all k), every node updates every round, and convergence on real
+    graphs takes a handful of rounds.
+
+    One round = one edge equi-join (neighbor values) + one node-keyed
+    window sort + one aggregate — all shuffles on the node key, state
+    is one LONG per node, hubs cost their degree linearly (a window
+    partition, never a candidate-pair join). All-integer arithmetic:
+    the per-node H-index is ``max(least(row_number DESC-by-value,
+    value))``, invariant to tie order among equal neighbor values, so
+    both engines replay it bit-exactly with no quantization contract.
+
+    Two modes, the :func:`kcore` contract:
+
+    - ``rounds=None``: iterate to the verified fixpoint (raises after
+      ``max_iter`` non-converged rounds; the per-round cost of the
+      check is one node-keyed join + isEmpty).
+    - ``rounds=R``: exactly R updates, no convergence actions — the
+      SQL-replayable form (the oracle unrolls R window-CTEs; tests pin
+      an R proven to reach the true fixpoint on every shipped graph).
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    c = (
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_iter = max_iter if rounds is None else rounds
+    converged = rounds is not None
+    w = Window.partitionBy("u").orderBy(F.col("cv").desc())
+    for _rnd in range(n_iter):
+        nbr = und.join(c, und.v == c.node).select(
+            und.u.alias("u"), F.col("c").alias("cv")
+        )
+        nxt = pin_iter(
+            nbr.withColumn("rn", F.row_number().over(w).cast("long"))
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.max(F.least("rn", "cv")).alias("c")),
+            _rnd,
+        )
+        if rounds is None:
+            done = (
+                nxt.join(c.select("node", F.col("c").alias("_old")), "node")
+                .filter(F.col("c") != F.col("_old"))
+                .isEmpty()
+            )
+            c = nxt
+            if done:
+                converged = True
+                break
+        else:
+            c = nxt
+    if not converged:
+        raise RuntimeError(
+            f"core_numbers did not converge in {max_iter} h-index "
+            "rounds; raise max_iter (convergence is guaranteed — the "
+            "sequence is monotone non-increasing over LONG values)"
+        )
+    return c.select("node", F.col("c").alias("core"))
 
 
 def sssp(

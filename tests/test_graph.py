@@ -478,6 +478,131 @@ class TestLinkPrediction:
             == 1225
 
 
+class TestCoreNumbers:
+    def test_triangle_plus_pendant(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            core_numbers,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+        )
+        out = sorted(
+            (r["node"], r["core"]) for r in core_numbers(e).collect()
+        )
+        assert out == [(1, 2), (2, 2), (3, 2), (4, 1)]
+
+    def test_clique_with_tail(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            core_numbers,
+        )
+
+        # 4-clique (coreness 3) with a 2-hop tail (coreness 1)
+        e = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)],
+            ["src", "dst"],
+        )
+        out = dict(
+            (r["node"], r["core"]) for r in core_numbers(e).collect()
+        )
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}
+
+    def test_path_is_all_ones(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            core_numbers,
+        )
+
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], ["src", "dst"]
+        )
+        assert all(
+            r["core"] == 1 for r in core_numbers(e).collect()
+        )
+
+    def test_fixed_rounds_match_fixpoint(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            core_numbers,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7), (7, 5)],
+            ["src", "dst"],
+        )
+        fixed = sorted(
+            (r["node"], r["core"])
+            for r in core_numbers(e, rounds=8).collect()
+        )
+        conv = sorted(
+            (r["node"], r["core"]) for r in core_numbers(e).collect()
+        )
+        assert fixed == conv
+
+    def test_max_iter_exhaustion_raises(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            core_numbers,
+        )
+
+        # a graph that needs at least one update round to converge
+        e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            core_numbers(e, max_iter=1)
+
+    def test_agrees_with_kcore_at_every_k(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            core_numbers,
+            kcore,
+        )
+
+        # coreness >= k exactly characterizes k-core membership —
+        # cross-check the two operators on an irregular graph
+        e = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6),
+             (5, 7), (6, 7), (2, 4)],
+            ["src", "dst"],
+        )
+        cores = dict(
+            (r["node"], r["core"]) for r in core_numbers(e).collect()
+        )
+        for k in (1, 2, 3):
+            in_kcore = {
+                r["node"] for r in kcore(e, k=k).collect()
+            }
+            assert in_kcore == {n for n, c in cores.items() if c >= k}, k
+
+
+def test_core_numbers_rounds_reach_fixpoint_on_testdata(spark):
+    # the registered core_numbers_trade uses FIXED h-index rounds so
+    # the oracle can unroll them — prove the pinned count reaches the
+    # TRUE fixpoint on every shipped testdata graph (the kcore_trade
+    # contract: a partial run is deterministic and hash-gate-invisible)
+    import os
+
+    import __spark_entry__ as entry
+    from big_data_in_agriculture_spark.operators import graph
+
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        if not os.path.isdir(sf):
+            continue
+        edges = entry._copurchase_edges(spark, sf).select("src", "dst")
+        fixed = sorted(
+            (r["node"], r["core"])
+            for r in graph.core_numbers(
+                edges, rounds=entry._CORE_ROUNDS
+            ).collect()
+        )
+        conv = sorted(
+            (r["node"], r["core"])
+            for r in graph.core_numbers(edges).collect()
+        )
+        assert fixed == conv, sf
+
+
 def test_kcore_rounds_reach_fixpoint_on_testdata(spark):
     # the registered kcore_trade uses FIXED rounds so the oracle can
     # unroll them — but a fixed-round result is deterministic even when
