@@ -8883,11 +8883,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # line_dedup, bpe_encode, retention_cohorts; r8:
         # pagerank_trade, nb_language, knn_sq, edit_linkage,
         # lm_backoff_ppl; r9: dbscan_embed, quantile_sketch,
-        # dense_ids_orders, holt_forecast, bfs_trade_hops). Displaced
-        # queries (r9: kmeans_clusters, cms_frequencies, line_dedup,
-        # bpe_encode, knn_lsh — each leaving a same-family sibling in
-        # the prefix: dbscan/minhash-dedup/bpe_train/knn_sq cover
-        # clustering, dedup, BPE, ANN; r8: era5_weighted_mean,
+        # dense_ids_orders, holt_forecast, bfs_trade_hops; r10:
+        # ppr_trade, kcore_trade, sssp_trade, hw_forecast,
+        # clustering_coeff). Displaced queries (r10: hybrid_search,
+        # substring_dedup, epoch_shuffle, sliding_window_rollup,
+        # trending_items — each leaving a same-family sibling in the
+        # prefix: bm25_search covers retrieval, dedup_exact_docs +
+        # minhash_neardup cover dedup, pack_firstfit covers shard
+        # export, stream_daily_rollup covers streaming; r9:
+        # kmeans_clusters, cms_frequencies, line_dedup,
+        # bpe_encode, knn_lsh; r8: era5_weighted_mean,
         # era5_chain, window_topn, jaccard_pairs, simhash; r7: tpch_q5,
         # dedup_exact_groups, containment_pairs,
         # knn_bruteforce, embedding_norms) join the DISPLACED set in
@@ -8895,17 +8900,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full Spark-vs-DuckDB hash parity in pytest, and their
         # two-engine hashes are recorded in the committed
         # DISPLACED_VERIFY.json artifact (scripts/displaced_verify.py).
-        "hybrid_search": q_hybrid_search,
-        "substring_dedup": q_substring_dedup,
+        "ppr_trade": q_ppr,
+        "kcore_trade": q_kcore,
         "leakage_split": q_leakage_split,
         "gopher_pipeline": q_gopher_pipeline,
-        "epoch_shuffle": q_epoch_shuffle,
+        "sssp_trade": q_sssp,
         "textrank_keywords": q_textrank,
         "bloom_dedup": q_bloom_dedup,
         "stream_daily_rollup": q_stream_daily_rollup,
+        "hw_forecast": q_hw_forecast,
+        "clustering_coeff": q_clustering_coeff,
+        "asof_attribution": q_asof_attribution,
+        # --- end of the 50-slot driver-gate prefix ---
+        "hybrid_search": q_hybrid_search,
+        "substring_dedup": q_substring_dedup,
+        "epoch_shuffle": q_epoch_shuffle,
         "sliding_window_rollup": q_sliding_window_rollup,
         "trending_items": q_trending,
-        "asof_attribution": q_asof_attribution,
         "minhash_neardup_collapsed": q_minhash_neardup_collapsed,
         "tpch_q4": q_tpch_q4,
         "join_broadcast": q_join_broadcast,
@@ -9060,11 +9071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         # round-9 widening: graph-analytics depth + seasonal forecast
-        "ppr_trade": q_ppr,
-        "kcore_trade": q_kcore,
-        "sssp_trade": q_sssp,
-        "clustering_coeff": q_clustering_coeff,
-        "hw_forecast": q_hw_forecast,
+        # (ppr/kcore/sssp/hw/clustering rotated INTO the prefix in r10)
         "linkpred_parts": q_linkpred,
         "seasonal_decomp": q_seasonal_decomp,
         # round-10 widening

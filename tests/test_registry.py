@@ -3,14 +3,15 @@
 The external driver's correctness gate checks a PREFIX of ``queries()``
 (50 entries). Two invariants protect it:
 
-1. The first 50 names are PINNED (round-8 rotation of the round-7
+1. The first 50 names are PINNED (round-10 rotation of the round-9
    gate set) — an accidental insertion before index 50 would silently
    eject an operator from external verification.
-2. The 31 queries the round-3/5/6/7/8 reorderings displaced out of
-   the prefix keep full oracle parity here in pytest, so a regression
-   in them cannot hide behind the driver's prefix truncation — and
-   scripts/displaced_verify.py snapshots their two-engine hashes into
-   the committed DISPLACED_VERIFY.json for external visibility.
+2. The 41 queries the round-3/5/6/7/8/9/10 reorderings displaced out
+   of the prefix keep full oracle parity here in pytest, so a
+   regression in them cannot hide behind the driver's prefix
+   truncation — and scripts/displaced_verify.py snapshots their
+   two-engine hashes into the committed DISPLACED_VERIFY.json for
+   external visibility.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-#: The driver-gate prefix as of round 8. Rounds 3-4 pinned the
+#: The driver-gate prefix as of round 10. Rounds 3-4 pinned the
 #: CORRECTNESS_r03 keys; rounds 5, 6 and 7 each DELIBERATELY rotated
 #: five slots so never-externally-verified queries gain CORRECTNESS
 #: rows (r5: kmeans_clusters, semantic_dedup, classifier_quality,
@@ -31,10 +32,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #: interval_join, hybrid_search, incremental_rollup; r7: bm25_search,
 #: cms_frequencies, line_dedup, bpe_encode, retention_cohorts;
 #: r8: pagerank_trade, nb_language, knn_sq, edit_linkage,
-#: lm_backoff_ppl — displacing era5_weighted_mean, era5_chain,
-#: window_topn, jaccard_pairs, simhash, each with a same-family
-#: prefix sibling: era5_hourly_spatial_mean, era5_daily_rollup,
-#: top10_orders, minhash_neardup, minhash_neardup). Do not edit
+#: lm_backoff_ppl; r9: dbscan_embed, quantile_sketch,
+#: dense_ids_orders, holt_forecast, bfs_trade_hops; r10: ppr_trade,
+#: kcore_trade, sssp_trade, hw_forecast, clustering_coeff — every
+#: displaced query leaves a same-family prefix sibling and keeps
+#: two-engine parity below). Do not edit
 #: without re-deciding gate visibility; append new queries AFTER
 #: index 50 instead.
 DRIVER_PREFIX_50 = [
@@ -77,16 +79,16 @@ DRIVER_PREFIX_50 = [
     "multimodal_meta",
     "minhash_neardup",
     "bfs_trade_hops",
-    "hybrid_search",
-    "substring_dedup",
+    "ppr_trade",
+    "kcore_trade",
     "leakage_split",
     "gopher_pipeline",
-    "epoch_shuffle",
+    "sssp_trade",
     "textrank_keywords",
     "bloom_dedup",
     "stream_daily_rollup",
-    "sliding_window_rollup",
-    "trending_items",
+    "hw_forecast",
+    "clustering_coeff",
     "asof_attribution",
 ]
 
@@ -139,6 +141,16 @@ DISPLACED = [
     "line_dedup",
     "bpe_encode",
     "knn_lsh",
+    # round-10 rotation: displaced by ppr_trade / kcore_trade /
+    # sssp_trade / hw_forecast / clustering_coeff — each leaves a
+    # same-family sibling in the prefix (bm25_search for retrieval,
+    # dedup_exact_docs + minhash_neardup for dedup, pack_firstfit for
+    # shard export, stream_daily_rollup for streaming)
+    "hybrid_search",
+    "substring_dedup",
+    "epoch_shuffle",
+    "sliding_window_rollup",
+    "trending_items",
 ]
 
 
