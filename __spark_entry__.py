@@ -8495,6 +8495,59 @@ SELECT node, c AS core FROM c{rounds} ORDER BY node
     return "".join(parts)
 
 
+#: fixed LPA rounds (the SQL-replayable mode). Measured fixpoint of
+#: the self-vote form: sf0.001 settles in 4 rounds, sf0.01 in 6;
+#: tests/test_graph.py::test_lpa_rounds_settled_on_testdata proves the
+#: pinned count HAS settled (fixed == fixpoint) on every shipped sf.
+_LPA_ROUNDS = 8
+
+
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # community detection on the co-purchase graph: deterministic
+    # synchronous label propagation, smallest-label tie-break
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    return graph.label_propagation(
+        edges, rounds=_LPA_ROUNDS
+    ).orderBy("node")
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        f"""WITH {_COPURCHASE_EDGES_SQL},
+und AS MATERIALIZED (
+    SELECT a AS u, b AS v FROM edges
+    UNION ALL SELECT b, a FROM edges
+),
+l0 AS MATERIALIZED (
+    SELECT DISTINCT u AS node, u AS community FROM und
+)"""
+    ]
+    for i in range(rounds):
+        # adopt the label held by the most voters in the CLOSED
+        # neighborhood (neighbors + own label — the self-vote form);
+        # ties -> smallest label (integer counts + total-order
+        # tie-break = replayable)
+        parts.append(f""",
+l{i + 1} AS MATERIALIZED (
+    SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (
+                   PARTITION BY node
+                   ORDER BY count(*) DESC, community ASC) AS rn
+        FROM (
+            SELECT e.u AS node, l.community
+            FROM und e JOIN l{i} l ON e.v = l.node
+            UNION ALL SELECT node, community FROM l{i}
+        )
+        GROUP BY node, community
+    ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT node, community FROM l{rounds} ORDER BY node
+""")
+    return "".join(parts)
+
+
 _SSSP_HOPS, _SSSP_SRC_MOD = 4, 97
 
 
@@ -9076,6 +9129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decomp": q_seasonal_decomp,
         # round-10 widening
         "core_numbers_trade": q_core_numbers,
+        "lpa_communities": q_lpa,
     }
 
 
@@ -9288,6 +9342,7 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_parts": _LINKPRED_SQL,
         "seasonal_decomp": _SEASONAL_DECOMP_SQL,
         "core_numbers_trade": _core_numbers_sql(),
+        "lpa_communities": _lpa_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

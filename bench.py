@@ -249,6 +249,12 @@ def main() -> int:
         "dense_ids_orders",
         "quantile_sketch",
         "bfs_trade_hops",
+        # round 10: ditto for this round's rotation
+        "ppr_trade",
+        "kcore_trade",
+        "sssp_trade",
+        "hw_forecast",
+        "clustering_coeff",
     ):
         if name not in qs:
             continue

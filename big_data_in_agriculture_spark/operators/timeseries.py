@@ -28,6 +28,7 @@ spine here is generated per key, already bounded to the key's own span.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -843,7 +844,23 @@ def seasonal_decompose(
             * F.floor(F.abs(detr) * F.lit(1_000_000.0) + F.lit(0.5))
         ).cast("long"),
     )
-    wt = with_trend.withColumn("_dmic", dmic).localCheckpoint(eager=False)
+    # Pin the trended frame for its TWO consumers (slot aggregate +
+    # final join) with a SERIALIZED persist, not localCheckpoint:
+    # checkpoint blocks are MEMORY_AND_DISK *deserialized*, and when a
+    # data-sized block spills to disk, every re-read tries to re-cache
+    # the partition as deserialized Java row objects
+    # (BlockManager.maybeCacheDiskValuesInMemory) — measured OOM at
+    # 43.8M rows x 8g heap (SCALE.md seasonal_10y_hourly). Serialized
+    # bytes cache with incremental accounting and stream from disk.
+    # Recompute would even be CORRECT here (trend/dmic are exact
+    # LONG-micro arithmetic, bit-stable across executions) — the pin
+    # is a 2x-cost optimization, so it must never be the OOM.
+    # (PySpark's MEMORY_AND_DISK constant is the SERIALIZED level —
+    # deserialized is the _DESER variant, matching Dataset.persist()'s
+    # JVM-side naming.)
+    wt = with_trend.withColumn("_dmic", dmic).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     s_raw = (
         wt.filter(F.col("_dmic").isNotNull())
         .groupBy("key", "_slot")

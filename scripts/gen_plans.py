@@ -36,7 +36,23 @@ PICKS = [
     ("dense_ids_orders", "Dense-id assignment (round-8 op): RangePartitioning exchange on the tie-broken sort key, row_number windows partitioned by _pid (parallel — NO single-partition window anywhere in the plan), partition counts prefix-summed over P rows and broadcast back; global id = local rank + offset."),
     ("quantile_sketch", "Histogram quantile sketch (round-8 op): two shard builds are one hash aggregate each over <=bins groups (map-side partial combine), the merge re-aggregates <=2*bins rows, and the quantile readout windows over <=bins rows — nothing downstream of the scans exceeds the bin count at any corpus size."),
     ("tpch_q15", "Global-max with ties (round-9 rewrite): the per-supplier aggregate feeds a 1-row max aggregate broadcast back as an equality join — NO WindowExec anywhere in the plan (the old rank-over-empty-partition funneled the whole aggregate through one task); the supplier aggregate reads one localCheckpoint materialization so the max branch and the join branch cannot observe different float-fold orders."),
-    ("clustering_coeff", "Clustering coefficient (round-9 op): the co-purchase edge build is one distinct + one self-equi-join on l_orderkey + one (a,b) aggregate; triangles are two edge-table equi-joins (compact-forward a<b<c) and degree one symmetric aggregate — fact data is never re-read downstream of the edge build, and the final projection's only float op is one division."),
+    ("clustering_coeff", "Clustering coefficient (round-9 op; round-10 rework): triangle enumeration is DEGREE-ORDERED compact-forward — edges orient low-(degree,id) -> high endpoint, bounding wedge candidates by arboricity instead of Sigma deg^2 (a hub's edges all point INTO it: zero wedges; SCALE.md clustering_5m_hub) — and the tris frame is PINNED before the 3-way corner union, so the plan below scans one checkpointed RDD three times instead of executing the wedge join three times (the round-9 verdict finding: the old tree carried three identical join subtrees). A max_wedges breaker (one 1-row exact aggregate) refuses degenerate graphs with a cost model."),
+    ("pagerank_trade", """PageRank (round-8 op): per round ONE edge equi-join + ONE node-keyed sum + a 1-row dangling broadcast; ranks are LONG 1e-12 mass units (order-free sums, bit-exact on both engines). How many iterations does a 100 TB user need? The built-in residual diagnostic (`pagerank(..., residual_out=[])` — adds one node-keyed join + 1-row aggregate per round against tables the iteration already materialized; OFF in the oracle path) answers with data. Measured on the 5M-edge / 500k-node / 40%-dangling probe graph (d=85):
+
+| iter | sum abs(rank_t - rank_t-1), 1e-12 mass units | fraction of total mass |
+|---|---|---|
+| 1 | 132,752,661,188 | 0.132753 |
+| 2 | 21,740,108,300 | 0.021740 |
+| 3 | 3,615,305,159 | 0.003615 |
+| 4 | 603,038,829 | 0.000603 |
+| 5 | 100,060,652 | 0.000100 |
+| 6 | 16,701,668 | 0.000017 |
+| 7 | 2,914,189 | 0.000003 |
+| 8 | 994,865 | 0.000001 |
+| 10 | 453,288 | <0.000001 |
+
+Geometric decay at ~the damping factor: pick iterations by the rank granularity that matters (head-of-distribution ordering is stable by ~5; 1e-6-of-mass precision by ~8) — stop paying rounds past it."""),
+    ("core_numbers_trade", "Full coreness decomposition (round-10 op, h-index fixpoint): per round ONE edge equi-join feeding ONE node-keyed window sort + aggregate — all shuffles on the node key, state one LONG per node, each round pinned (pin_iter) so the final plan reads the last round's checkpoint, never a 24-round lineage. Hubs cost their degree linearly in a window partition; nothing quadratic exists at any degree distribution."),
     ("hw_forecast", "Additive Holt-Winters (round-9 op): ONE key-shuffle into collect_list, then the entire (l, b, s[7]) recurrence plus the 7-step forecast is a single codegen'd projection over the per-key array — no Python, no second exchange, series length bounds per-key memory (SCALE.md holt_10y_hourly: 88k-observation keys fold in-task)."),
 ]
 

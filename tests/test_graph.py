@@ -572,6 +572,107 @@ class TestCoreNumbers:
             assert in_kcore == {n for n, c in cores.items() if c >= k}, k
 
 
+class TestLabelPropagation:
+    def test_two_triangles_with_bridge(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # two triangles joined by one bridge edge: majority rule keeps
+        # them separate communities (components would merge them)
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+            ["src", "dst"],
+        )
+        out = dict(
+            (r["node"], r["community"])
+            for r in label_propagation(e, rounds=4).collect()
+        )
+        assert out[1] == out[2] == out[3]
+        assert out[4] == out[5] == out[6]
+        assert out[1] != out[4]
+
+    def test_clique_converges_to_min_id(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            label_propagation,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+            ["src", "dst"],
+        )
+        out = dict(
+            (r["node"], r["community"])
+            for r in label_propagation(e, rounds=3).collect()
+        )
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_zero_rounds_is_identity(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            label_propagation,
+        )
+
+        e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        out = dict(
+            (r["node"], r["community"])
+            for r in label_propagation(e, rounds=0).collect()
+        )
+        assert out == {1: 1, 2: 2, 3: 3}
+
+    def test_negative_rounds_raise(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            label_propagation,
+        )
+
+        e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="rounds"):
+            label_propagation(e, rounds=-1)
+
+    def test_fixed_rounds_replay_identically(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # deterministic contract: the same edge list and round count
+        # must produce the same labels twice (no random tie-break, no
+        # update-order dependence)
+        e = spark.createDataFrame(
+            [(i, (i * 7) % 23 + 30) for i in range(25)], ["src", "dst"]
+        )
+        a = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
+        b = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
+        assert a == b
+
+
+def test_lpa_rounds_settled_on_testdata(spark):
+    # the registered lpa_communities pins _LPA_ROUNDS; prove the
+    # labels have reached the TRUE fixpoint by then on every shipped
+    # graph (fixed == verified-fixpoint mode), so the pinned count
+    # isn't capturing a mid-churn frame — the kcore/core_numbers
+    # contract
+    import os
+
+    import __spark_entry__ as entry
+    from big_data_in_agriculture_spark.operators import graph
+
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        if not os.path.isdir(sf):
+            continue
+        edges = entry._copurchase_edges(spark, sf).select("src", "dst")
+        fixed = sorted(
+            map(tuple, graph.label_propagation(
+                edges, rounds=entry._LPA_ROUNDS).collect())
+        )
+        conv = sorted(
+            map(tuple, graph.label_propagation(edges).collect())
+        )
+        assert fixed == conv, sf
+
+
 def test_core_numbers_rounds_reach_fixpoint_on_testdata(spark):
     # the registered core_numbers_trade uses FIXED h-index rounds so
     # the oracle can unroll them — prove the pinned count reaches the
