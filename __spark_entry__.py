@@ -8782,6 +8782,134 @@ ORDER BY n.node_a, n.node_b
 """
 
 
+_ACF_MAX_LAG = 14
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-event-type autocorrelation of the daily value series, lags
+    # 1..14 — the seasonality evidence that precedes picking a period
+    # for seasonal_decompose / holt_winters (exact-integer sums, one
+    # fixed double op sequence at the end)
+    from big_data_in_agriculture_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = timeseries.daily_series(ev, "event_type", "ts", "value")
+    daily = daily.withColumn("value", F.round("value", 6))
+    return timeseries.autocorrelation(
+        daily, max_lag=_ACF_MAX_LAG
+    ).orderBy("key", "lag")
+
+
+_ACF_SQL_TMPL = """
+WITH daily AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day,
+           round(sum(value), 6) AS value
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+v AS (
+    SELECT key,
+           CAST(CASE WHEN value >= 0
+                     THEN floor(value * CAST(1000000 AS DOUBLE) + 0.5)
+                     ELSE -floor(-value * CAST(1000000 AS DOUBLE) + 0.5)
+                END AS BIGINT) AS vm,
+           row_number() OVER (PARTITION BY key ORDER BY day) AS idx
+    FROM daily
+),
+p AS (
+    SELECT a.key, l.lag, a.vm AS x, b.vm AS y
+    FROM v a
+    CROSS JOIN (SELECT unnest(generate_series(1, {max_lag})) AS lag) l
+    JOIN v b ON b.key = a.key AND b.idx = a.idx + l.lag
+),
+s AS (
+    -- all five correlation sums EXACT (HUGEINT; the Spark side uses
+    -- DECIMAL(36,0) — both arbitrary-precision-exact, both order-free)
+    SELECT key, lag, count(*) AS n_pairs,
+           sum(CAST(x AS HUGEINT)) AS sx,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+    FROM p GROUP BY 1, 2
+)
+SELECT key, lag, n_pairs,
+       CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN {q_acf}
+       END AS acf
+FROM s ORDER BY key, lag
+"""
+
+
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust per-event-type outlier days: |x - median| > 3.5 * MAD on
+    # the daily value series — the sensor-QC primitive (all-integer
+    # median/MAD selection, one float division in the reported score)
+    from big_data_in_agriculture_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = timeseries.daily_series(ev, "event_type", "ts", "value")
+    daily = daily.withColumn("value", F.round("value", 6))
+    return timeseries.mad_outliers(daily).orderBy("key", "day")
+
+
+_MAD_SQL_TMPL = """
+WITH daily AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day,
+           round(sum(value), 6) AS value
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+v AS (
+    SELECT key, day, value,
+           CAST(CASE WHEN value >= 0
+                     THEN floor(value * CAST(1000000 AS DOUBLE) + 0.5)
+                     ELSE -floor(-value * CAST(1000000 AS DOUBLE) + 0.5)
+                END AS BIGINT) AS vm
+    FROM daily
+),
+r1 AS (
+    SELECT key, vm,
+           row_number() OVER (PARTITION BY key ORDER BY vm) AS rn,
+           count(*) OVER (PARTITION BY key) AS n
+    FROM v
+),
+med AS (
+    -- 2x the median by exact selection (odd n: the single central row
+    -- counts twice); tie order among equal values cannot change the
+    -- selected VALUES
+    SELECT key,
+           sum(vm * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                         THEN 2 ELSE 1 END) AS med2
+    FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY key
+),
+d AS (
+    SELECT v.key, v.day, v.value, abs(2 * v.vm - m.med2) AS dev2
+    FROM v JOIN med m ON v.key = m.key
+),
+r2 AS (
+    SELECT key, dev2,
+           row_number() OVER (PARTITION BY key ORDER BY dev2) AS rn,
+           count(*) OVER (PARTITION BY key) AS n
+    FROM d
+),
+mad AS (
+    SELECT key,
+           sum(dev2 * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                           THEN 2 ELSE 1 END) AS mad4
+    FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY key
+)
+SELECT d.key, d.day, d.value,
+       CASE WHEN m.mad4 > 0 THEN {q_score} END AS score
+FROM d JOIN mad m ON d.key = m.key
+WHERE 2 * {k_den} * d.dev2 > {k_num} * m.mad4
+ORDER BY d.key, d.day
+"""
+
+
 def q_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_in_agriculture_spark.operators import timeseries
 
@@ -9130,6 +9258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 widening
         "core_numbers_trade": q_core_numbers,
         "lpa_communities": q_lpa,
+        "acf_events": q_acf,
+        "mad_events": q_mad,
     }
 
 
@@ -9343,6 +9473,27 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decomp": _SEASONAL_DECOMP_SQL,
         "core_numbers_trade": _core_numbers_sql(),
         "lpa_communities": _lpa_sql(),
+        "acf_events": _ACF_SQL_TMPL.format(
+            max_lag=_ACF_MAX_LAG,
+            q_acf=_quantize_sql(
+                "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " / sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                " / sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
+                " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))",
+                6,
+            ),
+        ),
+        "mad_events": _MAD_SQL_TMPL.format(
+            k_num=7,
+            k_den=2,
+            q_score=_quantize_sql(
+                "CAST(2 AS DOUBLE) * CAST(d.dev2 AS DOUBLE)"
+                " / CAST(m.mad4 AS DOUBLE)",
+                6,
+            ),
+        ),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

@@ -753,6 +753,210 @@ def holt_winters_forecast(
     )
 
 
+def autocorrelation(
+    daily: DataFrame,
+    max_lag: int = 14,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key autocorrelation function: ``(key, lag, n_pairs, acf)``
+    for every lag 1..``max_lag``.
+
+    The seasonality detector that PRECEDES picking a period for
+    :func:`seasonal_decompose` / :func:`holt_winters_forecast`: peaks
+    in the ACF at lag m are the evidence for period-m structure (Box &
+    Jenkins 1970 §2). The pairwise variant: ``acf(lag)`` is the
+    Pearson correlation of the (x_t, x_{t+lag}) pairs over the
+    positions where both exist, per key.
+
+    Scale shape: one row_number window per key (position index), one
+    explode of 1..max_lag (bounded), ONE self-equi-join on
+    (key, idx+lag) and one (key, lag) aggregate — no per-lag passes,
+    no collect; output is |keys| × max_lag rows.
+
+    Determinism contract: values quantize to LONG micros (half-away),
+    and all five correlation sums (Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    integer sums — products are computed in DECIMAL(36,0) on Spark /
+    HUGEINT on DuckDB, both exact, both order-free. The Pearson
+    formula then evaluates in a fixed double op sequence from those
+    exactly-representable integers (decimal→double and hugeint→double
+    are both correctly rounded), so the only float divergence surface
+    is zero; result rounded 6 dp half-away. Zero-variance keys emit
+    NULL acf. Bound: |value| micros must stay under 1e18 (DECIMAL(18)
+    per factor) — 12 orders of magnitude above the ERA5/events range.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    vmic = (
+        F.signum(F.col("value"))
+        * F.floor(F.abs(F.col("value")) * F.lit(1_000_000.0) + F.lit(0.5))
+    ).cast("long")
+    base = (
+        daily.select(
+            F.col(key_col).alias("key"),
+            F.col(day_col).alias("day"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .withColumn("_v", vmic)
+        .withColumn(
+            "_idx",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy("day")
+            ).cast("long"),
+        )
+        .select("key", "_idx", "_v")
+        .localCheckpoint(eager=False)
+    )
+    left = base.select(
+        "key",
+        "_idx",
+        F.col("_v").alias("_x"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"),
+    ).withColumn("_jidx", F.col("_idx") + F.col("lag"))
+    right = base.select(
+        "key", F.col("_idx").alias("_jidx"), F.col("_v").alias("_y")
+    )
+    dx = F.col("_x").cast("decimal(18,0)")
+    dy = F.col("_y").cast("decimal(18,0)")
+    sums = (
+        left.join(right, ["key", "_jidx"])
+        .groupBy("key", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum((dx * dy).cast("decimal(36,0)")).alias("_sxy"),
+            F.sum((dx * dx).cast("decimal(36,0)")).alias("_sxx"),
+            F.sum((dy * dy).cast("decimal(36,0)")).alias("_syy"),
+        )
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    from .similarity import _quantize_col
+
+    return sums.select(
+        "key",
+        "lag",
+        "n_pairs",
+        F.when(
+            (varx > 0) & (vary > 0),
+            _quantize_col(
+                (n * sxy - sx * sy) / F.sqrt(varx) / F.sqrt(vary), 6
+            ),
+        ).alias("acf"),
+    )
+
+
+def mad_outliers(
+    daily: DataFrame,
+    k_num: int = 7,
+    k_den: int = 2,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Robust per-key outlier detection: flag rows where
+    ``|x − median| > (k_num/k_den) · MAD`` (median absolute
+    deviation), the standard robust alternative to z-scores — one
+    broken sensor day cannot drag the threshold the way it drags a
+    mean/stddev (Hampel 1974; Leys et al. 2013 recommend k=3 on the
+    1.4826-scaled MAD ≈ 4.45 raw; the default 7/2=3.5 raw is the
+    conservative classic). Returns the flagged rows:
+    ``(key, day, value, score)`` with score = |x − median| / MAD
+    (NULL when MAD = 0 — the degenerate case where any deviation at
+    all is infinitely surprising and still flagged).
+
+    EXACT integer arithmetic end to end: values quantize to LONG
+    micros; the median is selection, not interpolation — sorted
+    1-indexed positions lo=(n+1)//2 and hi=(n+2)//2, ``median2`` =
+    v[lo]+v[hi] (twice the median, still integer for even n);
+    deviations ``dev2 = |2v − median2|`` (= 2|x−med|); ``mad4`` =
+    dev2[lo]+dev2[hi] (= 4·MAD); and the flag is the pure-integer
+    comparison ``2·k_den·dev2 > k_num·mad4``. Ranks among EQUAL
+    values are tie-arbitrary but the selected VALUES are not, so both
+    engines agree without any ordering contract. The only float op is
+    the reported score, one division rounded 6 dp.
+
+    Scale shape: two window passes (value rank, deviation rank) + two
+    key-sized aggregates + two joins — all keyed on ``key``; per-key
+    state is two LONGs. Skewed keys cost their row count in a sort,
+    never a pair blowup.
+    """
+    from .similarity import _quantize_col as _ts_quantize
+
+    if k_num < 0 or k_den <= 0:
+        raise ValueError(f"invalid threshold {k_num}/{k_den}")
+    vmic = (
+        F.signum(F.col("value"))
+        * F.floor(F.abs(F.col("value")) * F.lit(1_000_000.0) + F.lit(0.5))
+    ).cast("long")
+    base = (
+        daily.select(
+            F.col(key_col).alias("key"),
+            F.col(day_col).alias("day"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .withColumn("_v", vmic)
+        .localCheckpoint(eager=False)
+    )
+
+    def _median2(df: DataFrame, col: str, out: str) -> DataFrame:
+        """Per-key 2×median of ``col`` by exact selection."""
+        wv = Window.partitionBy("key").orderBy(F.col(col))
+        wc = Window.partitionBy("key")
+        ranked = df.select(
+            "key",
+            F.col(col).alias("_m"),
+            F.row_number().over(wv).cast("long").alias("_rn"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("_n"),
+        )
+        lo = F.expr("(_n + 1) div 2")
+        hi = F.expr("(_n + 2) div 2")
+        return (
+            ranked.filter((F.col("_rn") == lo) | (F.col("_rn") == hi))
+            .groupBy("key")
+            .agg(
+                F.sum(
+                    F.col("_m")
+                    # odd n: lo == hi selects ONE row — count it twice
+                    * F.when(lo == hi, F.lit(2)).otherwise(F.lit(1))
+                ).alias(out)
+            )
+        )
+
+    med = _median2(base, "_v", "_med2")
+    with_dev = base.join(med, "key").withColumn(
+        "_dev2", F.abs(F.lit(2) * F.col("_v") - F.col("_med2"))
+    ).localCheckpoint(eager=False)
+    mad = _median2(with_dev, "_dev2", "_mad4")
+    return (
+        with_dev.join(mad, "key")
+        .filter(
+            F.lit(2 * k_den) * F.col("_dev2") > F.lit(k_num) * F.col("_mad4")
+        )
+        .select(
+            "key",
+            "day",
+            "value",
+            F.when(
+                F.col("_mad4") > 0,
+                _ts_quantize(
+                    F.lit(2.0) * F.col("_dev2").cast("double")
+                    / F.col("_mad4").cast("double"),
+                    6,
+                ),
+            ).alias("score"),
+        )
+    )
+
+
 def seasonal_decompose(
     daily: DataFrame,
     period: int = 7,

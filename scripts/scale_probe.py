@@ -1756,6 +1756,53 @@ PROBES["clustering_5m_hub"] = probe_clustering_5m_hub
 PROBES["linkpred_2m"] = probe_linkpred_2m
 PROBES["linkpred_hub_breaker"] = probe_linkpred_hub_breaker
 PROBES["lpa_5m"] = probe_lpa_5m
+
+
+def _ts_probe_series(spark, keys, hours):
+    return spark.range(keys * hours).select(
+        (F.col("id") % keys).alias("key"),
+        F.timestamp_add(
+            "HOUR", (F.col("id") / keys).cast("int"),
+            F.lit("2015-01-01").cast("timestamp"),
+        ).alias("day"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("value"),
+    )
+
+
+def probe_acf_43m(spark, keys=500, hours=87_600, max_lag=24):
+    """Autocorrelation (round 10) at the shared pathological
+    timeseries geometry: 43.8M rows / 500 keys, lags 1..24. The
+    explode multiplies the left side by max_lag (~1.05B thin rows)
+    into ONE self-equi-join + one (key, lag) aggregate — partial
+    aggregation collapses it map-side; nothing per-key is collected."""
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    out = autocorrelation(
+        _ts_probe_series(spark, keys, hours), max_lag=max_lag
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("acf").alias("chk")
+    )
+
+
+def probe_mad_43m(spark, keys=500, hours=87_600):
+    """MAD outlier gate (round 10) at 43.8M rows / 500 keys: two
+    value-ordered window ranks + two key-sized aggregates + two joins
+    — the per-key sort is the cost, never a pair blowup."""
+    from big_data_in_agriculture_spark.operators.timeseries import (
+        mad_outliers,
+    )
+
+    out = mad_outliers(_ts_probe_series(spark, keys, hours))
+    return out.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("score").alias("chk")
+    )
+
+
+PROBES["acf_43m"] = probe_acf_43m
+PROBES["mad_43m"] = probe_mad_43m
 PROBES["hw_10y_hourly"] = probe_hw_10y_hourly
 PROBES["seasonal_10y_hourly"] = probe_seasonal_10y_hourly
 

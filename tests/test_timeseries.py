@@ -571,3 +571,189 @@ class TestSeasonalDecompose:
         df = self._mk(spark, [1.0] * 10)
         with _pytest.raises(ValueError):
             seasonal_decompose(df, period=6)
+
+
+class TestAutocorrelation:
+    def _mk(self, spark, vals, key="k"):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(key, base + dt.timedelta(days=i), v)
+             for i, v in enumerate(vals)],
+            ["key", "day", "value"],
+        )
+
+    def test_exact_period_has_unit_acf_at_lag_period(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        pat = [3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0]
+        df = self._mk(spark, pat * 6)
+        out = {
+            r["lag"]: (r["n_pairs"], r["acf"])
+            for r in autocorrelation(df, max_lag=8).collect()
+        }
+        # x_{t+7} == x_t exactly -> Pearson of the pairs is exactly 1
+        assert out[7] == (35, 1.0)
+        # n_pairs bookkeeping: n - lag
+        assert out[1][0] == 41
+        assert out[8][0] == 34
+
+    def test_matches_reference_pearson(self, spark):
+        import math
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        vals = [
+            math.sin(2 * math.pi * i / 7) + 0.1 * ((i * 37) % 11 - 5) / 5
+            for i in range(60)
+        ]
+        df = self._mk(spark, vals)
+        out = {r["lag"]: r["acf"]
+               for r in autocorrelation(df, max_lag=7).collect()}
+
+        def ref(lag):
+            q = [math.floor(abs(v) * 1e6 + 0.5) * (1 if v >= 0 else -1)
+                 for v in vals]
+            x, y = q[:-lag], q[lag:]
+            n = float(len(x))
+            sx, sy = float(sum(x)), float(sum(y))
+            sxy = float(sum(a * b for a, b in zip(x, y)))
+            sxx = float(sum(a * a for a in x))
+            syy = float(sum(b * b for b in y))
+            r = (n * sxy - sx * sy) / math.sqrt(n * sxx - sx * sx) \
+                / math.sqrt(n * syy - sy * sy)
+            return math.floor(abs(r) * 1e6 + 0.5) / 1e6 * (
+                1 if r >= 0 else -1)
+
+        for lag in (1, 3, 7):
+            assert out[lag] == ref(lag), lag
+
+    def test_constant_series_is_null(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        df = self._mk(spark, [5.0] * 10)
+        out = autocorrelation(df, max_lag=3).collect()
+        assert len(out) == 3
+        assert all(r["acf"] is None for r in out)
+
+    def test_lag_beyond_series_absent(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        df = self._mk(spark, [1.0, 2.0, 3.0])
+        out = {r["lag"] for r in autocorrelation(df, max_lag=10).collect()}
+        assert out == {1, 2}
+
+    def test_invalid_max_lag_raises(self, spark):
+        import pytest as _pytest
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        df = self._mk(spark, [1.0])
+        with _pytest.raises(ValueError):
+            autocorrelation(df, max_lag=0)
+
+    def test_keys_independent(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("a", base + dt.timedelta(days=i), float(i % 2))
+                for i in range(10)]
+        rows += [("b", base + dt.timedelta(days=i), float(i))
+                 for i in range(10)]
+        df = spark.createDataFrame(rows, ["key", "day", "value"])
+        out = {(r["key"], r["lag"]): r["acf"]
+               for r in autocorrelation(df, max_lag=2).collect()}
+        # alternating series: perfect negative at lag 1, perfect
+        # positive at lag 2; linear ramp: near-1 at both
+        assert out[("a", 1)] == -1.0
+        assert out[("a", 2)] == 1.0
+        assert out[("b", 1)] > 0.9
+
+
+class TestMadOutliers:
+    def _mk(self, spark, vals, key="k"):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(key, base + dt.timedelta(days=i), v)
+             for i, v in enumerate(vals)],
+            ["key", "day", "value"],
+        )
+
+    def test_planted_outliers_flagged_with_exact_scores(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            mad_outliers,
+        )
+
+        vals = [float(10 + (i % 5)) for i in range(20)] + [999.0, -500.0]
+        df = self._mk(spark, vals)
+        out = sorted(
+            (r["value"], r["score"]) for r in mad_outliers(df).collect()
+        )
+        # median = 12, MAD = 1 -> scores are exact integer ratios
+        assert out == [(-500.0, 512.0), (999.0, 987.0)]
+
+    def test_inliers_not_flagged(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            mad_outliers,
+        )
+
+        vals = [float(10 + (i % 5)) for i in range(20)]
+        assert mad_outliers(self._mk(spark, vals)).count() == 0
+
+    def test_even_n_median_interpolates(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            mad_outliers,
+        )
+
+        # n=4: median = 2.5, deviations {1.5, 0.5, 0.5, 97.5},
+        # MAD = (0.5 + 1.5)/2 = 1.0 -> only 100 crosses 3.5 * MAD
+        out = mad_outliers(self._mk(spark, [1.0, 2.0, 3.0, 100.0])).collect()
+        assert [(r["value"], r["score"]) for r in out] == [(100.0, 97.5)]
+
+    def test_zero_mad_flags_any_deviation_with_null_score(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            mad_outliers,
+        )
+
+        out = mad_outliers(self._mk(spark, [5.0] * 9 + [6.0])).collect()
+        assert [(r["value"], r["score"]) for r in out] == [(6.0, None)]
+
+    def test_outlier_cannot_drag_threshold(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            mad_outliers,
+        )
+
+        # the property that breaks mean/stddev gating: a huge outlier
+        # inflates a stddev threshold enough to hide a smaller one;
+        # median/MAD ignore magnitude, so BOTH are flagged
+        vals = [10.0, 11.0, 12.0, 13.0, 14.0] * 4 + [1e6, 200.0]
+        out = sorted(r["value"] for r in mad_outliers(self._mk(spark, vals)).collect())
+        assert out == [200.0, 1e6]
+
+    def test_invalid_threshold_raises(self, spark):
+        import pytest as _pytest
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            mad_outliers,
+        )
+
+        df = self._mk(spark, [1.0])
+        with _pytest.raises(ValueError):
+            mad_outliers(df, k_den=0)
