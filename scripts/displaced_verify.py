@@ -47,7 +47,10 @@ def main() -> int:
     pins = importlib.util.module_from_spec(spec2)
     spec2.loader.exec_module(pins)
 
-    spark = get_spark("displaced-verify")
+    spark = get_spark(
+        "displaced-verify",
+        extra_conf={"spark.driver.memory": "6g"},  # selfcheck.py note
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for name in (
@@ -64,6 +67,7 @@ def main() -> int:
     out: dict[str, dict] = {}
     ok = True
     for name in pins.DISPLACED:
+        sc.reclaim(spark)  # free the previous query's pinned blocks
         sdf = qs[name](spark, sf_dir).toPandas()
         odf = con.execute(oracles[name]).fetchdf()
         sn, scols, shash = sc.canon(sdf)

@@ -54,7 +54,10 @@ def main() -> int:
     sc = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(sc)
 
-    spark = get_spark("registry-verify", shuffle_partitions=8)
+    spark = get_spark(
+        "registry-verify", shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "6g"},  # selfcheck.py note
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for name in (
@@ -94,6 +97,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        sc.reclaim(spark)  # free the previous query's pinned blocks
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001 — recorded, run continues

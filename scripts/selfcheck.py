@@ -74,6 +74,31 @@ def check_bounded(sdf: pd.DataFrame, odf: pd.DataFrame, spec: dict) -> list[str]
     return errs
 
 
+def reclaim(spark) -> None:
+    """Drop blocks left behind by the previous query's pins.
+
+    Operators pin reused/iterative frames with localCheckpoint or
+    persist; those blocks are freed only when the ContextCleaner sees
+    their RDDs garbage-collected on the driver. A 200+-query sweep in
+    ONE session otherwise accumulates every query's pinned blocks —
+    measured: the full sf0.1 sweep OOM'd mid-run once the round-10
+    rotation moved the iterative graph queries (a dozen eager
+    checkpoints each) ahead of the heavy LLM queries. One Python GC +
+    one JVM GC per query lets the cleaner reclaim everything a real
+    long-lived cluster session would reclaim on its own cadence."""
+    import gc
+
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -82,7 +107,16 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from big_data_in_agriculture_spark.session import get_spark
 
-    spark = get_spark("selfcheck", shuffle_partitions=8)
+    # 6g heap: local[32] shares ONE JVM across all 32 task threads —
+    # Spark's 1g default dies in spill-read buffers on the heavier
+    # queries at sf0.1 (measured: edit_linkage OOM in a fresh 1g
+    # session); a real cluster gives each executor core GBs. The
+    # driver GATE runs sf0.01 with its own session; this conf only
+    # governs the in-repo sweeps.
+    spark = get_spark(
+        "selfcheck", shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "6g"},
+    )
     con = duckdb.connect()
     for name in [
         "region", "nation", "customer", "supplier", "part",
@@ -99,6 +133,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        reclaim(spark)  # free the previous query's pinned blocks
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()

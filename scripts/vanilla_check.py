@@ -24,7 +24,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
-from selfcheck import canon, check_bounded  # noqa: E402
+from selfcheck import canon, check_bounded, reclaim  # noqa: E402
 
 
 def main() -> int:
@@ -60,6 +60,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        reclaim(spark)  # free the previous query's pinned blocks
         # adversarial: reset the TZ before EVERY query — a query that
         # relies on a predecessor's UTC pin is still broken
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
