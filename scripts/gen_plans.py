@@ -30,7 +30,7 @@ PICKS = [
     ("knn_rp", "Random-projection ANN (round-7 op): the JL sign matrix is a nested literal inside ONE map-side projection (no exchange to build it); the projected-space screen emits THIN (id, id, proj_sim) rows into the top-C window (WindowGroupLimit sorts them map-side — hauling the full vectors through that sort measured 1.6x slower than brute force), and the exact 64-wide cosine runs only on the Q x C survivors after broadcast joins fetch their vectors back by id. Casts and norms are hoisted below every join: the per-pair work is one dot."),
     ("knn_pq", "Product-quantization ANN (round-7 op): encode is a map-only projection (argmin per subspace against nested codebook literals - zero exchanges, 64 floats to 8 small ints per row); the query side carries a per-row LUT so the ADC screen is 8 array lookups per pair over THIN rows; exact cosine only on the Q x C survivors after id join-back."),
     ("knn_ivfpq", "IVF-PQ composed index (round-7 op; round-8: kmeans-trained cells + RESIDUAL codes): residuals v - c(cell) materialize once behind a localCheckpoint barrier (CollapseProject would otherwise inline the coarse argmin into all 128 encode distances per row — measured ~10%), encoding is a map-only projection over that checkpoint; the probe join scores only the probed cells' members via 8 LUT lookups per pair on thin rows, with the per-(query, cell) residual LUT computed below the explode; exact cosine after id join-back on Q x C survivors."),
-    ("edit_linkage", "Edit-distance join (round-8 op): PassJoin pigeonhole blocking — the left side explodes k+1 positional segments, the right side a constant set of shifted substrings, candidates come from ONE equi-join on (length, segment-idx, segment), and exact levenshtein verifies each candidate pair; no BroadcastNestedLoopJoin, no cartesian, recall provably exact."),
+    ("edit_linkage", "Edit-distance join (round-8 op; round-10 prefilter): PassJoin pigeonhole blocking — the left side explodes k+1 positional segments, the right side a constant set of shifted substrings, candidates come from ONE equi-join on (length, segment-idx, segment), and exact levenshtein verifies each candidate pair; no BroadcastNestedLoopJoin, no cartesian, recall provably exact. Round 10 added a 61-bucket char-class mask prefilter riding the candidate join: shared-PREFIX corpora degenerate one segment bucket into all-pairs (measured 225M candidates / 508 s at sf0.1), and bit_count(mask_a XOR mask_b) <= 2k — provably recall-safe, since one edit flips at most two mask bits — kills the flood in-stage before the distinct shuffle and the levenshtein DP (508 s -> 134 s, identical output)."),
     ("knn_sq", "Scalar-quantization ANN (round-8 op): encode is a map-only projection (zip_with against min/inv constant arrays, 4 bytes -> 1 byte per component); the asymmetric-distance screen reconstructs candidates inline and emits THIN rows into the top-C WindowGroupLimit; exact cosine only on Q x C survivors after id join-back. The screen's arithmetic is brute-class (SCALE.md knn_sq_300k) — SQ8's wins are scan payload and the one-pass, exactly-derivable model."),
     ("nb_language", "Naive Bayes classify (round-8 op): the class table expands via a bounded BroadcastNestedLoopJoin (|classes| rows — the one deliberate non-equi join), the token-model join is a plain shuffled equi-join AQE may broadcast (never forced: vocabulary grows with the corpus), the per-(doc, class) sum is partial-aggregated LONG micros, and the argmax is one WindowGroupLimit-eligible rank filter."),
     ("dense_ids_orders", "Dense-id assignment (round-8 op): RangePartitioning exchange on the tie-broken sort key, row_number windows partitioned by _pid (parallel — NO single-partition window anywhere in the plan), partition counts prefix-summed over P rows and broadcast back; global id = local rank + offset."),
