@@ -8807,13 +8807,15 @@ WITH daily AS (
     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 v AS (
+    -- NULL observations excluded before indexing (mirror of the
+    -- operator: engines disagree on NULL sort order)
     SELECT key,
            CAST(CASE WHEN value >= 0
                      THEN floor(value * CAST(1000000 AS DOUBLE) + 0.5)
                      ELSE -floor(-value * CAST(1000000 AS DOUBLE) + 0.5)
                 END AS BIGINT) AS vm,
            row_number() OVER (PARTITION BY key ORDER BY day) AS idx
-    FROM daily
+    FROM daily WHERE value IS NOT NULL
 ),
 p AS (
     SELECT a.key, l.lag, a.vm AS x, b.vm AS y
@@ -8862,12 +8864,14 @@ WITH daily AS (
     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 v AS (
+    -- NULL observations excluded (mirror of the operator: a NULL in
+    -- the median rank window splits the engines on NULL sort order)
     SELECT key, day, value,
            CAST(CASE WHEN value >= 0
                      THEN floor(value * CAST(1000000 AS DOUBLE) + 0.5)
                      ELSE -floor(-value * CAST(1000000 AS DOUBLE) + 0.5)
                 END AS BIGINT) AS vm
-    FROM daily
+    FROM daily WHERE value IS NOT NULL
 ),
 r1 AS (
     SELECT key, vm,

@@ -792,8 +792,14 @@ def autocorrelation(
         F.signum(F.col("value"))
         * F.floor(F.abs(F.col("value")) * F.lit(1_000_000.0) + F.lit(0.5))
     ).cast("long")
+    # NULL observations are excluded BEFORE indexing (position indices
+    # run over observed values): a NULL can neither pair nor sum, and
+    # leaving it in would make n_pairs disagree with the sums — and
+    # the engines disagree on NULL sort order (Spark first, DuckDB
+    # last), so no NULL may reach a rank window anywhere in this file.
     base = (
-        daily.select(
+        daily.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(key_col).alias("key"),
             F.col(day_col).alias("day"),
             F.col(value_col).cast("double").alias("value"),
@@ -897,8 +903,13 @@ def mad_outliers(
         F.signum(F.col("value"))
         * F.floor(F.abs(F.col("value")) * F.lit(1_000_000.0) + F.lit(0.5))
     ).cast("long")
+    # NULL observations excluded: they carry no deviation, and a NULL
+    # entering the median rank window would split the engines (Spark
+    # sorts NULLs first, DuckDB last — caught live by the --nulls
+    # adversarial corpus, where an all-NULL day shifted the selection)
     base = (
-        daily.select(
+        daily.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(key_col).alias("key"),
             F.col(day_col).alias("day"),
             F.col(value_col).cast("double").alias("value"),
