@@ -9031,7 +9031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "bm25_search": q_bm25_search,
         "join_semi": q_join_semi,
-        "dbscan_embed": q_dbscan,
+        "seasonal_decomp": q_seasonal_decomp,
         "scd2_history": q_scd2_history,
         "interval_join": q_interval_join,
         "knn_sq": q_knn_sq,
@@ -9050,11 +9050,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_linkage": q_edit_linkage,
         "dense_ids_orders": q_dense_ids,
         "lm_backoff_ppl": q_lm_backoff_ppl,
-        "holt_forecast": q_holt_forecast,
+        "mad_events": q_mad,
         "retention_cohorts": q_retention_cohorts,
         "multimodal_meta": q_multimodal_meta,
         "minhash_neardup": q_minhash_neardup,
-        "bfs_trade_hops": q_bfs_hops,
+        "acf_events": q_acf,
         # --- registry-order note: the driver's correctness gate checks
         # a PREFIX of this dict (50 entries). The first 50 are PINNED
         # (tests/test_registry.py::test_driver_prefix_is_pinned) — new
@@ -9070,7 +9070,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lm_backoff_ppl; r9: dbscan_embed, quantile_sketch,
         # dense_ids_orders, holt_forecast, bfs_trade_hops; r10:
         # ppr_trade, kcore_trade, sssp_trade, hw_forecast,
-        # clustering_coeff). Displaced queries (r10: hybrid_search,
+        # clustering_coeff; r11: core_numbers_trade, lpa_communities,
+        # acf_events, mad_events, seasonal_decomp — displacing
+        # ppr_trade, kcore_trade, bfs_trade_hops, holt_forecast,
+        # dbscan_embed, each with a same-family prefix sibling:
+        # pagerank_trade, core_numbers_trade itself (full coreness
+        # subsumes k-core), sssp_trade, hw_forecast, lpa_communities).
+        # Displaced queries (r10: hybrid_search,
         # substring_dedup, epoch_shuffle, sliding_window_rollup,
         # trending_items — each leaving a same-family sibling in the
         # prefix: bm25_search covers retrieval, dedup_exact_docs +
@@ -9085,8 +9091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full Spark-vs-DuckDB hash parity in pytest, and their
         # two-engine hashes are recorded in the committed
         # DISPLACED_VERIFY.json artifact (scripts/displaced_verify.py).
-        "ppr_trade": q_ppr,
-        "kcore_trade": q_kcore,
+        "core_numbers_trade": q_core_numbers,
+        "lpa_communities": q_lpa,
         "leakage_split": q_leakage_split,
         "gopher_pipeline": q_gopher_pipeline,
         "sssp_trade": q_sssp,
@@ -9258,12 +9264,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 widening: graph-analytics depth + seasonal forecast
         # (ppr/kcore/sssp/hw/clustering rotated INTO the prefix in r10)
         "linkpred_parts": q_linkpred,
-        "seasonal_decomp": q_seasonal_decomp,
-        # round-10 widening
-        "core_numbers_trade": q_core_numbers,
-        "lpa_communities": q_lpa,
-        "acf_events": q_acf,
-        "mad_events": q_mad,
+        # round-11 rotation: the five displaced prefix queries stay
+        # registered (oracle parity in test_registry.py + the committed
+        # DISPLACED_VERIFY.json) — each left a same-family sibling in
+        # the prefix: pagerank_trade covers ppr_trade, core_numbers
+        # subsumes kcore_trade, sssp_trade covers bfs_trade_hops,
+        # hw_forecast covers holt_forecast, lpa_communities +
+        # semantic_dedup/knn_sq cover dbscan_embed.
+        "ppr_trade": q_ppr,
+        "kcore_trade": q_kcore,
+        "bfs_trade_hops": q_bfs_hops,
+        "holt_forecast": q_holt_forecast,
+        "dbscan_embed": q_dbscan,
     }
 
 

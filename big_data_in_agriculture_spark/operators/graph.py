@@ -383,6 +383,8 @@ def kcore(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if rounds is not None and rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -459,6 +461,19 @@ def core_numbers(
     value))``, invariant to tie order among equal neighbor values, so
     both engines replay it bit-exactly with no quantization contract.
 
+    At 100 TB: each round recomputes ONLY nodes with ≥ 1 neighbor
+    whose value CHANGED last round (the :func:`sssp` frontier
+    discipline). The update is a pure function of neighbor values, so
+    a node with no changed neighbor recomputes to its current value —
+    skipping it leaves every per-round state bit-identical to the
+    full-recompute form (the fixed-rounds/SQL-unroll contract is
+    unchanged). Round 1 recomputes everyone (all values "changed"
+    from nothing to degree). The h-index sequence settles most nodes
+    in 2-3 rounds and spends the remaining ~20 rounds on a small core
+    — exactly the geometry where rounds × |changed-neighborhood| beats
+    rounds × |E| (measured: core_numbers_5m 140.8 s full → see
+    SCALE.md for the delta number).
+
     Two modes, the :func:`kcore` contract:
 
     - ``rounds=None``: iterate to the verified fixpoint (raises after
@@ -468,6 +483,8 @@ def core_numbers(
       SQL-replayable form (the oracle unrolls R window-CTEs; tests pin
       an R proven to reach the true fixpoint on every shipped graph).
     """
+    if rounds is not None and rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -486,22 +503,52 @@ def core_numbers(
     n_iter = max_iter if rounds is None else rounds
     converged = rounds is not None
     w = Window.partitionBy("u").orderBy(F.col("cv").desc())
+    # frontier of nodes whose value changed last round; round 1
+    # recomputes everyone (initialization counts as a change)
+    changed = c.select("node")
     for _rnd in range(n_iter):
-        nbr = und.join(c, und.v == c.node).select(
-            und.u.alias("u"), F.col("c").alias("cv")
+        # nodes with >= 1 changed neighbor — the only ones whose
+        # h-index can move this round (und is the big streamed side;
+        # the frontier broadcasts once it shrinks)
+        affected = (
+            und.join(
+                changed.select(F.col("node").alias("_chg")),
+                und.v == F.col("_chg"),
+            )
+            .select("u")
+            .distinct()
         )
-        nxt = pin_iter(
+        nbr = (
+            und.join(affected, "u")
+            .join(c, F.col("v") == c.node)
+            .select(F.col("u"), F.col("c").alias("cv"))
+        )
+        recomputed = (
             nbr.withColumn("rn", F.row_number().over(w).cast("long"))
             .groupBy(F.col("u").alias("node"))
-            .agg(F.max(F.least("rn", "cv")).alias("c")),
+            .agg(F.max(F.least("rn", "cv")).alias("c"))
+        )
+        # delta = affected nodes whose value actually moved (monotone
+        # non-increasing, so != means strictly decreased)
+        delta = pin_iter(
+            recomputed.join(
+                c.select("node", F.col("c").alias("_old")), "node"
+            )
+            .filter(F.col("c") != F.col("_old"))
+            .select("node", "c"),
             _rnd,
         )
+        nxt = pin_iter(
+            c.join(
+                delta.select("node", F.col("c").alias("_new")),
+                "node",
+                "left",
+            ).select("node", F.coalesce("_new", "c").alias("c")),
+            _rnd,
+        )
+        changed = delta.select("node")
         if rounds is None:
-            done = (
-                nxt.join(c.select("node", F.col("c").alias("_old")), "node")
-                .filter(F.col("c") != F.col("_old"))
-                .isEmpty()
-            )
+            done = delta.isEmpty()
             c = nxt
             if done:
                 converged = True
@@ -554,7 +601,17 @@ def label_propagation(
     One round = one edge equi-join (fetch neighbor labels) + one
     (node, label) count aggregate + one per-node argmax (row_number
     over count DESC, label ASC) — node-keyed shuffles, one LONG of
-    state per node, hubs cost their degree linearly. All counts and
+    state per node, hubs cost their degree linearly.
+
+    At 100 TB: each round re-votes ONLY nodes whose closed
+    neighborhood changed — a neighbor's label changed last round, or
+    the node's own label did (the self-vote makes own-label part of
+    the electorate). The vote is a pure function of the closed
+    neighborhood's labels, so skipping unaffected nodes leaves every
+    per-round state bit-identical to the full form (fixed-rounds/
+    SQL-unroll contract unchanged; round 1 re-votes everyone). As
+    labels settle — the common case after 2-3 rounds — per-round cost
+    tracks the churn frontier's edges, not |E|. All counts and
     labels are integers: no quantization contract.
 
     In a curation pipeline LPA is the cheap community pass that
@@ -585,29 +642,60 @@ def label_propagation(
     )
     n_iter = max_iter if rounds is None else rounds
     converged = rounds is not None
+    # churn frontier: nodes whose label changed last round; round 1
+    # re-votes everyone (initialization counts as a change)
+    changed = lab.select("node")
     for _rnd in range(n_iter):
-        votes = (
-            und.join(lab, und.v == lab.node)
-            .select(und.u.alias("node"), "community")
-            .unionByName(lab.select("node", "community"))
+        # a node's vote can move only if its closed neighborhood
+        # changed: a neighbor's label last round, or its own (the
+        # self-vote). und streams; the frontier broadcasts once small.
+        affected = (
+            und.join(
+                changed.select(F.col("node").alias("_chg")),
+                und.v == F.col("_chg"),
+            )
+            .select("u")
+            .unionByName(changed.select(F.col("node").alias("u")))
+            .distinct()
         )
-        nxt = pin_iter(
+        votes = (
+            und.join(affected, "u")
+            .join(lab, F.col("v") == lab.node)
+            .select(F.col("u").alias("node"), "community")
+            .unionByName(
+                lab.join(affected.select(F.col("u").alias("node")), "node")
+                .select("node", "community")
+            )
+        )
+        revoted = (
             votes.groupBy("node", "community")
             .agg(F.count(F.lit(1)).alias("_cnt"))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
+            .select("node", "community")
+        )
+        delta = pin_iter(
+            revoted.join(
+                lab.select("node", F.col("community").alias("_old")),
+                "node",
+            )
+            .filter(F.col("community") != F.col("_old"))
             .select("node", "community"),
             _rnd,
         )
+        nxt = pin_iter(
+            lab.join(
+                delta.select("node", F.col("community").alias("_new")),
+                "node",
+                "left",
+            ).select(
+                "node", F.coalesce("_new", "community").alias("community")
+            ),
+            _rnd,
+        )
+        changed = delta.select("node")
         if rounds is None:
-            done = (
-                nxt.join(
-                    lab.select("node", F.col("community").alias("_old")),
-                    "node",
-                )
-                .filter(F.col("community") != F.col("_old"))
-                .isEmpty()
-            )
+            done = delta.isEmpty()
             lab = nxt
             if done:
                 converged = True

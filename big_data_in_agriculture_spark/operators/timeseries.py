@@ -770,10 +770,23 @@ def autocorrelation(
     Pearson correlation of the (x_t, x_{t+lag}) pairs over the
     positions where both exist, per key.
 
-    Scale shape: one row_number window per key (position index), one
-    explode of 1..max_lag (bounded), ONE self-equi-join on
-    (key, idx+lag) and one (key, lag) aggregate — no per-lag passes,
-    no collect; output is |keys| × max_lag rows.
+    Scale shape: ONE per-key window sort computing ``lead(x, L)`` for
+    every lag 1..max_lag as columns in a single pass (Spark collapses
+    same-window functions into one Window operator), then a bounded
+    posexplode feeding a partially-aggregated (key, lag) groupBy — the
+    exploded rows combine MAP-SIDE, so the only shuffles are the one
+    per-key sort (corpus-sized) and |keys| × max_lag aggregated
+    groups. The previous form self-equi-joined a corpus × max_lag
+    explode on (key, idx+lag), shuffling ~|rows| × max_lag through
+    the join (measured 1.05B thin rows at the 43.8M × 24 probe); the
+    lead-column form keeps the shuffle corpus-sized. No per-lag
+    passes, no collect; output is |keys| × max_lag rows.
+
+    Input contract: (key, day) should be unique per row (the daily
+    series form — every registered caller pre-aggregates per day).
+    Duplicate (key, day) rows are ordered by the tiebreak
+    ``(day, value)`` so the lag pairing stays deterministic on
+    arbitrary inputs; the Pearson sums are order-free either way.
 
     Determinism contract: values quantize to LONG micros (half-away),
     and all five correlation sums (Σx, Σy, Σxy, Σx², Σy²) are EXACT
@@ -805,29 +818,46 @@ def autocorrelation(
             F.col(value_col).cast("double").alias("value"),
         )
         .withColumn("_v", vmic)
-        .withColumn(
-            "_idx",
-            F.row_number().over(
-                Window.partitionBy("key").orderBy("day")
-            ).cast("long"),
-        )
-        .select("key", "_idx", "_v")
-        .localCheckpoint(eager=False)
+        .select("key", "day", "_v")
     )
-    left = base.select(
+    # one sort per key; all max_lag leads evaluate in that single
+    # window pass. Tiebreak on _v keeps duplicate-(key, day) inputs
+    # deterministic (registered callers pre-aggregate, so no ties on
+    # the oracle-checked paths).
+    wlead = Window.partitionBy("key").orderBy("day", "_v")
+    wide = base.select(
         "key",
-        "_idx",
         F.col("_v").alias("_x"),
-        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"),
-    ).withColumn("_jidx", F.col("_idx") + F.col("lag"))
-    right = base.select(
-        "key", F.col("_idx").alias("_jidx"), F.col("_v").alias("_y")
+        *[
+            F.lead("_v", L).over(wlead).alias(f"_y{L}")
+            for L in range(1, int(max_lag) + 1)
+        ],
+    )
+    # posexplode is a narrow generate: the (key, lag) aggregate below
+    # partially combines in the same stage, so the exploded rows never
+    # shuffle — pos is 0-based, lag = pos + 1.
+    pairs = (
+        wide.select(
+            "key",
+            "_x",
+            F.posexplode(
+                F.array(
+                    *[F.col(f"_y{L}") for L in range(1, int(max_lag) + 1)]
+                )
+            ).alias("_pos", "_y"),
+        )
+        .filter(F.col("_y").isNotNull())
+        .select(
+            "key",
+            (F.col("_pos") + F.lit(1)).cast("int").alias("lag"),
+            "_x",
+            "_y",
+        )
     )
     dx = F.col("_x").cast("decimal(18,0)")
     dy = F.col("_y").cast("decimal(18,0)")
     sums = (
-        left.join(right, ["key", "_jidx"])
-        .groupBy("key", "lag")
+        pairs.groupBy("key", "lag")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum("_x").alias("_sx"),
@@ -1060,21 +1090,26 @@ def seasonal_decompose(
         ).cast("long"),
     )
     # Pin the trended frame for its TWO consumers (slot aggregate +
-    # final join) with a SERIALIZED persist, not localCheckpoint:
-    # checkpoint blocks are MEMORY_AND_DISK *deserialized*, and when a
-    # data-sized block spills to disk, every re-read tries to re-cache
-    # the partition as deserialized Java row objects
+    # final join) with a SERIALIZED localCheckpoint: DEFAULT checkpoint
+    # blocks are MEMORY_AND_DISK *deserialized*, and when a data-sized
+    # block spills to disk, every re-read tries to re-cache the
+    # partition as deserialized Java row objects
     # (BlockManager.maybeCacheDiskValuesInMemory) — measured OOM at
     # 43.8M rows x 8g heap (SCALE.md seasonal_10y_hourly). Serialized
     # bytes cache with incremental accounting and stream from disk.
-    # Recompute would even be CORRECT here (trend/dmic are exact
-    # LONG-micro arithmetic, bit-stable across executions) — the pin
-    # is a 2x-cost optimization, so it must never be the OOM.
     # (PySpark's MEMORY_AND_DISK constant is the SERIALIZED level —
     # deserialized is the _DESER variant, matching Dataset.persist()'s
-    # JVM-side naming.)
-    wt = with_trend.withColumn("_dmic", dmic).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # JVM-side naming.) Checkpoint-style rather than persist() because
+    # CacheManager holds a STRONG reference to persisted plans — a
+    # plain .persist() here leaked its blocks for the session lifetime
+    # of every caller (nothing ever unpersists a returned lazy frame);
+    # checkpoint blocks free via the ContextCleaner once the RDD is
+    # GC'd driver-side. Recompute would even be CORRECT here
+    # (trend/dmic are exact LONG-micro arithmetic, bit-stable across
+    # executions) — the pin is a 2x-cost optimization, so it must
+    # never be the OOM or the leak.
+    wt = with_trend.withColumn("_dmic", dmic).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     s_raw = (
         wt.filter(F.col("_dmic").isNotNull())

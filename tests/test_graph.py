@@ -621,12 +621,21 @@ class TestLabelPropagation:
 
     def test_negative_rounds_raise(self, spark):
         from big_data_in_agriculture_spark.operators.graph import (
+            core_numbers,
+            kcore,
             label_propagation,
         )
 
         e = spark.createDataFrame([(1, 2)], ["src", "dst"])
         with pytest.raises(ValueError, match="rounds"):
             label_propagation(e, rounds=-1)
+        # same guard family (ADVICE r10): range(-1) is silently empty,
+        # so an unguarded negative `rounds` would return raw degrees
+        # labeled "core" / the initial peel state as converged output
+        with pytest.raises(ValueError, match="rounds"):
+            core_numbers(e, rounds=-1)
+        with pytest.raises(ValueError, match="rounds"):
+            kcore(e, k=1, rounds=-1)
 
     def test_fixed_rounds_replay_identically(self, spark):
         from big_data_in_agriculture_spark.operators.graph import (

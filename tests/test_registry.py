@@ -6,7 +6,7 @@ The external driver's correctness gate checks a PREFIX of ``queries()``
 1. The first 50 names are PINNED (round-10 rotation of the round-9
    gate set) — an accidental insertion before index 50 would silently
    eject an operator from external verification.
-2. The 41 queries the round-3/5/6/7/8/9/10 reorderings displaced out
+2. The 46 queries the round-3/5/6/7/8/9/10/11 reorderings displaced out
    of the prefix keep full oracle parity here in pytest, so a
    regression in them cannot hide behind the driver's prefix
    truncation — and scripts/displaced_verify.py snapshots their
@@ -24,7 +24,7 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-#: The driver-gate prefix as of round 10. Rounds 3-4 pinned the
+#: The driver-gate prefix as of round 11. Rounds 3-4 pinned the
 #: CORRECTNESS_r03 keys; rounds 5, 6 and 7 each DELIBERATELY rotated
 #: five slots so never-externally-verified queries gain CORRECTNESS
 #: rows (r5: kmeans_clusters, semantic_dedup, classifier_quality,
@@ -34,7 +34,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #: r8: pagerank_trade, nb_language, knn_sq, edit_linkage,
 #: lm_backoff_ppl; r9: dbscan_embed, quantile_sketch,
 #: dense_ids_orders, holt_forecast, bfs_trade_hops; r10: ppr_trade,
-#: kcore_trade, sssp_trade, hw_forecast, clustering_coeff — every
+#: kcore_trade, sssp_trade, hw_forecast, clustering_coeff; r11:
+#: core_numbers_trade, lpa_communities, acf_events, mad_events,
+#: seasonal_decomp — every
 #: displaced query leaves a same-family prefix sibling and keeps
 #: two-engine parity below). Do not edit
 #: without re-deciding gate visibility; append new queries AFTER
@@ -55,7 +57,7 @@ DRIVER_PREFIX_50 = [
     "cdc_apply",
     "bm25_search",
     "join_semi",
-    "dbscan_embed",
+    "seasonal_decomp",
     "scd2_history",
     "interval_join",
     "knn_sq",
@@ -74,13 +76,13 @@ DRIVER_PREFIX_50 = [
     "edit_linkage",
     "dense_ids_orders",
     "lm_backoff_ppl",
-    "holt_forecast",
+    "mad_events",
     "retention_cohorts",
     "multimodal_meta",
     "minhash_neardup",
-    "bfs_trade_hops",
-    "ppr_trade",
-    "kcore_trade",
+    "acf_events",
+    "core_numbers_trade",
+    "lpa_communities",
     "leakage_split",
     "gopher_pipeline",
     "sssp_trade",
@@ -151,6 +153,17 @@ DISPLACED = [
     "epoch_shuffle",
     "sliding_window_rollup",
     "trending_items",
+    # round-11 rotation: displaced by core_numbers_trade /
+    # lpa_communities / acf_events / mad_events / seasonal_decomp —
+    # each leaves a same-family sibling in the prefix (pagerank_trade
+    # for ppr, core_numbers_trade subsumes kcore, sssp_trade for bfs,
+    # hw_forecast for holt, lpa_communities + semantic_dedup/knn_sq
+    # for dbscan)
+    "ppr_trade",
+    "kcore_trade",
+    "bfs_trade_hops",
+    "holt_forecast",
+    "dbscan_embed",
 ]
 
 
