@@ -46,10 +46,28 @@ connected-components clustering in operators/llm.py.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._util import pin_iter
+
+
+def _trace(op: str, rnd: int, changed: int, t0: float) -> None:
+    """Per-round observability for the iterative operators, gated on
+    SPARK_GRAFT_GRAPH_TRACE=1 (off by default — zero cost in
+    production). Prints round index, churn count and wall seconds so
+    a slow convergence tail is diagnosable without a UI."""
+    if os.environ.get("SPARK_GRAFT_GRAPH_TRACE") == "1":
+        print(
+            f"[graph-trace] {op} round={rnd} changed={changed} "
+            f"{time.perf_counter() - t0:.2f}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
 #: total mass in rank units — 1e12 gives ~12 significant decimal
 #: digits of rank while keeping 100 * rank far inside LONG range.
@@ -461,18 +479,22 @@ def core_numbers(
     value))``, invariant to tie order among equal neighbor values, so
     both engines replay it bit-exactly with no quantization contract.
 
-    At 100 TB: each round recomputes ONLY nodes with ≥ 1 neighbor
-    whose value CHANGED last round (the :func:`sssp` frontier
-    discipline). The update is a pure function of neighbor values, so
-    a node with no changed neighbor recomputes to its current value —
-    skipping it leaves every per-round state bit-identical to the
-    full-recompute form (the fixed-rounds/SQL-unroll contract is
-    unchanged). Round 1 recomputes everyone (all values "changed"
-    from nothing to degree). The h-index sequence settles most nodes
-    in 2-3 rounds and spends the remaining ~20 rounds on a small core
-    — exactly the geometry where rounds × |changed-neighborhood| beats
-    rounds × |E| (measured: core_numbers_5m 140.8 s full → see
-    SCALE.md for the delta number).
+    At 100 TB: a node's value can move only if a neighbor's value
+    CHANGED last round (the update is a pure function of neighbor
+    values — a node with no changed neighbor recomputes to its current
+    value, so skipping it leaves every per-round state bit-identical
+    to the full-recompute form; the fixed-rounds/SQL-unroll contract
+    is unchanged). The restriction is applied ADAPTIVELY: while the
+    churn frontier is wide (> ~5% of nodes) a round does the plain
+    full recompute — the delta plumbing (edges-out-of-changed join +
+    distinct) costs MORE than it saves when nearly every neighborhood
+    is touched anyway (measured on a 5M-edge Poisson graph: pure
+    delta 226 s vs 141 s full, because Poisson frontiers at 5% of
+    nodes still reach ~40% of neighborhoods) — and switches to
+    frontier-restricted recompute once the frontier is narrow, which
+    is where the ~20-round h-index tail lives (rounds ×
+    |changed-neighborhood| instead of rounds × |E|). The switch reads
+    one count on the already-pinned delta per round.
 
     Two modes, the :func:`kcore` contract:
 
@@ -503,65 +525,179 @@ def core_numbers(
     n_iter = max_iter if rounds is None else rounds
     converged = rounds is not None
     w = Window.partitionBy("u").orderBy(F.col("cv").desc())
-    # frontier of nodes whose value changed last round; round 1
-    # recomputes everyone (initialization counts as a change)
+    # churn frontier: nodes whose value changed last round. Round 1 is
+    # always full (initialization counts as a change). A delta round
+    # pays off only once the frontier's NEIGHBORHOOD is a small slice
+    # of the graph; on Poisson-ish degree d a frontier of fraction f
+    # touches ~1-(1-f)^d of neighborhoods, so the cutover is
+    # deliberately low: frontier < 5% of nodes.
+    n_nodes = c.count()
+    # Value state is BASE + OVERLAY: ``base`` is the full pinned
+    # (node, c) table as of the last wide round; ``overlay`` holds
+    # only the values that changed since (None = empty). current(n) =
+    # coalesce(overlay, base). Wide rounds fold the overlay into base
+    # and pin the full recompute (one node-sized pin, the r10 cost);
+    # NARROW rounds never materialize a node-sized frame at all —
+    # their pins are delta-sized, which is what makes a 30-round
+    # sub-1% churn tail cost ~|changed-neighborhood| per round
+    # instead of |V| (measured: the eager full-table pin alone was
+    # ~2 s/round at 1M nodes — more than the tail's actual compute).
+    base = c
+    overlay = None
     changed = c.select("node")
+    changed_cnt = n_nodes
     for _rnd in range(n_iter):
-        # nodes with >= 1 changed neighbor — the only ones whose
-        # h-index can move this round (und is the big streamed side;
-        # the frontier broadcasts once it shrinks)
-        affected = (
-            und.join(
-                changed.select(F.col("node").alias("_chg")),
-                und.v == F.col("_chg"),
+        _t0 = time.perf_counter()
+        if changed_cnt * 20 > n_nodes:
+            # wide frontier: plain full recompute (one edge join, one
+            # window pass) — cheaper than restricting. Fold any
+            # overlay in first so the join sees current values.
+            if overlay is not None:
+                base = pin_iter(
+                    base.join(
+                        overlay.select("node", F.col("c").alias("_ov")),
+                        "node",
+                        "left",
+                    ).select("node", F.coalesce("_ov", "c").alias("c")),
+                    _rnd,
+                )
+                overlay = None
+            nbr = und.join(base, und.v == base.node).select(
+                und.u.alias("u"), F.col("c").alias("cv")
             )
-            .select("u")
-            .distinct()
-        )
-        nbr = (
-            und.join(affected, "u")
-            .join(c, F.col("v") == c.node)
-            .select(F.col("u"), F.col("c").alias("cv"))
-        )
-        recomputed = (
-            nbr.withColumn("rn", F.row_number().over(w).cast("long"))
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.max(F.least("rn", "cv")).alias("c"))
-        )
-        # delta = affected nodes whose value actually moved (monotone
-        # non-increasing, so != means strictly decreased)
-        delta = pin_iter(
-            recomputed.join(
-                c.select("node", F.col("c").alias("_old")), "node"
+            # full recompute covers every node (the node set IS
+            # derived from und), so it becomes the new base directly
+            new_base = pin_iter(
+                nbr.withColumn("rn", F.row_number().over(w).cast("long"))
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.max(F.least("rn", "cv")).alias("c")),
+                _rnd,
             )
-            .filter(F.col("c") != F.col("_old"))
-            .select("node", "c"),
-            _rnd,
-        )
-        nxt = pin_iter(
-            c.join(
-                delta.select("node", F.col("c").alias("_new")),
-                "node",
-                "left",
-            ).select("node", F.coalesce("_new", "c").alias("c")),
-            _rnd,
-        )
-        changed = delta.select("node")
-        if rounds is None:
-            done = delta.isEmpty()
-            c = nxt
-            if done:
-                converged = True
-                break
+            # delta = nodes whose value moved (monotone non-increasing,
+            # so != means strictly decreased); both sides pinned
+            delta = pin_iter(
+                new_base.join(
+                    base.select("node", F.col("c").alias("_old")), "node"
+                )
+                .filter(F.col("c") != F.col("_old"))
+                .select("node", "c"),
+                _rnd,
+            )
+            base = new_base
         else:
-            c = nxt
+            # narrow frontier: recompute only nodes with >= 1 changed
+            # neighbor. Every frontier-derived frame is EXPLICITLY
+            # broadcast (guarded by an absolute cap — at billion-node
+            # scale a 5% frontier is not driver-collectable, and there
+            # the planner's own sort-merge choice is correct anyway):
+            # derived distinct/join outputs have no usable size stats,
+            # and without the hint Catalyst sort-merges und⋈affected
+            # and SHUFFLES the node-sized base every round (measured:
+            # the tail rounds cost nearly as much as full rounds).
+            # With the hints, und and base are only ever SCANNED
+            # map-side behind broadcast-hash joins — no round touches
+            # a shuffle bigger than the frontier's neighborhood.
+            bc = (
+                F.broadcast
+                if changed_cnt <= 2_000_000
+                else (lambda df: df)
+            )
+            affected = (
+                und.join(
+                    bc(changed.select(F.col("node").alias("_chg"))),
+                    und.v == F.col("_chg"),
+                )
+                .select("u")
+                .distinct()
+            )
+            und_aff = und.join(bc(affected), "u")
+            # restrict base to the needed neighbor values via a
+            # broadcast semi-join BEFORE the value join, so base is
+            # map-scanned, never shuffled
+            vset = und_aff.select("v").distinct()
+            base_vals = base.join(
+                bc(vset), base.node == F.col("v")
+            ).select(F.col("node").alias("_vn"), F.col("c").alias("_cv0"))
+            nbr0 = und_aff.join(
+                bc(base_vals), und_aff.v == F.col("_vn")
+            ).select(F.col("u"), F.col("v"), F.col("_cv0"))
+            if overlay is not None:
+                nbr = nbr0.join(
+                    bc(
+                        overlay.select(
+                            F.col("node").alias("_on"),
+                            F.col("c").alias("_ovv"),
+                        )
+                    ),
+                    nbr0.v == F.col("_on"),
+                    "left",
+                ).select("u", F.coalesce("_ovv", "_cv0").alias("cv"))
+            else:
+                nbr = nbr0.select("u", F.col("_cv0").alias("cv"))
+            # pin the (frontier-sized) recompute ONCE: it feeds both
+            # the delta filter and the overlay merge, and an unpinned
+            # broadcast would re-execute the whole restricted pipeline
+            # per consumer
+            # coalesce(8): frontier-sized frames pinned at the parent
+            # partition count spawn ~shuffle_partitions near-empty
+            # tasks in EVERY downstream job — at a sub-1% frontier the
+            # task-launch overhead dominated the actual work (traced)
+            recomputed = pin_iter(
+                nbr.withColumn("rn", F.row_number().over(w).cast("long"))
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.max(F.least("rn", "cv")).alias("c"))
+                .coalesce(8),
+                _rnd,
+            )
+            # stream base, broadcast the (small) recomputed values
+            cur = base.join(
+                bc(recomputed.select("node", F.col("c").alias("_new"))),
+                "node",
+            )
+            if overlay is not None:
+                cur = cur.join(
+                    bc(overlay.select("node", F.col("c").alias("_o2"))),
+                    "node",
+                    "left",
+                )
+                old = F.coalesce("_o2", "c")
+            else:
+                old = F.col("c")
+            delta = pin_iter(
+                cur.filter(F.col("_new") != old)
+                .select("node", F.col("_new").alias("c"))
+                .coalesce(8),
+                _rnd,
+            )
+            overlay = pin_iter(
+                (
+                    delta
+                    if overlay is None
+                    else delta.unionByName(
+                        overlay.join(
+                            delta.select("node"), "node", "left_anti"
+                        )
+                    )
+                ).coalesce(8),
+                _rnd,
+            )
+        changed = delta.select("node")
+        changed_cnt = delta.count()
+        _trace("core_numbers", _rnd, changed_cnt, _t0)
+        if rounds is None and changed_cnt == 0:
+            converged = True
+            break
     if not converged:
         raise RuntimeError(
             f"core_numbers did not converge in {max_iter} h-index "
             "rounds; raise max_iter (convergence is guaranteed — the "
             "sequence is monotone non-increasing over LONG values)"
         )
-    return c.select("node", F.col("c").alias("core"))
+    if overlay is not None:
+        base = base.join(
+            overlay.select("node", F.col("c").alias("_ov")), "node", "left"
+        ).select("node", F.coalesce("_ov", "c").alias("c"))
+    return base.select("node", F.col("c").alias("core"))
 
 
 def label_propagation(
@@ -603,16 +739,18 @@ def label_propagation(
     over count DESC, label ASC) — node-keyed shuffles, one LONG of
     state per node, hubs cost their degree linearly.
 
-    At 100 TB: each round re-votes ONLY nodes whose closed
-    neighborhood changed — a neighbor's label changed last round, or
-    the node's own label did (the self-vote makes own-label part of
-    the electorate). The vote is a pure function of the closed
-    neighborhood's labels, so skipping unaffected nodes leaves every
-    per-round state bit-identical to the full form (fixed-rounds/
-    SQL-unroll contract unchanged; round 1 re-votes everyone). As
-    labels settle — the common case after 2-3 rounds — per-round cost
-    tracks the churn frontier's edges, not |E|. All counts and
-    labels are integers: no quantization contract.
+    At 100 TB: a node's vote can move only if its CLOSED neighborhood
+    changed — a neighbor's label last round, or its own (the
+    self-vote makes own-label part of the electorate) — and skipping
+    unaffected nodes leaves every per-round state bit-identical to
+    the full form (fixed-rounds/SQL-unroll contract unchanged). Like
+    :func:`core_numbers`, the restriction is ADAPTIVE: wide churn
+    frontier (> ~5% of nodes) → plain full re-vote (the delta
+    plumbing costs more than it saves when most neighborhoods are
+    touched); narrow frontier → re-vote only affected nodes, so the
+    settle tail costs the churn frontier's edges, not |E|. The switch
+    reads one count on the already-pinned delta per round. All counts
+    and labels are integers: no quantization contract.
 
     In a curation pipeline LPA is the cheap community pass that
     groups a crawl graph into topical clusters for mixture balancing
@@ -642,66 +780,175 @@ def label_propagation(
     )
     n_iter = max_iter if rounds is None else rounds
     converged = rounds is not None
-    # churn frontier: nodes whose label changed last round; round 1
-    # re-votes everyone (initialization counts as a change)
+    # Label state is BASE + OVERLAY, the core_numbers discipline:
+    # ``base`` is the full pinned (node, community) table as of the
+    # last wide round, ``overlay`` only the labels changed since
+    # (None = empty); current(n) = coalesce(overlay, base). Narrow
+    # rounds (churn < 5% of nodes) never materialize a node-sized
+    # frame — their pins are delta-sized.
+    n_nodes = lab.count()
+    base = lab
+    overlay = None
     changed = lab.select("node")
+    changed_cnt = n_nodes
     for _rnd in range(n_iter):
-        # a node's vote can move only if its closed neighborhood
-        # changed: a neighbor's label last round, or its own (the
-        # self-vote). und streams; the frontier broadcasts once small.
-        affected = (
-            und.join(
-                changed.select(F.col("node").alias("_chg")),
-                und.v == F.col("_chg"),
+        _t0 = time.perf_counter()
+        if changed_cnt * 20 > n_nodes:
+            # wide frontier: plain full re-vote (fold the overlay in
+            # first so the vote join sees current labels)
+            if overlay is not None:
+                base = pin_iter(
+                    base.join(
+                        overlay.select(
+                            "node", F.col("community").alias("_ov")
+                        ),
+                        "node",
+                        "left",
+                    ).select(
+                        "node",
+                        F.coalesce("_ov", "community").alias("community"),
+                    ),
+                    _rnd,
+                )
+                overlay = None
+            votes = (
+                und.join(base, und.v == base.node)
+                .select(und.u.alias("node"), "community")
+                .unionByName(base.select("node", "community"))
             )
-            .select("u")
-            .unionByName(changed.select(F.col("node").alias("u")))
-            .distinct()
-        )
-        votes = (
-            und.join(affected, "u")
-            .join(lab, F.col("v") == lab.node)
-            .select(F.col("u").alias("node"), "community")
-            .unionByName(
-                lab.join(affected.select(F.col("u").alias("node")), "node")
-                .select("node", "community")
+            # the full re-vote covers every node (each casts its own
+            # self-vote), so it becomes the new base directly
+            new_base = pin_iter(
+                votes.groupBy("node", "community")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("node", "community"),
+                _rnd,
             )
-        )
-        revoted = (
-            votes.groupBy("node", "community")
-            .agg(F.count(F.lit(1)).alias("_cnt"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "community")
-        )
-        delta = pin_iter(
-            revoted.join(
-                lab.select("node", F.col("community").alias("_old")),
-                "node",
+            delta = pin_iter(
+                new_base.join(
+                    base.select("node", F.col("community").alias("_old")),
+                    "node",
+                )
+                .filter(F.col("community") != F.col("_old"))
+                .select("node", "community"),
+                _rnd,
             )
-            .filter(F.col("community") != F.col("_old"))
-            .select("node", "community"),
-            _rnd,
-        )
-        nxt = pin_iter(
-            lab.join(
-                delta.select("node", F.col("community").alias("_new")),
-                "node",
-                "left",
-            ).select(
-                "node", F.coalesce("_new", "community").alias("community")
-            ),
-            _rnd,
-        )
-        changed = delta.select("node")
-        if rounds is None:
-            done = delta.isEmpty()
-            lab = nxt
-            if done:
-                converged = True
-                break
+            base = new_base
         else:
-            lab = nxt
+            # narrow frontier: re-vote only nodes whose closed
+            # neighborhood changed (a neighbor's label, or their own
+            # — the self-vote). Frontier frames are explicitly
+            # broadcast (size-capped), the core_numbers discipline:
+            # und and base are only map-scanned behind broadcast-hash
+            # joins, never shuffled in a tail round.
+            bc = (
+                F.broadcast
+                if changed_cnt <= 2_000_000
+                else (lambda df: df)
+            )
+            affected = (
+                und.join(
+                    bc(changed.select(F.col("node").alias("_chg"))),
+                    und.v == F.col("_chg"),
+                )
+                .select("u")
+                .unionByName(changed.select(F.col("node").alias("u")))
+                .distinct()
+            )
+            und_aff = und.join(bc(affected), "u")
+            # closed neighborhood as (u, v) pairs: edges + the self
+            # loop, so ONE label lookup serves both vote sources
+            closed = und_aff.unionByName(
+                affected.select("u", F.col("u").alias("v"))
+            )
+            vset = closed.select("v").distinct()
+            base_vals = base.join(
+                bc(vset), base.node == F.col("v")
+            ).select(
+                F.col("node").alias("_vn"),
+                F.col("community").alias("_lb0"),
+            )
+            both = closed.join(
+                bc(base_vals), closed.v == F.col("_vn")
+            ).select(F.col("u"), F.col("v"), F.col("_lb0"))
+            if overlay is not None:
+                votes = both.join(
+                    bc(
+                        overlay.select(
+                            F.col("node").alias("_on"),
+                            F.col("community").alias("_ovv"),
+                        )
+                    ),
+                    both.v == F.col("_on"),
+                    "left",
+                ).select(
+                    F.col("u").alias("node"),
+                    F.coalesce("_ovv", "_lb0").alias("community"),
+                )
+            else:
+                votes = both.select(
+                    F.col("u").alias("node"),
+                    F.col("_lb0").alias("community"),
+                )
+            # pinned once, the core_numbers rationale: an unpinned
+            # broadcast re-executes the restricted pipeline per use
+            revoted = pin_iter(
+                votes.groupBy("node", "community")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("node", "community")
+                .coalesce(8),
+                _rnd,
+            )
+            # stream base, broadcast the (small) re-voted labels
+            cur = base.join(
+                bc(
+                    revoted.select(
+                        "node", F.col("community").alias("_new")
+                    )
+                ),
+                "node",
+            )
+            if overlay is not None:
+                cur = cur.join(
+                    bc(
+                        overlay.select(
+                            "node", F.col("community").alias("_o2")
+                        )
+                    ),
+                    "node",
+                    "left",
+                )
+                old = F.coalesce("_o2", "community")
+            else:
+                old = F.col("community")
+            delta = pin_iter(
+                cur.filter(F.col("_new") != old)
+                .select("node", F.col("_new").alias("community"))
+                .coalesce(8),
+                _rnd,
+            )
+            overlay = pin_iter(
+                (
+                    delta
+                    if overlay is None
+                    else delta.unionByName(
+                        overlay.join(
+                            delta.select("node"), "node", "left_anti"
+                        )
+                    )
+                ).coalesce(8),
+                _rnd,
+            )
+        changed = delta.select("node")
+        changed_cnt = delta.count()
+        _trace("label_propagation", _rnd, changed_cnt, _t0)
+        if rounds is None and changed_cnt == 0:
+            converged = True
+            break
     if not converged:
         raise RuntimeError(
             f"label_propagation did not reach a fixpoint in {max_iter} "
@@ -709,7 +956,15 @@ def label_propagation(
             "use fixed `rounds` (deterministic at any value) or raise "
             "max_iter"
         )
-    return lab
+    if overlay is not None:
+        base = base.join(
+            overlay.select("node", F.col("community").alias("_ov")),
+            "node",
+            "left",
+        ).select(
+            "node", F.coalesce("_ov", "community").alias("community")
+        )
+    return base
 
 
 def sssp(

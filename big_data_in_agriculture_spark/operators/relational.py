@@ -1442,6 +1442,7 @@ def edit_join(
     left_col: str,
     right_col: str,
     k: int = 2,
+    max_candidates: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Edit-distance join: all (id_a, id_b) with levenshtein ≤ ``k``.
 
@@ -1484,6 +1485,19 @@ def edit_join(
     verify step is one hash join back to the two name tables plus a
     linear levenshtein per surviving candidate — at 100 TB this is
     the shape you'd run per blocking pass, never O(n²).
+
+    Degenerate-bucket breaker: when a blocking segment is CONSTANT
+    across the corpus (every name shares a literal prefix covering a
+    whole segment), that (l, idx, seg) bucket holds everything and the
+    candidate join is quadratic on ONE key — one reducer, no
+    parallelism, and no post-join filter can recover it (the rows
+    must still stream). ``max_candidates`` (default 2e9, ~the measured
+    133 s sf0.1 flood × 10) bounds the EXACT per-bucket candidate
+    volume Σ n_left·n_right with one cheap count-aggregate join before
+    the candidate join runs, and refuses with the hot buckets named —
+    the caller should strip the shared literal prefix (it carries no
+    edit signal: ed(p+a, p+b) = ed(a, b) for a shared prefix p) or
+    raise the cap deliberately. None disables.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1519,17 +1533,51 @@ def edit_join(
             lambda acc, b: acc.bitwiseOR(b),
         )
 
+    # Second in-stage filter: a 61-bucket BIGRAM bitmask. The unigram
+    # mask saturates on long strings over a small alphabet (every name
+    # contains every char class -> identical masks, filter dead —
+    # exactly the 10x-names probe geometry); bigram SETS keep entropy
+    # far longer (16-char hex alphabet = 256 bigram types vs 16 char
+    # types). Recall bound: one edit op rewrites at most the 2 bigrams
+    # overlapping the edit position — <= 2 occurrence removals + <= 2
+    # additions, so <= 4 presence-bit flips per op and
+    # bit_count(bmask_a XOR bmask_b) <= 4k for ed <= k. Hash-bucketing
+    # bigram types onto 61 bits only COARSENS (XOR bits can only
+    # vanish), so exact recall holds; strings shorter than 2 carry an
+    # empty mask and trivially pass.
+    def _bigrammask(col: F.Column, ln: F.Column) -> F.Column:
+        grams = F.when(
+            ln >= 2,
+            F.transform(
+                F.sequence(F.lit(1), ln - 1),
+                lambda i: F.pow(
+                    F.lit(2.0),
+                    F.pmod(
+                        F.xxhash64(col.substr(i.cast("int"), F.lit(2))),
+                        F.lit(61),
+                    ),
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return F.aggregate(
+            grams,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc.bitwiseOR(b),
+        )
+
     lt = left.filter(F.col(left_col).isNotNull()).select(
         F.col(left_id).alias("id_a"),
         F.col(left_col).alias("_na"),
         F.length(left_col).alias("_la"),
         _charmask(F.col(left_col)).alias("_ma"),
+        _bigrammask(F.col(left_col), F.length(left_col)).alias("_ba"),
     )
     rt = right.filter(F.col(right_col).isNotNull()).select(
         F.col(right_id).alias("id_b"),
         F.col(right_col).alias("_nb"),
         F.length(right_col).alias("_lb"),
         _charmask(F.col(right_col)).alias("_mb"),
+        _bigrammask(F.col(right_col), F.length(right_col)).alias("_bb"),
     )
 
     # -- left keys: (l, idx, seg) ------------------------------------
@@ -1538,13 +1586,14 @@ def edit_join(
         .select(
             "id_a",
             "_ma",
+            "_ba",
             F.col("_la").alias("l"),
             F.explode(
                 _even_segments(F.col("_na"), F.col("_la"), p)
             ).alias("s"),
         )
         .select(
-            "id_a", "_ma", "l",
+            "id_a", "_ma", "_ba", "l",
             F.col("s.idx").alias("idx"), F.col("s.seg").alias("seg"),
         )
     )
@@ -1552,6 +1601,7 @@ def edit_join(
     lshort = lt.filter(F.col("_la") < p).select(
         "id_a",
         "_ma",
+        "_ba",
         F.col("_la").alias("l"),
         F.lit(-1).alias("idx"),
         F.lit("").alias("seg"),
@@ -1560,7 +1610,7 @@ def edit_join(
 
     # -- right keys: enumerate (l, idx, substring at shifted pos) -----
     r_l = rt.select(
-        "id_b", "_nb", "_lb", "_mb",
+        "id_b", "_nb", "_lb", "_mb", "_bb",
         F.explode(
             F.sequence(
                 F.greatest(F.lit(p), F.col("_lb") - F.lit(k)),
@@ -1569,10 +1619,10 @@ def edit_join(
         ).alias("l"),
     )
     r_li = r_l.select(
-        "id_b", "_nb", "_lb", "_mb", "l",
+        "id_b", "_nb", "_lb", "_mb", "_bb", "l",
         F.explode(F.sequence(F.lit(0), F.lit(p - 1))).alias("idx"),
     ).select(
-        "id_b", "_nb", "_lb", "_mb", "l", "idx",
+        "id_b", "_nb", "_lb", "_mb", "_bb", "l", "idx",
         (F.floor(F.col("idx") * F.col("l") / F.lit(p)) + 1).alias("_start0"),
         (
             F.floor((F.col("idx") + 1) * F.col("l") / F.lit(p))
@@ -1591,7 +1641,7 @@ def edit_join(
             ),
         )
         .select(
-            "id_b", "_mb", "l", "idx",
+            "id_b", "_mb", "_bb", "l", "idx",
             F.col("_nb").substr(
                 F.col("pos").cast("int"), F.col("_slen").cast("int")
             ).alias("seg"),
@@ -1601,6 +1651,7 @@ def edit_join(
     rshort = rt.select(
         "id_b",
         "_mb",
+        "_bb",
         F.explode(
             F.sequence(
                 F.greatest(F.lit(0), F.col("_lb") - F.lit(k)),
@@ -1609,8 +1660,40 @@ def edit_join(
         ).alias("l"),
         F.lit(-1).alias("idx"),
         F.lit("").alias("seg"),
-    ).select("id_b", "_mb", "l", "idx", "seg")
+    ).select("id_b", "_mb", "_bb", "l", "idx", "seg")
     rkeys = rsub.unionByName(rshort)
+
+    if max_candidates is not None:
+        lcnt = lkeys.groupBy("l", "idx", "seg").agg(
+            F.count(F.lit(1)).alias("_nl")
+        )
+        rcnt = rkeys.groupBy("l", "idx", "seg").agg(
+            F.count(F.lit(1)).alias("_nr")
+        )
+        hot = (
+            lcnt.join(rcnt, ["l", "idx", "seg"])
+            .select(
+                "l", "idx", "seg",
+                (F.col("_nl") * F.col("_nr")).alias("_pairs"),
+            )
+        )
+        est_row = hot.agg(
+            F.sum("_pairs").alias("_total"), F.max("_pairs").alias("_max")
+        ).first()
+        est = est_row["_total"] or 0
+        if est > max_candidates:
+            worst = hot.orderBy(F.col("_pairs").desc()).first()
+            raise ValueError(
+                f"edit_join: the segment-blocking candidate join would "
+                f"stream {est} pairs (> max_candidates={max_candidates}); "
+                f"hottest bucket (l={worst['l']}, idx={worst['idx']}, "
+                f"seg={worst['seg']!r}) alone contributes "
+                f"{worst['_pairs']} — a constant blocking segment is "
+                "quadratic on one shuffle key and no post-join filter "
+                "recovers it. Strip the shared literal prefix before "
+                "joining (ed(p||a, p||b) = ed(a, b)) or raise "
+                "max_candidates deliberately."
+            )
 
     # char-mask prefilter INSIDE the candidate join stage: pairs from a
     # degenerate shared-prefix bucket die here, before the distinct
@@ -1618,7 +1701,11 @@ def edit_join(
     cands = (
         lkeys.join(rkeys, ["l", "idx", "seg"])
         .filter(
-            F.bit_count(F.col("_ma").bitwiseXOR(F.col("_mb"))) <= 2 * k
+            (F.bit_count(F.col("_ma").bitwiseXOR(F.col("_mb"))) <= 2 * k)
+            & (
+                F.bit_count(F.col("_ba").bitwiseXOR(F.col("_bb")))
+                <= 4 * k
+            )
         )
         .select("id_a", "id_b")
         .distinct()

@@ -1770,11 +1770,13 @@ def _ts_probe_series(spark, keys, hours):
 
 
 def probe_acf_43m(spark, keys=500, hours=87_600, max_lag=24):
-    """Autocorrelation (round 10) at the shared pathological
-    timeseries geometry: 43.8M rows / 500 keys, lags 1..24. The
-    explode multiplies the left side by max_lag (~1.05B thin rows)
-    into ONE self-equi-join + one (key, lag) aggregate — partial
-    aggregation collapses it map-side; nothing per-key is collected."""
+    """Autocorrelation at the shared pathological timeseries
+    geometry: 43.8M rows / 500 keys, lags 1..24. Round-11 form: one
+    per-key window sort evaluating all 24 lead() columns in a single
+    pass + a narrow posexplode that partial-aggregates map-side — the
+    shuffle stays corpus-sized (the round-10 self-equi-join form
+    streamed ~1.05B thin rows through the join: 77.3 s; this is the
+    de-exploded replacement)."""
     from big_data_in_agriculture_spark.operators.timeseries import (
         autocorrelation,
     )
@@ -1805,6 +1807,96 @@ PROBES["acf_43m"] = probe_acf_43m
 PROBES["mad_43m"] = probe_mad_43m
 PROBES["hw_10y_hourly"] = probe_hw_10y_hourly
 PROBES["seasonal_10y_hourly"] = probe_seasonal_10y_hourly
+
+
+def _edit_names(spark, names, suffix_len, saturate):
+    """'cust-' + md5-hex suffix; with ``saturate`` every name also
+    carries ALL 16 hex chars as a 16-char tail, so every UNIGRAM
+    char-class mask is IDENTICAL across the corpus — the round-10
+    prefilter passes everything and only the round-11 bigram mask
+    discriminates. The tail is a per-name PERMUTATION (adjacent hex
+    pairs swapped by the id's low 8 bits, 256 variants), not a
+    constant: a constant tail would hand a whole blocking segment one
+    bucket and measure the breaker instead of the filter."""
+    name = F.concat(
+        F.lit("cust-"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, suffix_len),
+    )
+    if saturate:
+        chars = "0123456789abcdef"
+        pieces = []
+        for b in range(8):
+            c1, c2 = chars[2 * b], chars[2 * b + 1]
+            pieces.append(
+                F.expr(
+                    f"case when (id div {1 << b}) % 2 = 1 "
+                    f"then '{c2}{c1}' else '{c1}{c2}' end"
+                )
+            )
+        name = F.concat(name, *pieces)
+    return spark.range(names).select("id", name.alias("name"))
+
+
+def probe_edit_10x(spark, names=150_000):
+    """edit_join at 10x the sf0.1 linkage corpus (150k x 150k) with
+    an ADVERSARIALLY UNIFORM mask distribution: every name shares the
+    'cust-' prefix AND carries the full hex alphabet, so all unigram
+    char-class masks are equal and the round-10 prefilter is dead.
+    Segment 0 retains md5 entropy (the name is long enough that the
+    first blocking segment extends past the literal prefix), so the
+    blocking join itself stays keyed; the BIGRAM mask (round 11) is
+    the only in-stage filter standing between the join and the
+    levenshtein DP. Dirty side = one substitution inside the md5
+    region per name -> ~150k true pairs expected out."""
+    from big_data_in_agriculture_spark.operators.relational import (
+        edit_join,
+    )
+
+    base = _edit_names(spark, names, suffix_len=16, saturate=True)
+    clean = base.select(F.col("id").alias("custkey"), "name")
+    dirty = base.select(
+        (F.col("id") + 10_000_000).alias("variant_id"),
+        F.concat(
+            F.expr("substr(name, 1, 5 + pmod(id, 16))"),
+            F.lit("Z"),
+            F.expr("substr(name, 7 + pmod(id, 16), 100)"),
+        ).alias("name"),
+    )
+    out = edit_join(
+        clean, dirty, "custkey", "variant_id", "name", "name", k=2
+    )
+    return out.agg(F.count(F.lit(1)).alias("pairs"))
+
+
+def probe_edit_degenerate_breaker(spark, names=150_000):
+    """The irreducible edit_join geometry: the sf0.1 gate name shape
+    ('cust-' + 10 hex = 15 chars, so blocking segment 0 IS the
+    literal prefix) at 10x. The (l=15, idx=0, seg='cust-') bucket
+    holds all 150k x 150k pairs — quadratic on ONE shuffle key, one
+    reducer, unfixable by any post-join filter. The max_candidates
+    breaker must refuse with a cost model naming the hot bucket, in
+    seconds."""
+    from big_data_in_agriculture_spark.operators.relational import (
+        edit_join,
+    )
+
+    base = _edit_names(spark, names, suffix_len=10, saturate=False)
+    clean = base.select(F.col("id").alias("custkey"), "name")
+    dirty = base.select(
+        (F.col("id") + 10_000_000).alias("variant_id"), "name"
+    )
+    try:
+        edit_join(
+            clean, dirty, "custkey", "variant_id", "name", "name", k=2
+        ).count()
+    except ValueError as e:
+        assert "max_candidates" in str(e) and "cust-" in str(e), e
+        return spark.range(1).select(F.lit(1).alias("breaker_tripped"))
+    raise AssertionError("degenerate-bucket breaker did not trip")
+
+
+PROBES["edit_10x"] = probe_edit_10x
+PROBES["edit_degenerate_breaker"] = probe_edit_degenerate_breaker
 
 if __name__ == "__main__":
     sys.exit(main())
