@@ -9014,6 +9014,175 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
+
+
+_CCF_MAX_LAG = 7
+
+
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-event-type cross-correlation between daily VALUE (sum) and
+    # daily VOLUME (count): does activity lead or lag revenue, per
+    # type, at lags -7..+7 (exact-integer sums, one fixed double op
+    # sequence at the end — the ACF contract, two series)
+    from big_data_in_agriculture_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.round(F.sum("value"), 6).alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    return timeseries.cross_correlation(
+        daily, max_lag=_CCF_MAX_LAG
+    ).orderBy("key", "lag")
+
+
+_CCF_SQL_TMPL = """
+WITH daily AS (
+    SELECT event_type AS key, date_trunc('day', ts) AS day,
+           round(sum(value), 6) AS x,
+           CAST(count(*) AS DOUBLE) AS y
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+v AS (
+    -- complete-case days, indexed once (mirror of the operator); the
+    -- daily aggregate never yields NULLs here but the filter pins the
+    -- contract
+    SELECT key,
+           CAST(CASE WHEN x >= 0
+                     THEN floor(x * CAST(1000000 AS DOUBLE) + 0.5)
+                     ELSE -floor(-x * CAST(1000000 AS DOUBLE) + 0.5)
+                END AS BIGINT) AS xm,
+           CAST(CASE WHEN y >= 0
+                     THEN floor(y * CAST(1000000 AS DOUBLE) + 0.5)
+                     ELSE -floor(-y * CAST(1000000 AS DOUBLE) + 0.5)
+                END AS BIGINT) AS ym,
+           row_number() OVER (PARTITION BY key ORDER BY day) AS idx
+    FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
+),
+p AS (
+    SELECT a.key, l.lag, a.xm AS x, b.ym AS y
+    FROM v a
+    CROSS JOIN (SELECT unnest(generate_series(-{max_lag}, {max_lag})) AS lag) l
+    JOIN v b ON b.key = a.key AND b.idx = a.idx + l.lag
+),
+s AS (
+    SELECT key, CAST(lag AS INTEGER) AS lag, count(*) AS n_pairs,
+           sum(CAST(x AS HUGEINT)) AS sx,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+    FROM p GROUP BY 1, 2
+)
+SELECT key, lag, n_pairs,
+       CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN {q_ccf}
+       END AS ccf
+FROM s ORDER BY key, lag
+"""
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global clustering coefficient (3T/W) of the co-purchase graph —
+    # the one-number graph-health KPI; inherits clustering_coeff's
+    # oriented wedge enumeration + breaker
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    return graph.transitivity(edges)
+
+
+_TRANSITIVITY_SQL = f"""
+WITH {_COPURCHASE_EDGES_SQL},
+und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT u AS node, count(*) AS degree FROM und GROUP BY 1),
+tris AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+),
+tcount AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1),
+per_node AS (
+    SELECT d.node, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN tcount t USING (node)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(n_triangles) // 3 AS BIGINT) AS n_triangles,
+       CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges,
+       CASE WHEN sum(degree * (degree - 1) // 2) > 0
+            THEN round(CAST(sum(n_triangles) AS DOUBLE)
+                       / CAST(sum(degree * (degree - 1) // 2) AS DOUBLE), 6)
+       END AS transitivity
+FROM per_node
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit screen on order totals — the one-scan
+    # fabricated-data detector (expected propensities are PYTHON
+    # literals on both engines: no libm log10 in either plan)
+    from big_data_in_agriculture_spark.operators import profile as prof
+
+    return prof.benford_deviation(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    ).orderBy("digit")
+
+
+def _benford_sql() -> str:
+    from big_data_in_agriculture_spark.operators.profile import (
+        _BENFORD_EXPECTED,
+    )
+
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD_EXPECTED[d]!r} AS DOUBLE)"
+        for d in range(1, 10)
+    ) + " END"
+    share = (
+        "CASE WHEN tot > 0 THEN "
+        + _quantize_sql("CAST(n_obs AS DOUBLE) / CAST(tot AS DOUBLE)", 6)
+        + " ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"""
+WITH vals AS (
+    SELECT CAST(floor(abs(CAST(o_totalprice AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS vm
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+      AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+),
+counts AS (
+    SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           count(*) AS n_obs
+    FROM vals WHERE vm > 0 GROUP BY 1
+),
+digits AS (SELECT unnest(generate_series(1, 9)) AS digit),
+j AS (
+    SELECT CAST(d.digit AS INTEGER) AS digit,
+           CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+           (SELECT coalesce(sum(n_obs), 0) FROM counts) AS tot
+    FROM digits d LEFT JOIN counts c ON c.digit = d.digit
+),
+shr AS (
+    SELECT digit, n_obs, {share} AS share, {exp_case} AS expected
+    FROM j
+)
+SELECT digit, n_obs, share, expected,
+       {_quantize_sql('abs(share - expected)', 6)} AS deviation
+FROM shr ORDER BY digit
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "era5_hourly_spatial_mean": q_era5_hourly_spatial_mean,
@@ -9276,6 +9445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_trade_hops": q_bfs_hops,
         "holt_forecast": q_holt_forecast,
         "dbscan_embed": q_dbscan,
+        # round-11 widening: CCF (lead/lag between two aligned series),
+        # global transitivity, Benford first-digit screen
+        "ccf_events": q_ccf,
+        "transitivity_trade": q_transitivity,
+        "benford_prices": q_benford,
     }
 
 
@@ -9510,6 +9684,20 @@ def oracle_sql() -> dict[str, str]:
                 6,
             ),
         ),
+        "ccf_events": _CCF_SQL_TMPL.format(
+            max_lag=_CCF_MAX_LAG,
+            q_ccf=_quantize_sql(
+                "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " / sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                " / sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
+                " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))",
+                6,
+            ),
+        ),
+        "transitivity_trade": _TRANSITIVITY_SQL,
+        "benford_prices": _benford_sql(),
         "pq_codes": _pq_codes_sql(),
         "rp_project": _rp_project_sql(),
         "url_canonical": _url_canonical_sql(),

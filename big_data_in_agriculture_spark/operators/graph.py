@@ -1177,6 +1177,44 @@ def clustering_coefficient(
     )
 
 
+def transitivity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_wedges: int | None = 1_000_000_000,
+) -> DataFrame:
+    """GLOBAL clustering coefficient of an undirected graph — one row:
+    ``(n_nodes, n_triangles, n_wedges, transitivity)`` with
+    transitivity = 3·T / W (Wasserman & Faust 1994; a.k.a. the
+    triangle density). The whole-graph companion to
+    :func:`clustering_coefficient`'s per-node ratio: the single number
+    a crawl-corpus health dashboard tracks round over round (a link
+    farm collapses it; organic community structure holds it up).
+
+    Pure composition: the per-node frame already carries everything —
+    Σ n_triangles = 3T (each triangle counts at 3 corners) and
+    W = Σ C(degree, 2) — so this is ONE aggregate over
+    :func:`clustering_coefficient`'s output; it inherits the
+    degree-ordered compact-forward enumeration, the single pinned
+    wedge join, and the ``max_wedges`` breaker. All counts exact
+    LONGs; the one float op is the final division, rounded 6 dp.
+    """
+    per_node = clustering_coefficient(
+        edges, src=src, dst=dst, max_wedges=max_wedges
+    )
+    t3 = F.sum("n_triangles")  # = 3 * T, exact
+    wedges = F.sum(F.expr("degree * (degree - 1) div 2"))
+    return per_node.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("sum(n_triangles) div 3").cast("long").alias("n_triangles"),
+        wedges.cast("long").alias("n_wedges"),
+        F.when(
+            wedges > 0,
+            F.round(t3.cast("double") / wedges.cast("double"), 6),
+        ).alias("transitivity"),
+    )
+
+
 def link_prediction(
     edges: DataFrame,
     src: str = "src",

@@ -14,6 +14,8 @@ sketches, not values.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -141,6 +143,91 @@ def robust_outliers(
         .withColumn("robust_z", z)
         .filter(F.abs(F.col("robust_z")) > z_thresh)
         .drop("_med", "_mad")
+    )
+
+
+#: First-digit propensities log10(1 + 1/d), quantized 6 dp half-away
+#: in PYTHON and injected as literals into BOTH engines — libm log10
+#: may differ by an ulp across implementations, so neither engine
+#: computes the logarithm itself.
+_BENFORD_EXPECTED = {
+    d: math.floor(abs(math.log10(1.0 + 1.0 / d)) * 1e6 + 0.5) / 1e6
+    for d in range(1, 10)
+}
+
+
+def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit (Benford's law) screen over a positive numeric
+    column: 9 rows ``(digit, n_obs, share, expected, deviation)``.
+
+    The classic cheap fraud / data-corruption detector (Benford 1938;
+    Nigrini 1996 for audit practice): naturally-generated multi-scale
+    magnitudes (prices, populations, file sizes) put digit d first
+    with propensity log10(1+1/d) ≈ 30.1% for 1 down to 4.6% for 9 —
+    fabricated or truncated data visibly deviates. In a lake pipeline
+    it's a one-scan quality gate per numeric column; in a curation
+    pipeline, a synthetic-table detector.
+
+    Scale shape: ONE scan + a 9-group aggregate; the digit histogram
+    is the only shuffled state. Determinism: values quantize to LONG
+    micros (scale-invariance makes the unit irrelevant to Benford);
+    the leading digit is the first character of the BIGINT's decimal
+    string (exact on both engines — no float log10 anywhere); shares
+    are single divisions of exact LONGs, quantized 6 dp half-away;
+    ``expected`` is a Python-computed literal (see above), so
+    ``deviation`` subtracts two bit-identical doubles. NULL, NaN,
+    zero and sub-microunit values are excluded (no leading digit).
+    Digits absent from the data still emit their row with n_obs 0.
+    """
+    from .similarity import _quantize_col
+
+    v = F.col(value_col).cast("double")
+    vm = F.floor(F.abs(v) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    counts = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(vm.alias("_vm"))
+        .filter(F.col("_vm") > 0)
+        .select(
+            F.substring(F.col("_vm").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    expected = F.when(
+        F.col("digit") == 1, F.lit(_BENFORD_EXPECTED[1])
+    )
+    for d in range(2, 10):
+        expected = expected.when(
+            F.col("digit") == d, F.lit(_BENFORD_EXPECTED[d])
+        )
+    total = Window.partitionBy()
+    # empty-input guard: share 0 (not 0/0 = NaN — the engines'
+    # NaN-propagation through the quantize differs from NULL's)
+    share = F.when(
+        F.sum("n_obs").over(total) > 0,
+        _quantize_col(
+            F.col("n_obs").cast("double")
+            / F.sum("n_obs").over(total).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        digits.join(counts, "digit", "left")
+        .select(
+            "digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")
+        )
+        .select(
+            "digit",
+            "n_obs",
+            share.alias("share"),
+            expected.alias("expected"),
+            _quantize_col(F.abs(share - expected), 6).alias("deviation"),
+        )
     )
 
 

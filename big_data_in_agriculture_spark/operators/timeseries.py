@@ -890,6 +890,124 @@ def autocorrelation(
     )
 
 
+def cross_correlation(
+    daily: DataFrame,
+    max_lag: int = 7,
+    key_col: str = "key",
+    day_col: str = "day",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-key cross-correlation function: ``(key, lag, n_pairs,
+    ccf)`` for every lag −``max_lag``..+``max_lag``.
+
+    The lead/lag detector between TWO aligned series (Box & Jenkins
+    1970 §11 — "prewhitened" CCF is the classic transfer-function
+    identification tool): ``ccf(L)`` is the Pearson correlation of the
+    (x_t, y_{t+L}) pairs over positions where both exist, per key. A
+    peak at positive L means x LEADS y by L steps (x predicts y); at
+    negative L, y leads x. In a pipeline: does event volume lead
+    revenue, does temperature lead evapotranspiration, does crawl-rate
+    lead dedup pressure.
+
+    Scale shape: identical to :func:`autocorrelation`'s round-11 form
+    — ONE per-key window sort evaluating lead(y, L) / lag(y, −L) for
+    all 2·max_lag+1 lags as columns in a single pass, then a bounded
+    posexplode feeding a map-side partially-aggregated (key, lag)
+    groupBy. Shuffles: the one per-key sort (corpus-sized) + |keys| ×
+    (2·max_lag+1) aggregated rows. No self-join, no per-lag passes.
+
+    Input contract: complete-case days — rows where EITHER value is
+    NULL are dropped BEFORE indexing (a half-observed day can neither
+    pair in any direction nor contribute to the sums, and engines
+    disagree on NULL sort order). (key, day) should be unique (the
+    daily-series form); duplicates are ordered by the deterministic
+    tiebreak (day, x, y).
+
+    Determinism contract: both series quantize to LONG micros
+    (half-away); all five correlation sums are EXACT integer sums
+    (DECIMAL(36,0) / HUGEINT); the Pearson formula evaluates in a
+    fixed double op sequence from exactly-representable integers;
+    result quantized 6 dp half-away. Zero-variance slices emit NULL
+    ccf. Same |value| < 1e12 micros bound as autocorrelation.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag < 1: {max_lag}")
+    m = int(max_lag)
+
+    def _mic(c: F.Column) -> F.Column:
+        return (
+            F.signum(c) * F.floor(F.abs(c) * F.lit(1_000_000.0) + F.lit(0.5))
+        ).cast("long")
+
+    base = (
+        daily.filter(
+            F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(day_col).alias("day"),
+            _mic(F.col(x_col).cast("double")).alias("_x"),
+            _mic(F.col(y_col).cast("double")).alias("_y"),
+        )
+    )
+    wlead = Window.partitionBy("key").orderBy("day", "_x", "_y")
+    lag_cols = []
+    for L in range(-m, m + 1):
+        if L >= 0:
+            lag_cols.append(F.lead("_y", L).over(wlead).alias(f"_l{L + m}"))
+        else:
+            lag_cols.append(F.lag("_y", -L).over(wlead).alias(f"_l{L + m}"))
+    wide = base.select("key", "_x", *lag_cols)
+    pairs = (
+        wide.select(
+            "key",
+            "_x",
+            F.posexplode(
+                F.array(*[F.col(f"_l{i}") for i in range(2 * m + 1)])
+            ).alias("_pos", "_yv"),
+        )
+        .filter(F.col("_yv").isNotNull())
+        .select(
+            "key",
+            (F.col("_pos") - F.lit(m)).cast("int").alias("lag"),
+            "_x",
+            F.col("_yv").alias("_y"),
+        )
+    )
+    dx = F.col("_x").cast("decimal(18,0)")
+    dy = F.col("_y").cast("decimal(18,0)")
+    sums = pairs.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum((dx * dy).cast("decimal(36,0)")).alias("_sxy"),
+        F.sum((dx * dx).cast("decimal(36,0)")).alias("_sxx"),
+        F.sum((dy * dy).cast("decimal(36,0)")).alias("_syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    from .similarity import _quantize_col
+
+    return sums.select(
+        "key",
+        "lag",
+        "n_pairs",
+        F.when(
+            (varx > 0) & (vary > 0),
+            _quantize_col(
+                (n * sxy - sx * sy) / F.sqrt(varx) / F.sqrt(vary), 6
+            ),
+        ).alias("ccf"),
+    )
+
+
 def mad_outliers(
     daily: DataFrame,
     k_num: int = 7,

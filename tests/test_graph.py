@@ -747,3 +747,60 @@ def test_kcore_rounds_reach_fixpoint_on_testdata(spark):
             for r in graph.kcore(edges, k=entry._KCORE_K).collect()
         )
         assert fixed == conv, sf
+
+
+# ---------------------------------------------------------------------------
+# transitivity (round 11)
+# ---------------------------------------------------------------------------
+
+
+class TestTransitivity:
+    def test_triangle_is_one(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            transitivity,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], ["src", "dst"]
+        )
+        row = transitivity(e).collect()[0]
+        assert row["n_nodes"] == 3
+        assert row["n_triangles"] == 1
+        assert row["n_wedges"] == 3
+        assert row["transitivity"] == 1.0
+
+    def test_path_and_star_are_zero(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            transitivity,
+        )
+
+        path = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+        )
+        r = transitivity(path).collect()[0]
+        assert r["n_triangles"] == 0
+        assert r["n_wedges"] == 2
+        assert r["transitivity"] == 0.0
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], ["src", "dst"]
+        )
+        r = transitivity(star).collect()[0]
+        assert r["n_triangles"] == 0
+        assert r["n_wedges"] == 10
+        assert r["transitivity"] == 0.0
+
+    def test_triangle_plus_pendant(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            transitivity,
+        )
+
+        # triangle {1,2,3} + pendant 4 on node 1: wedges = C(3,2) +
+        # 1 + 1 = 5, closed = 3 -> 3/5
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (1, 4)], ["src", "dst"]
+        )
+        row = transitivity(e).collect()[0]
+        assert row["n_nodes"] == 4
+        assert row["n_triangles"] == 1
+        assert row["n_wedges"] == 5
+        assert row["transitivity"] == 0.6

@@ -428,3 +428,51 @@ class TestHistogramQuantileSketch:
             prof.histogram_sketch(df, "v", 5.0, 5.0, 10)
         with _pt.raises(ValueError):
             prof.histogram_sketch(df, "v", 0.0, 1.0, 0)
+
+
+# ---------------------------------------------------------------------------
+# benford_deviation (round 11)
+# ---------------------------------------------------------------------------
+
+
+class TestBenford:
+    def test_counts_shares_and_missing_digits(self, spark):
+        from big_data_in_agriculture_spark.operators.profile import (
+            benford_deviation,
+        )
+
+        df = spark.createDataFrame(
+            [(v,) for v in [1.5, 12.0, 19.9, 2.0, 250.0, 0.31, 0.0, None]],
+            ["amt"],
+        )
+        rows = {r["digit"]: r for r in benford_deviation(df, "amt").collect()}
+        assert sorted(rows) == list(range(1, 10))
+        # 1.5, 12.0, 19.9 lead with 1; 2.0, 250.0 with 2; 0.31 -> micros
+        # 310000 leads with 3; 0.0 and NULL excluded
+        assert rows[1]["n_obs"] == 3
+        assert rows[2]["n_obs"] == 2
+        assert rows[3]["n_obs"] == 1
+        assert rows[9]["n_obs"] == 0
+        assert rows[1]["share"] == 0.5
+        # expected literal: log10(2) quantized 6dp
+        assert rows[1]["expected"] == 0.30103
+        assert abs(rows[1]["deviation"] - 0.19897) < 1e-9
+
+    def test_benford_like_input_has_low_deviation(self, spark):
+        import math
+
+        from big_data_in_agriculture_spark.operators.profile import (
+            benford_deviation,
+        )
+
+        # powers of a constant ratio are the canonical Benford set
+        vals = [(1.07 ** i,) for i in range(400)]
+        df = spark.createDataFrame(vals, ["amt"])
+        out = benford_deviation(df, "amt").collect()
+        assert sum(r["n_obs"] for r in out) == 400
+        for r in out:
+            assert r["deviation"] < 0.02
+        # expected column matches log10(1+1/d) for every digit
+        for r in out:
+            want = math.log10(1 + 1 / r["digit"])
+            assert abs(r["expected"] - want) < 1e-6

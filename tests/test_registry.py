@@ -171,7 +171,7 @@ DISPLACED = [
 #: ("176 of 178 registered queries hash-match ... the remaining 2").
 #: Registering a query or converting a rows-only op MUST update the
 #: docs and these constants together.
-REGISTERED_QUERIES = 214
+REGISTERED_QUERIES = 217
 ROWS_ONLY = 2
 
 

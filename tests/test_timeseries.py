@@ -757,3 +757,118 @@ class TestMadOutliers:
         df = self._mk(spark, [1.0])
         with _pytest.raises(ValueError):
             mad_outliers(df, k_den=0)
+
+
+# ---------------------------------------------------------------------------
+# cross_correlation (round 11)
+# ---------------------------------------------------------------------------
+
+
+class TestCrossCorrelation:
+    def _mk(self, spark, xs, ys, key="k"):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(key, base + dt.timedelta(days=i), float(x), float(y))
+             for i, (x, y) in enumerate(zip(xs, ys))],
+            ["key", "day", "x", "y"],
+        )
+
+    def test_shifted_copy_peaks_at_shift_lag(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            cross_correlation,
+        )
+
+        xs = [3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.5, 4.0] * 5
+        # y_t = x_{t-2}  =>  x leads y by 2: corr(x_t, y_{t+2}) == 1
+        ys = [0.0, 0.0] + xs[:-2]
+        out = {
+            r["lag"]: (r["n_pairs"], r["ccf"])
+            for r in cross_correlation(
+                self._mk(spark, xs, ys), max_lag=3
+            ).collect()
+        }
+        assert out[2][1] == 1.0
+        assert out[2][0] == 38  # n - 2 pairs
+        # no other lag is a perfect copy
+        for lag, (_, c) in out.items():
+            if lag != 2:
+                assert c is None or c < 1.0
+
+    def test_zero_lag_self_is_one_and_symmetry(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            cross_correlation,
+        )
+
+        xs = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0]
+        out = {
+            r["lag"]: r["ccf"]
+            for r in cross_correlation(
+                self._mk(spark, xs, xs), max_lag=2
+            ).collect()
+        }
+        # ccf(x, x) at lag 0 is exactly 1
+        assert out[0] == 1.0
+        # ccf of a series with itself is symmetric in the lag
+        assert out[1] == out[-1]
+        assert out[2] == out[-2]
+
+    def test_matches_acf_on_identical_series(self, spark):
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            autocorrelation,
+            cross_correlation,
+        )
+
+        import math
+
+        xs = [math.sin(i / 3.0) * 5 + (i % 4) for i in range(40)]
+        df = self._mk(spark, xs, xs)
+        ccf = {
+            r["lag"]: (r["n_pairs"], r["ccf"])
+            for r in cross_correlation(df, max_lag=4).collect()
+        }
+        acf = {
+            r["lag"]: (r["n_pairs"], r["acf"])
+            for r in autocorrelation(
+                df.select("key", "day", F.col("x").alias("value")),
+                max_lag=4,
+            ).collect()
+        }
+        for lag in (1, 2, 3, 4):
+            assert ccf[lag] == acf[lag]
+
+    def test_null_rows_dropped_complete_case(self, spark):
+        import datetime as dt
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            cross_correlation,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", base + dt.timedelta(days=i), x, y)
+            for i, (x, y) in enumerate(
+                [(1.0, 2.0), (None, 3.0), (2.0, None), (3.0, 1.0),
+                 (4.0, 5.0), (5.0, 2.0)]
+            )
+        ]
+        df = spark.createDataFrame(rows, ["key", "day", "x", "y"])
+        out = {
+            r["lag"]: r["n_pairs"]
+            for r in cross_correlation(df, max_lag=1).collect()
+        }
+        # 4 complete-case days -> 3 adjacent pairs each direction
+        assert out[1] == 3
+        assert out[-1] == 3
+
+    def test_invalid_max_lag_raises(self, spark):
+        import pytest as _pytest
+
+        from big_data_in_agriculture_spark.operators.timeseries import (
+            cross_correlation,
+        )
+
+        df = self._mk(spark, [1.0], [1.0])
+        with _pytest.raises(ValueError, match="max_lag"):
+            cross_correlation(df, max_lag=0)
