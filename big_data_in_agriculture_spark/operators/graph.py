@@ -501,9 +501,16 @@ def core_numbers(
     - ``rounds=None``: iterate to the verified fixpoint (raises after
       ``max_iter`` non-converged rounds; the per-round cost of the
       check is one node-keyed join + isEmpty).
-    - ``rounds=R``: exactly R updates, no convergence actions — the
-      SQL-replayable form (the oracle unrolls R window-CTEs; tests pin
-      an R proven to reach the true fixpoint on every shipped graph).
+    - ``rounds=R``: at most R updates — the SQL-replayable form (the
+      oracle unrolls R window-CTEs; tests pin an R proven to reach the
+      true fixpoint on every shipped graph). The loop stops EARLY the
+      first round whose delta is empty: the update is a pure
+      synchronous function of the value table, so an empty delta is a
+      fixpoint and every remaining round recomputes the identity —
+      skipping them is bit-identical (r11 measurement at the sf0.1
+      gate: settle at round 4 of 24, so 20 no-op rounds of pure job
+      overhead dropped). No extra action: the churn count the
+      adaptive switch already reads detects the fixpoint for free.
     """
     if rounds is not None and rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
@@ -684,7 +691,13 @@ def core_numbers(
         changed = delta.select("node")
         changed_cnt = delta.count()
         _trace("core_numbers", _rnd, changed_cnt, _t0)
-        if rounds is None and changed_cnt == 0:
+        if changed_cnt == 0:
+            # fixpoint — in BOTH modes. The update is a pure
+            # synchronous function of the value table, so an empty
+            # delta means state_{t+1} == state_t and every remaining
+            # fixed round recomputes the identity; skipping them is
+            # bit-identical to running them (the oracle's extra
+            # unrolled CTEs are identities for the same reason).
             converged = True
             break
     if not converged:
@@ -729,10 +742,14 @@ def label_propagation(
     table, two equal consecutive rounds ARE a fixpoint. Two modes,
     the :func:`kcore` contract: ``rounds=None`` iterates to that
     verified fixpoint (raises after ``max_iter``, since self-inclusion
-    damps but does not PROVE termination); ``rounds=R`` runs exactly R
+    damps but does not PROVE termination); ``rounds=R`` runs at most R
     updates — deterministic at any R, the SQL-replayable form the
     registered oracle unrolls, with tests pinning an R proven settled
-    on every shipped graph.
+    on every shipped graph. Both modes stop EARLY the first round
+    whose delta is empty: an empty delta under this pure synchronous
+    update is a fixpoint, so the skipped rounds are identities and
+    the result is bit-identical (r11: the sf0.1 gate settles at round
+    4 of 8 — the free churn count turns the dead tail into zero jobs).
 
     One round = one edge equi-join (fetch neighbor labels) + one
     (node, label) count aggregate + one per-node argmax (row_number
@@ -946,7 +963,11 @@ def label_propagation(
         changed = delta.select("node")
         changed_cnt = delta.count()
         _trace("label_propagation", _rnd, changed_cnt, _t0)
-        if rounds is None and changed_cnt == 0:
+        if changed_cnt == 0:
+            # fixpoint — in BOTH modes (see core_numbers: an empty
+            # delta under a pure synchronous update makes every
+            # remaining fixed round an identity, so skipping them is
+            # bit-identical).
             converged = True
             break
     if not converged:

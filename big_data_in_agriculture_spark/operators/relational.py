@@ -1729,26 +1729,38 @@ def copurchase_pairs(
     """Market-basket analysis: most co-purchased part pairs.
 
     The classic association query: parts appearing in the SAME order,
-    counted across orders. The pair space is generated per order by a
-    self-equi-join on the order key (never a corpus cross join —
-    candidates are bounded by order size², ~7² here and small for any
-    realistic basket), with `a < b` canonicalization so each pair
-    counts once per order. Duplicate part lines within one order
-    collapse first so a twice-ordered part doesn't self-pair.
+    counted across orders. The pair space is generated per order by an
+    in-bucket array combinator over the order's sorted distinct part
+    set (r11 — previously a self-equi-join on the order key: the
+    combinator form drops the join and its exchange while emitting the
+    identical a < b canonical pairs, the jaccard_pairs bucket-expansion
+    shape). Candidates stay bounded by order size², ~7² here and small
+    for any realistic basket; duplicate part lines within one order
+    collapse first (collect_set) so a twice-ordered part doesn't
+    self-pair.
 
-    Scale: one distinct + one self-join keyed on the order id (uniform
-    key) + one count aggregate; top-k is TakeOrderedAndProject.
+    Scale: one distinct + one per-order set aggregate + one count
+    aggregate — no join; top-k is TakeOrderedAndProject.
     """
-    parts = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = parts.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    sets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    b = parts.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    n = F.size("ps")
+    pair_arrays = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice("ps", i + 2, n),  # elements strictly after i
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        sets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_count)
@@ -1890,11 +1902,25 @@ def association_rules(
     item = parts.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("item_orders")
     )
-    a = parts.select(F.col("l_orderkey"), F.col("l_partkey").alias("x"))
-    b = parts.select(F.col("l_orderkey"), F.col("l_partkey").alias("y"))
+    # per-basket pair space via the in-bucket array combinator (r11 —
+    # replaces the self-equi-join on the order key; identical x < y
+    # canonical pairs, one exchange fewer, see copurchase_pairs)
+    sets = parts.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sz = F.size("ps")
+    pair_arrays = F.flatten(
+        F.transform(
+            "ps",
+            lambda px, i: F.transform(
+                F.slice("ps", i + 2, sz),  # elements strictly after i
+                lambda py: F.struct(px.alias("x"), py.alias("y")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("x") < F.col("y"))
+        sets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.x", "p.y")
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("pair_orders"))
         .filter(F.col("pair_orders") >= min_pair_orders)

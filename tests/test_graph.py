@@ -804,3 +804,50 @@ class TestTransitivity:
         assert row["n_triangles"] == 1
         assert row["n_wedges"] == 5
         assert row["transitivity"] == 0.6
+
+
+class TestFixedRoundsEarlyExit:
+    """r11 optimization: fixed-rounds mode stops at the first empty
+    delta. The update is a pure synchronous function of the state
+    table, so an empty delta is a fixpoint and the skipped rounds are
+    identities — results must be bit-identical to literally running
+    every requested round."""
+
+    def test_core_numbers_huge_round_count_matches_fixpoint(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            core_numbers,
+        )
+
+        # triangle + tail: settles in ~2 h-index rounds; rounds=40
+        # must return instantly-equivalent values, not run 40 rounds
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+        )
+        fixed = sorted(
+            (r["node"], r["core"])
+            for r in core_numbers(e, rounds=40).collect()
+        )
+        conv = sorted(
+            (r["node"], r["core"]) for r in core_numbers(e).collect()
+        )
+        assert fixed == conv == [(1, 2), (2, 2), (3, 2), (4, 1), (5, 1)]
+
+    def test_lpa_huge_round_count_matches_fixpoint(self, spark):
+        from big_data_in_agriculture_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # two disjoint triangles: smallest-label fixpoint after ~1
+        # round; rounds=40 must equal the fixpoint result
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+            ["src", "dst"],
+        )
+        fixed = sorted(
+            map(tuple, label_propagation(e, rounds=40).collect())
+        )
+        conv = sorted(map(tuple, label_propagation(e).collect()))
+        assert fixed == conv
+        assert fixed == [
+            (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10),
+        ]
