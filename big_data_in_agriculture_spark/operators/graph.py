@@ -522,12 +522,12 @@ def core_numbers(
             .filter(F.col("u") != F.col("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     c = (
         und.groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_iter = max_iter if rounds is None else rounds
     converged = rounds is not None
@@ -567,6 +567,7 @@ def core_numbers(
                         "left",
                     ).select("node", F.coalesce("_ov", "c").alias("c")),
                     _rnd,
+                    eager=False,
                 )
                 overlay = None
             nbr = und.join(base, und.v == base.node).select(
@@ -579,6 +580,7 @@ def core_numbers(
                 .groupBy(F.col("u").alias("node"))
                 .agg(F.max(F.least("rn", "cv")).alias("c")),
                 _rnd,
+                eager=False,
             )
             # delta = nodes whose value moved (monotone non-increasing,
             # so != means strictly decreased); both sides pinned
@@ -589,6 +591,7 @@ def core_numbers(
                 .filter(F.col("c") != F.col("_old"))
                 .select("node", "c"),
                 _rnd,
+                eager=False,
             )
             base = new_base
         else:
@@ -655,6 +658,7 @@ def core_numbers(
                 .agg(F.max(F.least("rn", "cv")).alias("c"))
                 .coalesce(8),
                 _rnd,
+                eager=False,
             )
             # stream base, broadcast the (small) recomputed values
             cur = base.join(
@@ -675,6 +679,7 @@ def core_numbers(
                 .select("node", F.col("_new").alias("c"))
                 .coalesce(8),
                 _rnd,
+                eager=False,
             )
             overlay = pin_iter(
                 (
@@ -687,6 +692,7 @@ def core_numbers(
                     )
                 ).coalesce(8),
                 _rnd,
+                eager=False,
             )
         changed = delta.select("node")
         changed_cnt = delta.count()
@@ -784,13 +790,13 @@ def label_propagation(
             .filter(F.col("u") != F.col("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     lab = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("community", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("node").orderBy(
         F.col("_cnt").desc(), F.col("community").asc()
@@ -826,6 +832,7 @@ def label_propagation(
                         F.coalesce("_ov", "community").alias("community"),
                     ),
                     _rnd,
+                    eager=False,
                 )
                 overlay = None
             votes = (
@@ -842,6 +849,7 @@ def label_propagation(
                 .filter(F.col("_rn") == 1)
                 .select("node", "community"),
                 _rnd,
+                eager=False,
             )
             delta = pin_iter(
                 new_base.join(
@@ -851,6 +859,7 @@ def label_propagation(
                 .filter(F.col("community") != F.col("_old"))
                 .select("node", "community"),
                 _rnd,
+                eager=False,
             )
             base = new_base
         else:
@@ -919,6 +928,7 @@ def label_propagation(
                 .select("node", "community")
                 .coalesce(8),
                 _rnd,
+                eager=False,
             )
             # stream base, broadcast the (small) re-voted labels
             cur = base.join(
@@ -947,6 +957,7 @@ def label_propagation(
                 .select("node", F.col("_new").alias("community"))
                 .coalesce(8),
                 _rnd,
+                eager=False,
             )
             overlay = pin_iter(
                 (
@@ -959,6 +970,7 @@ def label_propagation(
                     )
                 ).coalesce(8),
                 _rnd,
+                eager=False,
             )
         changed = delta.select("node")
         changed_cnt = delta.count()
