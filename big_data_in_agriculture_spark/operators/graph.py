@@ -117,13 +117,13 @@ def pagerank(
 
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -142,7 +142,7 @@ def pagerank(
     deg = (
         nodes.join(outdeg, "node", "left")
         .select("node", F.coalesce("od", F.lit(0)).alias("od"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranks = deg.withColumn("rank_e12", F.lit(base).cast("long"))
     for _rnd in range(iterations):
@@ -179,7 +179,7 @@ def pagerank(
         # per-round pin with periodic stats reset: localCheckpoint
         # PRESERVES plan statistics, which SQUARE per round and cross
         # BigInteger's bit ceiling near iteration ~40 (_util.py note)
-        ranks = pin_iter(ranks, _rnd)
+        ranks = pin_iter(ranks, _rnd, eager=False)
         if residual_out is not None:
             residual_out.append(
                 ranks.join(
@@ -230,13 +230,13 @@ def bfs_levels(
         raise ValueError(f"max_depth must be >= 0, got {max_depth}")
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     visited = (
         sources.select(F.col(source_col).alias("node"))
         .distinct()
         .withColumn("level", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     for depth in range(1, max_depth + 1):
@@ -250,10 +250,11 @@ def bfs_levels(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("level", F.lit(depth).cast("long")),
             depth,
+            eager=False,
         )
         if nxt.isEmpty():
             break
-        visited = pin_iter(visited.unionByName(nxt), depth)
+        visited = pin_iter(visited.unionByName(nxt), depth, eager=False)
         frontier = nxt
     return visited
 
@@ -297,7 +298,7 @@ def personalized_pagerank(
 
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     s = sources.select(F.col(source_col).alias("node")).distinct()
     nodes = (
@@ -317,7 +318,7 @@ def personalized_pagerank(
             F.coalesce("od", F.lit(0)).alias("od"),
             F.coalesce("_is_src", F.lit(0)).alias("is_src"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     s_n = deg.filter(F.col("is_src") == 1).count()
     if s_n == 0:
@@ -363,6 +364,7 @@ def personalized_pagerank(
                 ).cast("long").alias("rank_e12"),
             ),
             _rnd,
+            eager=False,
         )
     return ranks.select("node", "rank_e12")
 
@@ -411,7 +413,7 @@ def kcore(
             .filter(F.col("u") != F.col("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     alive_edges = und
     n_iter = max_iter if rounds is None else rounds
@@ -424,6 +426,7 @@ def kcore(
             .join(keep.select(F.col("u").alias("v")), "v")
             .select("u", "v"),
             _rnd,
+            eager=False,
         )
         if rounds is None:
             # convergence test only in fixpoint mode — fixed-rounds
@@ -1041,13 +1044,13 @@ def sssp(
             F.col(dst).alias("dst"),
             F.col(weight).cast("long").alias("w"),
         ).filter(F.col("w") >= 0)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = (
         sources.select(F.col(source_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = dist  # round 0: every source just "improved" to 0
     for _rnd in range(max_hops):
