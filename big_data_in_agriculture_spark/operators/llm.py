@@ -1185,7 +1185,8 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("syms", F.split(F.col("w"), ""))
         .drop("w")
-        .localCheckpoint(eager=True)
+        # lazy: the first merge round's collect materializes the pin
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -1237,7 +1238,10 @@ def bpe_train(
                 acc["prev"].isNull(), acc["out"]
             ).otherwise(F.concat(acc["out"], F.array(acc["prev"]))),
         )
-        words = words.withColumn("syms", merged).localCheckpoint(eager=True)
+        # lazy: the NEXT merge's pair-count collect materializes the
+        # rewrite (one job per merge instead of two); the last rewrite
+        # is never consumed and so never computed
+        words = words.withColumn("syms", merged).localCheckpoint(eager=False)
     return merges
 
 
@@ -2844,7 +2848,8 @@ def textrank_keywords(
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
     )
-    edges = edges.localCheckpoint(eager=True)  # built once, joined per iter
+    # built once, joined per iter; lazy — n_nodes.count() materializes
+    edges = edges.localCheckpoint(eager=False)
 
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     nodes = edges.select(F.col("src").alias("word")).distinct()
@@ -3125,7 +3130,8 @@ def epoch_shuffle(
         "_b", F.conv(F.substring("_k", 1, 2), 16, 10).cast("int")
     )
     if checkpoint:
-        keyed = keyed.localCheckpoint(eager=True)
+        # lazy: the bucket-count collect right below materializes it
+        keyed = keyed.localCheckpoint(eager=False)
     counts = (
         keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
     )
