@@ -1156,10 +1156,14 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jégou et al. 2011): split
     each vector into ``n_subspaces`` contiguous blocks and run the
-    bit-replayable k-means (``kmeans_fit``, tol=0, quantized updates)
-    independently per block. Returns ``[subspace][code][component]``
-    — n_subspaces × n_codes centroids of dim/n_subspaces components,
-    a driver-side model artifact like any k-means fit.
+    bit-replayable k-means (the ``kmeans_fit`` recurrence, tol=0,
+    quantized updates) independently per block — FUSED so all blocks
+    train from one scan per iteration (r11; the sequential
+    one-fit-per-block form read the corpus n_subspaces × (1+max_iter)
+    times and produced bit-identical books, A/B-verified). Returns
+    ``[subspace][code][component]`` — n_subspaces × n_codes centroids
+    of dim/n_subspaces components, a driver-side model artifact like
+    any k-means fit.
 
     Validity is decided on the FULL vector (one NaN component excludes
     the row from every subspace's fit, not just its own) so train,
@@ -1169,23 +1173,66 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
     sub = dim // n_subspaces
     valid = corpus.filter(vec_is_valid(F.col(vec_col)))
-    books = []
-    for s in range(n_subspaces):
-        sliced = valid.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+    # r11 FUSED form: the per-subspace fits are independent k-means
+    # over slices of the SAME rows with the SAME fixed iteration count
+    # (tol=0), so their per-iteration assign + partial-agg passes fuse
+    # into ONE job covering all subspaces — one init collect + max_iter
+    # scan-aggregate jobs total, where the sequential form paid
+    # n_subspaces × (1 + max_iter) jobs, each a full corpus scan (8×
+    # the training reads at any scale). Values are bit-identical: each
+    # subspace's argmin is the same array_sort(dist, cid) construction
+    # kmeans_fit runs on its slice, and the (s, cluster, d) partial
+    # sums fold in the same partition row order as the per-subspace
+    # (cluster, d) sums did.
+    data = valid.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
+        eager=False
+    )
+    init = data.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    if not init:
+        return [[] for _ in range(n_subspaces)]
+    books = [
+        [
+            [float(x) for x in r[vec_col][s * sub : (s + 1) * sub]]
+            for r in init
+        ]
+        for s in range(n_subspaces)
+    ]
+    for _ in range(max_iter):
+        cluster_ids = F.array(*[
+            F.array_sort(
+                _centroid_dist_pairs(
+                    F.slice(F.col(vec_col), s * sub + 1, sub), books[s]
+                )
+            )[0]["cid"]
+            for s in range(n_subspaces)
+        ])
+        assigned = data.select(
+            cluster_ids.alias("cl"), _dvec(F.col(vec_col)).alias("v")
         )
-        books.append(
-            kmeans_fit(
-                sliced,
-                k=n_codes,
-                max_iter=max_iter,
-                vec_col=vec_col,
-                id_col=id_col,
-                tol=0.0,
-                quantize=quantize,
+        rows = (
+            assigned.select("cl", F.posexplode("v").alias("df", "x"))
+            .select(
+                (F.col("df") / sub).cast("int").alias("s"),
+                (F.col("df") % sub).alias("d"),
+                F.element_at(
+                    F.col("cl"), (F.col("df") / sub).cast("int") + 1
+                ).alias("cluster"),
+                "x",
             )
+            .groupBy("s", "cluster", "d")
+            .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
+        sums: dict[tuple[int, int, int], float] = {}
+        ns: dict[tuple[int, int], int] = {}
+        for row in rows:
+            sums[(row["s"], row["cluster"], row["d"])] = row["sm"]
+            ns[(row["s"], row["cluster"])] = row["n"]
+        for (s, c_idx), n in ns.items():
+            c = [sums[(s, c_idx, j)] / n for j in range(sub)]
+            if quantize is not None:
+                c = [quantize_half_away(x, quantize) for x in c]
+            books[s][c_idx] = c
     return books
 
 
