@@ -4212,9 +4212,17 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identically (_kmeans_clusters_sql). Cluster-quality
     # correctness is still covered by planted-cluster recovery tests.
     emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_fit(emb, k=8, max_iter=5, tol=0.0, quantize=6)
+    # r12: fit and assign share ONE pinned (id, vec) scan — the
+    # kmeans_fit wrapper pinned its own copy and kmeans_assign then
+    # re-scanned the parquet + re-filtered for the identical row set.
+    # Same expressions over the same rows: counts and hash unchanged.
+    data = similarity._pinned_vectors(emb, "embedding", "vec_id")
+    cents = similarity._kmeans_fit_pinned(
+        data, k=8, max_iter=5, vec_col="embedding", id_col="vec_id",
+        tol=0.0, quantize=6,
+    )
     return (
-        similarity.kmeans_assign(emb, cents)
+        similarity.kmeans_assign(data, cents)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster")

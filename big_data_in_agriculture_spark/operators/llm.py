@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ._util import fan_out as _fan_out
+from ._util import arr_lit
 from ._util import quantize_half_away
 
 
@@ -2197,7 +2198,7 @@ def classifier_margin(
     """
     if len(weights) != dim:
         raise ValueError(f"weights has {len(weights)} entries, dim={dim}")
-    w = F.lit([float(x) for x in weights])
+    w = arr_lit([float(x) for x in weights])
     toks = TX.tokens(text)
     total = F.aggregate(
         F.transform(toks, lambda t: F.element_at(w, feature_bucket(t, dim) + 1)),
@@ -2288,7 +2289,7 @@ def classifier_train(
     b = 0.0
     n_docs = None
     for _ in range(iters):
-        w_lit = F.lit(w)
+        w_lit = arr_lit(w)
         margin = (
             F.aggregate(
                 F.transform(

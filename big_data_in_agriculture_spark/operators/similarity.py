@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._util import fan_out as _fan_out
+from ._util import arr_lit
 from ._util import quantize_half_away
 
 
@@ -248,7 +249,7 @@ def _centroid_dist_pairs(vec, cents: list[list[float]]) -> F.Column:
     deterministic tie-break.
     """
     return F.transform(
-        F.lit([[float(x) for x in c] for c in cents]),
+        arr_lit([[float(x) for x in c] for c in cents]),
         lambda c, i: F.struct(
             F.aggregate(
                 F.zip_with(_dvec(vec), c, lambda a, b: a - b),
@@ -288,7 +289,7 @@ def lsh_bucket(
     v = _dvec(vec_col)
     bucket = F.lit(0).cast("long")
     for b in range(num_bits):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(seed, table, b, dim)])
+        plane = arr_lit(_hyperplane(seed, table, b, dim))
         # round-9 before the sign: kills engine fold-order jitter in
         # the last ulps so a near-orthogonal (vector, plane) pair can't
         # flip a bucket bit between numpy/Column/SQL evaluations.
@@ -722,30 +723,59 @@ def kmeans_fit(
     rounding of k x dim floats per iteration is free at any corpus
     size, so the oracle-replayable fit IS the production fit.
     """
-    # invalid vectors are excluded at entry — the repo-wide vector-op
-    # convention (vec_is_valid, COVERAGE.md). Before round 6 a NULL
-    # embedding row was silently COUNTED in its cluster's mean
-    # denominator while contributing nothing to the sums (sum skips
-    # NULL, count(*) doesn't), diluting that centroid toward zero — a
-    # real defect the NULLs-corpus sweep exposed; a NaN/Inf component
-    # is worse still (one poisoned vector turns its whole centroid
-    # NaN, which then absorbs nothing or everything depending on the
-    # engine's NaN ordering). Neither engine lets either near the fit.
-    embeddings = embeddings.filter(vec_is_valid(F.col(vec_col)))
-    # r11: pin the projected (id, vec) rows ONCE — init + every Lloyd
-    # iteration used to re-run the source scan (parquet read + filter
-    # + any upstream plan) per pass, so a max_iter=4 fit paid the
-    # corpus five times. The lazy localCheckpoint materializes on the
-    # init collect and each iteration then scans the pinned blocks;
-    # expressions, row set and partition layout are unchanged, so the
-    # per-(cluster, dim) partial-sum fold order — and therefore every
-    # centroid — is bit-identical (measured at sf0.1: kmeans_clusters
-    # 8.2 s -> 4.2 s, semantic_dedup 14.3 s -> 6.0 s, same centroids).
-    # Blocks are GC-reclaimable (checkpoint-style pin, the repo-wide
-    # discipline since r10).
-    data = embeddings.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
-        eager=False
+    data = _pinned_vectors(embeddings, vec_col, id_col)
+    return _kmeans_fit_pinned(
+        data, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col,
+        tol=tol, quantize=quantize,
     )
+
+
+def _pinned_vectors(
+    embeddings: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """The valid (id, vec) projection, pinned once (lazy localCheckpoint)
+    — the shared corpus frame behind fit + assign + pairing stages, so
+    a multi-stage consumer (kmeans_fit, semantic_dedup) scans the
+    source exactly once instead of once per stage.
+
+    Invalid vectors are excluded AT ENTRY — the repo-wide vector-op
+    convention (vec_is_valid, COVERAGE.md). Before round 6 a NULL
+    embedding row was silently COUNTED in its cluster's mean
+    denominator while contributing nothing to the sums (sum skips
+    NULL, count(*) doesn't), diluting that centroid toward zero — a
+    real defect the NULLs-corpus sweep exposed; a NaN/Inf component
+    is worse still (one poisoned vector turns its whole centroid NaN).
+
+    Storage/fault-tolerance tradeoff (r11 ADVICE): localCheckpoint
+    pins at MEMORY_AND_DISK on executor-local storage and is NOT
+    fault-tolerant — an executor loss aborts the job instead of
+    recomputing. For a fit whose corpus outgrows cluster storage,
+    drop the pin and re-scan per pass (the pre-r11 shape): the
+    recurrence is identical either way; the pin is a pure job-count/
+    scan-count optimization sized for corpora that fit the cluster
+    (the common case for embedding training sets).
+    """
+    return embeddings.filter(vec_is_valid(F.col(vec_col))).select(
+        F.col(id_col), F.col(vec_col)
+    ).localCheckpoint(eager=False)
+
+
+def _kmeans_fit_pinned(
+    data: DataFrame,
+    k: int,
+    max_iter: int,
+    vec_col: str,
+    id_col: str,
+    tol: float,
+    quantize: int | None,
+) -> list[list[float]]:
+    """Lloyd iterations over an already-pinned (id, vec) frame — the
+    body of :func:`kmeans_fit` (r11: init + every iteration scans the
+    pinned blocks, one source scan per fit instead of one per pass;
+    same expressions, row set and partition layout, so every centroid
+    is bit-identical). Split out (r12) so multi-stage consumers
+    (semantic_dedup, q_kmeans_clusters) share ONE pin across fit and
+    assign instead of re-scanning the source per stage."""
     init = (
         data.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -847,30 +877,43 @@ def semantic_dedup(
     cluster instead of n² global, and k is chosen to keep clusters
     machine-sized. Returns surviving (id, cluster) rows.
 
-    Plan shape: the Lloyd iterations touch the corpus once per
-    iteration (partial-aggregate shuffles of k×dim, see kmeans_fit);
-    the dedup itself is one self-join keyed on cluster id — a plain
-    shuffled hash join whose per-key fan-out is the cluster size.
-    Skewed (over-popular) clusters are the known failure mode at
-    scale: raise k, or let AQE skew-split the hot cluster's join.
+    Plan shape (r12): ONE pinned scan of the corpus feeds everything —
+    the Lloyd iterations (see kmeans_fit), then one pinned projection
+    computing (id, cluster, float64 vec, norm) in a single map pass,
+    from which the assignment output, both self-join sides, and the
+    final anti-join probe all read. The pre-r12 form re-scanned the
+    source for assign, joined assigned back to the source BY ID just
+    to re-fetch the vectors (a full node-keyed shuffle of vector
+    payloads the projection already had — guide §2.4), and evaluated
+    the k-centroid argmin three times; all of that is gone. Rows,
+    values, and hashes are unchanged: ids are unique (vec_id — the
+    operator contract), so "assigned ⋈ source by id" was exactly the
+    identity re-attachment of each row's own vector. The dedup itself
+    is one self-join keyed on cluster id whose two sides are now the
+    same pinned subtree (one exchange, reused). Skewed (over-popular)
+    clusters are the known failure mode at scale: raise k, or let AQE
+    skew-split the hot cluster's join.
     """
-    cents = kmeans_fit(
-        embeddings,
-        k=k,
-        max_iter=max_iter,
-        vec_col=vec_col,
-        id_col=id_col,
-        tol=tol,
-        quantize=quantize,
+    data = _pinned_vectors(embeddings, vec_col, id_col)
+    cents = _kmeans_fit_pinned(
+        data, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col,
+        tol=tol, quantize=quantize,
     )
-    assigned = kmeans_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
-    # cast AND norm hoisted below the cluster self-join — the per-pair
-    # cosine is one dot (see _prenorm_sim; float-identical, and every
-    # joined id came through kmeans_assign's vec_is_valid filter)
-    with_vec = assigned.join(
-        embeddings.select(F.col(id_col), _dvec(F.col(vec_col)).alias("_v")),
-        id_col,
-    ).withColumn("_n", _norm(F.col("_v")))
+    if not cents:  # empty corpus: no assignments, no pairs
+        return data.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cluster")
+        ).filter(F.lit(False))
+    # cluster + cast + norm in ONE map pass over the pinned blocks,
+    # pinned again so the self-join sides and the anti-join probe reuse
+    # the k-centroid argmin instead of recomputing it per consumer
+    with_vec = data.select(
+        F.col(id_col),
+        F.array_sort(_centroid_dist_pairs(F.col(vec_col), cents))[0][
+            "cid"
+        ].alias("cluster"),
+        _dvec(F.col(vec_col)).alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v"))).localCheckpoint(eager=False)
+    assigned = with_vec.select(F.col(id_col), F.col("cluster"))
     a = with_vec.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
@@ -1022,7 +1065,7 @@ def random_project(
     approximately intact; it composes with LSH/IVF rather than
     replacing them.
     """
-    mat = F.lit(_rp_signs(seed, out_dim, in_dim))
+    mat = arr_lit(_rp_signs(seed, out_dim, in_dim))
     v = _dvec(F.col(vec_col))
     proj = F.transform(
         mat, lambda row: _quantize_col(_dot(v, row), round_digits)
@@ -1169,10 +1212,34 @@ def pq_train(
     the row from every subspace's fit, not just its own) so train,
     encode, and search all see the same row set.
     """
+    data = _pinned_vectors(corpus, vec_col, id_col)
+    return _pq_train_pinned(
+        data, dim, n_subspaces=n_subspaces, n_codes=n_codes,
+        max_iter=max_iter, vec_col=vec_col, id_col=id_col,
+        quantize=quantize,
+    )
+
+
+def _pq_train_pinned(
+    data: DataFrame,
+    dim: int,
+    n_subspaces: int,
+    n_codes: int,
+    max_iter: int,
+    vec_col: str,
+    id_col: str,
+    quantize: int | None,
+) -> list[list[list[float]]]:
+    """PQ training over an already-pinned valid (id, vec) frame — the
+    body of :func:`pq_train`, split out (r12) so ivfpq_train can feed
+    it the residual pin DIRECTLY instead of pq_train re-filtering and
+    RE-MATERIALIZING a second full copy of the residual rows (a pin of
+    a pin). Same rows in the same partition-local order either way, so
+    every (s, cluster, d) partial-sum fold — and every codebook — is
+    bit-identical."""
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
     sub = dim // n_subspaces
-    valid = corpus.filter(vec_is_valid(F.col(vec_col)))
     # r11 FUSED form: the per-subspace fits are independent k-means
     # over slices of the SAME rows with the SAME fixed iteration count
     # (tol=0), so their per-iteration assign + partial-agg passes fuse
@@ -1184,9 +1251,6 @@ def pq_train(
     # kmeans_fit runs on its slice, and the (s, cluster, d) partial
     # sums fold in the same partition row order as the per-subspace
     # (cluster, d) sums did.
-    data = valid.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
-        eager=False
-    )
     init = data.orderBy(id_col).limit(n_codes).select(vec_col).collect()
     if not init:
         return [[] for _ in range(n_subspaces)]
@@ -1284,7 +1348,7 @@ def _pq_lut(vec, codebooks: list[list[list[float]]], sub: int) -> F.Column:
         slice_ = _dvec(F.slice(vec, s * sub + 1, sub))
         luts.append(
             F.transform(
-                F.lit([[float(x) for x in c] for c in book]),
+                arr_lit([[float(x) for x in c] for c in book]),
                 _dist_to(slice_),
             )
         )
@@ -1408,7 +1472,7 @@ def _residual_frame(
     literal + one zip_with); float64 subtraction is exact IEEE, so
     residuals — and everything trained or encoded on them — replay
     bit-for-bit in the SQL twins."""
-    cent_lit = F.lit([[float(x) for x in c] for c in cents])
+    cent_lit = arr_lit([[float(x) for x in c] for c in cents])
     return corpus_f.select(
         F.col(id_col),
         F.array_sort(_centroid_dist_pairs(F.col(vec_col), cents))[0][
@@ -1444,18 +1508,30 @@ def ivfpq_train(
     composition — the codebooks only make sense against the centroids
     they were trained with, so train and cache them TOGETHER).
     The residual frame is localCheckpoint'd so the 8 per-subspace fits
-    don't re-run the assignment argmin per training scan."""
-    corpus_f = corpus.filter(vec_is_valid(F.col(vec_col)))
-    cents = kmeans_fit(
-        corpus_f, k=n_centroids, max_iter=coarse_iters, vec_col=vec_col,
+    don't re-run the assignment argmin per training scan. r12: the
+    coarse fit, the residual build, and the PQ fit all read ONE pinned
+    (id, vec) scan — the old form pinned the corpus inside kmeans_fit,
+    re-scanned the parquet to build residuals, then pq_train
+    re-filtered and re-materialized a SECOND full copy of the pinned
+    residuals; rows, fold order and codebooks are bit-identical."""
+    data = _pinned_vectors(corpus, vec_col, id_col)
+    cents = _kmeans_fit_pinned(
+        data, k=n_centroids, max_iter=coarse_iters, vec_col=vec_col,
         id_col=id_col, tol=0.0, quantize=quantize,
     )
     if not cents:
         return [], []
-    resid = _residual_frame(corpus_f, cents, vec_col, id_col)
-    books = pq_train(
-        resid.localCheckpoint(eager=False), dim, n_subspaces, n_codes,
-        max_iter, vec_col=vec_col, id_col=id_col, quantize=quantize,
+    resid = _residual_frame(data, cents, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    # residuals of valid (finite) vectors are finite — subtraction of
+    # two finite doubles can only leave the finite range via overflow
+    # at ~1e308 magnitudes, far beyond any embedding — so skipping the
+    # re-filter pq_train would apply is value-identical here
+    books = _pq_train_pinned(
+        resid.select(F.col(id_col), F.col(vec_col)), dim,
+        n_subspaces=n_subspaces, n_codes=n_codes, max_iter=max_iter,
+        vec_col=vec_col, id_col=id_col, quantize=quantize,
     )
     return cents, books
 
@@ -1523,7 +1599,7 @@ def knn_ivfpq(
             F.lit(0).cast("int").alias("rank"),
         ).filter(F.lit(False))
     sub = dim // n_subspaces
-    cent_lit = F.lit([[float(x) for x in c] for c in cents])
+    cent_lit = arr_lit([[float(x) for x in c] for c in cents])
 
     def dist_pairs(vec) -> F.Column:
         return _centroid_dist_pairs(vec, cents)
@@ -1697,9 +1773,9 @@ def sq_encode(
     """
     mins, invs, _ = _sq_consts(bounds)
     v = _dvec(F.col(vec_col))
-    centered = F.zip_with(v, F.lit(mins), lambda x, m: x - m)
+    centered = F.zip_with(v, arr_lit(mins), lambda x, m: x - m)
     leveled = F.zip_with(
-        centered, F.lit(invs), lambda x, s: F.floor(x * s + F.lit(0.5))
+        centered, arr_lit(invs), lambda x, s: F.floor(x * s + F.lit(0.5))
     )
     codes = F.transform(
         leveled,
@@ -1758,9 +1834,9 @@ def knn_sq(
     # reconstruction: min_d + code_d * step_d, then the usual
     # sum-of-squared-diffs fold against the raw query vector
     scaled = F.zip_with(
-        F.lit(steps), F.col("sq_codes"), lambda s, cd: s * cd
+        arr_lit(steps), F.col("sq_codes"), lambda s, cd: s * cd
     )
-    recon = F.zip_with(F.lit(mins), scaled, lambda m, x: m + x)
+    recon = F.zip_with(arr_lit(mins), scaled, lambda m, x: m + x)
     approx_d = F.round(
         F.aggregate(
             F.zip_with(F.col("_qv"), recon, lambda a, bb: a - bb),

@@ -782,3 +782,37 @@ class TestDbscan:
             similarity.dbscan_2d(df, eps=0.0, min_pts=1)
         with _pt.raises(ValueError):
             similarity.dbscan_2d(df, eps=0.1, min_pts=0)
+
+
+def test_pq_train_fused_matches_per_slice_kmeans(spark):
+    """r11 ADVICE: pq_train's fused loop re-implements the kmeans_fit
+    update inline, so its bit-identity guarantee rests on the two
+    copies staying in sync. This cross-check pins them: each fused
+    subspace codebook must equal a sequential kmeans_fit run on that
+    slice alone (same init rule, same fixed iterations, same quantize
+    grid). A future edit that diverges either recurrence fails here."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from big_data_in_agriculture_spark.operators.similarity import (
+        kmeans_fit,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_train(
+        emb, dim=8, n_subspaces=2, n_codes=4, max_iter=3, quantize=6
+    )
+    for s in range(2):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", s * 4 + 1, 4).alias("embedding")
+        )
+        cents = kmeans_fit(
+            sliced, k=4, max_iter=3, tol=0.0, quantize=6
+        )
+        assert books[s] == cents, f"subspace {s} diverged from kmeans_fit"
