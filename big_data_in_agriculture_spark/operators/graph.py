@@ -74,6 +74,21 @@ def _trace(op: str, rnd: int, changed: int, t0: float) -> None:
 MASS = 1_000_000_000_000
 
 
+#: Node-count floor for the narrow (frontier-restricted) round shape in
+#: core_numbers / label_propagation. A narrow round's cost is dominated
+#: by FIXED plumbing — ~6 broadcast-hash joins + 3 delta-sized pins per
+#: round — independent of how little work it saves; a full-recompute
+#: round on a small graph is one cheap node-keyed shuffle. Measured on
+#: the sf0.1 gate graph (1880 nodes): narrow tail rounds 1.6-3.1 s vs
+#: wide rounds 1.0-1.3 s — the restriction was a net LOSS below ~1e5
+#: nodes. At the 5M-edge SCALE.md geometry (1M nodes) the narrow tail
+#: is what beats the 141 s full form, so the floor changes nothing
+#: there. Pure cost-model refinement: wide and narrow rounds compute
+#: bit-identical states (documented invariant), so the switch never
+#: affects results at any size.
+_NARROW_MIN_NODES = 100_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -558,10 +573,12 @@ def core_numbers(
     changed_cnt = n_nodes
     for _rnd in range(n_iter):
         _t0 = time.perf_counter()
-        if changed_cnt * 20 > n_nodes:
-            # wide frontier: plain full recompute (one edge join, one
-            # window pass) — cheaper than restricting. Fold any
-            # overlay in first so the join sees current values.
+        if changed_cnt * 20 > n_nodes or n_nodes < _NARROW_MIN_NODES:
+            # wide frontier — or a graph small enough that a full
+            # round is cheaper than the narrow path's fixed plumbing
+            # (_NARROW_MIN_NODES): plain full recompute (one edge
+            # join, one window pass). Fold any overlay in first so
+            # the join sees current values.
             if overlay is not None:
                 base = pin_iter(
                     base.join(
@@ -819,9 +836,11 @@ def label_propagation(
     changed_cnt = n_nodes
     for _rnd in range(n_iter):
         _t0 = time.perf_counter()
-        if changed_cnt * 20 > n_nodes:
-            # wide frontier: plain full re-vote (fold the overlay in
-            # first so the vote join sees current labels)
+        if changed_cnt * 20 > n_nodes or n_nodes < _NARROW_MIN_NODES:
+            # wide frontier — or a graph below the narrow path's
+            # fixed-cost floor (_NARROW_MIN_NODES): plain full re-vote
+            # (fold the overlay in first so the vote join sees
+            # current labels)
             if overlay is not None:
                 base = pin_iter(
                     base.join(
