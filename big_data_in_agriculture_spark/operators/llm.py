@@ -629,6 +629,61 @@ def minhash_neardup_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+#: Edge-count ceiling for the driver-local component pass. A graph this
+#: small is "model-sized" (≤ a few MB collected — the same budget as a
+#: broadcast relation or the kmeans/classifier model collects), and the
+#: distributed loop pays 20-40 scheduler round-trips to label it: the
+#: sf0.1 DBSCAN cell graph (985 nodes) spent 4-5 s in per-round job
+#: overhead labelling a graph union-find finishes in <1 ms. Above the
+#: cap the distributed large-star/small-star path runs unchanged, so a
+#: 100 TB pair graph never touches the driver.
+_DRIVER_CC_MAX_EDGES = 100_000
+
+
+def _components_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Driver-local connected components: (id, component_id=min id).
+
+    Union-find keeping the SMALLER root as the representative — the
+    final root of every component is its minimum id regardless of edge
+    order, which is exactly the labelling the distributed path (min
+    propagation / star roots) converges to. Python's ``<`` agrees with
+    Spark's ordering on both id families the pair graphs use (integers
+    trivially; strings because UTF-8 byte order equals code-point
+    order), so the labels are identical, not just isomorphic.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    ids = [r[0] for r in nodes.collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges.collect():
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rv < ru:
+            ru, rv = rv, ru
+        parent[rv] = ru
+
+    id_type = nodes.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("id", id_type, False),
+            StructField("component_id", id_type, False),
+        ]
+    )
+    return nodes.sparkSession.createDataFrame(
+        [(i, find(i)) for i in ids], schema
+    )
+
+
 def neardup_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -636,11 +691,21 @@ def neardup_components(
     max_iter: int = 50,
     strict: bool = True,
     fast_rounds: int = 6,
+    driver_max_edges: int = _DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, component_id).
 
     The clustering step of a dedup pipeline — pair lists from
     jaccard/minhash/simhash become groups, one survivor kept per group.
+
+    **Small-graph fast path (round 12)**: once the canonical edge set
+    is counted (an action the pipeline always ran), a graph at or
+    under ``driver_max_edges`` edges (and ~2× that many nodes) is
+    labelled by driver-local union-find instead of the iterative loop
+    — identical labels (component minimum), none of the 20-40
+    per-round scheduler trips. Above the cap, the distributed
+    TWO-PHASE hybrid below runs unchanged.
+
     TWO-PHASE hybrid (round 9):
 
     **Phase 1 — min-label propagation + pointer jump**, at most
@@ -721,6 +786,21 @@ def neardup_components(
         return nodes.select(
             "id", F.col("id").alias("component_id")
         )
+
+    # Small-graph fast path (round 12, guide §1.2/§5): below the edge
+    # cap the whole CANONICAL graph is model-sized, and the iterative
+    # loop's cost is pure scheduler overhead (each round is 2-6 jobs
+    # over a few KB). Collect it like a model — the same driver budget
+    # kmeans_fit's centroids and classifier_train's gradients already
+    # use — and label with union-find; the node-count gate keeps a
+    # degenerate self-pair-heavy input (huge node set, few real edges)
+    # off the driver. Labels are bit-identical to the distributed
+    # path's (component minimum), pinned by
+    # test_llm::test_driver_components_match_distributed.
+    if n_edges <= driver_max_edges:
+        n_nodes = nodes.count()  # materializes the lazy pin
+        if n_nodes <= 2 * driver_max_edges:
+            return _components_driver(nodes, edges)
 
     # -- PHASE 1: min-label propagation + pointer jump, a few CHEAP
     # rounds (2 node-keyed shuffles per round vs star contraction's

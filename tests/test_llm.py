@@ -1280,11 +1280,50 @@ def test_neardup_components_deep_chain_pointer_jump(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 61)], ["id_a", "id_b"]
     )
+    # driver_max_edges=0 forces the DISTRIBUTED path — the property
+    # under test is the iterative loop's convergence, which the
+    # round-12 small-graph fast path would otherwise bypass here
     comps = {
         r["id"]: r["component_id"]
-        for r in llm.neardup_components(pairs).collect()
+        for r in llm.neardup_components(pairs, driver_max_edges=0).collect()
     }
     assert comps == {i: 1 for i in range(1, 62)}
+
+
+def test_driver_components_match_distributed(spark):
+    """Round-12 small-graph fast path: driver union-find labels are
+    BIT-IDENTICAL to the distributed large-star/small-star path's on
+    an adversarial mix — chains (local-min stalls), a clique, isolated
+    self-pair nodes, and id gaps — for both integer and string ids."""
+    edges = (
+        [(i, i + 1) for i in range(10, 40)]          # 30-hop chain
+        + [(100 + a, 100 + b) for a in range(6) for b in range(a)]  # clique
+        + [(200, 200), (300, 300)]                    # isolated self-pairs
+        + [(7, 500), (500, 3)]                        # id gaps / zig-zag
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        (r["id"], r["component_id"])
+        for r in llm.neardup_components(pairs).collect()
+    }
+    slow = {
+        (r["id"], r["component_id"])
+        for r in llm.neardup_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == slow
+
+    spairs = spark.createDataFrame(
+        [(f"d{a:03d}", f"d{b:03d}") for a, b in edges], ["id_a", "id_b"]
+    )
+    sfast = {
+        (r["id"], r["component_id"])
+        for r in llm.neardup_components(spairs).collect()
+    }
+    sslow = {
+        (r["id"], r["component_id"])
+        for r in llm.neardup_components(spairs, driver_max_edges=0).collect()
+    }
+    assert sfast == sslow
 
 
 def test_neardup_components_nonconvergence_raises(spark):
@@ -1295,10 +1334,14 @@ def test_neardup_components_nonconvergence_raises(spark):
     )
     # starve BOTH phases: one fast round can't finish a 29-hop chain
     # and zero star rounds leaves the quotient unmerged
+    # (driver_max_edges=0: the strictness contract belongs to the
+    # distributed path — the driver fast path is always exact)
     with pytest.raises(RuntimeError, match="did not converge"):
-        llm.neardup_components(pairs, max_iter=0, fast_rounds=1)
+        llm.neardup_components(
+            pairs, max_iter=0, fast_rounds=1, driver_max_edges=0
+        )
     out = llm.neardup_components(
-        pairs, max_iter=0, fast_rounds=1, strict=False
+        pairs, max_iter=0, fast_rounds=1, strict=False, driver_max_edges=0
     )
     assert out.count() == 30  # best-effort still returns every node
 
