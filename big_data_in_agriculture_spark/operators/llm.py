@@ -432,6 +432,78 @@ def lsh_candidate_pairs(
     differing in one token), not a substitute for the collapse.
     """
     banded = lsh_band_keys(signatures, bands, rows_per_band, portable=portable)
+    return _candidates_from_banded(banded, max_bucket_width)
+
+
+def _banded_text(
+    docs: DataFrame,
+    num_perm: int,
+    bands: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, band, bucket) straight from text in ONE Arrow kernel.
+
+    Fuses ``minhash_signatures`` + ``lsh_band_keys`` (portable forms)
+    for consumers that never need the signature column itself
+    (``minhash_neardup_pairs``): the two-kernel path ships every
+    num_perm-long signature array JVM→Python→JVM twice (guide §4 — the
+    boundary cost is per crossing) just to md5 its band slices in a
+    second worker pass. Same helpers, same arithmetic, bit-identical
+    buckets — pinned by test_llm::test_fused_banding_matches_two_pass.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    rows_per_band = num_perm // bands
+    params = [_affine_params(i) for i in range(num_perm)]
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+    mers = np.int64(_MERSENNE61)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets_text(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append(None)
+                continue
+            shingles = _md5_shingle_hashes(txt, k)
+            hv = np.fromiter(shingles, dtype=np.int64, count=len(shingles))
+            sig = ((hv[:, None] * a_vec[None, :] + b_vec) % mers).min(axis=0)
+            bs = []
+            for i in range(bands):
+                joined = "|".join(
+                    str(int(x))
+                    for x in sig[i * rows_per_band : (i + 1) * rows_per_band]
+                )
+                # == ('0x' || substr(md5(joined),1,15))::BIGINT
+                bs.append(
+                    int.from_bytes(
+                        hashlib.md5(joined.encode()).digest()[:8], "big"
+                    )
+                    >> 4
+                )
+            out.append(bs)
+        return pd.Series(out)
+
+    return _fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_buckets_text(F.col(text_col))).alias("band", "bucket"),
+    )
+
+
+def _candidates_from_banded(
+    banded: DataFrame, max_bucket_width: int | None
+) -> DataFrame:
+    """Bucket-grouped pair expansion over (id, band, bucket) rows —
+    the body of :func:`lsh_candidate_pairs`, shared with the fused
+    text→buckets path (:func:`_banded_text`)."""
     # In-bucket expansion instead of a self-join: a self-join would run
     # the signature pipeline (shingle explode + num_perm affine mins —
     # the expensive part) once PER SIDE; grouping the bucket members
@@ -560,17 +632,30 @@ def minhash_neardup_pairs(
             max_bucket_width=max_bucket_width,
         )
         return rep_pairs.unionByName(star)
-    sigs = minhash_signatures(docs, num_perm, k, text_col, id_col, portable=portable)
+    # r12: the portable path goes text → band buckets in ONE Arrow
+    # kernel (_banded_text) — the two-kernel form shipped every
+    # signature array across the Python boundary twice (guide §4) only
+    # to md5 its band slices in a second worker pass. Bit-identical
+    # buckets (same shingle/affine/md5 helpers), so candidates and
+    # verified pairs are unchanged.
+    if portable:
+        banded = _banded_text(docs, num_perm, bands, k, text_col, id_col)
+        raw_cands = _candidates_from_banded(banded, max_bucket_width)
+    else:
+        sigs = minhash_signatures(
+            docs, num_perm, k, text_col, id_col, portable=portable
+        )
+        raw_cands = lsh_candidate_pairs(
+            sigs, bands, rows_per_band, portable=portable,
+            max_bucket_width=max_bucket_width,
+        )
     # The candidate list feeds THREE consumers (two id-set branches +
     # the final join); without a cut, the whole signature+banding
     # pipeline re-executes per branch — map-side work is never shared
     # across plan branches. Candidates are tiny by construction
     # (near-dup families only), so a lazy localCheckpoint materializes
     # them once; measured ~2× on the full pipeline at sf0.1.
-    cands = lsh_candidate_pairs(
-        sigs, bands, rows_per_band, portable=portable,
-        max_bucket_width=max_bucket_width,
-    ).localCheckpoint(eager=False)
+    cands = raw_cands.localCheckpoint(eager=False)
     # Verification only needs shingle sets for docs that appear in a
     # candidate pair — a vanishing fraction of the corpus. Semi-join
     # that id set (broadcast) BEFORE computing shingles, so the full
@@ -604,6 +689,11 @@ def minhash_neardup_pairs(
         shingle_expr = _shingles_md5(F.col(text_col))
     else:
         shingle_expr = TX.shingle_hashes(F.col(text_col), k)
+    # pinned: sa and sb below are PLAN BRANCHES over this frame, and
+    # branches never share map work — unpinned, the candidate docs were
+    # scanned, semi-joined and md5-shingled TWICE (two ArrowEvalPython
+    # subtrees in the r12 before-plan). Candidate-bounded, so the pin
+    # is tiny by the same argument as the cand_ids broadcast.
     shingled = (
         _fan_out(docs)
         .join(
@@ -612,12 +702,18 @@ def minhash_neardup_pairs(
             "left_semi",
         )
         .select(F.col(id_col).alias("id"), shingle_expr.alias("shingles"))
+        .localCheckpoint(eager=False)
     )
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # both join sides are semi-joined down to candidate members — the
+    # same "tiny by construction" bound that justifies broadcasting
+    # cand_ids above — but their post-UDF size ESTIMATES are opaque,
+    # so without the hint the planner sort-merge-joins the pair table
+    # (2 exchanges + sorts over a candidate-bounded frame, guide §3.1)
     verified = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

@@ -124,6 +124,27 @@ def test_minhash_signature_shape_and_determinism(docs):
     assert by_id == again  # fully deterministic, no RNG state
 
 
+def test_fused_banding_matches_two_pass(docs):
+    """Round-12 fusion: the single text→band-buckets Arrow kernel
+    (_banded_text) produces BIT-IDENTICAL (id, band, bucket) rows to
+    the two-kernel chain minhash_signatures → lsh_band_keys it
+    replaces inside minhash_neardup_pairs — same shingle/affine/md5
+    helpers, one Python boundary crossing instead of two."""
+    sigs = llm.minhash_signatures(
+        docs, num_perm=16, k=3, portable=True
+    )
+    two = set(
+        map(tuple, llm.lsh_band_keys(sigs, 4, 4, portable=True).collect())
+    )
+    one = set(
+        map(
+            tuple,
+            llm._banded_text(docs, 16, 4, 3, "text", "doc_id").collect(),
+        )
+    )
+    assert one == two
+
+
 def test_minhash_portable_kernel_matches_column_twin(docs):
     """The Arrow kernel (hashlib md5 + numpy affine minima) is
     BIT-IDENTICAL to the Column formulation TX.shingle_hashes_md5 →
