@@ -433,6 +433,11 @@ def kcore(
     alive_edges = und
     n_iter = max_iter if rounds is None else rounds
     converged = rounds is not None
+    # |alive_edges| after the previous round. Fixpoint mode seeds it
+    # with |und| (materializing the pin round 1 reads anyway) so an
+    # already-stable graph still converges inside round 1; fixed-rounds
+    # mode skips the seed — its worst case is one non-skipped round.
+    prev_n = und.count() if rounds is None else None
     for _rnd in range(n_iter):
         degs = alive_edges.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
         keep = degs.filter(F.col("_d") >= k).select("u")
@@ -443,16 +448,21 @@ def kcore(
             _rnd,
             eager=False,
         )
-        if rounds is None:
-            # convergence test only in fixpoint mode — fixed-rounds
-            # runs were paying one discarded count() job per round
-            done = nxt.count() == alive_edges.count()
-            alive_edges = nxt
-            if done:
-                converged = True
-                break
-        else:
-            alive_edges = nxt
+        # one count per round in BOTH modes (r12): it materializes the
+        # lazy pin the next round needs anyway, and peeling only ever
+        # REMOVES edges (nxt ⊆ alive), so an unchanged count means an
+        # unchanged edge SET — a fixpoint. In fixed-rounds mode every
+        # remaining round then recomputes the identity, so stopping is
+        # bit-identical (the core_numbers r11 argument; the oracle's
+        # extra unrolled CTEs are identities for the same reason). The
+        # sf0.1 gate graph peels its empty 3-core in 2 rounds and was
+        # paying 10 no-op rounds of pure job overhead.
+        n = nxt.count()
+        alive_edges = nxt
+        if n == prev_n or n == 0:
+            converged = True
+            break
+        prev_n = n
     if not converged:
         raise RuntimeError(
             f"kcore did not converge in {max_iter} peeling rounds; raise "
