@@ -1490,6 +1490,47 @@ def _residual_frame(
     )
 
 
+def _ivfpq_train_with_resid(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    coarse_iters: int = 2,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 2,
+    quantize: int | None = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame | None]:
+    """ivfpq_train body, additionally returning the pinned residual
+    frame (id, cluster, vec_col=residual) the PQ fit already
+    materialized — so an inline-training consumer (knn_ivfpq) encodes
+    from it instead of re-running the coarse argmin + subtraction over
+    the whole corpus a second time (r12, guide §6: the residual pass
+    is a full corpus scan at any scale). None when there are no
+    centroids."""
+    data = _pinned_vectors(corpus, vec_col, id_col)
+    cents = _kmeans_fit_pinned(
+        data, k=n_centroids, max_iter=coarse_iters, vec_col=vec_col,
+        id_col=id_col, tol=0.0, quantize=quantize,
+    )
+    if not cents:
+        return [], [], None
+    resid = _residual_frame(data, cents, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    # residuals of valid (finite) vectors are finite — subtraction of
+    # two finite doubles can only leave the finite range via overflow
+    # at ~1e308 magnitudes, far beyond any embedding — so skipping the
+    # re-filter pq_train would apply is value-identical here
+    books = _pq_train_pinned(
+        resid.select(F.col(id_col), F.col(vec_col)), dim,
+        n_subspaces=n_subspaces, n_codes=n_codes, max_iter=max_iter,
+        vec_col=vec_col, id_col=id_col, quantize=quantize,
+    )
+    return cents, books, resid
+
+
 def ivfpq_train(
     corpus: DataFrame,
     dim: int,
@@ -1514,24 +1555,10 @@ def ivfpq_train(
     re-scanned the parquet to build residuals, then pq_train
     re-filtered and re-materialized a SECOND full copy of the pinned
     residuals; rows, fold order and codebooks are bit-identical."""
-    data = _pinned_vectors(corpus, vec_col, id_col)
-    cents = _kmeans_fit_pinned(
-        data, k=n_centroids, max_iter=coarse_iters, vec_col=vec_col,
-        id_col=id_col, tol=0.0, quantize=quantize,
-    )
-    if not cents:
-        return [], []
-    resid = _residual_frame(data, cents, vec_col, id_col).localCheckpoint(
-        eager=False
-    )
-    # residuals of valid (finite) vectors are finite — subtraction of
-    # two finite doubles can only leave the finite range via overflow
-    # at ~1e308 magnitudes, far beyond any embedding — so skipping the
-    # re-filter pq_train would apply is value-identical here
-    books = _pq_train_pinned(
-        resid.select(F.col(id_col), F.col(vec_col)), dim,
+    cents, books, _ = _ivfpq_train_with_resid(
+        corpus, dim, n_centroids=n_centroids, coarse_iters=coarse_iters,
         n_subspaces=n_subspaces, n_codes=n_codes, max_iter=max_iter,
-        vec_col=vec_col, id_col=id_col, quantize=quantize,
+        quantize=quantize, vec_col=vec_col, id_col=id_col,
     )
     return cents, books
 
@@ -1582,8 +1609,12 @@ def knn_ivfpq(
     """
     corpus_f = corpus.filter(vec_is_valid(F.col(vec_col)))
     queries_f = queries.filter(vec_is_valid(F.col(vec_col)))
+    trained_resid = None
     if centroids is None or codebooks is None:
-        cents, books = ivfpq_train(
+        # r12 (guide §6): keep the training pass's pinned residual
+        # frame — the encode below otherwise re-runs the coarse argmin
+        # + subtraction over the WHOLE corpus a second time
+        cents, books, trained_resid = _ivfpq_train_with_resid(
             corpus_f, dim, n_centroids=n_centroids,
             coarse_iters=coarse_iters, n_subspaces=n_subspaces,
             n_codes=n_codes, max_iter=max_iter, quantize=quantize,
@@ -1610,9 +1641,16 @@ def knn_ivfpq(
     # of the n_subspaces × n_codes encode distances (128× recompute per
     # row at the default geometry; A/B'd ~10% at bench scale, and the
     # ratio grows with n_centroids). Materializing residuals once is
-    # also the production IVF-PQ shape (encode once, persist codes).
-    resid = _residual_frame(corpus_f, cents, vec_col, id_col).localCheckpoint(
-        eager=False
+    # also the production IVF-PQ shape (encode once, persist codes) —
+    # and when training ran inline, that materialization already
+    # exists: reuse it (identical frame — same expression over the
+    # same pinned rows).
+    resid = (
+        trained_resid
+        if trained_resid is not None
+        else _residual_frame(corpus_f, cents, vec_col, id_col).localCheckpoint(
+            eager=False
+        )
     )
     c = pq_encode(
         _fan_out(resid), books, dim, vec_col=vec_col
