@@ -428,8 +428,16 @@ def main() -> int:
     only = {a for a in args if not a.startswith("--")}
     from big_data_in_agriculture_spark.session import get_spark
 
+    # r12: honor $SPARK_GRAFT_CPUS (default 32) so the same probe can
+    # be run at two core counts for a c8-vs-c32 scaling row — the sf0.1
+    # bench cannot demonstrate parallel speedup (every query there is
+    # scheduler-overhead-bound; 8 cores beat 32 across the board), so
+    # the scaling story lives here, at probe volume.
+    import os
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
-        "scale-probe", master="local[32]", shuffle_partitions=64,
+        "scale-probe", master=f"local[{cpus}]", shuffle_partitions=64,
         # probe volumes (20-60M-row windows/sorts) need real heap;
         # the bench/driver sessions keep their own defaults
         extra_conf={"spark.driver.memory": "8g"},
@@ -1897,6 +1905,73 @@ def probe_edit_degenerate_breaker(spark, names=150_000):
 
 PROBES["edit_10x"] = probe_edit_10x
 PROBES["edit_degenerate_breaker"] = probe_edit_degenerate_breaker
+
+
+def probe_q10_60m(spark, li=60_000_000, orders=15_000_000, cust=1_500_000):
+    """TPC-H Q10 SHAPE at 100× sf0.1 (r12 scaling row): returns-
+    filtered 60M-row fact joined to 15M orders and 1.5M customers,
+    revenue per customer, top 20 — the representative join+agg
+    headline query at a volume where parallelism should pay."""
+    lineitem = spark.range(li).select(
+        (F.col("id") % orders).alias("l_orderkey"),
+        ((F.col("id") % 10000) / 100.0).alias("l_extendedprice"),
+        ((F.col("id") % 11) / 100.0).alias("l_discount"),
+        F.when(F.col("id") % 4 == 0, F.lit("R"))
+        .otherwise(F.lit("N"))
+        .alias("l_returnflag"),
+    )
+    orders_df = spark.range(orders).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % cust).alias("o_custkey"),
+        (F.col("id") % 730).cast("int").alias("o_day"),
+    )
+    customer = spark.range(cust).select(
+        F.col("id").alias("c_custkey"),
+        (F.col("id") % 25).alias("c_nationkey"),
+    )
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders_df, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_day") < 180)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def probe_era5_chain_50m(spark, rows=50_000_000, regions=500, hours=8760):
+    """era5_chain SHAPE at 500× sf0.1 (r12 scaling row): two chained
+    (region, time) aggregates — hourly spatial mean then daily
+    rollup — over a 50M-row synthetic grid."""
+    grid = spark.range(rows).select(
+        (F.col("id") % regions).alias("region"),
+        (F.col("id") % hours).alias("hr"),
+        ((F.col("id") % 4000) / 100.0).alias("t2m"),
+        ((F.col("id") % 97) / 10.0).alias("tp"),
+    )
+    hourly = grid.groupBy("region", "hr").agg(
+        F.avg("t2m").alias("t2m"), F.avg("tp").alias("tp")
+    )
+    return (
+        hourly.withColumn("day", F.expr("hr div 24"))
+        .groupBy("region", "day")
+        .agg(
+            F.avg("t2m").cast("float").alias("t2m_mean"),
+            F.min("t2m").cast("float").alias("t2m_min"),
+            F.max("t2m").cast("float").alias("t2m_max"),
+            F.sum("tp").cast("float").alias("tp_sum"),
+        )
+    )
+
+
+PROBES["q10_60m"] = probe_q10_60m
+PROBES["era5_chain_50m"] = probe_era5_chain_50m
 
 if __name__ == "__main__":
     sys.exit(main())
