@@ -127,6 +127,53 @@ def _wait_for_quiet_query(max_wait_sec: float = 90.0) -> tuple[float, float]:
     return busy, waited
 
 
+def _cpu_calibration() -> dict:
+    """Fixed-work CPU speed stamp (r12): md5 over 64 MB single-thread,
+    and the same work split over 8 processes.
+
+    The r12 session measured the HOST ITSELF drifting 15-30% slower
+    between morning and evening runs with external busy-cores ≤ 2.2 —
+    hypervisor-level slowdown (steal/thermal) that no /proc/stat gate
+    can catch because the guest looks idle. A deterministic workload
+    timed next to the bench lets a cross-round comparison normalize:
+    if calib_1t_sec moved 15%, a uniform 15% drift on untouched
+    queries is the machine, not the code. Runs OUTSIDE every timed
+    window (~1 s total).
+    """
+    import hashlib
+    import multiprocessing as mp
+
+    block = b"\xa5" * (1 << 20)
+
+    def one(n: int) -> None:
+        h = hashlib.md5()
+        for _ in range(n):
+            h.update(block)
+
+    t0 = time.perf_counter()
+    one(128)
+    t1 = time.perf_counter()
+    try:
+        with mp.Pool(8) as pool:
+            pool.map(_calib_worker, [1] * 8)  # warm the pool
+            t2 = time.perf_counter()
+            pool.map(_calib_worker, [128] * 8)
+            t3 = time.perf_counter()
+        par = round(t3 - t2, 3)
+    except Exception:
+        par = -1.0
+    return {"calib_1t_sec": round(t1 - t0, 3), "calib_8p_sec": par}
+
+
+def _calib_worker(n: int) -> None:
+    import hashlib
+
+    block = b"\xa5" * (1 << 20)
+    h = hashlib.md5()
+    for _ in range(n):
+        h.update(block)
+
+
 def _host_load() -> dict:
     """Host-contention stamp: loadavg + uptime, recorded INTO the JSON
     so a polluted run is diagnosable after the fact instead of reading
@@ -195,6 +242,7 @@ def main() -> int:
         max_wait_sec=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
     )
     load_before = _host_load()
+    cpu_calib = _cpu_calibration()
 
     from big_data_in_agriculture_spark.session import get_spark
 
@@ -410,6 +458,11 @@ def main() -> int:
                 # anything that arrived mid-run).
                 "load_before": load_before,
                 "load_after": _host_load(),
+                # r12: deterministic CPU-speed stamps (before warmup /
+                # after the last timed query) — the guest-invisible
+                # host drift detector; see _cpu_calibration.
+                "cpu_calib_before": cpu_calib,
+                "cpu_calib_after": _cpu_calibration(),
                 # load_gate (round 9): the threshold now ACTS — the
                 # bench sleep-retries until quiet (bounded) and stamps
                 # the outcome; quiet=false marks the artifact
