@@ -1089,23 +1089,31 @@ def sssp(
             .groupBy("node")
             .agg(F.min("_cand").alias("_cand"))
         )
-        # least() skips NULLs (full join: either side may be absent)
-        nxt = pin_iter(
+        # least() skips NULLs (full join: either side may be absent).
+        # r12: the improved flag is computed IN the relaxation join —
+        # the old form re-joined nxt against dist just to recover the
+        # old distance this join already had on its left side, costing
+        # a second node-keyed join + a second pin every round. Same
+        # flag by definition: least(d, c) < d ⟺ c < d, and a node
+        # absent from dist (NULL d) is improved iff relaxed reached it.
+        step = pin_iter(
             dist.join(relaxed, "node", "full")
-            .select("node", F.least("dist", "_cand").alias("dist")),
+            .select(
+                "node",
+                F.least("dist", "_cand").alias("_nd"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("_cand") < F.col("dist"))
+                ).alias("_imp"),
+            )
+            .select("node", F.col("_nd").alias("dist"), "_imp"),
             _rnd,
         )
-        # next frontier = nodes whose distance improved this round,
-        # carrying their NEW distance
-        frontier = pin_iter(
-            nxt.join(dist.select("node", F.col("dist").alias("_old")),
-                     "node", "left")
-            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("node", "dist"),
-            _rnd,
-        )
+        # frontier and the new dist are plan branches over the SAME
+        # pinned frame — cheap scans, no recompute
+        frontier = step.filter(F.col("_imp")).select("node", "dist")
         done = frontier.isEmpty()
-        dist = nxt
+        dist = step.select("node", "dist")
         if done:
             break
     return dist
