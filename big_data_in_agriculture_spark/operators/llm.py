@@ -2893,11 +2893,20 @@ def substring_dedup(
             )
         return pd.Series(out)
 
-    # (doc, pos, digest) for every k-window; pos is 1-based
+    # (doc, pos, digest) for every k-window; pos is 1-based. Pinned
+    # (r12): the hot-digest aggregate and the semi-join probe below are
+    # plan BRANCHES over this frame, and branches share no map work —
+    # unpinned, the Arrow md5 kernel ran over the whole corpus TWICE
+    # (two ArrowEvalPython subtrees in the plan). The pin is the same
+    # corpus-sized storage-vs-recompute tradeoff documented for
+    # _pinned_vectors; the alternative is a second full tokenize+md5
+    # pass, so the pin wins at any scale where it fits.
     grams = docs.select(
         F.col(id_col),
         F.posexplode(_gram_digests(F.col(text_col))).alias("_i", "_gh"),
-    ).select(id_col, (F.col("_i") + 1).alias("pos"), "_gh")
+    ).select(
+        id_col, (F.col("_i") + 1).alias("pos"), "_gh"
+    ).localCheckpoint(eager=False)
 
     hot = (
         grams.groupBy("_gh")
