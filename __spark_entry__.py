@@ -6026,15 +6026,19 @@ def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, b = llm.classifier_train(
         docs, weak, dim=64, iters=8, lr=1.0, l2=1e-4, quantize=6
     )
-    scored = llm.classifier_score(docs, w, b, dim=64)
-    return (
-        docs.select("doc_id", weak.cast("int").alias("weak_label"))
-        .join(scored, "doc_id")
-        .select(
-            "doc_id",
-            "weak_label",
-            F.round(F.col("score"), 4).cast("float").alias("score"),
-        )
+    # r12: weak label and score are BOTH map-side expressions over the
+    # same docs row (classifier_score is one projection; doc_id is the
+    # PK), so the old "docs ⋈ scored by doc_id" was the identity
+    # re-attachment of each row's own score — a full node-keyed
+    # shuffle for nothing (the semantic_dedup r12 pattern, guide §2.4).
+    # One projection computes both; values and hash unchanged.
+    margin = llm.classifier_margin(F.col("text"), w, b, dim=64)
+    return docs.select(
+        "doc_id",
+        weak.cast("int").alias("weak_label"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 4
+        ).cast("float").alias("score"),
     )
 
 
